@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship 6-table star-join query at sf0.001.
+``queries()`` — every implemented operator plan (SURVEY.md §2 inventory).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (hash-parity contract:
+column names/aliases identical on both sides; monetary aggregates rounded
+identically; see sales_etl_pipeline_spark/plans/*.py docstrings).
 """
 
 from __future__ import annotations
@@ -13,26 +13,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sales_etl_pipeline_spark import plans
+from sales_etl_pipeline_spark.plans.analytics import regional_supplier_volume
+from sales_etl_pipeline_spark.session import tune_session
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_session(spark)
+    return regional_supplier_volume(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    wrapped = {}
+    for name, fn in plans.all_queries().items():
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        def _run(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+            tune_session(spark)
+            return _fn(spark, sf_dir)
+
+        wrapped[name] = _run
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per queries() key (omitted ⇒ rows-only)."""
+    return plans.all_oracles()

@@ -1,0 +1,108 @@
+"""Scalar/array column expressions shared across plans (SURVEY.md §2.8).
+
+Everything here is a pure Catalyst expression (JVM-side, codegen-able) —
+no Python UDFs. Each helper documents the oracle-parity contract it keeps
+with DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def weekday_mon0(col) -> Column:
+    """Day-of-week with Monday=0..Sunday=6 — pandas ``dt.dayofweek``
+    semantics (reference etl.py:94). Spark ``weekday()`` is already
+    Monday=0; the DuckDB oracle uses ``isodow(x) - 1``."""
+    return F.weekday(col)
+
+
+def title_case(col) -> Column:
+    """Whitespace-split title case: ``initcap(trim(x))``. pandas
+    ``str.title()`` (etl.py:102) also capitalizes after non-alpha chars —
+    outputs coincide on the reference's country list (SURVEY §2.2 note);
+    DuckDB oracle uses the identical-semantics ``initcap``."""
+    return F.initcap(F.trim(col))
+
+
+#: Exact-sum intermediate type. Inputs are doubles ≤ ~1e8 with ≤6 decimal
+#: digits of true precision; scale 10 captures them exactly and precision 38
+#: leaves 1e18 headroom for 100-TB row counts.
+DEC = "decimal(38,10)"
+
+
+def dsum(col) -> Column:
+    """Order-independent exact sum of a double column.
+
+    Double addition is non-associative, so a plain ``sum(double)`` differs
+    between partitionings/engines by ~1 ulp — enough to break value-hash
+    parity. Casting to decimal first makes the sum exact and associative:
+    Spark and DuckDB produce bit-identical doubles no matter the partition
+    count (SURVEY §7 'what's hard' #2). Oracle macro: ORACLE_DSUM.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col) -> Column:
+    """Exact-sum-based average: CAST(SUM(decimal) AS DOUBLE)/COUNT(x).
+    Both engines then perform the identical double division → identical
+    bits. Oracle macro: ORACLE_DAVG."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def oracle_dsum(expr: str, over: str = "") -> str:
+    """DuckDB equivalent of dsum(). The VARCHAR hop matters: DuckDB's direct
+    DECIMAL→DOUBLE cast (int128/1e10 in double arithmetic) can be 1 ulp off
+    the correctly-rounded value; strtod on the decimal string is correctly
+    rounded — matching Spark's BigDecimal.doubleValue exactly."""
+    win = f" OVER {over}" if over else ""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))){win} AS VARCHAR) AS DOUBLE)"
+
+
+def oracle_davg(expr: str) -> str:
+    return f"({oracle_dsum(expr)} / COUNT({expr}))"
+
+
+def money(col, scale: int = 2) -> Column:
+    """DEPRECATED for parity paths — kept for sink-side display rounding
+    (reference etl.py:356-357). Use dsum/davg in oracle-checked plans."""
+    return F.round(col, scale)
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization → array<string>. Oracle: string_split(x,' ')."""
+    return F.split(col, " ")
+
+
+def shingles(tokens_col, n: int = 3) -> Column:
+    """n-token shingles of a token array (for Jaccard/MinHash dedup).
+
+    transform(sequence(0, size-n), i -> concat_ws(' ', slice(toks, i+1, n)))
+    Pure higher-order expression — evaluated JVM-side per row. Empty array
+    when the document has < n tokens.
+    """
+    t = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+
+
+def cosine_similarity(a, b) -> Column:
+    """Cosine similarity of two array<double> columns, as a pure
+    higher-order expression: zip_with for the elementwise product,
+    aggregate for the sums. Stays inside Catalyst (no UDF), so it is
+    usable under whole-stage codegen in joins/windows.
+
+    Oracle parity: DuckDB ``list_cosine_similarity(a::DOUBLE[], b)``.
+    """
+    a = a if isinstance(a, Column) else F.col(a)
+    b = b if isinstance(b, Column) else F.col(b)
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)

@@ -1,0 +1,26 @@
+"""Query plans: named (spark, sf_dir) -> DataFrame callables plus their
+DuckDB oracle SQL, grouped by family.
+
+- parity: the reference pipeline's operator surface (SURVEY.md §2.1–2.9)
+  re-expressed over the driver's star schema.
+- analytics: join/semi-join/rollup analytics the reference documents as its
+  downstream query surface (reference README.md:131-154), TPC-H-shaped.
+- llmdata: training-data-pipeline extensions (dedup, similarity, text).
+- eventplans: event-time / sessionization queries over the events table.
+"""
+
+from . import analytics, eventplans, llmdata, parity
+
+
+def all_queries():
+    out = {}
+    for mod in (parity, analytics, llmdata, eventplans):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for mod in (parity, analytics, llmdata, eventplans):
+        out.update(mod.ORACLE)
+    return out

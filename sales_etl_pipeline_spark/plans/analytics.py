@@ -1,0 +1,204 @@
+"""Warehouse analytics plans — the join/semi-join/rollup query surface the
+reference documents for downstream consumers (reference README.md:131-154),
+expressed TPC-H-style over the star schema (SURVEY.md §2.7: the reference
+itself has no joins; these exercise the engine's join strategies).
+
+Scale notes: nation/region/part are broadcast dimensions; lineitem⋈orders
+and orders⋈customer are co-keyed shuffle joins that AQE can convert or
+skew-split at runtime. The semi-join uses Spark's left_semi (no row
+duplication, no post-dedup shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.core import dsum, davg, oracle_dsum, oracle_davg
+from ..sources.readers import load_table
+
+def _cancel_pred():
+    return F.col("o_orderstatus").startswith("F")
+
+
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q5 shape): revenue by nation within one region where
+    the supplier and customer share the nation — 6-table join: lineitem ⋈
+    orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region. Exercises scan,
+    broadcast + shuffle joins, filter pushdown, hash agg, sort."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(~_cancel_pred())
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the wide aggregate over lineitem — the engine's
+    throughput headline (pure scan + partial/final hash agg, no joins)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipped line, counted
+    by priority — a left_semi join (exists) that never duplicates rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer —
+    left outer join (customers with zero orders kept) + two-level agg."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(~_cancel_pred())
+    per_customer = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return (
+        per_customer.groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+        .orderBy(F.desc("customer_count"), "order_count")
+    )
+
+
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue — hierarchical totals with grouping
+    sets, free from Catalyst (SURVEY §2.3: cube/rollup as extensions)."""
+    orders = load_table(spark, sf_dir, "orders").filter(~_cancel_pred())
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            dsum("o_totalprice").alias("total_revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+    )
+
+
+_CANCEL_SQL = "starts_with(o_orderstatus, 'F')"
+
+ORACLE: dict[str, str] = {
+    "regional_supplier_volume": f"""
+        SELECT n_name,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT o_orderkey) AS order_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND NOT {_CANCEL_SQL}
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
+               (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice)) AS avg_price,
+               (CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "order_priority_count": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "customer_order_distribution": f"""
+        WITH per_customer AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS order_count
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE NOT {_CANCEL_SQL}) o
+              ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT order_count, COUNT(*) AS customer_count
+        FROM per_customer
+        GROUP BY order_count
+        ORDER BY customer_count DESC, order_count
+    """,
+    "region_nation_rollup": f"""
+        SELECT r_name, n_name,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_revenue,
+               COUNT(DISTINCT o_orderkey) AS order_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE NOT {_CANCEL_SQL}
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+}
+
+QUERIES = {
+    "regional_supplier_volume": regional_supplier_volume,
+    "pricing_summary": pricing_summary,
+    "order_priority_count": order_priority_count,
+    "customer_order_distribution": customer_order_distribution,
+    "region_nation_rollup": region_nation_rollup,
+}

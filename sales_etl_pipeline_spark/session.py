@@ -1,0 +1,66 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference executes single-process pandas (``/root/reference/data/etl.py``,
+whole file); here the equivalent knob-set is the Spark conf. Defaults chosen
+for both local[N] testing and a large cluster:
+
+- AQE on (coalesce partitions + skew-join): country/customer keys are skewed
+  in the reference workload (UK >> rest, reference README.md:139).
+- UTC session timezone: deterministic date-part extraction vs the oracle.
+- Arrow enabled: any unavoidable pandas interchange is vectorized.
+- ``nanosAsLong``: the driver test data's ``events.ts`` is ns-precision
+  INT64, which Spark's vectorized parquet reader rejects; we read it as a
+  long and convert explicitly (see sources/readers.py:load_events).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
+def get_spark(
+    app_name: str = "sales-etl-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or default_master())
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable parity/perf confs to an externally-created
+    session (the verification driver builds its own SparkSession)."""
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf not settable at runtime on this build — loaders have
+            # per-call fallbacks (see sources/readers.py).
+            pass
+    return spark

@@ -1,0 +1,127 @@
+"""Source readers (SURVEY.md §2.1).
+
+The reference's only source is a whole-workbook Excel read
+(``/root/reference/data/etl.py:44-54``). Here the primary source is columnar
+parquet (partition-prunable, predicate-pushdown-able); Excel/CSV/JSON are
+adapters. All readers return *lazy* DataFrames — no materialization until an
+action, the inverse of the reference's eager ``pd.read_excel``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+
+#: All driver-generated tables, including extension tables.
+ALL_TABLES = STAR_TABLES + ("events", "documents", "embeddings")
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan. Catalyst pushes filters/pruning into this scan —
+    the engine's answer to the reference's fail-fast existence check
+    (etl.py:48-49) is Spark's AnalysisException on a missing path."""
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
+    """Excel adapter (reference etl.py:51 ``pd.read_excel``).
+
+    Excel is a driver-side, whole-file format — inherently not
+    distributable. We read via pandas (if openpyxl is available) and
+    parallelize the result. Only appropriate for dimension-sized inputs;
+    fact data at scale must arrive as parquet/CSV.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Source file not found: {path}")
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError as exc:  # openpyxl not in this container
+        raise NotImplementedError(
+            "Excel ingestion requires pandas+openpyxl; install them or convert the workbook to CSV/parquet."
+        ) from exc
+    return spark.createDataFrame(pdf)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated table from `{sf_dir}/{name}.parquet`."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` with ns-precision ``ts`` normalized to a Spark timestamp.
+
+    The parquet stores INT64 TIMESTAMP(NANOS), which Spark's reader rejects
+    unless ``spark.sql.legacy.parquet.nanosAsLong=true``; with it, ``ts``
+    arrives as nanoseconds-since-epoch (long) and we truncate to µs — the
+    same truncation DuckDB applies, so event-time semantics match the
+    oracle exactly.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Fallback for sessions where the legacy conf cannot be set:
+        # arrow-side cast ns→µs. Driver-memory bound — correctness scales
+        # only; cluster deployments set the conf at session build.
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                pa.field(f.name, pa.timestamp("us") if pa.types.is_timestamp(f.type) else f.type)
+                for f in tbl.schema
+            ]
+        )
+        return spark.createDataFrame(tbl.cast(schema).to_pandas())
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_star(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> dict[str, DataFrame]:
+    """Load the star schema as a dict catalog — the engine's equivalent of
+    the reference's ``transformed_data`` dict-of-DataFrames
+    (etl.py:38-40). Also registers temp views for spark.sql access."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,99 @@
+"""Sinks K1–K6 (SURVEY.md §2.9; reference etl.py:264-386).
+
+All reference SQL sinks are full-replace (``if_exists='replace'``,
+etl.py:300,329,358) → ``mode("overwrite")`` here. Summary outputs are small
+(thousands of rows) so single-file coalesce(1) is safe; fact-table writes
+keep their partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _lowercase_columns(df: DataFrame) -> DataFrame:
+    # Reference lowercases column names at the PG/MySQL sinks (etl.py:328,354).
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def _round_doubles(df: DataFrame, scale: int = 2) -> DataFrame:
+    # Reference rounds float columns to 2 dp at the MySQL sink (etl.py:356-357).
+    cols = [
+        F.round(F.col(name), scale).alias(name) if dtype == "double" else F.col(name)
+        for name, dtype in df.dtypes
+    ]
+    return df.select(*cols)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """K1 (etl.py:264-274): header CSV, one file per table."""
+    out = df.coalesce(1) if single_file else df
+    out.write.option("header", "true").mode("overwrite").csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """K2 (etl.py:276-290). Spark schemas are explicit, so the reference's
+    object→str workaround (etl.py:287-288) has no equivalent. Fact-scale
+    writes should pass partition_by (e.g. a date column) for pruning."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_sqlite(df: DataFrame, db_path: str, table: str) -> None:
+    """K3 (etl.py:292-303). Summary tables are driver-collectable by design
+    (§4.3 invariant: sinks of this kind only receive aggregated relations);
+    we go through Arrow→pandas→sqlite3 which are all in-container."""
+    os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
+    import sqlite3
+
+    pdf = df.toPandas()
+    with sqlite3.connect(db_path) as conn:
+        pdf.to_sql(table, conn, if_exists="replace", index=False)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = None, round_scale: int | None = None) -> None:
+    """K4/K5 (etl.py:305-362): PostgreSQL/MySQL via Spark's JDBC writer.
+
+    Distributed writes (each partition opens a connection) — unlike the
+    reference's single SQLAlchemy connection. Requires the JDBC driver jar
+    on the classpath; raises a clear error otherwise.
+    """
+    out = _lowercase_columns(df)
+    if round_scale is not None:
+        out = _round_doubles(out, round_scale)
+    writer = out.write.format("jdbc").option("url", url).option("dbtable", table).mode("overwrite")
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def save_tables(tables: dict[str, DataFrame], output_dir: str, formats: list[str] | None = None) -> dict[str, list[str]]:
+    """K6 dispatcher (etl.py:364-386): fan a dict-catalog out to sinks.
+
+    Default formats mirror the reference's ``['csv','parquet','sqlite']``.
+    Returns {format: [written paths/tables]}.
+    """
+    formats = formats or ["csv", "parquet", "sqlite"]
+    os.makedirs(output_dir, exist_ok=True)
+    written: dict[str, list[str]] = {}
+    for fmt in formats:
+        paths: list[str] = []
+        for name, df in tables.items():
+            if fmt == "csv":
+                path = os.path.join(output_dir, f"{name}.csv")
+                write_csv(df, path)
+            elif fmt == "parquet":
+                path = os.path.join(output_dir, f"{name}.parquet")
+                write_parquet(df, path)
+            elif fmt == "sqlite":
+                path = os.path.join(output_dir, "sales_data.db")
+                write_sqlite(df, path, name)
+            else:
+                raise ValueError(f"Unknown sink format: {fmt!r} (jdbc sinks go through write_jdbc)")
+            paths.append(path)
+        written[fmt] = paths
+    return written

@@ -1,0 +1,50 @@
+"""The pre-flight for the driver's t2 gate: every queries() entry that has
+an oracle must match DuckDB exactly at sf0.001 (fast) — run sf0.01 via
+``TEST_SF=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.oracle_harness import compare, duckdb_connection  # noqa: E402
+
+SF = os.environ.get("TEST_SF", "/root/testdata/sf0.001")
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF)
+    yield c
+    c.close()
+
+
+def test_every_oracle_has_query():
+    assert set(_ORACLES) <= set(_QUERIES)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_parity(spark, con, name):
+    df = _QUERIES[name](spark, SF)
+    if name not in _ORACLES:
+        # rows-only contract: must run and return a stable schema
+        assert df.columns
+        df.collect()
+        return
+    problems = compare(df, con, _ORACLES[name], name)
+    assert not problems, "\n".join(problems)
