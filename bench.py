@@ -1,0 +1,86 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count of a cached-free
+collect-less action) — we use ``df.write.format("noop")`` when available,
+else ``df.foreach(lambda r: None)`` equivalent via count; here count() is
+used because every headline query ends in an aggregate/limit whose count
+forces full execution of the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sales_etl_pipeline_spark.session import get_spark  # noqa: E402
+from sales_etl_pipeline_spark import plans  # noqa: E402
+
+#: Queries timed per-round. Keep in sync with the headline set in
+#: BASELINE.md — parity summaries + join analytics + llm-data extensions.
+HEADLINE = (
+    "pricing_summary",
+    "regional_supplier_volume",
+    "order_priority_count",
+    "customer_order_distribution",
+    "clean_transactions",
+    "customer_summary",
+    "product_summary",
+    "daily_sales_moving_avg",
+    "country_summary",
+    "exact_dedup",
+    "minhash_near_dup",
+    "text_quality",
+    "knn_cosine_topk",
+    "event_sessionization",
+)
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    # noop write executes the complete plan without driver collection.
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    all_queries = plans.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in all_queries:
+            continue
+        # Warm the JVM/code paths once at tiny scale so per-query numbers
+        # measure execution, not first-call JIT/planning overhead.
+        run_one(spark, all_queries[name], "/root/testdata/sf0.001")
+        timings[name] = round(run_one(spark, all_queries[name], sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,22 @@ def oracle_davg(expr: str) -> str:
     return f"({oracle_dsum(expr)} / COUNT({expr}))"
 
 
+def md5_long(col) -> Column:
+    """Deterministic 60-bit hash shared bit-for-bit with the DuckDB oracle:
+    first 15 hex chars of md5, parsed base-16. Both engines use the same
+    md5; DuckDB parses via ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``
+    (oracle_md5_long). Used to build k seeded hash functions
+    (``md5(concat(x, '#', seed))``) for MinHash/SimHash — unlike
+    ``xxhash64``/``hash``, identical across engines.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def oracle_md5_long(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
 def money(col, scale: int = 2) -> Column:
     """DEPRECATED for parity paths — kept for sink-side display rounding
     (reference etl.py:356-357). Use dsum/davg in oracle-checked plans."""

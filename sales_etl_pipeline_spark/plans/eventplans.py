@@ -1,8 +1,274 @@
-"""Event-time plans over the ``events`` table (batch-over-event-time; the
-streaming variants live in sales_etl_pipeline_spark/streaming/).
+"""Event-time plans over the ``events`` table (north-star scope, SURVEY.md
+§2.10: the reference has no streaming/event operators — these define the
+engine's event-time surface; streaming variants of the same transforms live
+in sales_etl_pipeline_spark/streaming/).
+
+Batch-over-event-time first: every operator here is a plain DataFrame plan
+(deterministic, oracle-checkable); the streaming module reuses the same
+window specs with watermarks.
+
+Parity contracts:
+- Spark tumbling/sliding ``window()`` starts are epoch-aligned; DuckDB
+  ``time_bucket`` for sub-month intervals is also epoch-aligned → identical
+  window boundaries.
+- ``session_window(ts, gap)``: Spark merges events whose [ts, ts+gap)
+  intervals overlap (new session iff delta >= gap); the oracle reproduces
+  this with lag + cumulative-sum session ids.
+- Sums over the double ``value`` column go through the exact decimal path
+  (functions.core.dsum / oracle_dsum) for bit-identical results.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict[str, str] = {}
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.core import davg, dsum, oracle_davg, oracle_dsum
+from ..sources.readers import load_events
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window counts/sums per event type.
+
+    At scale: a single shuffle on (window, event_type); partial aggregation
+    is map-side so the shuffle carries pre-reduced rows.
+    """
+    events = load_events(spark, sf_dir)
+    w = F.window("ts", "10 minutes")
+    return (
+        events.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes — each event lands in two
+    overlapping windows (Spark expands via its internal window generator)."""
+    events = load_events(spark, sf_dir)
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        events.groupBy(w)
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_count",
+            "active_users",
+        )
+    )
+
+
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap, via Spark's native
+    ``session_window`` (dynamic merging inside the aggregation — no
+    per-event window explosion, unlike the sliding case)."""
+    events = load_events(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("session_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "session_events",
+            "session_value",
+        )
+    )
+
+
+def event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest event per (user_id, event_type) — deterministic dedup via a
+    ranked window (tie-break on event_id), not ``dropDuplicates`` whose
+    survivor depends on partition order. At scale the window shuffles once
+    on the partition key — same cost as the groupBy alternative."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (``props`` is a JSON string; the reference
+    never touches semi-structured data — SURVEY §2.8 extension): per event
+    type, stats over the extracted integer ``k``."""
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("k_count"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            davg("k").alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def event_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts pivoted to columns. Explicit value list →
+    no extra distinct-scan job and deterministic column order; nulls from
+    absent combinations are coalesced to 0 to match the SQL FILTER form."""
+    events = load_events(spark, sf_dir)
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+def event_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile — date-part extraction over event time
+    plus share-of-total via a global window on the 24-row aggregate."""
+    events = load_events(spark, sf_dir)
+    agg = events.groupBy(F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "hour",
+        "event_count",
+        "active_users",
+        (
+            100 * F.col("event_count") / F.sum("event_count").over(total)
+        ).alias("activity_share"),
+    ).orderBy("hour")
+
+
+_SESSION_SQL = """
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessioned AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS session_events,
+           {dsum_value} AS session_value
+    FROM sessioned
+    GROUP BY user_id, session_id
+"""
+
+ORACLE: dict[str, str] = {
+    "event_tumbling_window": f"""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+                   AS window_end,
+               event_type,
+               COUNT(*) AS event_count,
+               {oracle_dsum('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "event_sliding_window": """
+        WITH expanded AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts)
+                       - k.k * INTERVAL '5 minutes' AS window_start,
+                   user_id
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        )
+        SELECT window_start,
+               window_start + INTERVAL '10 minutes' AS window_end,
+               COUNT(*) AS event_count,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM expanded
+        GROUP BY 1, 2
+    """,
+    "event_sessionization": _SESSION_SQL.format(dsum_value=oracle_dsum("value")),
+    "event_dedup_first": """
+        SELECT user_id, event_type, event_id, ts, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+    "event_props_stats": f"""
+        WITH k_extracted AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(k) AS k_count,
+               MIN(k) AS k_min,
+               MAX(k) AS k_max,
+               {oracle_davg('k')} AS k_avg
+        FROM k_extracted
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "event_user_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        FROM events
+        GROUP BY user_id
+    """,
+    "event_hourly_activity": """
+        WITH agg AS (
+            SELECT CAST(hour(ts) AS INTEGER) AS hour,
+                   COUNT(*) AS event_count,
+                   COUNT(DISTINCT user_id) AS active_users
+            FROM events
+            GROUP BY 1
+        )
+        SELECT hour, event_count, active_users,
+               100 * CAST(event_count AS DOUBLE) / SUM(event_count) OVER ()
+                   AS activity_share
+        FROM agg
+        ORDER BY hour
+    """,
+}
+
+QUERIES = {
+    "event_tumbling_window": event_tumbling_window,
+    "event_sliding_window": event_sliding_window,
+    "event_sessionization": event_sessionization,
+    "event_dedup_first": event_dedup_first,
+    "event_props_stats": event_props_stats,
+    "event_user_pivot": event_user_pivot,
+    "event_hourly_activity": event_hourly_activity,
+}

@@ -1,10 +1,669 @@
-"""Training-data pipeline plans: dedup / similarity / text analysis over the
-``documents`` and ``embeddings`` tables (north-star scope, SURVEY.md §2.11).
+"""Training-data pipeline plans over ``documents`` and ``embeddings``
+(north-star scope, SURVEY.md §2.11 — absent from the reference, which has
+no text/array operators at all; this is the engine's LLM-data surface).
 
-Filled in incrementally; each entry gets an oracle where SQL-expressible.
+Families:
+- Deduplication: exact (hash-groupBy), n-gram Jaccard (exact near-dup),
+  MinHash+banding (the 100-TB scale path — candidates via band-key
+  equi-join instead of the quadratic shared-shingle join), SimHash.
+- Similarity search: brute-force cosine top-k (oracle-checked baseline)
+  and LSH-bucketed ANN (rows-only; the scale path).
+- Text analysis: quality scoring, language-ID heuristic, token statistics,
+  document fingerprinting.
+
+Everything is pure Catalyst expressions — higher-order array functions,
+no Python UDFs in any hot path. Cross-engine hash parity comes from
+``md5``-derived 60-bit integers (functions.core.md5_long), the one hash
+both Spark and DuckDB compute identically; float parity from the shared
+exact-decimal sum and identical left-fold association (cosine).
+
+Scale notes (100 TB):
+- The shared-shingle join (ngram_jaccard_pairs) is quadratic in the
+  document-frequency of a shingle — correct as the exact baseline but the
+  scale path is minhash_near_dup, whose band-key join only collides truly
+  similar documents (16 sigs, 4 bands × 4 rows ⇒ P(candidate) ≈ 1-(1-j⁴)⁴).
+- SimHash aggregates per (doc, bit) partial counts map-side; one shuffle
+  at doc_id grain.
+- Brute-force kNN broadcasts the query set (tiny) against the corpus —
+  no shuffle at all; the LSH variant turns it into a bucket equi-join.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict[str, str] = {}
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.core import (
+    md5_long,
+    oracle_md5_long,
+    shingles,
+    tokens,
+)
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# shared pieces
+
+SHINGLE_N = 3
+MINHASH_SIGS = 16
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 60  # md5_long yields 60 usable bits
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.4
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "una", "y", "los", "que"),
+}
+#: deterministic tie-break priority for argmax over language scores
+LANG_PRIORITY = ("en", "fr", "de", "es")
+
+TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish: words + individual punctuation
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) with distinct word-3-gram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(0, len(string_split(text, ' ')) - {SHINGLE_N - 1}),
+               i -> array_to_string(
+                   string_split(text, ' ')[i + 1 : i + {SHINGLE_N}], ' ')
+           )) AS shingles
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+"""
+
+
+def _pair_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to shingle sets and compute
+    exact Jaccard."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                shared
+                / (F.size("sh_a") + F.size("sh_b") - shared).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one canonical doc per distinct text (hash
+    groupBy — one shuffle on the text hash; at scale group on
+    ``md5(text)`` to shrink shuffle keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("doc_id", "content_md5", "dup_count")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by 3-gram Jaccard ≥ 0.8. Candidates via the
+    shared-shingle equi-join (exact but quadratic in shingle document
+    frequency — the MinHash plan below is the scale path)."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    cand = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, cand)
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup (the 100-TB dedup path): 16 md5-seeded
+    min-hashes, banded 4×4; only band-key collisions become candidates, then
+    exact Jaccard ≥ 0.8 verifies. Identical md5 hashing on the oracle side
+    makes even this plan exactly checkable (SURVEY §2.11 upgraded: not
+    rows-only)."""
+    sh = _doc_shingles(spark, sf_dir)
+    # Explode → hash-agg formulation: k seeded min-hashes as k MIN aggregates
+    # over (doc, shingle) rows. Unlike a nested higher-order-function
+    # expression (which Spark evaluates interpreted, ~20× slower), this stays
+    # in whole-stage codegen and partial-aggregates map-side — at 100 TB the
+    # shuffle carries one 16-column row per document.
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min(md5_long(F.concat(F.col("s"), F.lit("#"), F.lit(str(j))))).alias(f"m{j}")
+            for j in range(MINHASH_SIGS)
+        ]
+    )
+    rows_per_band = MINHASH_SIGS // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"m{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, cand)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document: per-token md5-hash, per-bit ±1 vote,
+    sign of the vote sum sets the bit. Shaped as explode → hash-agg so the
+    votes combine map-side (one shuffle at doc grain regardless of corpus
+    size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", md5_long("tok"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + composite score (length, lexical
+    diversity, stopword density, punctuation density) — all single-pass
+    narrow projections, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    stop_ratio = n_stop / n_tokens.cast("double")
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:]", ""))
+        / F.length("text").cast("double")
+    )
+    avg_token_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        / n_tokens.cast("double")
+    )
+    score = (
+        0.4 * distinct_ratio
+        + 0.3 * (1 - stop_ratio)
+        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK codepoint presence ⇒ zh, else stopword-hit
+    argmax over {en, fr, de, es} with deterministic priority tie-break.
+    Pure expression — at scale this is a free map-side projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    def _stop_count(words):
+        arr = F.array(*[F.lit(w) for w in words])
+
+        def _pred(t):  # single-arg: a 2-arg lambda means (element, index)
+            return F.array_contains(arr, t)
+
+        return F.size(F.filter(toks, _pred))
+
+    score = {lang: _stop_count(words) for lang, words in STOPWORDS.items()}
+    is_cjk = F.col("text").rlike(r"[一-鿿]")
+    pred = F.when(is_cjk, "zh")
+    for lang in LANG_PRIORITY:
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = score[lang] >= score[other]
+            cond = c if cond is None else cond & c
+        pred = pred.when(cond, lang)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[score[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        pred.alias("predicted_lang"),
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token statistics: whitespace tokens and BPE-ish regex
+    tokens (words + punctuation marks) — partial-aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(tokens(F.col("text")))
+    re_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX))
+    per_doc = docs.select("source", ws_tokens.alias("ws"), re_tokens.alias("re"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("re").alias("regex_tokens"),
+            (F.sum("ws") / F.count(F.lit(1))).alias("avg_ws_tokens"),
+            F.min("ws").alias("min_ws_tokens"),
+            F.max("ws").alias("max_ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-content md5 plus the minimum token-hash
+    (a 1-sig MinHash — the winnowing primitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # explode → MIN agg (codegen) rather than an interpreted higher-order
+    # transform; content_md5 rides along in the group key (1:1 with doc_id).
+    tok = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_md5"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    return (
+        tok.groupBy("doc_id", "content_md5")
+        .agg(F.min(md5_long("tok")).alias("min_token_hash"))
+        .select("doc_id", "content_md5", "min_token_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+def _cos_expr(a, b):
+    """Bit-parity cosine: left-fold dot & norms in index order, then
+    dot / (na * nb) — the oracle uses the identical association, so the
+    doubles agree exactly."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for each query vector (vec_id <
+    10) — the exact ANN baseline. The tiny query set is broadcast against
+    the corpus: zero shuffle for the scoring pass; only the per-query top-k
+    window shuffles (10 × k rows)."""
+    emb = _embeddings_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_expr(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4. Quadratic
+    (exact baseline) — the LSH-bucketed plan is the scale path."""
+    emb = _embeddings_double(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _cos_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+def _hyperplanes(n_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (no RNG state —
+    reproducible across engines and sessions)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"hp{p}_{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2000001 - 1000000) / 1e6)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path): 12 random-hyperplane sign bits form a
+    bucket key; neighbors are searched only within the query's bucket —
+    the brute-force cross join becomes a bucket equi-join. Rows-only check
+    (approximate by construction; the exact baseline above is the oracle-
+    checked one)."""
+    emb = _embeddings_double(spark, sf_dir)
+    planes = _hyperplanes(12, 64)
+    plane_col = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in planes]
+    )
+    bucket = F.aggregate(
+        F.transform(
+            plane_col,
+            lambda hp: F.when(
+                F.aggregate(
+                    F.zip_with(F.col("v"), hp, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, val: acc + val,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+    with_bucket = emb.withColumn("bucket", bucket)
+    q = with_bucket.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        with_bucket.alias("c")
+        .join(q.alias("q"), (F.col("c.bucket") == F.col("q.bucket")) & (F.col("c.vec_id") != F.col("q.query_id")))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cos_expr(F.col("q.qv"), F.col("c.v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+def _minhash_sig_sql() -> str:
+    return f"""
+        SELECT doc_id, shingles,
+               list_transform(range(0, {MINHASH_SIGS}), j ->
+                   list_min(list_transform(shingles, s ->
+                       CAST('0x' || substring(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)))
+               ) AS sig
+        FROM sh
+    """
+
+
+def _simhash_sql() -> str:
+    h = oracle_md5_long("tok")
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, {h} AS h FROM tok
+        ), votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, {combine} AS simhash FROM votes
+    """
+
+
+_PAIR_JACCARD_SQL = f"""
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(x.shingles, y.shingles)) * 1.0
+             / (len(x.shingles) + len(y.shingles)
+                - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id
+    WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
+          / (len(x.shingles) + len(y.shingles)
+             - len(list_intersect(x.shingles, y.shingles))) >= {JACCARD_THRESHOLD}
+"""
+
+_COS_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (acc, v) -> acc + v)"
+    " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, v) -> acc + v))"
+    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, v) -> acc + v)))"
+)
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang in LANG_PRIORITY:
+        arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        scores.append(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> list_contains([{arr}], t))) AS score_{lang}"
+        )
+    case = "CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'"
+    for lang in LANG_PRIORITY:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in LANG_PRIORITY if o != lang
+        )
+        case += f" WHEN {conds} THEN '{lang}'"
+    case += " END"
+    score_cols = ", ".join(f"score_{lang}" for lang in LANG_PRIORITY)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang AS label_lang, text,
+                   {', '.join(scores)}
+            FROM documents
+        )
+        SELECT doc_id, label_lang, {score_cols}, {case} AS predicted_lang
+        FROM scored
+    """
+
+
+ORACLE: dict[str, str] = {
+    "exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS content_md5,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        )
+        {_PAIR_JACCARD_SQL}
+    """,
+    "minhash_near_dup": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS ({_minhash_sig_sql()}),
+        bands AS (
+            SELECT doc_id, b.b AS band,
+                   array_to_string(
+                       list_transform(sig[b.b * {MINHASH_SIGS // MINHASH_BANDS} + 1 :
+                                          b.b * {MINHASH_SIGS // MINHASH_BANDS} + {MINHASH_SIGS // MINHASH_BANDS}],
+                                      x -> CAST(x AS VARCHAR)), '-') AS key
+            FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        )
+        {_PAIR_JACCARD_SQL}
+    """,
+    "simhash_signatures": _simhash_sql(),
+    "text_quality": """
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               length(replace(text, ' ', ''))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+               len(list_distinct(string_split(text, ' ')))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','a','of','and','to'], t)))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+               length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 / CAST(length(text) AS DOUBLE) AS punct_ratio,
+               0.4 * (len(list_distinct(string_split(text, ' ')))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+               + 0.3 * (1 - len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','a','of','and','to'], t)))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE))
+               + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                 AS quality_score
+        FROM documents
+    """,
+    "lang_id": _lang_sql(),
+    "token_stats": f"""
+        WITH per_doc AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS ws,
+                   len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS re
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS doc_count,
+               SUM(ws) AS ws_tokens,
+               SUM(re) AS regex_tokens,
+               CAST(SUM(ws) AS DOUBLE) / COUNT(*) AS avg_ws_tokens,
+               MIN(ws) AS min_ws_tokens,
+               MAX(ws) AS max_ws_tokens
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(lower(trim(text))) AS content_md5,
+               list_min(list_transform(string_split(text, ' '),
+                   t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)))
+                 AS min_token_hash
+        FROM documents
+    """,
+    "knn_cosine_topk": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SQL.format(a='q.v', b='c.v')} AS cosine
+            FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                 AS INTEGER) AS rank,
+               cosine
+        FROM scored
+        QUALIFY rank <= 5
+    """,
+    "embedding_near_dup": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_COS_SQL.format(a='a.v', b='b.v')} AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
+    """,
+}
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_near_dup": minhash_near_dup,
+    "simhash_signatures": simhash_signatures,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "token_stats": token_stats,
+    "doc_fingerprint": doc_fingerprint,
+    "knn_cosine_topk": knn_cosine_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
+}

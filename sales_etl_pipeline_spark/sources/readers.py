@@ -111,7 +111,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(tbl.cast(schema).to_pandas())
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # Integer division: ns values (~1.7e18) exceed double's 53-bit
+        # mantissa, so a float `/ 1000` would be off by up to ~128 ns and
+        # round some microseconds the wrong way vs DuckDB's truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
