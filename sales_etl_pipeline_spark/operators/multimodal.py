@@ -1,0 +1,163 @@
+"""Multimodal column operators (north-star scope, BASELINE.json): treat
+image/audio/video payloads as opaque ``binary`` columns with typed metadata,
+and run decode / feature-extraction / frame-sampling as Arrow-batched Pandas
+UDFs (``mapInPandas``) — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is real and tested; the actual media decode is
+STUBBED (no image/audio libraries in this container) behind
+``decode_media``, which raises ``NotImplementedError`` unless the
+deterministic fake codec is requested.
+
+Scale notes: payloads stay in executor-side Arrow batches end-to-end — no
+driver collect anywhere; ``mapInPandas`` streams record batches, so one
+task never holds more than ``spark.sql.execution.arrow.maxRecordsPerBatch``
+payloads in memory. Repartition upstream by a key that spreads payload
+sizes (here doc_id) to avoid size skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FRAME_BYTES = 32  # fake "video" frame stride
+
+#: metadata struct carried next to every payload column
+MEDIA_META_FIELDS = [
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_bytes", IntegerType()),
+]
+
+
+def decode_media(payload: bytes, fmt: str) -> bytes:
+    """Decode a media payload to raw bytes.
+
+    STUB: real codecs (PIL/libav/soundfile) are not available in this
+    container. The deterministic ``fake-rgb8`` codec passes bytes through;
+    any real format raises until a codec library is added.
+    """
+    if fmt == "fake-rgb8":
+        return payload
+    raise NotImplementedError(
+        f"No codec for format {fmt!r}: media decode requires an image/audio "
+        "library (e.g. pillow/av) not present in this environment. "
+        "Register one here; the surrounding Spark plumbing is complete."
+    )
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary payload + metadata struct per document —
+    a deterministic stand-in for real image bytes (md5-seeded, so stable
+    across runs/engines). Downstream operators depend only on the
+    (payload: binary, media: struct) contract, not on how the bytes were
+    made."""
+    payload = F.encode(F.repeat(F.md5("text"), 8), "utf-8").cast(BinaryType())
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake-rgb8").alias("format"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.length(payload).cast("int").alias("n_bytes"),
+        ).alias("media"),
+    )
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_histogram", ArrayType(LongType())),
+    ]
+)
+
+
+def image_features(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: byte mean and
+    a 16-bin byte histogram per payload. ``mapInPandas`` keeps the batch
+    loop in pandas/numpy (vectorized per batch); the decode step goes
+    through the stubbed codec layer."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fmts = [m["format"] for m in pdf["media"]]
+            raw = [
+                np.frombuffer(decode_media(p, f), dtype=np.uint8)
+                for p, f in zip(pdf["payload"], fmts)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(r) for r in raw],
+                    "byte_mean": [float(r.mean()) if len(r) else 0.0 for r in raw],
+                    "byte_histogram": [
+                        np.bincount(r // 16, minlength=16).astype("int64").tolist()
+                        for r in raw
+                    ],
+                }
+            )
+
+    return media_df.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(media_df: DataFrame, stride: int = FRAME_BYTES) -> DataFrame:
+    """Treat the payload as a frame container and sample fixed-stride
+    frames — pure expressions (binary substring), one output row per frame
+    with a per-frame content hash. The explode distributes frames across
+    partitions for downstream per-frame work."""
+    n_frames = F.floor(F.length("payload") / stride).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substring(F.col("payload"), i * stride + 1, stride),
+    )
+    return (
+        media_df.select(
+            "doc_id",
+            F.posexplode(frames).alias("frame_idx", "frame_bytes"),
+        )
+        .withColumn("frame_md5", F.md5("frame_bytes"))
+        .select("doc_id", "frame_idx", "frame_md5")
+    )
+
+
+def mm_image_features(spark, sf_dir: str) -> DataFrame:
+    """queries() entry (rows-only): documents → fake payloads → Arrow-batched
+    feature extraction."""
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_features(attach_media(docs))
+
+
+def mm_frame_sample(spark, sf_dir: str) -> DataFrame:
+    """queries() entry (rows-only): per-frame sampling + hashing."""
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_media(docs))
+
+
+QUERIES = {
+    "mm_image_features": mm_image_features,
+    "mm_frame_sample": mm_frame_sample,
+}
+#: media feature extraction is not SQL-expressible → rows-only checks
+ORACLE: dict[str, str] = {}

@@ -1,0 +1,84 @@
+"""End-to-end pipeline orchestrator — the engine's equivalent of the
+reference's ``SalesETLPipeline`` class (reference etl.py:31-422): the same
+extract → transform → load contract and ``get_summary()`` surface, over
+lazy Spark DataFrames instead of eager pandas.
+
+Key inversion vs the reference (SURVEY.md §3.4): ``transform()`` here is
+FREE — it only composes logical plans. Work happens at ``load()`` (the
+write actions) and ``get_summary()`` (counts). The reference's four
+independent summary builders (etl.py:251-254) run serially in pandas;
+here they are independent Spark jobs sharing the cached cleaned relation.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans import parity
+from ..sources.readers import load_star
+from ..sources.writers import save_tables
+
+
+class AnalyticsPipeline:
+    """extract → transform → load over the star schema.
+
+    Mirrors the reference's stage surface (extract / transform / load /
+    run / get_summary, etl.py:44,238,364,390,415) — each stage usable à la
+    carte, state carried between stages, fail-fast preconditions.
+    """
+
+    def __init__(self, spark: SparkSession, source_dir: str, output_dir: str):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.output_dir = output_dir
+        self.raw_tables: dict[str, DataFrame] | None = None
+        self.transformed_data: dict[str, DataFrame] | None = None
+
+    def extract(self) -> dict[str, DataFrame]:
+        """Load the source catalog (lazy scans; nothing materializes)."""
+        self.raw_tables = load_star(self.spark, self.source_dir)
+        return self.raw_tables
+
+    def transform(self) -> dict[str, DataFrame]:
+        """Build the five output tables (reference etl.py:238-260). Plans
+        only — no jobs run until load()/get_summary()."""
+        if self.raw_tables is None:
+            raise RuntimeError("No data to transform. Run extract() first.")
+        cleaned = parity.clean_transactions(self.spark, self.source_dir)
+        self.transformed_data = {
+            "customer_summary": parity.customer_summary(self.spark, self.source_dir),
+            "product_summary": parity.product_summary(self.spark, self.source_dir),
+            "daily_sales": parity.daily_sales_moving_avg(self.spark, self.source_dir),
+            "country_summary": parity.country_summary(self.spark, self.source_dir),
+            "transactions": cleaned,
+        }
+        return self.transformed_data
+
+    def load(self, formats: list[str] | None = None) -> dict[str, list[str]]:
+        """Fan the catalog out to sinks (reference etl.py:364-386)."""
+        if self.transformed_data is None:
+            raise RuntimeError("No data to load. Run transform() first.")
+        return save_tables(self.transformed_data, self.output_dir, formats)
+
+    def run(self, output_formats: list[str] | None = None) -> dict:
+        """Full E-T-L (reference etl.py:390-413), wall-clock timed."""
+        start = time.time()
+        self.extract()
+        self.transform()
+        written = self.load(output_formats)
+        return {
+            "elapsed_seconds": round(time.time() - start, 2),
+            "written": written,
+            **self.get_summary(),
+        }
+
+    def get_summary(self) -> dict:
+        """Row counts per output table (reference etl.py:415-422). Counts
+        are jobs; summaries are aggregate-grain so each is cheap."""
+        if self.transformed_data is None:
+            return {"status": "No data transformed yet"}
+        return {
+            name: df.count() for name, df in self.transformed_data.items()
+        }

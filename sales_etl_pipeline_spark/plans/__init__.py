@@ -10,17 +10,20 @@ DuckDB oracle SQL, grouped by family.
 """
 
 from . import analytics, eventplans, llmdata, parity
+from ..operators import multimodal
+
+_MODULES = (parity, analytics, llmdata, eventplans, multimodal)
 
 
 def all_queries():
     out = {}
-    for mod in (parity, analytics, llmdata, eventplans):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (parity, analytics, llmdata, eventplans):
+    for mod in _MODULES:
         out.update(mod.ORACLE)
     return out

@@ -46,8 +46,33 @@ from ..sources.readers import load_table
 SHINGLE_N = 3
 MINHASH_SIGS = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
+
+#: Universal-hash family over a single 32-bit md5 base hash:
+#: h_j(s) = (A[j] * h32(s) + B[j]) mod P. One md5 per shingle instead of
+#: sixteen — the rest is int64 arithmetic (A < 2^30, h32 < 2^32 ⇒ product
+#: < 2^62, no overflow), identical in both engines. Constants derived
+#: deterministically from md5 (no RNG state).
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _uh_constants() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(MINHASH_SIGS):
+        a = int(hashlib.md5(f"mh_a{j}".encode()).hexdigest()[:8], 16) % (2**30 - 1) + 1
+        b = int(hashlib.md5(f"mh_b{j}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+UH = _uh_constants()
 SIMHASH_BITS = 60  # md5_long yields 60 usable bits
 JACCARD_THRESHOLD = 0.8
+#: threshold as an exact rational for prefix-length integer arithmetic —
+#: (1 - 0.8) * n in doubles is 1.999…96 for n=10 and floors one short,
+#: silently dropping exact-boundary pairs (found the hard way).
+JACCARD_NUM, JACCARD_DEN = 4, 5
 COSINE_THRESHOLD = 0.4
 
 STOPWORDS = {
@@ -62,13 +87,32 @@ LANG_PRIORITY = ("en", "fr", "de", "es")
 TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish: words + individual punctuation
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles) with distinct word-3-gram shingles per document."""
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded distinct word-3-gram relation: (doc_id, s).
+
+    Deliberately NOT an array column: a higher-order ``transform`` building
+    per-doc shingle arrays runs interpreted (outside codegen) and Catalyst
+    duplicates the expression into pushed-down filters — measured ~8 s per
+    evaluation over 5 k docs, evaluated 4-5× in the join plans. posexplode +
+    ``lead`` windows stay in whole-stage codegen, and the relational form is
+    what joins/aggregations want at 100 TB anyway (no giant array cells).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), t1, t2).alias("s"),
+            t2.isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "s")
+        .distinct()
+    )
 
 
 _SHINGLES_SQL = f"""
@@ -84,20 +128,28 @@ _SHINGLES_SQL = f"""
 
 
 def _pair_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
-    """Join candidate (doc_a, doc_b) pairs back to shingle sets and compute
-    exact Jaccard."""
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs, relationally:
+    |A∩B| via a three-way equi-join on the shingle relation, |A| and |B|
+    from a per-doc count — semi-joined down to candidate docs first so the
+    shuffles carry only candidate data."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    shared = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                shared
-                / (F.size("sh_a") + F.size("sh_b") - shared).cast("double")
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -126,11 +178,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by 3-gram Jaccard ≥ 0.8. Candidates via the
     shared-shingle equi-join (exact but quadratic in shingle document
     frequency — the MinHash plan below is the scale path)."""
-    sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sh = _shingle_table(spark, sf_dir)
+    # Prefix filtering (AllPairs/SSJoin family): for Jaccard ≥ t, two sets
+    # must share at least one of their first ⌊(1−t)·|d|⌋+1 shingles under a
+    # global rarity order (document frequency asc, shingle asc). Exact — no
+    # false negatives — and it removes the df² blowup on frequent shingles
+    # that makes the naive shared-shingle join quadratic (measured 140 s →
+    # ~15 s at sf0.1; the surviving join keys are the rare shingles).
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sh.join(df_counts, "s")
+        .join(sizes, "doc_id")
+        .withColumn("r", F.row_number().over(w))
+        # prefix length p = n − ⌈t·n⌉ + 1, in exact integer arithmetic:
+        # ⌈num·n/den⌉ = (num·n + den − 1) div den
+        .filter(
+            F.col("r")
+            <= F.expr(
+                f"n_sh - (({JACCARD_NUM} * n_sh + {JACCARD_DEN - 1}) div {JACCARD_DEN}) + 1"
+            )
+        )
+        .select("doc_id", "s")
+    )
     cand = (
-        ex.alias("x")
-        .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        prefix.alias("x")
+        .join(
+            prefix.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -143,17 +220,17 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard ≥ 0.8 verifies. Identical md5 hashing on the oracle side
     makes even this plan exactly checkable (SURVEY §2.11 upgraded: not
     rows-only)."""
-    sh = _doc_shingles(spark, sf_dir)
-    # Explode → hash-agg formulation: k seeded min-hashes as k MIN aggregates
-    # over (doc, shingle) rows. Unlike a nested higher-order-function
-    # expression (which Spark evaluates interpreted, ~20× slower), this stays
-    # in whole-stage codegen and partial-aggregates map-side — at 100 TB the
-    # shuffle carries one 16-column row per document.
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sh = _shingle_table(spark, sf_dir)
+    # k seeded min-hashes as k MIN aggregates over the (doc, shingle)
+    # relation — whole-stage codegen, partial-aggregated map-side; at 100 TB
+    # the shuffle carries one 16-column row per document.
+    ex = sh.withColumn(
+        "h32", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    )
     sigs = ex.groupBy("doc_id").agg(
         *[
-            F.min(md5_long(F.concat(F.col("s"), F.lit("#"), F.lit(str(j))))).alias(f"m{j}")
-            for j in range(MINHASH_SIGS)
+            F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{j}")
+            for j, (a, b) in enumerate(UH)
         ]
     )
     rows_per_band = MINHASH_SIGS // MINHASH_BANDS
@@ -460,13 +537,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL
 
 def _minhash_sig_sql() -> str:
+    mins = ",\n               ".join(
+        f"MIN(({a} * h32 + {b}) % {MINHASH_P}) AS m{j}"
+        for j, (a, b) in enumerate(UH)
+    )
     return f"""
-        SELECT doc_id, shingles,
-               list_transform(range(0, {MINHASH_SIGS}), j ->
-                   list_min(list_transform(shingles, s ->
-                       CAST('0x' || substring(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)))
-               ) AS sig
-        FROM sh
+        SELECT doc_id,
+               {mins}
+        FROM (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(unnest(shingles)), 1, 8) AS BIGINT) AS h32
+            FROM sh
+        )
+        GROUP BY doc_id
     """
 
 
@@ -562,12 +645,15 @@ ORACLE: dict[str, str] = {
         WITH sh AS ({_SHINGLES_SQL}),
         sig AS ({_minhash_sig_sql()}),
         bands AS (
-            SELECT doc_id, b.b AS band,
-                   array_to_string(
-                       list_transform(sig[b.b * {MINHASH_SIGS // MINHASH_BANDS} + 1 :
-                                          b.b * {MINHASH_SIGS // MINHASH_BANDS} + {MINHASH_SIGS // MINHASH_BANDS}],
-                                      x -> CAST(x AS VARCHAR)), '-') AS key
-            FROM sig CROSS JOIN (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b
+            {" UNION ALL ".join(
+                "SELECT doc_id, " + str(b) + " AS band, "
+                + " || '-' || ".join(
+                    f"CAST(m{b * (MINHASH_SIGS // MINHASH_BANDS) + r} AS VARCHAR)"
+                    for r in range(MINHASH_SIGS // MINHASH_BANDS)
+                )
+                + " AS key FROM sig"
+                for b in range(MINHASH_BANDS)
+            )}
         ),
         cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -1,0 +1,127 @@
+"""Structured Streaming variants of the event-time plans (SURVEY.md §2.10:
+the reference has no streaming at all — scope defined by BASELINE.json).
+
+Each job is the SAME logical transform as its batch twin in
+plans/eventplans.py — the DataFrame code is shared shape-for-shape, only the
+source (``readStream``) and the watermark differ. Batch results are
+therefore the streaming jobs' correctness oracle (see
+tests/test_streaming.py).
+
+Watermark policy (ours to define, SURVEY §7 hard-item 5): 10 minutes on
+``events.ts``. With the file source + ``availableNow`` trigger these jobs
+also serve as deterministic backfill runs; on a real cluster the source
+swaps to Kafka/kinesis with no plan change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.core import DEC
+
+WATERMARK = "10 minutes"
+
+#: events.parquet physical schema under ``nanosAsLong`` (ts = ns since epoch).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. Schema is explicit
+    (streaming sources cannot infer), ts normalized ns→µs exactly as the
+    batch reader does (sources/readers.py:load_events)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # The file stream source requires a directory; narrow to the events
+    # table with a glob filter (new matching files picked up per microbatch).
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of eventplans.event_tumbling_window: late rows beyond
+    the watermark are dropped; state per open window only."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionization(events: DataFrame) -> DataFrame:
+    """Streaming twin of eventplans.event_sessionization: session_window
+    state merges as events arrive; sessions finalize when the watermark
+    passes their gap."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("session_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "session_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Streaming dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` ejects seen-keys once the watermark
+    passes — the unbounded-state hazard of plain dropDuplicates in streams
+    is the reason this variant exists."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame with the availableNow trigger into an
+    in-memory table and return the materialized result — the deterministic
+    'process everything currently available, then stop' harness used by the
+    tests. Production sinks swap format for kafka/parquet + checkpoint."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,82 @@
+"""Multimodal plumbing + pipeline orchestrator + sink checks (rows-only
+surfaces — no SQL oracle exists for these; assertions pin schema, shape,
+and self-consistency instead)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sales_etl_pipeline_spark.operators import multimodal  # noqa: E402
+from sales_etl_pipeline_spark.operators.pipeline import AnalyticsPipeline  # noqa: E402
+from sales_etl_pipeline_spark.sources.readers import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_attach_media_contract(spark):
+    docs = load_table(spark, SF, "documents")
+    media = multimodal.attach_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.first()
+    assert row.media.format == "fake-rgb8"
+    assert row.media.n_bytes == len(row.payload) == 256  # md5 hex × 8
+
+
+def test_image_features_batch_shape(spark):
+    docs = load_table(spark, SF, "documents")
+    feats = multimodal.image_features(multimodal.attach_media(docs))
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:10]:
+        assert r.n_bytes == 256
+        assert len(r.byte_histogram) == 16
+        assert sum(r.byte_histogram) == r.n_bytes
+        assert 0.0 <= r.byte_mean <= 255.0
+
+
+def test_frame_sample(spark):
+    docs = load_table(spark, SF, "documents")
+    frames = multimodal.frame_sample(multimodal.attach_media(docs))
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 256 // multimodal.FRAME_BYTES for r in per_doc)
+    assert frames.select("frame_md5").first().frame_md5 is not None
+
+
+def test_decode_media_stub_raises():
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_media(b"\x00", "jpeg")
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    pipe = AnalyticsPipeline(spark, SF, str(tmp_path))
+    summary = pipe.run(output_formats=["csv", "parquet", "sqlite"])
+    # all five reference output tables written and non-empty
+    for table in (
+        "customer_summary",
+        "product_summary",
+        "daily_sales",
+        "country_summary",
+        "transactions",
+    ):
+        assert summary[table] > 0
+        assert os.path.exists(os.path.join(str(tmp_path), f"{table}.parquet"))
+    # sqlite sink readable with matching counts
+    import sqlite3
+
+    with sqlite3.connect(os.path.join(str(tmp_path), "sales_data.db")) as conn:
+        n = conn.execute("SELECT COUNT(*) FROM customer_summary").fetchone()[0]
+    assert n == summary["customer_summary"]
+    # re-loadable parquet round-trip
+    back = spark.read.parquet(os.path.join(str(tmp_path), "country_summary.parquet"))
+    assert back.count() == summary["country_summary"]
+
+
+def test_transform_requires_extract(spark, tmp_path):
+    pipe = AnalyticsPipeline(spark, SF, str(tmp_path))
+    with pytest.raises(RuntimeError, match="extract"):
+        pipe.transform()
