@@ -127,6 +127,82 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: top-3 customers by revenue within each nation via a
+    dense_rank window partitioned on the group key — the partitioned-window
+    pattern that keeps top-k 100-TB-safe (no global sort; one shuffle on
+    n_name)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(~_cancel_pred())
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), "c_custkey")
+    return (
+        per_cust.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "revenue", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no non-cancelled order.
+    Anti joins never duplicate and carry only the left side through the
+    shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(~_cancel_pred())
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def repeat_buyer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over customer key sets: buyers active in BOTH 1995
+    and 1996 (INTERSECT), minus those who ever cancelled (EXCEPT). Spark
+    plans both as null-safe aggregating semi/anti joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    cancelled = orders.filter(_cancel_pred()).select("o_custkey")
+    return (
+        y95.intersect(y96)
+        .exceptAll(cancelled.distinct())
+        .select(F.col("o_custkey").alias("custkey"))
+        .orderBy("custkey")
+    )
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variants of the engine's two expensive exact operators
+    (SURVEY §2.11): HyperLogLog++ count-distinct and quantile sketches per
+    order priority. Rows-only check: sketch internals differ across engines
+    by design — the exact twins (countDistinct / percentile) are the
+    oracle-checked ones. At 100 TB these are the default for interactive
+    use (no expand, mergeable partials, bounded error)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
+                "price_quantiles"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _CANCEL_SQL = "starts_with(o_orderstatus, 'F')"
 
 ORACLE: dict[str, str] = {
@@ -193,6 +269,42 @@ ORACLE: dict[str, str] = {
         WHERE NOT {_CANCEL_SQL}
         GROUP BY ROLLUP (r_name, n_name)
     """,
+    "top_customers_per_nation": f"""
+        WITH per_cust AS (
+            SELECT n_name, c_custkey,
+                   {oracle_dsum('o_totalprice')} AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT {_CANCEL_SQL}
+            GROUP BY 1, 2
+        )
+        SELECT n_name, c_custkey, revenue,
+               CAST(dense_rank() OVER (
+                   PARTITION BY n_name ORDER BY revenue DESC, c_custkey)
+                 AS INTEGER) AS rk
+        FROM per_cust
+        QUALIFY rk <= 3
+    """,
+    "customers_without_orders": f"""
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND NOT {_CANCEL_SQL}
+        )
+        ORDER BY c_custkey
+    """,
+    "repeat_buyer_set_ops": f"""
+        SELECT o_custkey AS custkey FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        )
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey FROM orders WHERE {_CANCEL_SQL}
+        ORDER BY custkey
+    """,
 }
 
 QUERIES = {
@@ -201,4 +313,8 @@ QUERIES = {
     "order_priority_count": order_priority_count,
     "customer_order_distribution": customer_order_distribution,
     "region_nation_rollup": region_nation_rollup,
+    "top_customers_per_nation": top_customers_per_nation,
+    "customers_without_orders": customers_without_orders,
+    "repeat_buyer_set_ops": repeat_buyer_set_ops,
+    "approx_distinct_stats": approx_distinct_stats,  # rows-only: sketches
 }

@@ -1,0 +1,87 @@
+"""Physical-plan quality gates (SURVEY.md §4.2): the optimizations the
+engine's 100-TB story depends on must be visible in ``explain`` output —
+filter pushdown into the parquet scan, column pruning, broadcast joins for
+dimensions, no cartesian products. A correctness-green plan that full-scans
+every column would silently regress at scale; these tests pin the plan
+shape, not just the results."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sales_etl_pipeline_spark.plans import analytics, llmdata, parity  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full_plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_flagship_broadcasts_dimensions(spark):
+    plan = _plan(analytics.regional_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_pushes_region_filter(spark):
+    plan = _plan(analytics.regional_supplier_volume(spark, SF))
+    # the r_name = 'ASIA' predicate must reach the region parquet scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(analytics.pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection needs 7 of 16 lineitem columns; the scan must not read more
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for unused in ("l_comment", "l_orderkey", "l_partkey", "l_suppkey"):
+        assert unused not in read_schema
+
+
+def test_clean_transactions_prunes_columns(spark):
+    plan = _plan(parity.clean_transactions(spark, SF))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, "no parquet scan found"
+    assert all("l_comment" not in line for line in read_schemas)
+    assert all("o_comment" not in line for line in read_schemas)
+
+
+def test_semi_join_planned_for_exists(spark):
+    plan = _plan(analytics.order_priority_count(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_planned_for_not_exists(spark):
+    plan = _plan(analytics.customers_without_orders(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(parity.top_products(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_aggregates_partially(spark):
+    # the 16 min-hash aggregates must partial-aggregate map-side
+    plan = _plan(llmdata.minhash_near_dup(spark, SF))
+    assert "partial_min" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # under AQE the codegen wrapping appears in the final executed plan only,
+    # as "*(n)" stage markers on codegen'd operators
+    import re
+
+    df = analytics.pricing_summary(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), "agg not codegen'd"
