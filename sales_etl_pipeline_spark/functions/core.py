@@ -87,6 +87,35 @@ def money(col, scale: int = 2) -> Column:
     return F.round(col, scale)
 
 
+def salted_agg(df, keys, aggs, salt_buckets: int = 16):
+    """Two-phase skew-safe aggregation: pre-aggregate on (keys + random
+    salt) so one hot key spreads over ``salt_buckets`` reducers, then merge
+    the partials on the true keys.
+
+    Use when one group key dominates (the reference workload's UK-heavy
+    country key, survey §4.2) and the aggregate is algebraic (sum/count/
+    min/max — anything with a merge function). AQE's skew-join handling
+    covers joins; this covers aggregations. ``aggs`` maps output column →
+    (phase1_agg_fn, phase2_merge_fn), each Column-returning.
+
+    Example::
+
+        salted_agg(df, ["country"], {
+            "revenue": (lambda: F.sum("amount"), lambda c: F.sum(c)),
+            "n":       (lambda: F.count(F.lit(1)), lambda c: F.sum(c)),
+        })
+    """
+    from pyspark.sql import functions as F  # local to avoid shadowing
+
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[fn1().alias(name) for name, (fn1, _) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[fn2(F.col(name)).alias(name) for name, (_, fn2) in aggs.items()]
+    )
+
+
 def tokens(col) -> Column:
     """Whitespace tokenization → array<string>. Oracle: string_split(x,' ')."""
     return F.split(col, " ")

@@ -108,6 +108,52 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+USER_TOTALS_OUTPUT = "user_id long, event_count long, total_value double"
+USER_TOTALS_STATE = "event_count long, total_value double"
+
+
+def stream_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals that survive across microbatches — the escape hatch for
+    stateful logic no built-in aggregation expresses (here deliberately
+    simple so the batch groupBy is its oracle; swap the update body for
+    custom decay/alerting logic).
+
+    State is one (count, total) pair per user — bounded by user
+    cardinality, partitioned by the group key across executors; each
+    microbatch ships only that user's new rows through Arrow.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_count": [count],
+                "total_value": [total],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            USER_TOTALS_OUTPUT,
+            USER_TOTALS_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -1,0 +1,77 @@
+"""Scale-pattern operators: stateful streaming custom operator, skew-salted
+aggregation, partitioned fact writes — each checked against its exact
+(unsalted / batch) twin."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sales_etl_pipeline_spark.functions.core import salted_agg  # noqa: E402
+from sales_etl_pipeline_spark.sources.readers import load_events, load_table  # noqa: E402
+from sales_etl_pipeline_spark.sources.writers import write_parquet  # noqa: E402
+from sales_etl_pipeline_spark.streaming import jobs  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_user_totals_stateful(spark):
+    events = jobs.read_events_stream(spark, SF)
+    out = jobs.run_to_memory(jobs.stream_user_totals(events), "t_totals", "update")
+    got = {r.user_id: (r.event_count, r.total_value) for r in out.collect()}
+    batch = {
+        r.user_id: (r.n, r.tv)
+        for r in load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, tv) in batch.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - tv) < 1e-6
+
+
+def test_salted_agg_matches_plain(spark):
+    orders = load_table(spark, SF, "orders")
+    salted = salted_agg(
+        orders,
+        ["o_orderpriority"],
+        {
+            "revenue": (lambda: F.sum("o_totalprice"), lambda c: F.sum(c)),
+            "n": (lambda: F.count(F.lit(1)), lambda c: F.sum(c)),
+            "max_price": (lambda: F.max("o_totalprice"), lambda c: F.max(c)),
+        },
+    )
+    plain = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    s = {r.o_orderpriority: r for r in salted.collect()}
+    p = {r.o_orderpriority: r for r in plain.collect()}
+    assert set(s) == set(p)
+    for k in p:
+        assert s[k].n == p[k].n
+        assert s[k].max_price == p[k].max_price
+        assert abs(s[k].revenue - p[k].revenue) < 1e-6  # double sum order differs
+
+
+def test_partitioned_fact_write_prunes(spark, tmp_path):
+    """Date-partitioned fact write → scans with a date predicate read only
+    matching partitions (the §4.3 physical-design decision)."""
+    orders = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_partitioned")
+    write_parquet(orders, path, partition_by=["order_year"])
+    years = [d for d in os.listdir(path) if d.startswith("order_year=")]
+    assert len(years) > 1
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1996)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    assert back.count() == orders.filter(F.col("order_year") == 1996).count()
