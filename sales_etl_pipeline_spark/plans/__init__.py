@@ -9,10 +9,10 @@ DuckDB oracle SQL, grouped by family.
 - eventplans: event-time / sessionization queries over the events table.
 """
 
-from . import analytics, eventplans, llmdata, parity
+from . import analytics, eventplans, llmdata, parity, temporal
 from ..operators import multimodal
 
-_MODULES = (parity, analytics, llmdata, eventplans, multimodal)
+_MODULES = (parity, analytics, llmdata, eventplans, temporal, multimodal)
 
 
 def all_queries():

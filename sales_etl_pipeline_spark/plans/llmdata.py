@@ -740,6 +740,61 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the other scale path besides LSH): a deterministic
+    centroid set (every 50th vector — swap for k-means centroids offline),
+    each vector assigned to its nearest centroid (broadcast, no shuffle),
+    queries probe their nprobe=3 nearest clusters, candidates come from a
+    cluster equi-join. Rows-only: approximate by construction; the exact
+    brute-force twin (knn_cosine_topk) is the oracle-checked baseline.
+    """
+    emb = _embeddings_double(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), "cent_id"
+    )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cent_id", _cos_expr(F.col("v"), F.col("cv")).alias("cent_cos")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), "cent_id")
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cent_id",
+            _cos_expr(F.col("qv"), F.col("cv")).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "qv", F.col("cent_id").alias("cluster"))
+    )
+    scored = (
+        probes.join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_expr(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -752,4 +807,5 @@ QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
+    "ann_ivf_topk": ann_ivf_topk,  # rows-only: approximate by construction
 }
