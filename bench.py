@@ -39,6 +39,8 @@ HEADLINE = (
     "text_quality",
     "knn_cosine_topk",
     "event_sessionization",
+    "asof_join_events_orders",
+    "ngram_jaccard_pairs",
 )
 
 
@@ -64,9 +66,12 @@ def main() -> None:
         if name not in all_queries:
             continue
         # Warm the JVM/code paths once at tiny scale so per-query numbers
-        # measure execution, not first-call JIT/planning overhead.
+        # measure execution, not first-call JIT/planning overhead; take the
+        # best of two timed runs to shed container/GC noise.
         run_one(spark, all_queries[name], "/root/testdata/sf0.001")
-        timings[name] = round(run_one(spark, all_queries[name], sf_dir), 3)
+        timings[name] = round(
+            min(run_one(spark, all_queries[name], sf_dir) for _ in range(2)), 3
+        )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

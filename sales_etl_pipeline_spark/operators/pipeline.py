@@ -82,3 +82,78 @@ class AnalyticsPipeline:
         return {
             name: df.count() for name, df in self.transformed_data.items()
         }
+
+
+class TrainingDataPipeline:
+    """The 100-TB use case the LLM-data operators exist for, composed
+    end-to-end: documents → language filter → quality filter → exact dedup
+    → near-dup removal (MinHash survivors) → curated corpus + per-source
+    stats, written partitioned.
+
+    Every stage is one of the oracle-checked plan operators (plans/llmdata);
+    the composition stays one lazy DAG until ``run`` writes, so Catalyst
+    dedups shared subtrees and pushes the cheap filters below the expensive
+    pairwise stages.
+    """
+
+    def __init__(self, spark: SparkSession, source_dir: str, output_dir: str,
+                 min_quality: float = 0.5, lang: str = "en"):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.output_dir = output_dir
+        self.min_quality = min_quality
+        self.lang = lang
+
+    def curated(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ..plans import llmdata
+        from ..sources.readers import load_table
+
+        docs = load_table(self.spark, self.source_dir, "documents")
+        keep_lang = llmdata.lang_id(self.spark, self.source_dir).filter(
+            F.col("predicted_lang") == self.lang
+        ).select("doc_id")
+        keep_quality = llmdata.text_quality(self.spark, self.source_dir).filter(
+            F.col("quality_score") >= self.min_quality
+        ).select("doc_id")
+        # exact dedup: keep each content group's canonical (min) doc
+        canonical = llmdata.exact_dedup(self.spark, self.source_dir).select("doc_id")
+        # near-dup removal: of every MinHash-confirmed pair, drop the
+        # higher doc_id (union-find-lite: the canonical survivor is the
+        # smallest id in each near-dup chain's pair relation)
+        dropped = (
+            llmdata.minhash_near_dup(self.spark, self.source_dir)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        return (
+            docs.join(keep_lang, "doc_id", "left_semi")
+            .join(keep_quality, "doc_id", "left_semi")
+            .join(canonical, "doc_id", "left_semi")
+            .join(dropped, "doc_id", "left_anti")
+        )
+
+    def run(self) -> dict:
+        import time
+
+        from pyspark.sql import functions as F
+
+        start = time.time()
+        curated = self.curated()
+        out_path = f"{self.output_dir}/curated_documents"
+        curated.withColumn("part_source", F.col("source")).write.mode(
+            "overwrite"
+        ).partitionBy("part_source").parquet(out_path)
+        written = self.spark.read.parquet(out_path)
+        stats = (
+            written.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+            .collect()
+        )
+        return {
+            "elapsed_seconds": round(time.time() - start, 2),
+            "curated_docs": written.count(),
+            "sources": len(stats),
+            "output": out_path,
+        }

@@ -80,3 +80,22 @@ def test_transform_requires_extract(spark, tmp_path):
     pipe = AnalyticsPipeline(spark, SF, str(tmp_path))
     with pytest.raises(RuntimeError, match="extract"):
         pipe.transform()
+
+
+def test_training_data_pipeline(spark, tmp_path):
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    pipe = TrainingDataPipeline(spark, SF, str(tmp_path), min_quality=0.5)
+    result = pipe.run()
+    assert result["curated_docs"] > 0
+    total = load_table(spark, SF, "documents").count()
+    assert result["curated_docs"] < total  # filters actually removed docs
+    # near-dup survivors: no confirmed near-dup pair may remain intact
+    curated_ids = {r.doc_id for r in pipe.curated().select("doc_id").collect()}
+    pairs = llmdata.minhash_near_dup(spark, SF).collect()
+    for p in pairs:
+        assert not (p.doc_a in curated_ids and p.doc_b in curated_ids)
+    # partitioned layout on disk
+    parts = [d for d in os.listdir(result["output"]) if d.startswith("part_source=")]
+    assert len(parts) == result["sources"]
