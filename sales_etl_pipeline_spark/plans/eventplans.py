@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.core import davg, dsum, oracle_davg, oracle_dsum
+from ..functions.core import DEC, davg, dsum, oracle_davg, oracle_dsum
 from ..sources.readers import load_events
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -162,6 +162,70 @@ def event_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour")
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked after signup, then
+    purchased after that click — sequential event analytics via per-stage
+    min-timestamp aggregation (one conditional-agg pass, no self-joins).
+    funnel_stage = how far each user progressed (1=signup, 2=+click,
+    3=+purchase)."""
+    events = load_events(spark, sf_dir)
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .join(per_user, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        per_user.filter(F.col("t_signup").isNotNull())
+        .join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).alias("funnel_stage"),
+        )
+    )
+
+
+def event_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour activity per event via a RANGE frame over epoch
+    seconds — the time-based window family (frames defined by value
+    distance, not row count; days with sparse events still get the true
+    trailing hour). Partitioned by user: no global window on the fact
+    stream."""
+    events = load_events(spark, sf_dir)
+    with_epoch = events.withColumn("epoch_s", F.unix_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return with_epoch.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_last_hour"),
+    )
+
+
 _SESSION_SQL = """
     WITH ordered AS (
         SELECT user_id, ts, value,
@@ -247,6 +311,40 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY user_id
     """,
+    "event_funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+            FROM events GROUP BY user_id
+        ), clicks AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN per_user u ON e.user_id = u.user_id
+            WHERE e.event_type = 'click' AND e.ts > u.t_signup
+            GROUP BY e.user_id
+        ), purchases AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN clicks c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id, u.t_signup, c.t_click, p.t_purchase,
+               1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                 AS funnel_stage
+        FROM per_user u
+        LEFT JOIN clicks c ON u.user_id = c.user_id
+        LEFT JOIN purchases p ON u.user_id = p.user_id
+        WHERE u.t_signup IS NOT NULL
+    """,
+    "event_range_window": """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS events_last_hour,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS VARCHAR)
+                    AS DOUBLE) AS value_last_hour
+        FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
     "event_hourly_activity": """
         WITH agg AS (
             SELECT CAST(hour(ts) AS INTEGER) AS hour,
@@ -271,4 +369,6 @@ QUERIES = {
     "event_props_stats": event_props_stats,
     "event_user_pivot": event_user_pivot,
     "event_hourly_activity": event_hourly_activity,
+    "event_funnel": event_funnel,
+    "event_range_window": event_range_window,
 }

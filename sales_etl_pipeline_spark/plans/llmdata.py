@@ -712,6 +712,27 @@ ORACLE: dict[str, str] = {
                  AS min_token_hash
         FROM documents
     """,
+    "tfidf_top_terms": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * n.n_docs / CAST(dfreq.df AS DOUBLE) AS tfidf
+            FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term)
+                 AS INTEGER) AS rk
+        FROM scored
+        QUALIFY rk <= 3
+    """,
     "knn_cosine_topk": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -739,6 +760,33 @@ ORACLE: dict[str, str] = {
         WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
     """,
 }
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by tf·idf with a rational
+    idf (N/df — log-free: ln() rounding differs across engines and would
+    break exact parity; the ranking is monotone-equivalent). Shape: explode
+    → (doc, term) tf agg → term df agg (broadcast back) → ranked window.
+    All shuffles are at token-aggregate grain, never raw-token grain twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.col("n_docs") / F.col("df").cast("double")).alias("tfidf"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the other scale path besides LSH): a deterministic
@@ -804,6 +852,7 @@ QUERIES = {
     "lang_id": lang_id,
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
+    "tfidf_top_terms": tfidf_top_terms,
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
