@@ -82,6 +82,41 @@ def test_transform_requires_extract(spark, tmp_path):
         pipe.transform()
 
 
+def test_excel_adapter_paths(spark, tmp_path):
+    from sales_etl_pipeline_spark.sources.readers import read_excel
+
+    with pytest.raises(FileNotFoundError):
+        read_excel(spark, str(tmp_path / "missing.xlsx"))
+    # without openpyxl the adapter must fail with a clear, actionable error
+    fake = tmp_path / "wb.xlsx"
+    fake.write_bytes(b"PK\x03\x04notreallyxlsx")
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises((NotImplementedError, Exception)):
+            read_excel(spark, str(fake))
+
+
+def test_cli_main(spark, tmp_path):
+    """CLI lifecycle parity (reference etl.py:425-457) — run via main() with
+    an injected session-reusing monkeypatch-free path: we call the module
+    main in-process against sf0.001."""
+    import sales_etl_pipeline_spark.__main__ as cli
+
+    rc = cli.main(
+        [
+            "--source",
+            SF,
+            "--output",
+            str(tmp_path / "cli"),
+            "--formats",
+            "parquet",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "cli" / "country_summary.parquet"))
+
+
 def test_training_data_pipeline(spark, tmp_path):
     from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
     from sales_etl_pipeline_spark.plans import llmdata
