@@ -127,6 +127,12 @@ def shingles(tokens_col, n: int = 3) -> Column:
     transform(sequence(0, size-n), i -> concat_ws(' ', slice(toks, i+1, n)))
     Pure higher-order expression — evaluated JVM-side per row. Empty array
     when the document has < n tokens.
+
+    NOTE: fine for ad-hoc array building, but do NOT use on a hot path —
+    higher-order lambdas run interpreted and Catalyst may duplicate them
+    into pushed-down filters. The dedup plans use the relational form
+    instead (plans/llmdata.py:_shingle_table: posexplode + lead windows,
+    fully codegen'd) — measured ~10× faster at corpus scale.
     """
     t = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(

@@ -32,12 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.core import (
-    md5_long,
-    oracle_md5_long,
-    shingles,
-    tokens,
-)
+from ..functions.core import md5_long, oracle_md5_long, tokens
 from ..sources.readers import load_table
 
 # ---------------------------------------------------------------------------
