@@ -173,7 +173,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by 3-gram Jaccard ≥ 0.8. Candidates via the
     shared-shingle equi-join (exact but quadratic in shingle document
     frequency — the MinHash plan below is the scale path)."""
-    sh = _shingle_table(spark, sf_dir)
+    # The shingle relation feeds five subplans (df counts, sizes, prefix,
+    # and both sides of the intersection join); persist it once instead of
+    # recomputing the tokenize+explode+distinct pipeline per use. Default
+    # storage level is MEMORY_AND_DISK — spills, never OOMs, and at cluster
+    # scale this is exactly the relation you'd persist (or checkpoint)
+    # before a self-join. Measured 12.4 s → 6.4 s at sf0.1.
+    sh = _shingle_table(spark, sf_dir).persist()
     # Prefix filtering (AllPairs/SSJoin family): for Jaccard ≥ t, two sets
     # must share at least one of their first ⌊(1−t)·|d|⌋+1 shingles under a
     # global rarity order (document frequency asc, shingle asc). Exact — no
@@ -195,13 +201,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"n_sh - (({JACCARD_NUM} * n_sh + {JACCARD_DEN - 1}) div {JACCARD_DEN}) + 1"
             )
         )
-        .select("doc_id", "s")
+        .select("doc_id", "s", "n_sh")
     )
+    # Length filter (also exact): Jaccard ≥ t ⇒ |A∩B| ≥ t·|A∪B|, and since
+    # |A∩B| ≤ min(|A|,|B|) while |A∪B| ≥ max(|A|,|B|), any qualifying pair
+    # satisfies t·max ≤ min. In integer arithmetic: num·|other| ≤ den·|own|
+    # both ways. Prunes size-mismatched candidates before the expensive
+    # intersection join.
     cand = (
         prefix.alias("x")
         .join(
             prefix.alias("y"),
-            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("x.n_sh") * JACCARD_NUM <= F.col("y.n_sh") * JACCARD_DEN)
+            & (F.col("y.n_sh") * JACCARD_NUM <= F.col("x.n_sh") * JACCARD_DEN),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
@@ -215,7 +229,10 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard ≥ 0.8 verifies. Identical md5 hashing on the oracle side
     makes even this plan exactly checkable (SURVEY §2.11 upgraded: not
     rows-only)."""
-    sh = _shingle_table(spark, sf_dir)
+    # Persisted: feeds the signature aggregation AND the exact-Jaccard
+    # verification of candidates (three uses; same rationale as
+    # ngram_jaccard_pairs).
+    sh = _shingle_table(spark, sf_dir).persist()
     # k seeded min-hashes as k MIN aggregates over the (doc, shingle)
     # relation — whole-stage codegen, partial-aggregated map-side; at 100 TB
     # the shuffle carries one 16-column row per document.
