@@ -129,6 +129,11 @@ def customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_name").alias("country"),
         (dsum("o_totalprice") / F.countDistinct("o_orderkey")).alias("avg_order_value"),
     )
+    # The customer-grain aggregate feeds two consumers (the quartile scan
+    # and the final projection); persist it so the 4-table join + wide agg
+    # runs once, not twice. Customer grain is orders of magnitude smaller
+    # than the fact tables, so this persists cheaply at any scale.
+    agg = agg.persist()
     # D3 (etl.py:139-143): exact qcut quartiles, broadcast-joined.
     quartiles = agg.agg(
         F.percentile("total_revenue", 0.25).alias("q1"),
