@@ -6,13 +6,15 @@ DuckDB oracle SQL, grouped by family.
 - analytics: join/semi-join/rollup analytics the reference documents as its
   downstream query surface (reference README.md:131-154), TPC-H-shaped.
 - llmdata: training-data-pipeline extensions (dedup, similarity, text).
+- curation: corpus curation (repetition metrics, quality filter,
+  stratified sampling).
 - eventplans: event-time / sessionization queries over the events table.
 """
 
-from . import analytics, eventplans, llmdata, parity, temporal
+from . import analytics, curation, eventplans, llmdata, parity, temporal
 from ..operators import multimodal
 
-_MODULES = (parity, analytics, llmdata, eventplans, temporal, multimodal)
+_MODULES = (parity, analytics, llmdata, curation, eventplans, temporal, multimodal)
 
 
 def all_queries():

@@ -1,0 +1,250 @@
+"""Training-data curation plans: repetition analysis, quality filtering,
+and deterministic stratified sampling over the ``documents`` corpus.
+
+These extend the reference's cleaning surface (reference
+``data/etl.py:58-107`` — null/validity filters and derived flags on a sales
+fact table) to the document-corpus curation a large-scale training-data
+pipeline needs: Gopher-style repetition metrics, a threshold filter with
+per-document verdicts, and reproducible per-stratum sampling. All three are
+pure DataFrame compositions (no UDFs) with exact DuckDB oracles.
+
+Scale notes (100 TB):
+- Everything aggregates at token or document grain with map-side partial
+  aggregation; no self-joins, no driver collection.
+- The token relation shuffles once on ``doc_id`` (the window for bigrams
+  and every groupBy reuse the same hash partitioning, so Spark plans a
+  single exchange, reused).
+- Stratified sampling uses per-stratum windows; strata (lang × source) are
+  numerous and balanced, so no single-partition hot spot. A skewed stratum
+  would AQE-split; the hash ranking is embarrassingly parallel.
+- Fraction comparisons against literal thresholds are single exact double
+  divisions of integer counts — bit-identical across engines (see
+  functions/core.py parity notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.core import md5_long, oracle_md5_long, tokens
+from ..sources.readers import load_table
+
+# quality_filter thresholds (Gopher-flavored, tuned to the synthetic
+# corpus so both verdicts occur; the rules, not the constants, are the API)
+MIN_TOKENS = 20
+MAX_TOKENS = 100_000
+MIN_DISTINCT_FRAC = 0.35
+MAX_TOP_TOKEN_FRAC = 0.15
+
+# stratified_sample: keep ⌈n/SAMPLE_DEN⌉ docs per (lang, source) stratum
+SAMPLE_DEN = 10
+
+
+def _doc_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/bigram statistics, relationally.
+
+    One posexplode of the whitespace tokens; bigrams via ``lead`` over the
+    same exploded relation (single exchange on doc_id, whole-stage codegen
+    — same rationale as llmdata._shingle_table). Persisted: consumed by
+    both the token-count and bigram-count aggregations.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    base = tok.withColumn("nxt", F.lead("tok", 1).over(w)).persist()
+
+    tokc = base.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    td = tokc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.length("tok") * F.col("c")).alias("char_sum"),
+    )
+    bgc = (
+        base.filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bd = bgc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg")
+    )
+    return (
+        td.join(bd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_frac"
+            ),
+            (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            (F.col("top_bg").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+            (F.col("char_sum").cast("double") / F.col("n_tokens")).alias(
+                "mean_token_len"
+            ),
+        )
+    )
+
+
+_METRICS_SQL = """
+    sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    tokc AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(s) AS tok FROM sp)
+        GROUP BY doc_id, tok
+    ),
+    td AS (
+        SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+               MAX(c) AS top_cnt, SUM(len(tok) * c) AS char_sum
+        FROM tokc GROUP BY doc_id
+    ),
+    bgc AS (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, len(s) - 1),
+                       i -> s[i + 1] || ' ' || s[i + 2]
+                   )) AS bg
+            FROM sp
+        )
+        GROUP BY doc_id, bg
+    ),
+    bd AS (
+        SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bg
+        FROM bgc GROUP BY doc_id
+    ),
+    metrics AS (
+        SELECT td.doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS BIGINT)
+                   AS distinct_frac,
+               CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS BIGINT)
+                   AS top_token_frac,
+               CAST(top_bg AS DOUBLE) / CAST(n_bigrams AS BIGINT)
+                   AS top_bigram_frac,
+               CAST(char_sum AS DOUBLE) / CAST(n_tokens AS BIGINT)
+                   AS mean_token_len
+        FROM td LEFT JOIN bd USING (doc_id)
+    )
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: distinct-token
+    fraction, most-frequent-token fraction, most-frequent-bigram fraction,
+    mean token length. The building block for repetition-based quality
+    filtering (Rae et al. 2021, "Scaling Language Models" §A1.1 heuristics
+    — public paper; no reference-repo analogue, reference scope ends at
+    scalar cleaning, data/etl.py:58-107)."""
+    return _doc_token_metrics(spark, sf_dir)
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold quality filter with per-document verdict and the first
+    failing rule as the reject reason (evaluation order: length, then
+    distinct fraction, then dominant token)."""
+    m = _doc_token_metrics(spark, sf_dir)
+    too_short = F.col("n_tokens") < MIN_TOKENS
+    too_long = F.col("n_tokens") > MAX_TOKENS
+    low_distinct = F.col("distinct_frac") < MIN_DISTINCT_FRAC
+    dominant = F.col("top_token_frac") > MAX_TOP_TOKEN_FRAC
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_frac",
+        "top_token_frac",
+        (~(too_short | too_long | low_distinct | dominant)).alias("kept"),
+        F.when(too_short, "too_short")
+        .when(too_long, "too_long")
+        .when(low_distinct, "low_distinct_frac")
+        .when(dominant, "dominant_token")
+        .alias("reject_reason"),
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional stratified sample: ⌈n/10⌉ documents per
+    (lang, source) stratum, chosen by md5-hash rank — reproducible across
+    runs, engines, and partitionings (unlike ``df.sample``, which depends
+    on partition layout). The standard recipe for carving train/eval
+    splits out of a corpus at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    cw = Window.partitionBy("lang", "source")
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("stratum_size", F.count(F.lit(1)).over(cw))
+        .filter(
+            F.col("sample_rank")
+            <= F.expr(f"(stratum_size + {SAMPLE_DEN - 1}) div {SAMPLE_DEN}")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+            F.col("stratum_size").cast("int").alias("stratum_size"),
+        )
+    )
+
+
+QUERIES = {
+    "repetition_stats": repetition_stats,
+    "quality_filter": quality_filter,
+    "stratified_sample": stratified_sample,
+}
+
+ORACLE = {
+    "repetition_stats": f"""
+        WITH {_METRICS_SQL}
+        SELECT doc_id, n_tokens, distinct_frac, top_token_frac,
+               top_bigram_frac, mean_token_len
+        FROM metrics
+    """,
+    "quality_filter": f"""
+        WITH {_METRICS_SQL}
+        SELECT doc_id, n_tokens, distinct_frac, top_token_frac,
+               NOT (n_tokens < {MIN_TOKENS} OR n_tokens > {MAX_TOKENS}
+                    OR distinct_frac < {MIN_DISTINCT_FRAC}
+                    OR top_token_frac > {MAX_TOP_TOKEN_FRAC}) AS kept,
+               CASE
+                   WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                   WHEN n_tokens > {MAX_TOKENS} THEN 'too_long'
+                   WHEN distinct_frac < {MIN_DISTINCT_FRAC}
+                       THEN 'low_distinct_frac'
+                   WHEN top_token_frac > {MAX_TOP_TOKEN_FRAC}
+                       THEN 'dominant_token'
+               END AS reject_reason
+        FROM metrics
+    """,
+    "stratified_sample": f"""
+        WITH hashed AS (
+            SELECT doc_id, lang, source,
+                   {oracle_md5_long("CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source ORDER BY h, doc_id
+                   ) AS sample_rank,
+                   COUNT(*) OVER (PARTITION BY lang, source)
+                       AS stratum_size
+            FROM hashed
+        )
+        SELECT doc_id, lang, source,
+               CAST(sample_rank AS INT) AS sample_rank,
+               CAST(stratum_size AS INT) AS stratum_size
+        FROM ranked
+        WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
+    """,
+}
