@@ -197,11 +197,126 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents that share any
+    3-gram shingle with the held-out evaluation split (the
+    ``stratified_sample`` output plays the eval set). The standard
+    n-gram-overlap contamination test for LLM training corpora, as a pair
+    of semi/anti joins on the shingle relation:
+
+    eval shingles  = shingles ⋉ eval doc_ids   (semi join, broadcast-able)
+    train shingles = shingles ▷ eval doc_ids   (anti join)
+    contaminated   = train ⋈ eval on shingle → per-doc distinct counts
+
+    At scale the shingle relation shuffles once on the shingle string; the
+    eval side is the small sample (~n/10), so its shingles broadcast.
+    """
+    from .llmdata import _shingle_table
+
+    sh = _shingle_table(spark, sf_dir).persist()
+    eval_ids = stratified_sample(spark, sf_dir).select("doc_id")
+    eval_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    train_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    return (
+        train_sh.join(eval_sh, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel as one composed plan: quality filter →
+    exact content dedup (keep the min doc_id per distinct text) →
+    stratified sample of the survivors (⌈n/10⌉ per lang × source). What a
+    production corpus-prep job runs end-to-end; each stage is the
+    oracle-checked operator above, composed lazily so Catalyst plans the
+    whole funnel at once (filter pushdown through the dedup window, column
+    pruning into both scans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_filter(spark, sf_dir).filter("kept").select("doc_id")
+    survivors = docs.join(kept, "doc_id", "left_semi")
+    canonical = (
+        survivors.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "source")
+    )
+    h = md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    cw = Window.partitionBy("lang", "source")
+    return (
+        canonical.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("stratum_size", F.count(F.lit(1)).over(cw))
+        .filter(
+            F.col("sample_rank")
+            <= F.expr(f"(stratum_size + {SAMPLE_DEN - 1}) div {SAMPLE_DEN}")
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "quality_filter": quality_filter,
     "stratified_sample": stratified_sample,
+    "contamination_check": contamination_check,
+    "curation_pipeline": curation_pipeline,
 }
+
+#: eval-split CTE (DuckDB): md5-rank stratified sample, doc_ids only
+_SAMPLE_CTE = f"""
+    hashed AS (
+        SELECT doc_id, lang, source,
+               {oracle_md5_long("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source ORDER BY h, doc_id
+               ) AS sample_rank,
+               COUNT(*) OVER (PARTITION BY lang, source) AS stratum_size
+        FROM hashed
+    ),
+    eval_split AS (
+        SELECT doc_id FROM ranked
+        WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
+    )
+"""
+
+
+def _contamination_oracle() -> str:
+    from .llmdata import _SHINGLES_SQL
+
+    return f"""
+        WITH sh0 AS ({_SHINGLES_SQL}),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
+        {_SAMPLE_CTE},
+        eval_sh AS (
+            SELECT ex.doc_id AS eval_doc, s
+            FROM ex JOIN eval_split USING (doc_id)
+        ),
+        train_sh AS (
+            SELECT * FROM ex
+            WHERE doc_id NOT IN (SELECT doc_id FROM eval_split)
+        )
+        SELECT t.doc_id,
+               COUNT(DISTINCT t.s) AS n_shared_shingles,
+               COUNT(DISTINCT e.eval_doc) AS n_eval_docs
+        FROM train_sh t JOIN eval_sh e ON t.s = e.s
+        GROUP BY t.doc_id
+    """
+
 
 ORACLE = {
     "repetition_stats": f"""
@@ -244,6 +359,45 @@ ORACLE = {
         SELECT doc_id, lang, source,
                CAST(sample_rank AS INT) AS sample_rank,
                CAST(stratum_size AS INT) AS stratum_size
+        FROM ranked
+        WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
+    """,
+    "contamination_check": _contamination_oracle(),
+    "curation_pipeline": f"""
+        WITH {_METRICS_SQL},
+        kept AS (
+            SELECT doc_id FROM metrics
+            WHERE NOT (n_tokens < {MIN_TOKENS} OR n_tokens > {MAX_TOKENS}
+                       OR distinct_frac < {MIN_DISTINCT_FRAC}
+                       OR top_token_frac > {MAX_TOP_TOKEN_FRAC})
+        ),
+        survivors AS (
+            SELECT d.doc_id, d.lang, d.source, d.text
+            FROM documents d JOIN kept USING (doc_id)
+        ),
+        canonical AS (
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rk
+                FROM survivors
+            ) WHERE rk = 1
+        ),
+        hashed AS (
+            SELECT doc_id, lang, source,
+                   {oracle_md5_long("CAST(doc_id AS VARCHAR)")} AS h
+            FROM canonical
+        ),
+        ranked AS (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source ORDER BY h, doc_id
+                   ) AS sample_rank,
+                   COUNT(*) OVER (PARTITION BY lang, source) AS stratum_size
+            FROM hashed
+        )
+        SELECT doc_id, lang, source
         FROM ranked
         WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
     """,
