@@ -41,6 +41,9 @@ HEADLINE = (
     "event_sessionization",
     "asof_join_events_orders",
     "ngram_jaccard_pairs",
+    "quality_filter",
+    "contamination_check",
+    "curation_pipeline",
 )
 
 
