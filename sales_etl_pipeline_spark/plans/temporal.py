@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.core import DEC, oracle_dsum
 from ..sources.readers import load_events, load_table
 
 
@@ -97,6 +98,47 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ordered-window function surface in one oracle-checked
+    projection over per-customer order timelines: offsets (lag/lead),
+    frame endpoints (first/last value over the whole partition),
+    rank family (rank, dense_rank, percent_rank, cume_dist, ntile), and a
+    running exact-decimal revenue sum. Ordering keys include o_orderkey so
+    every ordering is total — deterministic across engines and partition
+    layouts. Rank-family ratios are single exact int/int double divisions
+    (bit-identical both engines).
+
+    Scale note: windows partition by customer — millions of independent
+    partitions, no global sort. The only data movement is the hash
+    exchange on o_custkey shared by every window here (one shuffle,
+    Catalyst plans a single Window node chain).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wv = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wfull = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("customer_id"),
+        F.row_number().over(wd).cast("long").alias("order_seq"),
+        F.lag("o_totalprice", 1).over(wd).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(wd).alias("next_price"),
+        F.first_value(F.col("o_totalprice")).over(wfull).alias("first_price"),
+        F.last_value(F.col("o_totalprice")).over(wfull).alias("last_price"),
+        F.rank().over(wv).cast("long").alias("price_rank"),
+        F.dense_rank().over(wv).cast("long").alias("price_dense_rank"),
+        F.percent_rank().over(wv).alias("price_percent_rank"),
+        F.cume_dist().over(wv).alias("price_cume_dist"),
+        F.ntile(4).over(wd).cast("long").alias("date_quartile"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(wd)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "asof_join_events_orders": """
         WITH timeline AS (
@@ -144,7 +186,32 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["window_function_showcase"] = f"""
+    SELECT o_orderkey,
+           o_custkey AS customer_id,
+           ROW_NUMBER() OVER wd AS order_seq,
+           lag(o_totalprice, 1) OVER wd AS prev_price,
+           lead(o_totalprice, 1) OVER wd AS next_price,
+           first_value(o_totalprice) OVER wfull AS first_price,
+           last_value(o_totalprice) OVER wfull AS last_price,
+           rank() OVER wv AS price_rank,
+           dense_rank() OVER wv AS price_dense_rank,
+           percent_rank() OVER wv AS price_percent_rank,
+           cume_dist() OVER wv AS price_cume_dist,
+           ntile(4) OVER wd AS date_quartile,
+           {oracle_dsum("o_totalprice", "wd")} AS running_revenue
+    FROM orders
+    WINDOW
+        wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        wv AS (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC),
+        wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+"""
+
 QUERIES = {
     "asof_join_events_orders": asof_join_events_orders,
     "scalar_function_showcase": scalar_function_showcase,
+    "window_function_showcase": window_function_showcase,
 }
