@@ -82,7 +82,9 @@ LANG_PRIORITY = ("en", "fr", "de", "es")
 TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish: words + individual punctuation
 
 
-def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_table(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Exploded distinct word-3-gram relation: (doc_id, s).
 
     Deliberately NOT an array column: a higher-order ``transform`` building
@@ -92,7 +94,8 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lead`` windows stay in whole-stage codegen, and the relational form is
     what joins/aggregations want at 100 TB anyway (no giant array cells).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
@@ -172,14 +175,42 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by 3-gram Jaccard ≥ 0.8. Candidates via the
     shared-shingle equi-join (exact but quadratic in shingle document
-    frequency — the MinHash plan below is the scale path)."""
+    frequency — the MinHash plan below is the scale path).
+
+    Exact-duplicate pre-collapse: crawl corpora are duplicate-heavy, and
+    identical texts have identical shingle sets, so the expensive
+    candidate/verify machinery runs on one canonical doc per distinct
+    text; member pairs are expanded afterwards (cross-group pairs inherit
+    the canonical pair's Jaccard; within-group pairs are exactly 1.0 —
+    n/n, bit-exact in both engines). On a 10×-replicated corpus this
+    shrinks the candidate join 100× (measured 49.8 s → see BASELINE.md)
+    while producing the identical pair set the naive oracle defines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # only docs with ≥ SHINGLE_N tokens have shingles — the naive
+    # semantics emit no pairs for shorter docs, so exclude them from
+    # group expansion too
+    eligible = docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N)
+    gmap = eligible.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("canon_id"),
+    ).persist()
+    canon_docs = (
+        eligible.join(
+            gmap.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
     # The shingle relation feeds five subplans (df counts, sizes, prefix,
     # and both sides of the intersection join); persist it once instead of
     # recomputing the tokenize+explode+distinct pipeline per use. Default
     # storage level is MEMORY_AND_DISK — spills, never OOMs, and at cluster
     # scale this is exactly the relation you'd persist (or checkpoint)
     # before a self-join. Measured 12.4 s → 6.4 s at sf0.1.
-    sh = _shingle_table(spark, sf_dir).persist()
+    sh = _shingle_table(spark, sf_dir, canon_docs).persist()
     # Prefix filtering (AllPairs/SSJoin family): for Jaccard ≥ t, two sets
     # must share at least one of their first ⌊(1−t)·|d|⌋+1 shingles under a
     # global rarity order (document frequency asc, shingle asc). Exact — no
@@ -220,7 +251,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, cand)
+    canon_pairs = _pair_jaccard(sh, cand)
+    # Expand canonical pairs back to member pairs. Cross-group: every
+    # (member of A) × (member of B) pair shares A×B's shingle sets, hence
+    # its Jaccard verbatim; least/greatest restores the doc_a < doc_b
+    # convention. Within-group: identical texts, Jaccard ≡ 1.0.
+    cross = (
+        canon_pairs.join(
+            gmap.select(F.col("canon_id").alias("doc_a"), F.col("doc_id").alias("mem_a")),
+            "doc_a",
+        )
+        .join(
+            gmap.select(F.col("canon_id").alias("doc_b"), F.col("doc_id").alias("mem_b")),
+            "doc_b",
+        )
+        .select(
+            F.least("mem_a", "mem_b").alias("doc_a"),
+            F.greatest("mem_a", "mem_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        gmap.alias("x")
+        .join(
+            gmap.alias("y"),
+            (F.col("x.canon_id") == F.col("y.canon_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
