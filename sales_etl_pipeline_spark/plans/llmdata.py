@@ -186,24 +186,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks the candidate join 100× (measured 49.8 s → see BASELINE.md)
     while producing the identical pair set the naive oracle defines.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # only docs with ≥ SHINGLE_N tokens have shingles — the naive
-    # semantics emit no pairs for shorter docs, so exclude them from
-    # group expansion too
-    eligible = docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N)
-    gmap = eligible.select(
-        "doc_id",
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5("text")))
-        .alias("canon_id"),
-    ).persist()
-    canon_docs = (
-        eligible.join(
-            gmap.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        )
-    )
+    gmap, canon_docs = _dup_groups(spark, sf_dir)
     # The shingle relation feeds five subplans (df counts, sizes, prefix,
     # and both sides of the intersection join); persist it once instead of
     # recomputing the tokenize+explode+distinct pipeline per use. Default
@@ -252,10 +235,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     canon_pairs = _pair_jaccard(sh, cand)
-    # Expand canonical pairs back to member pairs. Cross-group: every
-    # (member of A) × (member of B) pair shares A×B's shingle sets, hence
-    # its Jaccard verbatim; least/greatest restores the doc_a < doc_b
-    # convention. Within-group: identical texts, Jaccard ≡ 1.0.
+    return _expand_dup_pairs(canon_pairs, gmap)
+
+
+def _dup_groups(spark: SparkSession, sf_dir: str):
+    """Exact-duplicate groups over shingle-eligible documents:
+    (gmap: doc_id → canon_id, canon_docs: one representative per distinct
+    text). Docs with < SHINGLE_N tokens have no shingles, so the naive
+    near-dup semantics never pair them — excluded here to match."""
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N)
+    gmap = eligible.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("canon_id"),
+    ).persist()
+    canon_docs = eligible.join(
+        gmap.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return gmap, canon_docs
+
+
+def _expand_dup_pairs(canon_pairs: DataFrame, gmap: DataFrame) -> DataFrame:
+    """Expand canonical near-dup pairs back to member pairs. Cross-group:
+    every (member of A) × (member of B) pair shares A×B's shingle sets,
+    hence its Jaccard verbatim; least/greatest restores the doc_a < doc_b
+    convention. Within-group: identical texts, Jaccard ≡ 1.0 (= n/n in the
+    naive oracle — exact in both engines)."""
     cross = (
         canon_pairs.join(
             gmap.select(F.col("canon_id").alias("doc_a"), F.col("doc_id").alias("mem_a")),
@@ -292,11 +301,18 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hashes, banded 4×4; only band-key collisions become candidates, then
     exact Jaccard ≥ 0.8 verifies. Identical md5 hashing on the oracle side
     makes even this plan exactly checkable (SURVEY §2.11 upgraded: not
-    rows-only)."""
+    rows-only).
+
+    Same exact-duplicate pre-collapse as ngram_jaccard_pairs: identical
+    texts yield identical signatures and band keys, so signatures are
+    computed once per distinct text and member pairs expand afterwards —
+    semantics unchanged, signature/candidate work divided by the
+    duplication factor."""
+    gmap, canon_docs = _dup_groups(spark, sf_dir)
     # Persisted: feeds the signature aggregation AND the exact-Jaccard
     # verification of candidates (three uses; same rationale as
     # ngram_jaccard_pairs).
-    sh = _shingle_table(spark, sf_dir).persist()
+    sh = _shingle_table(spark, sf_dir, canon_docs).persist()
     # k seeded min-hashes as k MIN aggregates over the (doc, shingle)
     # relation — whole-stage codegen, partial-aggregated map-side; at 100 TB
     # the shuffle carries one 16-column row per document.
@@ -341,7 +357,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, cand)
+    return _expand_dup_pairs(_pair_jaccard(sh, cand), gmap)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
