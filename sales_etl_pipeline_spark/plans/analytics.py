@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.core import dsum, davg, oracle_dsum, oracle_davg
+from ..functions.core import DEC, dsum, davg, oracle_dsum, oracle_davg
 from ..sources.readers import load_table
 
 def _cancel_pred():
@@ -205,6 +205,59 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CANCEL_SQL = "starts_with(o_orderstatus, 'F')"
 
+def stats_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per nation — variance, stddev, covariance,
+    correlation, OLS trend slope — composed from exact decimal sums
+    instead of the engines' native ``var_pop``/``corr``/``regr_slope``
+    accumulators (which are double-accumulation-order-dependent and
+    diverge across engines/partitionings). Each per-row product is one
+    double multiply (identical rounding everywhere); sums are exact
+    decimal; the final formula is the same fixed op tree on both sides ⇒
+    bit-identical results that are ALSO partition-count-invariant — the
+    parity technique doubling as the 1000-executor determinism story.
+
+    x = o_totalprice, y = days since 1992-01-01 (order date).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    x = F.col("o_totalprice")
+    y = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).cast(
+        "double"
+    )
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation_name"), x.alias("x"), y.alias("y"))
+    )
+
+    def dsum_of(expr):
+        return F.sum(expr.cast(DEC)).cast("double")
+
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = dsum_of(F.col("x")), dsum_of(F.col("y"))
+    sxx = dsum_of(F.col("x") * F.col("x"))
+    syy = dsum_of(F.col("y") * F.col("y"))
+    sxy = dsum_of(F.col("x") * F.col("y"))
+    mean_x, mean_y = sx / n, sy / n
+    var_x = sxx / n - mean_x * mean_x
+    var_y = syy / n - mean_y * mean_y
+    covar = sxy / n - mean_x * mean_y
+    return (
+        base.groupBy("nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            mean_x.alias("mean_price"),
+            var_x.alias("var_pop_price"),
+            F.sqrt(var_x).alias("stddev_price"),
+            covar.alias("covar_price_day"),
+            (covar / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_price_day"),
+            (covar / var_x).alias("slope_day_per_price"),
+        )
+        .orderBy("nation_name")
+    )
+
+
 ORACLE: dict[str, str] = {
     "regional_supplier_volume": f"""
         SELECT n_name,
@@ -307,7 +360,44 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["stats_showcase"] = f"""
+    WITH base AS (
+        SELECT n_name AS nation_name,
+               o_totalprice AS x,
+               CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS DOUBLE) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ),
+    s AS (
+        SELECT nation_name,
+               COUNT(*) AS cnt,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {oracle_dsum("x")} AS sx,
+               {oracle_dsum("y")} AS sy,
+               {oracle_dsum("x * x")} AS sxx,
+               {oracle_dsum("y * y")} AS syy,
+               {oracle_dsum("x * y")} AS sxy
+        FROM base GROUP BY nation_name
+    )
+    SELECT nation_name,
+           cnt AS n_orders,
+           sx / n AS mean_price,
+           sxx / n - (sx / n) * (sx / n) AS var_pop_price,
+           sqrt(sxx / n - (sx / n) * (sx / n)) AS stddev_price,
+           sxy / n - (sx / n) * (sy / n) AS covar_price_day,
+           (sxy / n - (sx / n) * (sy / n))
+               / (sqrt(sxx / n - (sx / n) * (sx / n))
+                  * sqrt(syy / n - (sy / n) * (sy / n))) AS corr_price_day,
+           (sxy / n - (sx / n) * (sy / n))
+               / (sxx / n - (sx / n) * (sx / n)) AS slope_day_per_price
+    FROM s
+    ORDER BY nation_name
+"""
+
 QUERIES = {
+    "stats_showcase": stats_showcase,
     "regional_supplier_volume": regional_supplier_volume,
     "pricing_summary": pricing_summary,
     "order_priority_count": order_priority_count,
