@@ -43,6 +43,25 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, buckets: int = 32
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so every
+    later equi-join or aggregation on ``bucket_col`` between tables
+    bucketed the same way plans with NO exchange — the co-located-join
+    pattern for fact⋈fact at 100 TB, where the per-query shuffle (not the
+    scan) is the bottleneck. Sorted within buckets so sort-merge join
+    skips its sort too. Verified shuffle-free in
+    tests/test_scale_patterns.py::test_bucketed_join_avoids_shuffle."""
+    (
+        df.write.bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_sqlite(df: DataFrame, db_path: str, table: str) -> None:
     """K3 (etl.py:292-303). Summary tables are driver-collectable by design
     (§4.3 invariant: sinks of this kind only receive aggregated relations);

@@ -75,3 +75,46 @@ def test_partitioned_fact_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(order_year" in plan
     assert back.count() == orders.filter(F.col("order_year") == 1996).count()
+
+
+def _executed_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Tables bucketed on the join key must sort-merge-join with zero
+    Exchange operators (the write-time shuffle is amortized across every
+    subsequent join — the fact⋈fact co-location pattern)."""
+    from sales_etl_pipeline_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    write_bucketed(orders, "b_orders", "o_custkey", buckets=4)
+    write_bucketed(customer, "b_customer", "c_custkey", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # same result as the plain path
+        plain = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
