@@ -65,6 +65,68 @@ def oracle_davg(expr: str) -> str:
     return f"({oracle_dsum(expr)} / COUNT({expr}))"
 
 
+def xsum(col, scale_bits: int = 60) -> Column:
+    """Order-independent fixed-point sum for FULL-PRECISION doubles
+    (embedding components, computed means) where dsum's DECIMAL(38,10)
+    breaks parity: decimal quantization rounds a double's binary tail and
+    the engines disagree at quantization boundaries (observed 1-quantum
+    mismatches on float32-origin data).
+
+    Semantics: Σ floor(x·2^scale_bits) / 2^scale_bits — fixed-point at
+    2^-60 resolution. Every step is EXACT binary arithmetic with no
+    rounding-mode dependence anywhere:
+    - x·2^60 is a pure exponent shift (exact); for float32-origin values
+      it is an exact integer, so floor() changes nothing and the sum is
+      the true sum;
+    - floor() (not a cast) splits the scaled value into hi/lo 30-bit
+      integer halves summed as plain longs — identically defined in both
+      engines, no ties to break;
+    - the halves are recombined in DECIMAL(38,0) and cast to double,
+      which IS correctly rounded in both engines (Spark
+      BigDecimal.doubleValue; DuckDB via the VARCHAR hop).
+
+    Why not sum(CAST(x·2^60 AS DECIMAL(38,0))) directly: Spark's
+    double→decimal cast goes through Java's shortest round-trip string
+    (Double.toString), which preserves the double but NOT its exact
+    integer value — a 17-digit exact integer double can cast to a decimal
+    off by several units. DuckDB converts exactly; the sums then diverge.
+    Found the hard way; the hi/lo split never converts a >15-digit double
+    to decimal.
+
+    Overflow headroom: per-group row count must stay below 2^63 / 2^31 ≈
+    4·10^9 for the long hi-sum (salt-and-resum above that); recombination
+    in DECIMAL(38,0) is safe far beyond. Oracle: ORACLE_XSUM.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    s = float(2**scale_bits)
+    half = float(2**30)
+    sv = c * F.lit(s)
+    hi = F.floor(sv / F.lit(half))
+    lo = F.floor(sv - hi.cast("double") * F.lit(half))
+    return (
+        (
+            F.sum(hi).cast("decimal(38,0)") * F.lit(2**30)
+            + F.sum(lo).cast("decimal(38,0)")
+        ).cast("double")
+        / F.lit(s)
+    )
+
+
+def oracle_xsum(expr: str, scale_bits: int = 60) -> str:
+    """DuckDB equivalent of xsum(): identical floor-based hi/lo split;
+    VARCHAR hop for the correctly-rounded decimal→double (oracle_dsum)."""
+    s = 2**scale_bits
+    sv = f"(({expr}) * {s})"
+    hi = f"floor({sv} / 1073741824)"
+    lo = f"floor({sv} - {hi} * 1073741824)"
+    return (
+        f"CAST(CAST((CAST(SUM(CAST({hi} AS BIGINT)) AS DECIMAL(38,0))"
+        f" * 1073741824"
+        f" + CAST(SUM(CAST({lo} AS BIGINT)) AS DECIMAL(38,0)))"
+        f" AS VARCHAR) AS DOUBLE) / {s}"
+    )
+
+
 def md5_long(col) -> Column:
     """Deterministic 60-bit hash shared bit-for-bit with the DuckDB oracle:
     first 15 hex chars of md5, parsed base-16. Both engines use the same

@@ -32,7 +32,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.core import md5_long, oracle_md5_long, tokens
+from ..functions.core import (
+    DEC,
+    md5_long,
+    oracle_md5_long,
+    oracle_xsum,
+    tokens,
+    xsum,
+)
 from ..sources.readers import load_table
 
 # ---------------------------------------------------------------------------
@@ -825,6 +832,27 @@ ORACLE: dict[str, str] = {
         FROM scored
         QUALIFY rk <= 3
     """,
+    "embedding_centroids": f"""
+        WITH ex AS (
+            SELECT label,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(embedding::DOUBLE[]) AS val
+            FROM embeddings
+        ),
+        dm AS (
+            SELECT label, dim,
+                   {oracle_xsum("val")} / COUNT(val) AS m,
+                   COUNT(val) AS cnt
+            FROM ex GROUP BY label, dim
+        )
+        SELECT label,
+               MAX(cnt) AS n_vectors,
+               list(m ORDER BY dim) AS centroid,
+               sqrt({oracle_xsum("m * m", scale_bits=80)}) AS centroid_norm
+        FROM dm
+        GROUP BY label
+        ORDER BY label
+    """,
     "knn_cosine_topk": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -852,6 +880,48 @@ ORACLE: dict[str, str] = {
         WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
     """,
 }
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors — the k-means /
+    IVF-training primitive — computed relationally: posexplode to
+    (label, dim, value), exact-decimal mean per dimension, re-assembled
+    into an ordered array. Exact parity dimension-wise (decimal sums, one
+    double division); the assembly transform runs over 64-element arrays
+    at label grain — trivially small. At 100 TB the per-dim partial
+    aggregation is the point: the shuffle carries (label × dim) partial
+    sums, never raw vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    )
+    # xsum, not dsum: embedding components are full-precision doubles —
+    # decimal quantization rounds differently across engines (observed);
+    # the fixed-point hi/lo sum is rounding-free (functions/core.py:xsum).
+    dm = ex.groupBy("label", "dim").agg(
+        (xsum("val") / F.count("val")).alias("m"),
+        F.count("val").alias("cnt"),
+    )
+    return (
+        dm.groupBy("label")
+        .agg(
+            F.max("cnt").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid"),
+            # second moment of the means at finer fixed-point resolution
+            # (2^-80; scale capped so the hi half stays under 2^53)
+            F.sqrt(xsum(F.col("m") * F.col("m"), scale_bits=80)).alias(
+                "centroid_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinguishing terms per document by tf·idf with a rational
@@ -947,6 +1017,7 @@ QUERIES = {
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
     "tfidf_top_terms": tfidf_top_terms,
+    "embedding_centroids": embedding_centroids,
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
