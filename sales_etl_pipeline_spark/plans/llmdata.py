@@ -569,6 +569,25 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style leader dedup (Abbas et al. 2023, public): a vector
+    survives iff no lower-id vector is cosine-similar above threshold —
+    the greedy-by-id approximation of clustering-based semantic dedup
+    (no transitive closure: b is removed if ANY a < b is similar, even if
+    a was itself removed — the standard corpus-dedup convention, one
+    anti-join instead of an iterative connected-components pass).
+    Composes the exact near-dup pair relation with a left anti join."""
+    emb = _embeddings_double(spark, sf_dir)
+    removed = embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_b").alias("vec_id")
+    )
+    return (
+        emb.join(removed, "vec_id", "left_anti")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def _hyperplanes(n_planes: int, dims: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 (no RNG state —
     reproducible across engines and sessions)."""
@@ -879,6 +898,19 @@ ORACLE: dict[str, str] = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
     """,
+    "semantic_dedup": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        removed AS (
+            SELECT DISTINCT b.vec_id
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
+        )
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+        ORDER BY vec_id
+    """,
 }
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,6 +1052,7 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
+    "semantic_dedup": semantic_dedup,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: approximate by construction
 }
