@@ -265,12 +265,47 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: context-window budget for sequence packing (tokens per window)
+PACK_BUDGET = 256
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk context-window packing (the GPT-style pretraining
+    layout: concatenate documents in order, cut fixed-size token windows):
+    per source, each document's token span [start_offset, start_offset +
+    n_tokens) maps to the context windows it lands in. Pure integer window
+    arithmetic — exact on both engines. Partitioned by source so the
+    running sum parallelizes (one ordered window per source, never a
+    global single-partition sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        sized.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").alias("first_window"),
+            F.expr(f"(cum - 1) div {PACK_BUDGET}").alias("last_window"),
+        )
+    )
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "quality_filter": quality_filter,
     "stratified_sample": stratified_sample,
     "contamination_check": contamination_check,
     "curation_pipeline": curation_pipeline,
+    "sequence_packing": sequence_packing,
 }
 
 #: eval-split CTE (DuckDB): md5-rank stratified sample, doc_ids only
@@ -361,6 +396,26 @@ ORACLE = {
                CAST(stratum_size AS INT) AS stratum_size
         FROM ranked
         WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
+    """,
+    "sequence_packing": f"""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM sized
+        )
+        SELECT doc_id, source, n_tokens,
+               cum - n_tokens AS start_offset,
+               (cum - n_tokens) // {PACK_BUDGET} AS first_window,
+               (cum - 1) // {PACK_BUDGET} AS last_window
+        FROM c
     """,
     "contamination_check": _contamination_oracle(),
     "curation_pipeline": f"""
