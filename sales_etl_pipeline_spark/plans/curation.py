@@ -299,6 +299,44 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: tokens per chunk for the UDTF chunker
+CHUNK_TOKENS = 50
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking via a Python UDTF (PySpark 4 user-defined
+    TABLE function — the escape hatch for one-row-to-many-rows logic that
+    has no relational form; exercised here on semantics that DO have one,
+    so the oracle can check the UDTF plumbing exactly).
+
+    Perf note: row-based Python execution — fine for a showcase, but the
+    relational twin (posexplode + integer div grouping) is what belongs on
+    a 100 TB hot path; see sequence_packing for the window-arithmetic
+    variant of this layout.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id: bigint, chunk_idx: int, chunk_text: string,"
+        " n_tokens: int"
+    )
+    class ChunkText:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            for i in range(0, len(toks), CHUNK_TOKENS):
+                part = toks[i : i + CHUNK_TOKENS]
+                yield doc_id, i // CHUNK_TOKENS, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_text_udtf", ChunkText)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__curation_docs"
+    )
+    return spark.sql(
+        "SELECT c.* FROM __curation_docs, "
+        "LATERAL chunk_text_udtf(doc_id, text) c"
+    )
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "quality_filter": quality_filter,
@@ -306,6 +344,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "curation_pipeline": curation_pipeline,
     "sequence_packing": sequence_packing,
+    "doc_chunks": doc_chunks,
 }
 
 #: eval-split CTE (DuckDB): md5-rank stratified sample, doc_ids only
@@ -416,6 +455,27 @@ ORACLE = {
                (cum - n_tokens) // {PACK_BUDGET} AS first_window,
                (cum - 1) // {PACK_BUDGET} AS last_window
         FROM c
+    """,
+    "doc_chunks": f"""
+        WITH sp AS (
+            SELECT doc_id, string_split(text, ' ') AS s,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, s, n,
+                   unnest(range((n + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS}))
+                       AS i
+            FROM sp
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(
+                   s[i * {CHUNK_TOKENS} + 1 :
+                     least((i + 1) * {CHUNK_TOKENS}, n)], ' ') AS chunk_text,
+               CAST(least((i + 1) * {CHUNK_TOKENS}, n)
+                    - i * {CHUNK_TOKENS} AS INT) AS n_tokens
+        FROM idx
     """,
     "contamination_check": _contamination_oracle(),
     "curation_pipeline": f"""
