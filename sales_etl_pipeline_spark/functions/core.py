@@ -93,9 +93,14 @@ def xsum(col, scale_bits: int = 60) -> Column:
     Found the hard way; the hi/lo split never converts a >15-digit double
     to decimal.
 
-    Overflow headroom: per-group row count must stay below 2^63 / 2^31 ≈
-    4·10^9 for the long hi-sum (salt-and-resum above that); recombination
-    in DECIMAL(38,0) is safe far beyond. Oracle: ORACLE_XSUM.
+    Overflow headroom: the long hi-sum needs rows · |x| · 2^(scale_bits-30)
+    < 2^63 per group — for unit-scale values (embeddings) that is ~4·10^9
+    rows; for money-scale values (~10^5) only ~10^5 rows, so dsum remains
+    the right tool there (decimal quantization is benign for short-decimal
+    money values — xsum exists for full-precision doubles, which are
+    unit-scale in practice). Above the bound: cast hi/lo to DECIMAL(38,0)
+    before summing, or salt-and-resum. Exactness cap: |x| ≤
+    2^(83-scale_bits) keeps the hi half under 2^53. Oracle: ORACLE_XSUM.
     """
     c = col if isinstance(col, Column) else F.col(col)
     s = float(2**scale_bits)
