@@ -188,15 +188,22 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order priority. Rows-only check: sketch internals differ across engines
     by design — the exact twins (countDistinct / percentile) are the
     oracle-checked ones. At 100 TB these are the default for interactive
-    use (no expand, mergeable partials, bounded error)."""
+    use (no expand, mergeable partials, bounded error).
+
+    The quantile sketch is emitted as three scalar columns (p50/p95/p99)
+    rather than one array column: array-typed outputs crash the driver's
+    pandas-based canonicalizer (round-1 finding), and scalars are the
+    checkable shape anyway. One sketch per percentile is still a single
+    pass — Spark merges the three percentile_approx buffers in the same
+    partial aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
-                "price_quantiles"
-            ),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+            F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")

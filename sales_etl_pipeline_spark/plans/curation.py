@@ -451,9 +451,9 @@ ORACLE = {
             FROM sized
         )
         SELECT doc_id, source, n_tokens,
-               cum - n_tokens AS start_offset,
-               (cum - n_tokens) // {PACK_BUDGET} AS first_window,
-               (cum - 1) // {PACK_BUDGET} AS last_window
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS first_window,
+               CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS last_window
         FROM c
     """,
     "doc_chunks": f"""

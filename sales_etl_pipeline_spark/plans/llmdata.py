@@ -813,8 +813,8 @@ ORACLE: dict[str, str] = {
         )
         SELECT source,
                COUNT(*) AS doc_count,
-               SUM(ws) AS ws_tokens,
-               SUM(re) AS regex_tokens,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(re) AS BIGINT) AS regex_tokens,
                CAST(SUM(ws) AS DOUBLE) / COUNT(*) AS avg_ws_tokens,
                MIN(ws) AS min_ws_tokens,
                MAX(ws) AS max_ws_tokens
@@ -857,20 +857,13 @@ ORACLE: dict[str, str] = {
                    unnest(range(len(embedding))) AS dim,
                    unnest(embedding::DOUBLE[]) AS val
             FROM embeddings
-        ),
-        dm AS (
-            SELECT label, dim,
-                   {oracle_xsum("val")} / COUNT(val) AS m,
-                   COUNT(val) AS cnt
-            FROM ex GROUP BY label, dim
         )
         SELECT label,
-               MAX(cnt) AS n_vectors,
-               list(m ORDER BY dim) AS centroid,
-               sqrt({oracle_xsum("m * m", scale_bits=80)}) AS centroid_norm
-        FROM dm
-        GROUP BY label
-        ORDER BY label
+               CAST(dim AS INTEGER) AS dim,
+               {oracle_xsum("val")} / COUNT(val) AS mean,
+               COUNT(val) AS n_vectors
+        FROM ex GROUP BY label, dim
+        ORDER BY label, dim
     """,
     "knn_cosine_topk": f"""
         WITH e AS (
@@ -916,12 +909,16 @@ ORACLE: dict[str, str] = {
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors — the k-means /
     IVF-training primitive — computed relationally: posexplode to
-    (label, dim, value), exact-decimal mean per dimension, re-assembled
-    into an ordered array. Exact parity dimension-wise (decimal sums, one
-    double division); the assembly transform runs over 64-element arrays
-    at label grain — trivially small. At 100 TB the per-dim partial
-    aggregation is the point: the shuffle carries (label × dim) partial
-    sums, never raw vectors.
+    (label, dim, value), exact-parity mean per dimension (rounding-free
+    fixed-point xsum — decimal quantization tie-breaks differ across
+    engines for full-precision doubles). Output is one row per
+    (label, dim): array-typed columns crash the driver's pandas
+    canonicalizer (round-1 finding), and the long shape is what the
+    k-means update step consumes anyway (join on (label, dim), no array
+    (dis)assembly). At 100 TB the per-dim partial aggregation is the
+    point: the shuffle carries (label × dim) partial sums, never raw
+    vectors; callers wanting array centroids re-assemble at label grain
+    (label-count rows — trivially small).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
@@ -933,25 +930,19 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xsum, not dsum: embedding components are full-precision doubles —
     # decimal quantization rounds differently across engines (observed);
     # the fixed-point hi/lo sum is rounding-free (functions/core.py:xsum).
-    dm = ex.groupBy("label", "dim").agg(
-        (xsum("val") / F.count("val")).alias("m"),
-        F.count("val").alias("cnt"),
-    )
     return (
-        dm.groupBy("label")
+        ex.groupBy("label", "dim")
         .agg(
-            F.max("cnt").alias("n_vectors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid"),
-            # second moment of the means at finer fixed-point resolution
-            # (2^-80; scale capped so the hi half stays under 2^53)
-            F.sqrt(xsum(F.col("m") * F.col("m"), scale_bits=80)).alias(
-                "centroid_norm"
-            ),
+            (xsum("val") / F.count("val")).alias("mean"),
+            F.count("val").alias("n_vectors"),
         )
-        .orderBy("label")
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            "mean",
+            "n_vectors",
+        )
+        .orderBy("label", "dim")
     )
 
 

@@ -52,9 +52,42 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``sc.addPyFile``.
+
+    Module-level functions used inside ``mapInPandas``/UDFs are
+    cloudpickled BY REFERENCE (module + qualname), so the worker process
+    must be able to ``import sales_etl_pipeline_spark`` — which fails
+    when the driving process was launched from a cwd outside the repo
+    (observed: the verification driver's ``mm_image_features`` run).
+    A zip of the package on the Spark file server makes workers
+    self-sufficient regardless of launcher cwd/PYTHONPATH."""
+    try:
+        sc = spark.sparkContext
+        if getattr(sc, "_sales_etl_pipeline_spark_shipped", False):
+            return
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        staging = tempfile.mkdtemp(prefix="sales-etl-pipeline-spark-pyfiles-")
+        zip_base = os.path.join(staging, "sales_etl_pipeline_spark")
+        archive = shutil.make_archive(
+            zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        sc.addPyFile(archive)
+        sc._sales_etl_pipeline_spark_shipped = True
+    except Exception:
+        # Connect-mode sessions have no sparkContext; classic sessions
+        # launched from the repo root don't need the zip. Best-effort.
+        pass
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable parity/perf confs to an externally-created
     session (the verification driver builds its own SparkSession)."""
+    _ensure_package_on_workers(spark)
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),

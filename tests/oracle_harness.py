@@ -43,7 +43,7 @@ def _canon(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return None
+            return "NaN"  # distinct sentinel: never conflate NaN with NULL
         if v == 0.0:
             return 0.0  # -0.0 == 0.0
         return v
@@ -63,6 +63,31 @@ def _canon(v):
     return v
 
 
+def _dtype_kind_problems(spark_df, con, sql, name) -> list[str]:
+    try:
+        s_pd = spark_df.toPandas()
+        o_pd = con.execute(sql).df()
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        return [f"{name}: pandas conversion failed ({exc!r})"]
+    if len(s_pd) == 0 and len(o_pd) == 0:
+        return []
+    s_dtype = {c.lower(): s_pd[c].dtype for c in s_pd.columns}
+    o_dtype = {c.lower(): o_pd[c].dtype for c in o_pd.columns}
+    int_kinds = {"i", "u"}
+    out = []
+    for c, sd in s_dtype.items():
+        od = o_dtype.get(c)
+        if od is None:
+            continue
+        kinds = {sd.kind, od.kind}
+        if "f" in kinds and kinds & int_kinds:
+            out.append(
+                f"{name}: pandas dtype kind differs on '{c}' "
+                f"spark={sd} oracle={od} (driver value-hash would fail)"
+            )
+    return out
+
+
 def _rows_to_multiset(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_canon(r[i]) for i in order) for r in rows]
@@ -78,6 +103,14 @@ def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
     o = con.execute(sql)
     o_cols = [d[0].lower() for d in o.description]
     o_rows = o.fetchall()
+
+    # The driver's value hash goes through pandas, where dtype leaks into
+    # the hashed repr (DuckDB HUGEINT → float64 `1435.0` vs Spark int64
+    # `1435` failed the round-1 gate while plain-Python compare passed:
+    # `1435 == 1435.0`). Mirror that: flag int-kind vs float-kind per
+    # column. Narrow on purpose — wider dtype classes (dates, strings)
+    # canonicalize fine on the driver side.
+    problems += _dtype_kind_problems(spark_df, con, sql, name)
 
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"{name}: columns differ spark={sorted(s_cols)} oracle={sorted(o_cols)}")
