@@ -268,35 +268,96 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: context-window budget for sequence packing (tokens per window)
 PACK_BUDGET = 256
 
+#: docs per prefix-sum block — bounds every fact-grain window partition
+PACK_BLOCK = 4096
+
+
+def _pack_projection(cum_cols: DataFrame) -> DataFrame:
+    return cum_cols.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+        F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").alias("first_window"),
+        F.expr(f"(cum - 1) div {PACK_BUDGET}").alias("last_window"),
+    )
+
+
+def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+def sequence_packing_single_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Naive single-window packing — the semantic twin of
+    ``sequence_packing`` and the shape the DuckDB oracle uses. One ordered
+    running sum per source: with few sources this is one giant window
+    partition at corpus scale (round-1 verdict), so it exists only as the
+    bit-identical baseline the two-phase plan is tested against."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = _sized_docs(spark, sf_dir)
+    return _pack_projection(sized.withColumn("cum", F.sum("n_tokens").over(w)))
+
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk context-window packing (the GPT-style pretraining
     layout: concatenate documents in order, cut fixed-size token windows):
     per source, each document's token span [start_offset, start_offset +
     n_tokens) maps to the context windows it lands in. Pure integer window
-    arithmetic — exact on both engines. Partitioned by source so the
-    running sum parallelizes (one ordered window per source, never a
-    global single-partition sort)."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
+    arithmetic — exact on both engines.
+
+    Two-phase prefix sum so no window partition ever holds a whole
+    source's fact rows (a corpus has few sources — a per-source window is
+    a single-hot-partition scale killer): (1) local running sums inside
+    (source, ``doc_id div PACK_BLOCK``) blocks — every partition bounded
+    by PACK_BLOCK rows; (2) block totals (a relation PACK_BLOCK× smaller
+    than the corpus) get a per-source prefix sum, and each row's global
+    cum is block offset + local cum. Long addition is associative, so the
+    result is bit-identical to the single-window twin (tested), and the
+    oracle keeps the naive SQL form."""
+    sized = _sized_docs(spark, sf_dir).withColumn(
+        "blk", F.expr(f"doc_id div {PACK_BLOCK}")
+    )
+    w_local = (
+        Window.partitionBy("source", "blk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sized = docs.select(
-        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    # two consumers (block totals + final join): persist so the expensive
+    # part — tokenizing text — runs once; the cached projection is narrow
+    # (5 numeric columns, no text)
+    local = sized.withColumn("lcum", F.sum("n_tokens").over(w_local)).persist()
+    # block-grain relation: PACK_BLOCK× smaller than the corpus
+    w_blocks = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        sized.withColumn("cum", F.sum("n_tokens").over(w))
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
-            F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").alias("first_window"),
-            F.expr(f"(cum - 1) div {PACK_BUDGET}").alias("last_window"),
+    offsets = (
+        local.groupBy("source", "blk")
+        .agg(F.sum("n_tokens").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.coalesce(
+                F.sum("blk_total").over(w_blocks), F.lit(0).cast("long")
+            ),
         )
+        .select("source", "blk", "blk_offset")
     )
+    joined = local.join(offsets, ["source", "blk"]).withColumn(
+        "cum", F.col("blk_offset") + F.col("lcum")
+    )
+    return _pack_projection(joined)
 
 
 #: tokens per chunk for the UDTF chunker

@@ -588,6 +588,80 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_CENT_EVERY = 50  # deterministic centroid set: every 50th vector
+SEMDEDUP_NPROBE = 3  # multi-probe: each vector joins its 3 nearest clusters
+
+
+def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe SemDeDup: IVF-bucketed candidate pairs instead of the
+    exact twin's O(n²) cross join (``semantic_dedup`` above — correct but
+    a 100-TB non-starter, round-1 verdict item 3).
+
+    Shape: deterministic centroids (every 50th vector — swap for offline
+    k-means at production scale) are broadcast; each vector is assigned to
+    its ``SEMDEDUP_NPROBE`` nearest centroids (multi-probe assignment
+    recovers pairs that straddle a cluster boundary); candidate pairs come
+    from a **cluster equi-join** (shuffle keyed on cluster id — bounded by
+    cluster size, never all-pairs); then the same threshold + leader
+    anti-join as the exact twin. No CartesianProduct anywhere: the
+    centroid fan-out is a broadcast nested-loop over a k-row relation
+    (plan-asserted in tests/test_plans.py).
+
+    Exactly oracle-checked — same pattern as minhash_near_dup: the DuckDB
+    oracle reproduces the *bucketing algorithm itself* (identical centroid
+    rule, identical left-fold cosine bits, identical rn tie-break), so the
+    gate compares deterministic algorithm output, not a recall-dependent
+    approximation. Recall vs the exact twin is asserted separately at
+    sf0.01 (tests/test_llmdata.py).
+    """
+    emb = _embeddings_double(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % SEMDEDUP_CENT_EVERY == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), "cent_id"
+    )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            "cent_id",
+            _cos_expr(F.col("v"), F.col("cv")).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= SEMDEDUP_NPROBE)
+        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    # A pair sharing >1 probed cluster appears once per shared cluster —
+    # dedup on ids BEFORE the (expensive) full-vector cosine. va/vb are
+    # functionally determined by the ids, so dropDuplicates keeping an
+    # arbitrary survivor is deterministic.
+    cand = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    removed = (
+        cand.filter(
+            _cos_expr(F.col("va"), F.col("vb")) >= COSINE_THRESHOLD
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(removed, "vec_id", "left_anti")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def _hyperplanes(n_planes: int, dims: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 (no RNG state —
     reproducible across engines and sessions)."""
@@ -904,6 +978,46 @@ ORACLE: dict[str, str] = {
         WHERE vec_id NOT IN (SELECT vec_id FROM removed)
         ORDER BY vec_id
     """,
+    # Mirrors the IVF bucketing algorithm itself (centroid rule, cosine
+    # fold association, rn tie-break) — exact check, not a recall bound.
+    "semantic_dedup_bucketed": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e
+            WHERE vec_id % {SEMDEDUP_CENT_EVERY} = 0
+        ),
+        assigned AS (
+            SELECT vec_id, v, cent_id AS cluster
+            FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       {_COS_SQL.format(a='e.v', b='c.cv')} AS cent_cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                                    c.cent_id
+                       ) AS rn
+                FROM e CROSS JOIN cents c
+            )
+            WHERE rn <= {SEMDEDUP_NPROBE}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ),
+        removed AS (
+            SELECT DISTINCT c.vec_b AS vec_id
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.vec_a
+            JOIN e eb ON eb.vec_id = c.vec_b
+            WHERE {_COS_SQL.format(a='ea.v', b='eb.v')} >= {COSINE_THRESHOLD}
+        )
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+        ORDER BY vec_id
+    """,
 }
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,6 +1158,7 @@ QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "semantic_dedup": semantic_dedup,
+    "semantic_dedup_bucketed": semantic_dedup_bucketed,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: approximate by construction
 }

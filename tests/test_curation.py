@@ -58,3 +58,40 @@ def test_stratified_sample_deterministic(spark):
     a = {r.doc_id for r in curation.stratified_sample(spark, SF).collect()}
     b = {r.doc_id for r in curation.stratified_sample(spark, SF).collect()}
     assert a == b
+
+
+def test_sequence_packing_two_phase_bit_identical(spark):
+    """The two-phase prefix sum must reproduce the single-window twin
+    exactly (long addition is associative — any divergence is a bug).
+    PACK_BLOCK is shrunk to force ~16 real blocks: the test corpus has
+    500 docs, so the production block size would degenerate to a single
+    block and never exercise the cross-block offset path."""
+    saved = curation.PACK_BLOCK
+    curation.PACK_BLOCK = 32
+    try:
+        two = {
+            tuple(r)
+            for r in curation.sequence_packing(spark, SF).collect()
+        }
+    finally:
+        curation.PACK_BLOCK = saved
+    one = {
+        tuple(r)
+        for r in curation.sequence_packing_single_window(spark, SF).collect()
+    }
+    assert two == one
+
+
+def test_sequence_packing_no_source_grain_window(spark):
+    """Fact-grain window partitions must include the block key; only the
+    block-grain offset relation may window on source alone."""
+    df = curation.sequence_packing(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
+    assert windows, "expected window operators in the plan"
+    fact_grain = [
+        l for l in windows if "blk" in l and "lcum" in l
+    ]
+    assert fact_grain, f"no blocked fact-grain window found in: {windows}"

@@ -117,6 +117,24 @@ def test_cli_main(spark, tmp_path):
     assert os.path.exists(str(tmp_path / "cli" / "country_summary.parquet"))
 
 
+def test_semantic_dedup_bucketed_recall(spark):
+    """Bucketed SemDeDup can only MISS removals (candidates get the exact
+    cosine, so every removal is a true near-dup): survivors must be a
+    superset of the exact twin's, and removal recall must stay high."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    exact = {r.vec_id for r in llmdata.semantic_dedup(spark, SF).collect()}
+    bucketed = {
+        r.vec_id for r in llmdata.semantic_dedup_bucketed(spark, SF).collect()
+    }
+    assert exact <= bucketed  # no false removals, ever
+    total = llmdata._embeddings_double(spark, SF).count()
+    removed_exact = total - len(exact)
+    removed_bucketed = total - len(bucketed)
+    if removed_exact:
+        assert removed_bucketed / removed_exact >= 0.9
+
+
 def test_training_data_pipeline(spark, tmp_path):
     from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
     from sales_etl_pipeline_spark.plans import llmdata

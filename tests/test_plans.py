@@ -75,6 +75,18 @@ def test_minhash_aggregates_partially(spark):
     assert "partial_min" in plan
 
 
+def test_semantic_dedup_bucketed_no_cartesian(spark):
+    # the scale-safe variant must never plan an all-pairs join: candidates
+    # come from a cluster equi-join; the only nested loop is the broadcast
+    # centroid fan-out (k rows)
+    plan = _plan(llmdata.semantic_dedup_bucketed(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroid fan-out, broadcast side
+    # the exact twin IS quadratic (documented baseline) — pin the contrast
+    exact_plan = _plan(llmdata.semantic_dedup(spark, SF))
+    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+
+
 def test_whole_stage_codegen_active(spark):
     # under AQE the codegen wrapping appears in the final executed plan only,
     # as "*(n)" stage markers on codegen'd operators
