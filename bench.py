@@ -44,7 +44,16 @@ HEADLINE = (
     "quality_filter",
     "contamination_check",
     "curation_pipeline",
+    # round 2: the scale-shaped variants join the headline set (the exact
+    # all-pairs twins stay oracle-only — they are documented baselines,
+    # not production paths)
+    "semantic_dedup_bucketed",
+    "sequence_packing",
 )
+
+#: prior-round bench results for per-query regression flagging
+PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r01.json")
+REGRESSION_RATIO = 1.3
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
@@ -75,18 +84,34 @@ def main() -> None:
         timings[name] = round(
             min(run_one(spark, all_queries[name], sf_dir) for _ in range(2)), 3
         )
+        # several plans persist() shared subplans (shingle tables, tf,
+        # packing locals); clear between queries so each timing is
+        # self-contained and cached blocks never accumulate across the run
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), PRIOR_BENCH)
+    if os.path.exists(prior_path):
+        try:
+            with open(prior_path) as f:
+                prior = json.load(f).get("queries", {})
+            regressions = {
+                name: round(t / prior[name], 2)
+                for name, t in timings.items()
+                if name in prior and prior[name] > 0 and t / prior[name] > REGRESSION_RATIO
             }
-        )
-    )
+            if regressions:
+                out["regressions_vs_prior"] = regressions
+                print(f"REGRESSIONS vs {PRIOR_BENCH}: {regressions}", file=sys.stderr)
+        except Exception as exc:
+            print(f"prior-bench compare skipped: {exc!r}", file=sys.stderr)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -159,5 +159,26 @@ QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_frame_sample": mm_frame_sample,
 }
-#: media feature extraction is not SQL-expressible → rows-only checks
-ORACLE: dict[str, str] = {}
+#: mm_image_features stays rows-only: the POINT of that entry is the
+#: Arrow-batched mapInPandas plumbing (not SQL-expressible, and its
+#: histogram is array-typed). mm_frame_sample IS oracle-checked: the fake
+#: payload is ASCII (md5 hex × 8), so binary substring + md5 in Spark is
+#: byte-identical to VARCHAR substring + md5 in DuckDB.
+ORACLE: dict[str, str] = {
+    "mm_frame_sample": f"""
+        WITH p AS (
+            SELECT doc_id, repeat(md5(text), 8) AS payload FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   unnest(range(len(payload) // {FRAME_BYTES})) AS frame_idx,
+                   payload
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               md5(substring(payload, CAST(frame_idx * {FRAME_BYTES} + 1 AS INTEGER), {FRAME_BYTES}))
+                 AS frame_md5
+        FROM f
+    """,
+}

@@ -9,6 +9,14 @@ DuckDB oracle SQL, grouped by family.
 - curation: corpus curation (repetition metrics, quality filter,
   stratified sampling).
 - eventplans: event-time / sessionization queries over the events table.
+
+Cache lifecycle: several plans ``persist()`` subplans consumed more than
+once within the same query (shingle tables, tf, packing locals). The
+returned DataFrames are lazy, so the plan builders cannot unpersist —
+callers running many queries in one session should
+``spark.catalog.clearCache()`` between queries (bench.py does). Spark's
+CacheManager dedups by plan equality, so re-invoking the same query never
+stacks duplicate cached copies.
 """
 
 from . import analytics, curation, eventplans, llmdata, parity, temporal

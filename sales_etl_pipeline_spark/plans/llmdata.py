@@ -1076,7 +1076,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        # no broadcast hint on dfreq: one row per distinct term is
+        # unbounded cardinality (web corpora: 10^8-10^9 terms) — let AQE
+        # pick broadcast vs shuffle from the measured size at runtime.
+        # n_docs stays hinted: always exactly one row.
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

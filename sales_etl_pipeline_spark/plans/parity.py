@@ -103,6 +103,16 @@ def customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Segmentation reproduces pandas ``qcut`` exactly: one-pass exact
     interpolated percentiles, broadcast back as a 1-row relation (no
     driver collect), then a CASE projection with right-closed bins.
+
+    Degenerate-distribution divergence (documented, pinned by test): on a
+    corpus where quartile edges tie (e.g. every revenue equal), pandas
+    ``qcut(..., labels=[4])`` with its default ``duplicates='raise'``
+    *crashes* (reference etl.py:139-143), and ``duplicates='drop'`` would
+    change the label arity. The CASE form instead degrades totally and
+    deterministically: tied edges collapse toward the lowest right-closed
+    bin (all-equal ⇒ everyone "Bronze"). Graceful degradation is the
+    correct engine behavior; exact parity holds whenever the reference
+    itself doesn't raise.
     """
     orders = _non_cancelled_orders(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")

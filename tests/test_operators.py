@@ -152,3 +152,35 @@ def test_training_data_pipeline(spark, tmp_path):
     # partitioned layout on disk
     parts = [d for d in os.listdir(result["output"]) if d.startswith("part_source=")]
     assert len(parts) == result["sources"]
+
+
+def test_customer_summary_degenerate_quartiles(spark, tmp_path):
+    """All-equal revenues tie every quartile edge. pandas qcut would raise
+    (duplicates='raise', reference etl.py:139-143); the CASE reproduction
+    must instead degrade deterministically: every customer lands in the
+    lowest right-closed bin ("Bronze"). Pins the documented divergence."""
+    from datetime import date
+
+    from sales_etl_pipeline_spark.plans.parity import customer_summary
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(k, k % 3, 100.0, date(1995, 1, 1 + k), "O") for k in range(9)],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate date, o_orderstatus string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(k, 1.0) for k in range(9)],
+        "l_orderkey long, l_quantity double",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(c, 0) for c in range(3)], "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "NATION_0")], "n_nationkey long, n_name string"
+    ).write.parquet(f"{d}/nation.parquet")
+
+    rows = customer_summary(spark, d).collect()
+    assert len(rows) == 3
+    assert {r.segment for r in rows} == {"Bronze"}
+    assert {r.total_revenue for r in rows} == {300.0}
