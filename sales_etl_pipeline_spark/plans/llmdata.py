@@ -30,6 +30,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.core import (
@@ -508,16 +510,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
-def _cos_expr(a, b):
-    """Bit-parity cosine: left-fold dot & norms in index order, then
-    dot / (na * nb) — the oracle uses the identical association, so the
-    doubles agree exactly."""
-    dot = F.aggregate(
+#: the embeddings table's fixed vector width (TESTDATA.md).
+EMB_DIMS = 64
+
+
+def _dot_expr(a, b):
+    """Bit-parity dot product: left fold of a[i]*b[i] in index order,
+    seeded with ``lit(0.0)`` — the identical association as the oracle's
+    DuckDB ``list_reduce``, so the doubles agree bit-for-bit.
+
+    Form note (measured, sf0.1 local[32]): an UNROLLED 64-term literal
+    ``+`` chain was tried and is strictly worse on every axis — ~256 py4j
+    round-trips to build (~0.3 s/expression at plan time), janino refuses
+    the generated method (a single expression cannot be split across
+    generated methods) so the operator falls back to interpreted anyway,
+    and the interpreted unrolled tree evaluates ~3× SLOWER than this
+    higher-order fold (per-element GetArrayItem is branchier than the
+    fold's sequential array walk). The fold is one py4j call, a tiny
+    Catalyst tree, and ~1 µs per 64-dim dot interpreted — dot volume is
+    never the bottleneck in these plans; pair-stage PARTITIONING is (see
+    semantic_dedup_bucketed). For true vectorized scoring the production
+    shape is an Arrow-batched numpy kernel (see ann_lsh_topk's bucket
+    UDF), not a bigger expression tree."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+
+
+def _norm_expr(a):
+    """L2 norm, same fold association as the oracle side. Compute at
+    VECTOR grain (``_embeddings_normed``), never per pair: O(n) norm work
+    instead of O(pairs), bit-identical to an inline norm (same expression
+    over the same value)."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _cos_expr(a, b):
+    """Inline cosine = dot/(na·nb). Convenience for one-pass plans; join
+    plans should precompute norms at vector grain (``_embeddings_normed``)
+    and evaluate only the dot per pair — same bits, 3× less fold work."""
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
 
 
 def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,21 +559,34 @@ def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the L2 norm precomputed at vector grain — the one
+    projection pass every cosine join reuses (see _cos_expr docstring)."""
+    return _embeddings_double(spark, sf_dir).withColumn(
+        "nrm", _norm_expr(F.col("v"))
+    )
+
+
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for each query vector (vec_id <
     10) — the exact ANN baseline. The tiny query set is broadcast against
     the corpus: zero shuffle for the scoring pass; only the per-query top-k
     window shuffles (10 × k rows)."""
-    emb = _embeddings_double(spark, sf_dir)
+    emb = _embeddings_normed(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos_expr(F.col("qv"), F.col("v")).alias("cosine"),
+            (
+                _dot_expr(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -555,15 +600,29 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4. Quadratic
     (exact baseline) — the LSH-bucketed plan is the scale path."""
-    emb = _embeddings_double(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    emb = _embeddings_normed(spark, sf_dir)
+    # the streamed side of the nested-loop pair join inherits the scan's
+    # partitioning (often ONE small file) — spread it so the quadratic
+    # pass uses every core instead of one
+    a = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            _cos_expr(F.col("va"), F.col("vb")).alias("cosine"),
+            (
+                _dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
@@ -614,43 +673,79 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation. Recall vs the exact twin is asserted separately at
     sf0.01 (tests/test_llmdata.py).
     """
-    emb = _embeddings_double(spark, sf_dir)
+    # emb feeds five consumers (centroid set, assignment, the two
+    # pair-side vector fetches, final anti-join) — persist once; Spark
+    # re-executes unpersisted subplans per consumer, and CacheManager
+    # dedups by sameResult so repeated query calls reuse one cache entry.
+    emb = _embeddings_normed(spark, sf_dir).persist()
     cents = emb.filter(F.col("vec_id") % SEMDEDUP_CENT_EVERY == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cent_cos"), "cent_id"
     )
+    # Candidate generation stays SKINNY (ids + one scalar): the centroid
+    # cosines are computed map-side against the broadcast centroid set and
+    # the 64-dim vectors are dropped BEFORE the assignment window and the
+    # pair dedup — otherwise every shuffle in this plan carries two copies
+    # of the vector payload (measured ~0.5 GB of duplicated arrays at
+    # sf0.1; a non-starter at corpus scale). Vectors are re-fetched by id
+    # only for surviving candidate pairs (late materialization).
     assigned = (
         emb.join(F.broadcast(cents))
         .select(
             "vec_id",
-            "v",
             "cent_id",
-            _cos_expr(F.col("v"), F.col("cv")).alias("cent_cos"),
+            (
+                _dot_expr(F.col("v"), F.col("cv"))
+                / (F.col("nrm") * F.col("cn"))
+            ).alias("cent_cos"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= SEMDEDUP_NPROBE)
-        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+        .select("vec_id", F.col("cent_id").alias("cluster"))
     )
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    # The cluster equi-join EXPANDS rows ~cluster-size× downstream of its
+    # exchange, but AQE sizes exchanges on their *input* bytes — at bench
+    # scale it coalesced the skinny 6000-row assignment shuffle to ONE
+    # partition and the whole quadratic pair expansion ran single-task
+    # (measured 2.8 s on one core). Explicit key-repartitions pin the
+    # expansion and the pair-dedup to full parallelism; AQE never
+    # coalesces a user-specified repartition. At corpus scale the same
+    # repartitions are what you'd write anyway (the pair relation is big).
+    par = spark.sparkContext.defaultParallelism
+    a = assigned.select("cluster", F.col("vec_id").alias("vec_a")).repartition(
+        par, "cluster"
     )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    b = assigned.select("cluster", F.col("vec_id").alias("vec_b")).repartition(
+        par, "cluster"
     )
-    # A pair sharing >1 probed cluster appears once per shared cluster —
-    # dedup on ids BEFORE the (expensive) full-vector cosine. va/vb are
-    # functionally determined by the ids, so dropDuplicates keeping an
-    # arbitrary survivor is deterministic.
-    cand = (
-        a.join(b, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+    # A pair sharing >1 probed cluster appears once per shared cluster
+    # (≤ NPROBE times). Deliberately NOT deduped here: a pair-grain
+    # dropDuplicates would shuffle the whole pair relation, while scoring
+    # a duplicate pair costs one extra ~µs fold-dot and the final
+    # ``.distinct()`` on the (tiny) removed-id set absorbs duplicates
+    # anyway. Compute beats shuffle IO at every scale for this trade.
+    cand = a.join(b, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     removed = (
-        cand.filter(
-            _cos_expr(F.col("va"), F.col("vb")) >= COSINE_THRESHOLD
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .filter(
+            _dot_expr(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb"))
+            >= COSINE_THRESHOLD
         )
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
@@ -683,30 +778,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force cross join becomes a bucket equi-join. Rows-only check
     (approximate by construction; the exact baseline above is the oracle-
     checked one)."""
-    emb = _embeddings_double(spark, sf_dir)
-    planes = _hyperplanes(12, 64)
-    plane_col = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in planes]
-    )
-    bucket = F.aggregate(
-        F.transform(
-            plane_col,
-            lambda hp: F.when(
-                F.aggregate(
-                    F.zip_with(F.col("v"), hp, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, val: acc + val,
-                )
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc * 2 + bit,
-    )
-    with_bucket = emb.withColumn("bucket", bucket)
+    from pyspark.sql.functions import pandas_udf
+
+    emb = _embeddings_normed(spark, sf_dir)
+    planes = np.array(_hyperplanes(12, EMB_DIMS))  # (12, 64), deterministic
+
+    # The 12-plane sign-bit bucket as ONE Catalyst expression is ~1700
+    # nodes — janino refuses ("Code grows beyond 64 KB"; a single
+    # expression cannot be split across generated methods) and the whole
+    # stage falls back to interpreted. The production shape for
+    # hyperplane LSH is a vectorized Arrow-batched kernel anyway: one
+    # BLAS matmul per record batch, map-only, no shuffle, no codegen
+    # ceiling. Deterministic (fixed planes, fixed reduction shape).
+    @pandas_udf("long")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())  # (batch, 64)
+        bits = (mat @ planes.T) > 0.0  # (batch, 12)
+        weights = 1 << np.arange(11, -1, -1, dtype=np.int64)
+        return pd.Series(bits @ weights)
+
+    with_bucket = emb.withColumn("bucket", _bucket(F.col("v")))
     q = with_bucket.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
     )
     scored = (
         with_bucket.alias("c")
@@ -714,7 +810,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("c.vec_id").alias("neighbor_id"),
-            _cos_expr(F.col("q.qv"), F.col("c.v")).alias("cosine"),
+            (
+                _dot_expr(F.col("q.qv"), F.col("c.v"))
+                / (F.col("q.qn") * F.col("c.nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -1101,9 +1200,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster equi-join. Rows-only: approximate by construction; the exact
     brute-force twin (knn_cosine_topk) is the oracle-checked baseline.
     """
-    emb = _embeddings_double(spark, sf_dir)
+    emb = _embeddings_normed(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cent_cos"), "cent_id"
@@ -1111,25 +1212,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         emb.join(F.broadcast(cents))
         .select(
-            "vec_id", "v", "cent_id", _cos_expr(F.col("v"), F.col("cv")).alias("cent_cos")
+            "vec_id",
+            "v",
+            "nrm",
+            "cent_id",
+            (
+                _dot_expr(F.col("v"), F.col("cv"))
+                / (F.col("nrm") * F.col("cn"))
+            ).alias("cent_cos"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cluster"))
     )
     q = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), "cent_id")
     probes = (
         q.join(F.broadcast(cents))
         .select(
-            "query_id", "qv", "cent_id",
-            _cos_expr(F.col("qv"), F.col("cv")).alias("cent_cos"),
+            "query_id", "qv", "qn", "cent_id",
+            (
+                _dot_expr(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cent_cos"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= 3)
-        .select("query_id", "qv", F.col("cent_id").alias("cluster"))
+        .select("query_id", "qv", "qn", F.col("cent_id").alias("cluster"))
     )
     scored = (
         probes.join(assigned, "cluster")
@@ -1137,7 +1250,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos_expr(F.col("qv"), F.col("v")).alias("cosine"),
+            (
+                _dot_expr(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
