@@ -12,6 +12,7 @@ here they are independent Spark jobs sharing the cached cleaned relation.
 
 from __future__ import annotations
 
+import logging
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from ..plans import parity
 from ..sources.readers import load_star
 from ..sources.writers import save_tables
+
+#: Per-stage progress logging — the reference's only observability is
+#: logger.info record counts at each stage (reference etl.py:52,63,85,104).
+#: Stage *transitions* are always logged (free); record *counts* are
+#: opt-in via ``AnalyticsPipeline(log_counts=True)`` because every count
+#: is a Spark job — always-on counts double the work at 100 TB.
+logger = logging.getLogger(__name__)
 
 
 class AnalyticsPipeline:
@@ -29,16 +37,25 @@ class AnalyticsPipeline:
     carte, state carried between stages, fail-fast preconditions.
     """
 
-    def __init__(self, spark: SparkSession, source_dir: str, output_dir: str):
+    def __init__(self, spark: SparkSession, source_dir: str, output_dir: str,
+                 log_counts: bool = False):
         self.spark = spark
         self.source_dir = source_dir
         self.output_dir = output_dir
+        self.log_counts = log_counts
         self.raw_tables: dict[str, DataFrame] | None = None
         self.transformed_data: dict[str, DataFrame] | None = None
 
     def extract(self) -> dict[str, DataFrame]:
         """Load the source catalog (lazy scans; nothing materializes)."""
         self.raw_tables = load_star(self.spark, self.source_dir)
+        logger.info("extract: registered %d source tables (lazy scans)",
+                    len(self.raw_tables))
+        if self.log_counts:
+            # the reference logs "Extracted N records" (etl.py:52) — one
+            # count job per source table when opted in
+            for name, df in self.raw_tables.items():
+                logger.info("extract: %s = %d records", name, df.count())
         return self.raw_tables
 
     def transform(self) -> dict[str, DataFrame]:
@@ -54,13 +71,23 @@ class AnalyticsPipeline:
             "country_summary": parity.country_summary(self.spark, self.source_dir),
             "transactions": cleaned,
         }
+        logger.info("transform: composed %d output plans (no jobs yet)",
+                    len(self.transformed_data))
+        if self.log_counts:
+            # "Cleaned data: N records" / per-summary counts
+            # (etl.py:63,85,104) — a count job per table when opted in
+            for name, df in self.transformed_data.items():
+                logger.info("transform: %s = %d records", name, df.count())
         return self.transformed_data
 
     def load(self, formats: list[str] | None = None) -> dict[str, list[str]]:
         """Fan the catalog out to sinks (reference etl.py:364-386)."""
         if self.transformed_data is None:
             raise RuntimeError("No data to load. Run transform() first.")
-        return save_tables(self.transformed_data, self.output_dir, formats)
+        written = save_tables(self.transformed_data, self.output_dir, formats)
+        for fmt, paths in written.items():
+            logger.info("load: %s → %d tables", fmt, len(paths))
+        return written
 
     def run(self, output_formats: list[str] | None = None) -> dict:
         """Full E-T-L (reference etl.py:390-413), wall-clock timed."""

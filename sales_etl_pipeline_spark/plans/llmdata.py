@@ -395,6 +395,76 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
+SIMHASH_BANDS = 6  # 6 bands × 10 bits over the 60-bit signature
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 5  # banding is EXACT for hamming < SIMHASH_BANDS
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: documents whose 60-bit signatures differ in
+    at most ``SIMHASH_MAX_HAMMING`` bits. Candidates come from LSH banding
+    over the signature (6 bands × 10 bits, band-key equi-join): a pair
+    within Hamming distance d < #bands must agree on at least one whole
+    band (pigeonhole), so for this threshold the banded join is EXACT, not
+    approximate — the brute-force all-pairs DuckDB oracle provably yields
+    the identical pair set, which is what makes this fully value-hash
+    checkable (same pattern as minhash_near_dup's banding).
+
+    Scale shape: each doc emits 6 skinny (band, key, sig) rows; candidate
+    volume is bounded by band-bucket sizes (corpus/2^10 per key under a
+    uniform signature), never all-pairs, and verification is one
+    xor+popcount per candidate. At web scale widen the band key (16 bits)
+    and AND-compose band tables to keep buckets bounded; the plan shape is
+    unchanged."""
+    # signature relation feeds both join sides — persist so the token
+    # explode + 60-column vote agg runs once (CacheManager dedups by
+    # sameResult across repeated calls)
+    sig = simhash_signatures(spark, sf_dir).persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * SIMHASH_BAND_BITS)
+                        .bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+                        .alias("key"),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        # a pair can share several bands — hamming is functionally
+        # determined by the pair, so row-level distinct dedups candidates
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -671,7 +741,8 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule, identical left-fold cosine bits, identical rn tie-break), so the
     gate compares deterministic algorithm output, not a recall-dependent
     approximation. Recall vs the exact twin is asserted separately at
-    sf0.01 (tests/test_llmdata.py).
+    sf0.01 (tests/test_operators.py::test_semantic_dedup_bucketed_recall;
+    plan shape in tests/test_plans.py).
     """
     # emb feeds five consumers (centroid set, assignment, the two
     # pair-side vector fetches, final anti-join) — persist once; Spark
@@ -954,6 +1025,16 @@ ORACLE: dict[str, str] = {
         {_PAIR_JACCARD_SQL}
     """,
     "simhash_signatures": _simhash_sql(),
+    # Brute-force all-pairs twin of the banded plan — identical result set
+    # by the pigeonhole argument (see simhash_near_dup docstring), so the
+    # value hash must match exactly.
+    "simhash_near_dup": f"""
+        WITH sig AS ({_simhash_sql()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
     "text_quality": """
         SELECT doc_id,
                CAST(length(text) AS INTEGER) AS n_chars,
@@ -1269,6 +1350,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dup": minhash_near_dup,
     "simhash_signatures": simhash_signatures,
+    "simhash_near_dup": simhash_near_dup,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_stats": token_stats,

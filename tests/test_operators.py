@@ -82,6 +82,21 @@ def test_transform_requires_extract(spark, tmp_path):
         pipe.transform()
 
 
+def test_pipeline_stage_logging(spark, tmp_path, caplog):
+    # reference etl.py:52,63 logs per-stage record counts — opt-in here
+    # (each count is a Spark job), stage transitions always logged
+    import logging
+
+    pipe = AnalyticsPipeline(spark, SF, str(tmp_path), log_counts=True)
+    with caplog.at_level(logging.INFO,
+                         logger="sales_etl_pipeline_spark.operators.pipeline"):
+        pipe.extract()
+        pipe.transform()
+    messages = [r.message for r in caplog.records]
+    assert any("extract: registered" in m for m in messages)
+    assert any(m.startswith("transform: transactions = ") for m in messages)
+
+
 def test_excel_adapter_paths(spark, tmp_path):
     from sales_etl_pipeline_spark.sources.readers import read_excel
 

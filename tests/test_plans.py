@@ -87,6 +87,14 @@ def test_semantic_dedup_bucketed_no_cartesian(spark):
     assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
 
 
+def test_simhash_near_dup_banded_join(spark):
+    # candidates must come from the (band, key) equi-join — no all-pairs
+    # join anywhere in the plan
+    plan = _plan(llmdata.simhash_near_dup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_active(spark):
     # under AQE the codegen wrapping appears in the final executed plan only,
     # as "*(n)" stage markers on codegen'd operators
