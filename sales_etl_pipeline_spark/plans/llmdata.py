@@ -721,6 +721,93 @@ SEMDEDUP_CENT_EVERY = 50  # deterministic centroid set: every 50th vector
 SEMDEDUP_NPROBE = 3  # multi-probe: each vector joins its 3 nearest clusters
 
 
+def _foldexact_row_dots(mat: "np.ndarray", vec: "np.ndarray") -> "np.ndarray":
+    """Row dots of ``mat`` (n, d) against one vector ``vec`` (d,) with the
+    SAME summation order as the Catalyst/DuckDB left fold: elementwise
+    products, then a cumulative sum — numpy's cumsum accumulates strictly
+    left-to-right (unlike np.sum/np.dot/np.matmul, which reassociate via
+    pairwise/SIMD/BLAS summation), so the result is bit-identical to
+    ``_dot_expr``. The trailing ``+ 0.0`` mirrors the fold's 0.0 seed
+    (normalizes a -0.0 total). This is the vectorized escape hatch for
+    bulk dot volume: the interpreted fold costs ~12-16 µs per 64-dim dot
+    (measured — 94 s CPU for the 8M assignment dots at 10× sf0.1), the
+    cumsum kernel runs at C speed with identical bits."""
+    return (mat * vec).cumsum(axis=1)[:, -1] + 0.0
+
+
+def _pair_dot_udf():
+    """Arrow-batched pair dot: bit-identical to ``_dot_expr(a, b)`` (see
+    _foldexact_row_dots) at ~100× the interpreted throughput. Use for
+    pair-grain scoring volume; the expression form stays fine for
+    vector-grain norms."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack(a.to_numpy())
+        mb = np.vstack(b.to_numpy())
+        return pd.Series((ma * mb).cumsum(axis=1)[:, -1] + 0.0)
+
+    return _dot
+
+
+def _centroid_matrix(emb: DataFrame, every: int):
+    """Collect the deterministic centroid set to the driver as numpy
+    arrays — centroid grain (k = n/every rows), the aggregate-scale
+    relation every IVF system holds driver/broadcast-side; NOT a
+    corpus-grain collect. Returns (cent_ids (k,), cmat (k, d), cn (k,))
+    sorted by cent_id."""
+    rows = (
+        emb.filter(F.col("vec_id") % every == 0)
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    cent_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    cmat = np.array([list(r.v) for r in rows], dtype=np.float64)
+    cn = np.array([r.nrm for r in rows], dtype=np.float64)
+    return cent_ids, cmat, cn
+
+
+def _assign_clusters_udf(cent_ids, cmat, cn, nprobe: int):
+    """Map-side top-``nprobe`` centroid assignment as an Arrow-batched
+    kernel: per record batch, one fold-exact dot pass per centroid and a
+    stable argsort — ZERO shuffle, and no giant interpreted expression.
+
+    Two rejected shapes, both measured at 10× sf0.1:
+    - broadcast fanout join + row_number window: shuffles k×N rows (8M
+      here; a hundred-billion-row shuffle at the 100-TB design point) for
+      what is a per-row arg-top-k. Assignment is embarrassingly row-local
+      and must never shuffle.
+    - per-row transform/array_sort expression over a one-row centroid
+      array: zero shuffle but interpreted — 94 s CPU for 20k vectors ×
+      400 centroids.
+
+    Selection matches the oracle's ``ROW_NUMBER() OVER (ORDER BY cent_cos
+    DESC, cent_id)`` exactly: dots and cosines are bit-identical to the
+    fold (_foldexact_row_dots), negation is exact, and the stable argsort
+    over centroids pre-sorted by cent_id reproduces the tie-break."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _top(v: pd.Series, nrm: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.vstack(v.to_numpy())
+        k = cmat.shape[0]
+        cos = np.empty((mat.shape[0], k))
+        for j in range(k):
+            cos[:, j] = _foldexact_row_dots(mat, cmat[j]) / (
+                nrm.to_numpy() * cn[j]
+            )
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cent_ids[order]))
+
+    return _top
+
+
 def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe SemDeDup: IVF-bucketed candidate pairs instead of the
     exact twin's O(n²) cross join (``semantic_dedup`` above — correct but
@@ -749,34 +836,19 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-executes unpersisted subplans per consumer, and CacheManager
     # dedups by sameResult so repeated query calls reuse one cache entry.
     emb = _embeddings_normed(spark, sf_dir).persist()
-    cents = emb.filter(F.col("vec_id") % SEMDEDUP_CENT_EVERY == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    # Candidate generation stays SKINNY (ids only): assignment is the
+    # zero-shuffle Arrow-batched map-side top-nprobe and the 64-dim
+    # vectors are dropped BEFORE the pair expansion — otherwise every
+    # shuffle in this plan carries two copies of the vector payload
+    # (measured ~0.5 GB of duplicated arrays at sf0.1; a non-starter at
+    # corpus scale). Vectors are re-fetched by id only for surviving
+    # candidate pairs (late materialization).
+    top_clusters = _assign_clusters_udf(
+        *_centroid_matrix(emb, SEMDEDUP_CENT_EVERY), SEMDEDUP_NPROBE
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), "cent_id"
-    )
-    # Candidate generation stays SKINNY (ids + one scalar): the centroid
-    # cosines are computed map-side against the broadcast centroid set and
-    # the 64-dim vectors are dropped BEFORE the assignment window and the
-    # pair dedup — otherwise every shuffle in this plan carries two copies
-    # of the vector payload (measured ~0.5 GB of duplicated arrays at
-    # sf0.1; a non-starter at corpus scale). Vectors are re-fetched by id
-    # only for surviving candidate pairs (late materialization).
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cent_id",
-            (
-                _dot_expr(F.col("v"), F.col("cv"))
-                / (F.col("nrm") * F.col("cn"))
-            ).alias("cent_cos"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= SEMDEDUP_NPROBE)
-        .select("vec_id", F.col("cent_id").alias("cluster"))
+    assigned = emb.select(
+        "vec_id",
+        F.explode(top_clusters(F.col("v"), F.col("nrm"))).alias("cluster"),
     )
     # The cluster equi-join EXPANDS rows ~cluster-size× downstream of its
     # exchange, but AQE sizes exchanges on their *input* bytes — at bench
@@ -810,12 +882,14 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    # pair scoring rides the Arrow kernel (bit-identical to the fold, see
+    # _pair_dot_udf) — candidate volume is the hot dot count in this plan
+    pair_dot = _pair_dot_udf()
     removed = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .filter(
-            _dot_expr(F.col("va"), F.col("vb"))
-            / (F.col("na") * F.col("nb"))
+            pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
             >= COSINE_THRESHOLD
         )
         .select(F.col("vec_b").alias("vec_id"))
@@ -1281,49 +1355,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster equi-join. Rows-only: approximate by construction; the exact
     brute-force twin (knn_cosine_topk) is the oracle-checked baseline.
     """
-    emb = _embeddings_normed(spark, sf_dir)
+    # assignment and probing are both the zero-shuffle map-side top-k
+    # (_assign_clusters) — the fanout-join + window alternative shuffles
+    # k×N rows (see _assign_clusters docstring). The corpus keeps its
+    # vectors by joining the skinny assignment back at corpus grain.
+    emb = _embeddings_normed(spark, sf_dir).persist()
     cents = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), "cent_id"
-    )
     assigned = (
-        emb.join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            "cent_id",
-            (
-                _dot_expr(F.col("v"), F.col("cv"))
-                / (F.col("nrm") * F.col("cn"))
-            ).alias("cent_cos"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cluster"))
+        _assign_clusters(emb, cents, 1)
+        .join(emb, "vec_id")
+        .select("vec_id", "v", "nrm", "cluster")
     )
-    q = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), "cent_id")
+    q = emb.filter(F.col("vec_id") < 50)
     probes = (
-        q.join(F.broadcast(cents))
+        _assign_clusters(q, cents, 3)
+        .join(q, "vec_id")
         .select(
-            "query_id", "qv", "qn", "cent_id",
-            (
-                _dot_expr(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn"))
-            ).alias("cent_cos"),
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cluster",
         )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "qv", "qn", F.col("cent_id").alias("cluster"))
     )
     scored = (
         probes.join(assigned, "cluster")
