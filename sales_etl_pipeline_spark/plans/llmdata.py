@@ -1356,30 +1356,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force twin (knn_cosine_topk) is the oracle-checked baseline.
     """
     # assignment and probing are both the zero-shuffle map-side top-k
-    # (_assign_clusters) — the fanout-join + window alternative shuffles
-    # k×N rows (see _assign_clusters docstring). The corpus keeps its
-    # vectors by joining the skinny assignment back at corpus grain.
+    # Arrow kernel (_assign_clusters_udf, shared with
+    # semantic_dedup_bucketed) — the fanout-join + window alternative
+    # shuffles k×N rows (see the kernel docstring). Assignment happens
+    # in-line on the corpus relation, so vectors never take an extra
+    # join hop.
     emb = _embeddings_normed(spark, sf_dir).persist()
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    assigned = (
-        _assign_clusters(emb, cents, 1)
-        .join(emb, "vec_id")
-        .select("vec_id", "v", "nrm", "cluster")
+    cent_ids, cmat, cn = _centroid_matrix(emb, 50)
+    assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1)
+    assign3 = _assign_clusters_udf(cent_ids, cmat, cn, 3)
+    assigned = emb.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(assign1(F.col("v"), F.col("nrm"))).alias("cluster"),
     )
     q = emb.filter(F.col("vec_id") < 50)
-    probes = (
-        _assign_clusters(q, cents, 3)
-        .join(q, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            "cluster",
-        )
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(assign3(F.col("v"), F.col("nrm"))).alias("cluster"),
     )
     scored = (
         probes.join(assigned, "cluster")
