@@ -77,11 +77,12 @@ def test_minhash_aggregates_partially(spark):
 
 def test_semantic_dedup_bucketed_no_cartesian(spark):
     # the scale-safe variant must never plan an all-pairs join: candidates
-    # come from a cluster equi-join; the only nested loop is the broadcast
-    # centroid fan-out (k rows)
+    # come from a cluster equi-join; centroid assignment happens inside an
+    # Arrow-batched pandas UDF (no centroid join of any kind)
     plan = _plan(llmdata.semantic_dedup_bucketed(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # centroid fan-out, broadcast side
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan  # the zero-shuffle centroid-assignment kernel
     # the exact twin IS quadratic (documented baseline) — pin the contrast
     exact_plan = _plan(llmdata.semantic_dedup(spark, SF))
     assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
