@@ -399,13 +399,22 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "repetition_stats": repetition_stats,
     "quality_filter": quality_filter,
-    "stratified_sample": stratified_sample,
     "contamination_check": contamination_check,
     "curation_pipeline": curation_pipeline,
     "sequence_packing": sequence_packing,
     "doc_chunks": doc_chunks,
+}
+
+#: Library-tier plans: retired from the driver registry (50-entry driver
+#: cap) but oracle-verified every round by tests/test_library_parity.py.
+#: Both are transitively exercised by driver-checked entries:
+#: repetition_stats IS quality_filter's metrics subplan
+#: (_doc_token_metrics); stratified_sample is composed by
+#: contamination_check (the eval split) and curation_pipeline.
+LIBRARY_QUERIES = {
+    "repetition_stats": repetition_stats,
+    "stratified_sample": stratified_sample,
 }
 
 #: eval-split CTE (DuckDB): md5-rank stratified sample, doc_ids only
@@ -454,12 +463,6 @@ def _contamination_oracle() -> str:
 
 
 ORACLE = {
-    "repetition_stats": f"""
-        WITH {_METRICS_SQL}
-        SELECT doc_id, n_tokens, distinct_frac, top_token_frac,
-               top_bigram_frac, mean_token_len
-        FROM metrics
-    """,
     "quality_filter": f"""
         WITH {_METRICS_SQL}
         SELECT doc_id, n_tokens, distinct_frac, top_token_frac,
@@ -475,27 +478,6 @@ ORACLE = {
                        THEN 'dominant_token'
                END AS reject_reason
         FROM metrics
-    """,
-    "stratified_sample": f"""
-        WITH hashed AS (
-            SELECT doc_id, lang, source,
-                   {oracle_md5_long("CAST(doc_id AS VARCHAR)")} AS h
-            FROM documents
-        ),
-        ranked AS (
-            SELECT doc_id, lang, source,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY lang, source ORDER BY h, doc_id
-                   ) AS sample_rank,
-                   COUNT(*) OVER (PARTITION BY lang, source)
-                       AS stratum_size
-            FROM hashed
-        )
-        SELECT doc_id, lang, source,
-               CAST(sample_rank AS INT) AS sample_rank,
-               CAST(stratum_size AS INT) AS stratum_size
-        FROM ranked
-        WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
     """,
     "sequence_packing": f"""
         WITH sized AS (
@@ -578,3 +560,36 @@ ORACLE = {
         WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
     """,
 }
+
+#: Library-tier oracles (see LIBRARY_QUERIES): pytest-checked, not
+#: driver-registered.
+LIBRARY_ORACLE: dict[str, str] = {
+    "repetition_stats": f"""
+        WITH {_METRICS_SQL}
+        SELECT doc_id, n_tokens, distinct_frac, top_token_frac,
+               top_bigram_frac, mean_token_len
+        FROM metrics
+    """,
+    "stratified_sample": f"""
+        WITH hashed AS (
+            SELECT doc_id, lang, source,
+                   {oracle_md5_long("CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source ORDER BY h, doc_id
+                   ) AS sample_rank,
+                   COUNT(*) OVER (PARTITION BY lang, source)
+                       AS stratum_size
+            FROM hashed
+        )
+        SELECT doc_id, lang, source,
+               CAST(sample_rank AS INT) AS sample_rank,
+               CAST(stratum_size AS INT) AS stratum_size
+        FROM ranked
+        WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
+    """,
+}
+

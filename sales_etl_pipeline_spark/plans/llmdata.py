@@ -1098,7 +1098,6 @@ ORACLE: dict[str, str] = {
         )
         {_PAIR_JACCARD_SQL}
     """,
-    "simhash_signatures": _simhash_sql(),
     # Brute-force all-pairs twin of the banded plan — identical result set
     # by the pigeonhole argument (see simhash_near_dup docstring), so the
     # value hash must match exactly.
@@ -1210,28 +1209,6 @@ ORACLE: dict[str, str] = {
         FROM scored
         QUALIFY rank <= 5
     """,
-    "embedding_near_dup": f"""
-        WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_COS_SQL.format(a='a.v', b='b.v')} AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
-    """,
-    "semantic_dedup": f"""
-        WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ),
-        removed AS (
-            SELECT DISTINCT b.vec_id
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
-        )
-        SELECT vec_id FROM e
-        WHERE vec_id NOT IN (SELECT vec_id FROM removed)
-        ORDER BY vec_id
-    """,
     # Mirrors the IVF bucketing algorithm itself (centroid rule, cosine
     # fold association, rn tie-break) — exact check, not a recall bound.
     "semantic_dedup_bucketed": f"""
@@ -1267,6 +1244,38 @@ ORACLE: dict[str, str] = {
             JOIN e ea ON ea.vec_id = c.vec_a
             JOIN e eb ON eb.vec_id = c.vec_b
             WHERE {_COS_SQL.format(a='ea.v', b='eb.v')} >= {COSINE_THRESHOLD}
+        )
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+        ORDER BY vec_id
+    """,
+}
+
+#: Library-tier oracles: plans retired from the driver registry (50-entry
+#: driver cap) but still oracle-verified every round by
+#: tests/test_library_parity.py. Each is transitively exercised by a
+#: driver-checked entry: simhash_near_dup consumes simhash_signatures;
+#: semantic_dedup composes embedding_near_dup; semantic_dedup_bucketed's
+#: recall test compares against semantic_dedup (COVERAGE.md).
+LIBRARY_ORACLE: dict[str, str] = {
+    "simhash_signatures": _simhash_sql(),
+    "embedding_near_dup": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_COS_SQL.format(a='a.v', b='b.v')} AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
+    """,
+    "semantic_dedup": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        removed AS (
+            SELECT DISTINCT b.vec_id
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_THRESHOLD}
         )
         SELECT vec_id FROM e
         WHERE vec_id NOT IN (SELECT vec_id FROM removed)
@@ -1402,7 +1411,6 @@ QUERIES = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dup": minhash_near_dup,
-    "simhash_signatures": simhash_signatures,
     "simhash_near_dup": simhash_near_dup,
     "text_quality": text_quality,
     "lang_id": lang_id,
@@ -1411,9 +1419,15 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "embedding_centroids": embedding_centroids,
     "knn_cosine_topk": knn_cosine_topk,
-    "embedding_near_dup": embedding_near_dup,
-    "semantic_dedup": semantic_dedup,
     "semantic_dedup_bucketed": semantic_dedup_bucketed,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: approximate by construction
+}
+
+#: Library-tier plans (see LIBRARY_ORACLE): callable + oracle-checked via
+#: pytest, not registered with the driver.
+LIBRARY_QUERIES = {
+    "simhash_signatures": simhash_signatures,
+    "embedding_near_dup": embedding_near_dup,
+    "semantic_dedup": semantic_dedup,
 }
