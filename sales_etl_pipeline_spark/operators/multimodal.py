@@ -139,12 +139,25 @@ def frame_sample(media_df: DataFrame, stride: int = FRAME_BYTES) -> DataFrame:
 
 
 def mm_image_features(spark, sf_dir: str) -> DataFrame:
-    """queries() entry (rows-only): documents → fake payloads → Arrow-batched
-    feature extraction."""
+    """queries() entry: documents → fake payloads → Arrow-batched feature
+    extraction. The array-typed ``byte_histogram`` is serialized to a CSV
+    string here (and only here): the driver's pandas canonicalizer cannot
+    sort numpy arrays (round-4/5 `TypeError: unhashable type` with zero
+    verification), and a deterministic string also makes the whole result
+    oracle-checkable. ``image_features()`` keeps the array-typed schema as
+    the library API."""
     from ..sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return image_features(attach_media(docs))
+    feats = image_features(attach_media(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "byte_mean",
+        F.concat_ws(",", F.col("byte_histogram").cast("array<string>")).alias(
+            "byte_histogram_csv"
+        ),
+    )
 
 
 def mm_frame_sample(spark, sf_dir: str) -> DataFrame:
@@ -159,12 +172,47 @@ QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_frame_sample": mm_frame_sample,
 }
-#: mm_image_features stays rows-only: the POINT of that entry is the
-#: Arrow-batched mapInPandas plumbing (not SQL-expressible, and its
-#: histogram is array-typed). mm_frame_sample IS oracle-checked: the fake
-#: payload is ASCII (md5 hex × 8), so binary substring + md5 in Spark is
-#: byte-identical to VARCHAR substring + md5 in DuckDB.
+#: Both entries are oracle-checked: the fake payload is ASCII (md5 hex × 8),
+#: so binary substring + md5 (frame sampling) and per-byte mean/histogram
+#: (feature extraction) are byte-identical between Spark and DuckDB. The
+#: mm_image_features oracle recomputes the Arrow kernel's numpy
+#: bincount/mean relationally — n_bytes and the byte sum are exact integers
+#: in float64, and /256 (a power of two) is exact, so byte_mean matches
+#: bit-for-bit with no rounding contract needed.
 ORACLE: dict[str, str] = {
+    "mm_image_features": """
+        WITH p AS (
+            SELECT doc_id, repeat(md5(text), 8) AS payload FROM documents
+        ),
+        bytes AS (
+            SELECT p.doc_id,
+                   ascii(substring(p.payload, CAST(t.i + 1 AS INTEGER), 1)) AS b
+            FROM p, unnest(range(len(p.payload))) AS t(i)
+        ),
+        stats AS (
+            SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bytes,
+                   AVG(CAST(b AS DOUBLE)) AS byte_mean
+            FROM bytes GROUP BY doc_id
+        ),
+        counts AS (
+            SELECT doc_id, b // 16 AS bin, COUNT(*) AS c
+            FROM bytes GROUP BY doc_id, bin
+        ),
+        grid AS (
+            SELECT p.doc_id, r.bin FROM p, (SELECT unnest(range(16)) AS bin) r
+        ),
+        hist AS (
+            SELECT grid.doc_id,
+                   string_agg(CAST(COALESCE(counts.c, 0) AS VARCHAR), ','
+                              ORDER BY grid.bin) AS byte_histogram_csv
+            FROM grid
+            LEFT JOIN counts
+              ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin
+            GROUP BY grid.doc_id
+        )
+        SELECT s.doc_id, s.n_bytes, s.byte_mean, h.byte_histogram_csv
+        FROM stats s JOIN hist h USING (doc_id)
+    """,
     "mm_frame_sample": f"""
         WITH p AS (
             SELECT doc_id, repeat(md5(text), 8) AS payload FROM documents
