@@ -78,6 +78,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an epoch-long event-time column to a µs timestamp.
+
+    The batch parquet reader (under ``nanosAsLong=true``) delivers the
+    INT64 TIMESTAMP(NANOS) column as nanoseconds, while the file-stream
+    source delivers it already in microseconds — the same file, two
+    precisions. Magnitude disambiguates: ns since ~2001 is ≥1e18 while µs
+    is ~1e15, so anything ≥1e17 is nanoseconds and gets the integer
+    ``div 1000`` truncation (float division would lose precision beyond
+    double's 53-bit mantissa and round some microseconds differently from
+    DuckDB). No-op if the column is already a timestamp.
+    """
+    if dict(df.dtypes).get(col) != "bigint":
+        return df
+    micros = F.when(
+        F.abs(F.col(col)) >= F.lit(10**17), F.expr(f"{col} div 1000")
+    ).otherwise(F.col(col))
+    return df.withColumn(col, F.timestamp_micros(micros))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` with ns-precision ``ts`` normalized to a Spark timestamp.
 
@@ -110,12 +130,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         return spark.createDataFrame(tbl.cast(schema).to_pandas())
-    if dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: ns values (~1.7e18) exceed double's 53-bit
-        # mantissa, so a float `/ 1000` would be off by up to ~128 ns and
-        # round some microseconds the wrong way vs DuckDB's truncation.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(df)
 
 
 def load_star(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> dict[str, DataFrame]:

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.core import DEC
+from ..sources.readers import normalize_event_ts
 
 WATERMARK = "10 minutes"
 
@@ -58,7 +59,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Same normalization as the batch reader — the file-stream source has
+    # delivered this column as ns OR µs across Spark versions, so the shared
+    # helper branches on magnitude instead of assuming a precision.
+    return normalize_event_ts(raw)
 
 
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:
