@@ -717,7 +717,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMDEDUP_CENT_EVERY = 50  # deterministic centroid set: every 50th vector
+KMEANS_ROWS_PER_CENT = 50  # corpus rows per centroid: k = ceil(n / 50)
+KMEANS_ITERS = 2  # Lloyd iterations (unrolled in the DuckDB oracle too)
 SEMDEDUP_NPROBE = 3  # multi-probe: each vector joins its 3 nearest clusters
 
 
@@ -753,22 +754,71 @@ def _pair_dot_udf():
     return _dot
 
 
-def _centroid_matrix(emb: DataFrame, every: int):
-    """Collect the deterministic centroid set to the driver as numpy
-    arrays — centroid grain (k = n/every rows), the aggregate-scale
-    relation every IVF system holds driver/broadcast-side; NOT a
-    corpus-grain collect. Returns (cent_ids (k,), cmat (k, d), cn (k,))
-    sorted by cent_id."""
-    rows = (
-        emb.filter(F.col("vec_id") % every == 0)
-        .select("vec_id", "v", "nrm")
+def _row_norms(cmat: "np.ndarray") -> "np.ndarray":
+    """Per-row L2 norms with the fold's summation order (cumsum of
+    squares, +0.0 seed) — bit-identical to ``_norm_expr`` / the oracle's
+    seedless ``list_reduce`` (squares are non-negative, so the 0.0 seed
+    is a bitwise no-op)."""
+    return np.sqrt((cmat * cmat).cumsum(axis=1)[:, -1] + 0.0)
+
+
+def _train_centroids(emb: DataFrame):
+    """Deterministic seeded k-means over the corpus: Forgy init on the k
+    vectors with the smallest ``md5(vec_id)`` (a hash-ordered uniform
+    sample — reproducible across engines, unlike RNG state), then
+    ``KMEANS_ITERS`` Lloyd iterations. Replaces the untrained
+    every-50th-vector rule (round-4 verdict item 3): on clustered real
+    data modulo sampling gives arbitrary centroids and unbounded cluster
+    skew in the downstream equi-join; k-means centroids track the actual
+    density.
+
+    Driver traffic is k-grain ONLY: the init top-k collect (k rows), and
+    one (k × dims)-row collect per iteration — the aggregate-scale
+    relation every IVF system holds driver/broadcast-side. Assignment is
+    the zero-shuffle Arrow kernel (_assign_clusters_udf); the update is
+    the embedding_centroids exact-mean pattern (posexplode → per-dim
+    xsum partial aggregation — the shuffle carries (k × dims) partial
+    sums, never raw vectors), so every step is bit-reproducible by the
+    DuckDB oracle (_kmeans_cents_sql): xsum is order-independent
+    fixed-point, the cosine is the shared left fold, ties break on the
+    centroid ordinal. Empty clusters keep their previous centroid (same
+    COALESCE rule oracle-side).
+
+    Returns (ords (k,) 1-based centroid ordinals in md5 order,
+    cmat (k, d), cn (k,)).
+    """
+    import math
+
+    n = emb.count()
+    k = max(1, int(math.ceil(n / KMEANS_ROWS_PER_CENT)))
+    init_rows = (
+        emb.select(
+            "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
         .collect()
     )
-    rows.sort(key=lambda r: r.vec_id)
-    cent_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    cmat = np.array([list(r.v) for r in rows], dtype=np.float64)
-    cn = np.array([r.nrm for r in rows], dtype=np.float64)
-    return cent_ids, cmat, cn
+    cmat = np.array([list(r.v) for r in init_rows], dtype=np.float64)
+    ords = np.arange(1, k + 1, dtype=np.int64)
+    cn = _row_norms(cmat)
+    for _ in range(KMEANS_ITERS):
+        assign1 = _assign_clusters_udf(ords, cmat, cn, 1)
+        ex = emb.select(
+            F.element_at(assign1(F.col("v"), F.col("nrm")), 1).alias("cluster"),
+            "v",
+        ).select("cluster", F.posexplode("v").alias("dim", "val"))
+        rows = (
+            ex.groupBy("cluster", "dim")
+            .agg((xsum("val") / F.count("val")).alias("mean"))
+            .collect()
+        )
+        new_cmat = cmat.copy()  # empty clusters keep their old centroid
+        for r in rows:
+            new_cmat[int(r.cluster) - 1, int(r.dim)] = r.mean
+        cmat = new_cmat
+        cn = _row_norms(cmat)
+    return ords, cmat, cn
 
 
 def _assign_clusters_udf(cent_ids, cmat, cn, nprobe: int):
@@ -813,8 +863,9 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin's O(n²) cross join (``semantic_dedup`` above — correct but
     a 100-TB non-starter, round-1 verdict item 3).
 
-    Shape: deterministic centroids (every 50th vector — swap for offline
-    k-means at production scale) are broadcast; each vector is assigned to
+    Shape: deterministic seeded k-means centroids (_train_centroids —
+    hash-ordered Forgy init + Lloyd iterations, k-grain driver traffic
+    only) are broadcast; each vector is assigned to
     its ``SEMDEDUP_NPROBE`` nearest centroids (multi-probe assignment
     recovers pairs that straddle a cluster boundary); candidate pairs come
     from a **cluster equi-join** (shuffle keyed on cluster id — bounded by
@@ -844,7 +895,7 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scale). Vectors are re-fetched by id only for surviving
     # candidate pairs (late materialization).
     top_clusters = _assign_clusters_udf(
-        *_centroid_matrix(emb, SEMDEDUP_CENT_EVERY), SEMDEDUP_NPROBE
+        *_train_centroids(emb), SEMDEDUP_NPROBE
     )
     assigned = emb.select(
         "vec_id",
@@ -1034,6 +1085,67 @@ _COS_SQL = (
 )
 
 
+def _kmeans_cents_sql() -> str:
+    """CTE chain reproducing ``_train_centroids`` bit-for-bit in DuckDB:
+    the same md5-ordered Forgy init, the same unrolled Lloyd iterations
+    (KMEANS_ITERS is a compile-time constant on both sides), the shared
+    left-fold cosine, xsum fixed-point means (order-independent, so
+    Spark's shuffle order cannot diverge from DuckDB's scan order),
+    centroid-ordinal tie-breaks, and the empty-cluster COALESCE.
+
+    Expects a CTE ``e(vec_id, v)`` in scope; emits CTE fragments
+    ``c0 .. c{KMEANS_ITERS}`` where ``c{KMEANS_ITERS}(ord, cv)`` is the
+    trained centroid set."""
+    parts = [
+        f"""
+        c0 AS (
+            SELECT rn AS ord, v AS cv FROM (
+                SELECT v, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM e
+            )
+            WHERE rn <= (
+                SELECT CAST(ceil(COUNT(*) / {KMEANS_ROWS_PER_CENT}.0) AS BIGINT)
+                FROM e
+            )
+        )"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""
+        a{i} AS (
+            SELECT vec_id, v, ord AS cluster FROM (
+                SELECT e.vec_id, e.v, c.ord,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                                    c.ord
+                       ) AS rn
+                FROM e CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        u{i} AS (
+            SELECT cluster, dim, {oracle_xsum('val')} / COUNT(val) AS mean
+            FROM (
+                SELECT cluster,
+                       unnest(range(len(v))) AS dim,
+                       unnest(v) AS val
+                FROM a{i}
+            )
+            GROUP BY cluster, dim
+        ),
+        c{i} AS (
+            SELECT p.ord, COALESCE(u.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN (
+                SELECT cluster AS ord, list(mean ORDER BY dim) AS cv
+                FROM u{i} GROUP BY cluster
+            ) u ON u.ord = p.ord
+        )"""
+        )
+    return ",".join(parts)
+
+
 def _lang_sql() -> str:
     scores = []
     for lang in LANG_PRIORITY:
@@ -1215,9 +1327,9 @@ ORACLE: dict[str, str] = {
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
+        {_kmeans_cents_sql()},
         cents AS (
-            SELECT vec_id AS cent_id, v AS cv FROM e
-            WHERE vec_id % {SEMDEDUP_CENT_EVERY} = 0
+            SELECT ord AS cent_id, cv FROM c{KMEANS_ITERS}
         ),
         assigned AS (
             SELECT vec_id, v, cent_id AS cluster
@@ -1357,8 +1469,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the other scale path besides LSH): a deterministic
-    centroid set (every 50th vector — swap for k-means centroids offline),
+    """IVF-style ANN (the other scale path besides LSH): a trained
+    centroid set (seeded k-means, _train_centroids),
     each vector assigned to its nearest centroid (broadcast, no shuffle),
     queries probe their nprobe=3 nearest clusters, candidates come from a
     cluster equi-join. Rows-only: approximate by construction; the exact
@@ -1371,7 +1483,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-line on the corpus relation, so vectors never take an extra
     # join hop.
     emb = _embeddings_normed(spark, sf_dir).persist()
-    cent_ids, cmat, cn = _centroid_matrix(emb, 50)
+    cent_ids, cmat, cn = _train_centroids(emb)
     assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1)
     assign3 = _assign_clusters_udf(cent_ids, cmat, cn, 3)
     assigned = emb.select(
