@@ -49,7 +49,28 @@ HEADLINE = (
     # not production paths)
     "semantic_dedup_bucketed",
     "sequence_packing",
+    # round 7: the remaining scale-path variants (banding + trained IVF)
+    # and the composed end-to-end curation funnel join the headline set
+    "simhash_near_dup",
+    "ann_ivf_topk",
+    "training_pipeline_curated",
 )
+
+
+def _training_pipeline_curated(spark, sf_dir: str):
+    """End-to-end composed funnel (lang → quality → exact dedup → near-dup)
+    — the realistic 100-TB workload; curated() is one lazy DAG, so timing
+    it measures the fused plan, not stage-at-a-time materialization."""
+    import tempfile
+
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+
+    return TrainingDataPipeline(
+        spark, sf_dir, tempfile.mkdtemp(prefix="bench_curated_")
+    ).curated()
+
+
+EXTRA_QUERIES = {"training_pipeline_curated": _training_pipeline_curated}
 
 #: prior-round bench results for per-query regression flagging
 PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r01.json")
@@ -72,7 +93,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    all_queries = plans.all_queries()
+    all_queries = {**plans.all_queries(), **EXTRA_QUERIES}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in all_queries:

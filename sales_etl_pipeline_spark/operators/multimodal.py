@@ -64,7 +64,13 @@ def attach_media(docs: DataFrame) -> DataFrame:
     a deterministic stand-in for real image bytes (md5-seeded, so stable
     across runs/engines). Downstream operators depend only on the
     (payload: binary, media: struct) contract, not on how the bytes were
-    made."""
+    made.
+
+    NULL-text documents are dropped up front: a NULL payload would crash
+    the Arrow kernel's ``np.frombuffer`` while the relational oracle
+    silently drops the row (every aggregate joins on non-null bytes) —
+    filtering here makes both engines agree by construction."""
+    docs = docs.filter(F.col("text").isNotNull())
     payload = F.encode(F.repeat(F.md5("text"), 8), "utf-8").cast(BinaryType())
     return docs.select(
         "doc_id",
