@@ -19,7 +19,7 @@ CacheManager dedups by plan equality, so re-invoking the same query never
 stacks duplicate cached copies.
 """
 
-from . import analytics, curation, eventplans, llmdata, parity, temporal
+from . import analytics, assembly, curation, eventplans, llmdata, parity, temporal
 from ..operators import multimodal
 
 # Ordered so that if an external harness caps the number of entries it
@@ -28,7 +28,16 @@ from ..operators import multimodal
 # is kept at ≤50 entries total (the driver's cap — see COVERAGE.md);
 # overflow plans live in each module's LIBRARY_QUERIES/LIBRARY_ORACLE and
 # are oracle-verified by tests/test_library_parity.py instead.
-_MODULES = (parity, analytics, temporal, multimodal, curation, eventplans, llmdata)
+_MODULES = (
+    parity,
+    analytics,
+    temporal,
+    multimodal,
+    curation,
+    eventplans,
+    llmdata,
+    assembly,
+)
 
 
 def all_queries():

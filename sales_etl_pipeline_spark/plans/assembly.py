@@ -1,0 +1,280 @@
+"""Dataset-assembly plans: PII redaction, hash-based train/eval split
+assignment, and weighted per-source mixing — the last-mile operators a
+large-scale training-data pipeline runs between curation and tokenization.
+
+The reference pipeline (``/root/reference/data/etl.py``) has no
+document-corpus surface at all; these extend the engine's LLM-data family
+(SURVEY.md §2.11 north-star scope) the same way plans/llmdata and
+plans/curation do. All three are pure Catalyst expression plans — no UDFs,
+no driver collection — with exact DuckDB oracles, registered at the
+library tier (the driver registry is capped at 50 entries; see
+COVERAGE.md's verification-tier map) and checked every pytest run by
+tests/test_library_parity.py.
+
+Scale notes (100 TB):
+- ``pii_redact`` is a straight-line projection (regexp extract/replace per
+  row) — embarrassingly parallel, whole-stage codegen, no shuffle at all.
+- ``train_test_split`` is likewise shuffle-free: the split is a pure
+  function of ``md5(doc_id)``, so any executor can route any document
+  without coordination — the property that matters when assigning splits
+  across 10^11 documents (a random() split is neither reproducible nor
+  consistent across retries/backfills).
+- ``source_mix_sample`` shuffles once on ``source`` for the per-stratum
+  rank window; source cardinality is high (10^3–10^5 domains at corpus
+  scale) so strata parallelize, and a pathologically hot source is
+  AQE-splittable. The md5-rank keeps the sample deterministic under
+  re-execution, unlike TABLESAMPLE.
+
+PII note: the synthetic corpus contains no organic PII, so the plan
+deterministically injects synthetic contact strings into a known subset of
+documents on BOTH engines (same convention as the multimodal fake
+payloads, operators/multimodal.py:attach_media) — the redaction machinery
+then does real work and the oracle compares real redactions. On a real
+corpus, drop the injection projection and point the same regexes at the
+raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.core import md5_long, oracle_md5_long
+from ..sources.readers import load_table
+
+# Shared regexes — restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# treat identically: character classes, bounded repetition, literals. No
+# backreferences, no lookaround (RE2 has neither).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+# train_test_split: eval gets EVAL_PCT of the md5 bucket space
+SPLIT_BUCKETS = 100
+EVAL_PCT = 5
+
+# source_mix_sample: per-source keep fractions (the mixing config is the
+# API; constants tuned so several sources up/down-sample on the synthetic
+# corpus). Deterministic md5-rank sampling, not random().
+DEFAULT_MIX_WEIGHT = 0.6
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.3, "src2": 0.8}
+
+
+def _injected_text() -> F.Column:
+    """Deterministic synthetic-PII injection (see module docstring):
+    doc_id % 5 == 0 gains an email, % 7 == 0 a phone, % 11 == 0 an IP.
+    Fragments are built with concat of CASE'd literals so the expression
+    is identical on both engines (NULL-free by construction)."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            ((did * 3) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+_INJECT_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call 555-'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                   ELSE '' END AS itext
+    FROM documents
+"""
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact PII (emails → ``[EMAIL]``, NANP-style phone
+    numbers → ``[PHONE]``, dotted-quad IPs → ``[IP]``) with per-document
+    match counts. Replacement order is fixed (email, phone, IP) so the
+    passes cannot interact — the replacement tokens contain no digits or
+    ``@``. Pure regexp projection: codegen'd, shuffle-free, linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select("doc_id", _injected_text().alias("itext"))
+    return (
+        injected.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("itext", F.lit(EMAIL_RE), 0))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("itext", F.lit(PHONE_RE), 0))
+            .cast("long")
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all("itext", F.lit(IP_RE), 0))
+            .cast("long")
+            .alias("n_ips"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("itext", EMAIL_RE, "[EMAIL]"),
+                    PHONE_RE,
+                    "[PHONE]",
+                ),
+                IP_RE,
+                "[IP]",
+            ).alias("redacted_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/eval split assignment: bucket = md5(doc_id) mod
+    ``SPLIT_BUCKETS``; buckets below ``EVAL_PCT`` are eval. A pure
+    per-row function — no shuffle, no state, stable under retries,
+    backfills, and corpus growth (a document's split never changes when
+    other documents arrive, unlike rank- or random-based splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (md5_long(F.col("doc_id").cast("string")) % SPLIT_BUCKETS).cast(
+        "int"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < EVAL_PCT, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def _mix_weight_col() -> F.Column:
+    expr = F.lit(DEFAULT_MIX_WEIGHT)
+    for src, w in sorted(MIX_WEIGHTS.items()):
+        expr = F.when(F.col("source") == src, F.lit(w)).otherwise(expr)
+    return expr
+
+
+def _mix_weight_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{src}' THEN {w}"
+        for src, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE {whens} ELSE {DEFAULT_MIX_WEIGHT} END"
+
+
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source downsampling (data-mixing): keep the first
+    ``ceil(weight × stratum_size)`` documents of each source in
+    deterministic md5-rank order. This is how corpus mixing ratios
+    (up-weight curated sources, down-weight crawl) are realized
+    reproducibly; the md5 rank makes the kept set independent of
+    partitioning and stable across runs. The weight product is a single
+    IEEE double multiply — bit-identical across engines, so the ceil
+    boundary cannot disagree."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (
+        docs.select(
+            "doc_id",
+            "source",
+            md5_long(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn(
+            "stratum_size",
+            F.count(F.lit(1)).over(Window.partitionBy("source")),
+        )
+    )
+    return (
+        ranked.filter(
+            F.col("sample_rank")
+            <= F.ceil(_mix_weight_col() * F.col("stratum_size"))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+            F.col("stratum_size").cast("int").alias("stratum_size"),
+        )
+    )
+
+
+#: No driver-registry entries (50-cap, COVERAGE.md) — all three plans are
+#: library tier, oracle-checked by tests/test_library_parity.py.
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+LIBRARY_QUERIES = {
+    "pii_redact": pii_redact,
+    "train_test_split": train_test_split,
+    "source_mix_sample": source_mix_sample,
+}
+
+LIBRARY_ORACLE: dict[str, str] = {
+    "pii_redact": f"""
+        WITH injected AS ({_INJECT_SQL})
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(itext, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(itext, '{PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               CAST(len(regexp_extract_all(itext, '{IP_RE}')) AS BIGINT)
+                   AS n_ips,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(itext, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{PHONE_RE}', '[PHONE]', 'g'),
+                   '{IP_RE}', '[IP]', 'g') AS redacted_text
+        FROM injected
+        ORDER BY doc_id
+    """,
+    "train_test_split": f"""
+        SELECT doc_id, lang, source,
+               CAST({oracle_md5_long("CAST(doc_id AS VARCHAR)")}
+                    % {SPLIT_BUCKETS} AS INT) AS bucket,
+               CASE WHEN {oracle_md5_long("CAST(doc_id AS VARCHAR)")}
+                         % {SPLIT_BUCKETS} < {EVAL_PCT}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "source_mix_sample": f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {oracle_md5_long("CAST(doc_id AS VARCHAR)")},
+                                doc_id
+                   ) AS sample_rank,
+                   COUNT(*) OVER (PARTITION BY source) AS stratum_size
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(sample_rank AS INT) AS sample_rank,
+               CAST(stratum_size AS INT) AS stratum_size
+        FROM ranked
+        WHERE sample_rank <= ceil({_mix_weight_sql()} * stratum_size)
+    """,
+}
