@@ -85,6 +85,29 @@ def stream_tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_sliding_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of eventplans.event_sliding_window's windowing
+    (10-minute windows sliding every 5 — each event feeds two overlapping
+    windows). Distinct aggregations are unsupported in streaming, so the
+    streamable aggregates (count + exact-decimal sum) stand in for the
+    batch plan's countDistinct; the test compares against an identically
+    aggregated batch twin."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_count",
+            "total_value",
+        )
+    )
+
+
 def stream_sessionization(events: DataFrame) -> DataFrame:
     """Streaming twin of eventplans.event_sessionization: session_window
     state merges as events arrive; sessions finalize when the watermark

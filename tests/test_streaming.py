@@ -39,6 +39,60 @@ def test_stream_sessionization_matches_batch(spark):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_stream_sliding_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.functions.core import DEC
+    from sales_etl_pipeline_spark.sources.readers import load_events
+
+    events = jobs.read_events_stream(spark, SF)
+    out = jobs.run_to_memory(
+        jobs.stream_sliding_counts(events), "t_sliding", "complete"
+    )
+    batch = (
+        load_events(spark, SF)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_count",
+            "total_value",
+        )
+    )
+    cols = ["window_start", "window_end", "event_count", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_parquet_sink_checkpoint(spark, tmp_path):
+    """File-sink path: append mode + checkpoint. With a bounded stream the
+    final watermark never passes the last windows, so append emits a strict
+    subset of the batch result — the assertion pins exactly that (whatever
+    was finalized matches batch, nothing extra, checkpoint dir created)."""
+    events = jobs.read_events_stream(spark, SF)
+    out_dir = str(tmp_path / "out")
+    query = (
+        jobs.stream_tumbling_counts(events)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    written = spark.read.parquet(out_dir)
+    batch = eventplans.event_tumbling_window(spark, SF)
+    cols = ["window_start", "window_end", "event_type", "event_count", "total_value"]
+    got, want = _rows(written, cols), _rows(batch, cols)
+    assert len(got) > 0
+    assert set(got) <= set(want)
+    assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
 def test_stream_dedup_bounded_state(spark):
     events = jobs.read_events_stream(spark, SF)
     out = jobs.run_to_memory(jobs.stream_dedup(events), "t_dedup", "append")
