@@ -181,6 +181,37 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> list[int]:
+    """``foreachBatch`` sink: the per-microbatch handler receives
+    (batch_df, epoch_id) — the escape hatch for sinks Structured Streaming
+    lacks natively (JDBC upserts, MERGE, multi-table transactional
+    writes). Idempotence contract: the write is keyed on ``epoch_id``
+    (one overwritten directory per epoch), so an epoch replayed after a
+    crash between sink write and checkpoint commit overwrites its own
+    partial output instead of duplicating it — the standard
+    exactly-once-effect recipe on an at-least-once trigger. Returns the
+    epoch ids processed."""
+    seen: list[int] = []
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        seen.append(epoch_id)
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+
+    query = (
+        df.writeStream.foreachBatch(_write)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return seen
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -106,3 +106,23 @@ def test_whole_stage_codegen_active(spark):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert re.search(r"\*\(\d+\) HashAggregate", plan), "agg not codegen'd"
+
+
+def test_pii_redact_shuffle_free(spark):
+    """The redaction projection must stay a straight-line scan→project —
+    a shuffle here would mean the 100-TB linear pass gained a barrier."""
+    from sales_etl_pipeline_spark.plans import assembly
+
+    plan = _plan(assembly.pii_redact(spark, SF))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the only allowed exchange is the final presentation orderBy's range
+    # partitioning; no hash-partition (aggregation/join) exchange anywhere
+    assert "hashpartitioning" not in body
+    assert "CartesianProduct" not in plan
+
+
+def test_train_test_split_shuffle_free(spark):
+    from sales_etl_pipeline_spark.plans import assembly
+
+    plan = _plan(assembly.train_test_split(spark, SF))
+    assert "Exchange" not in plan  # pure per-row projection, zero shuffle

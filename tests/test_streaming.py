@@ -103,3 +103,19 @@ def test_stream_dedup_bounded_state(spark):
 
     assert n_events == load_events(spark, SF).count()
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch epoch-keyed writes: the last epoch's directory holds the
+    complete-mode aggregate, which must equal the batch twin exactly."""
+    events = jobs.read_events_stream(spark, SF)
+    epochs = jobs.run_foreach_batch_parquet(
+        jobs.stream_tumbling_counts(events),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    assert epochs  # at least one microbatch ran
+    written = spark.read.parquet(str(tmp_path / "out" / f"epoch={epochs[-1]}"))
+    batch = eventplans.event_tumbling_window(spark, SF)
+    cols = ["window_start", "window_end", "event_type", "event_count", "total_value"]
+    assert _rows(written, cols) == _rows(batch, cols)
