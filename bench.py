@@ -59,6 +59,7 @@ HEADLINE = (
     "simhash_near_dup",
     "ann_ivf_topk",
     "training_pipeline_curated",
+    "pii_redact",
 )
 
 
@@ -75,7 +76,19 @@ def _training_pipeline_curated(spark, sf_dir: str):
     ).curated()
 
 
-EXTRA_QUERIES = {"training_pipeline_curated": _training_pipeline_curated}
+def _pii_redact(spark, sf_dir: str):
+    """Library-tier plan (plans/assembly.py) benched as the representative
+    linear regex text pass — shuffle-free, codegen'd, the shape most
+    curation passes take at 100 TB."""
+    from sales_etl_pipeline_spark.plans import assembly
+
+    return assembly.pii_redact(spark, sf_dir)
+
+
+EXTRA_QUERIES = {
+    "training_pipeline_curated": _training_pipeline_curated,
+    "pii_redact": _pii_redact,
+}
 
 #: prior-round bench results for per-query regression flagging
 PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r01.json")
