@@ -199,3 +199,63 @@ def test_customer_summary_degenerate_quartiles(spark, tmp_path):
     assert len(rows) == 3
     assert {r.segment for r in rows} == {"Bronze"}
     assert {r.total_revenue for r in rows} == {300.0}
+
+
+def test_approx_distinct_stats_tracks_exact_twins(spark):
+    """The approximate sketches are rows-only at the driver (engine sketch
+    internals differ by design); THIS is their accuracy gate: HLL++ distinct
+    counts within the configured 2% rsd (asserted at 10% for slack) and each
+    quantile sketch within the bracketing exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans.analytics import approx_distinct_stats
+
+    approx = {
+        r.o_orderpriority: r for r in approx_distinct_stats(spark, SF).collect()
+    }
+    exact = {
+        r.o_orderpriority: r
+        for r in (
+            load_table(spark, SF, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.countDistinct("o_custkey").alias("nd"),
+                F.expr("percentile(o_totalprice, 0.4)").alias("p40"),
+                F.expr("percentile(o_totalprice, 0.6)").alias("p60"),
+                F.expr("percentile(o_totalprice, 0.90)").alias("p90"),
+                F.expr("percentile(o_totalprice, 0.97)").alias("p97"),
+                F.max("o_totalprice").alias("mx"),
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for prio, a in approx.items():
+        e = exact[prio]
+        assert abs(a.approx_customers - e.nd) <= max(1, 0.1 * e.nd)
+        assert e.p40 <= a.p50 <= e.p60
+        assert e.p90 <= a.p95 <= e.mx
+        assert e.p97 <= a.p99 <= e.mx
+
+
+def test_normalize_event_ts_magnitude_branch(spark):
+    """Regression gate for the round-6 stream-in-1970 bug: the SAME instant
+    expressed as ns-epoch and µs-epoch longs must normalize to the SAME
+    timestamp (the helper branches on magnitude; both reader paths use it)."""
+    from sales_etl_pipeline_spark.sources.readers import normalize_event_ts
+
+    instants_us = [
+        1704067200_000_000,  # 2024-01-01T00:00:00Z
+        1704067200_000_001,  # +1 µs — truncation must not round
+        1999999999_999_999,  # far future, still µs magnitude
+    ]
+    ns_df = spark.createDataFrame(
+        [(i, v * 1000) for i, v in enumerate(instants_us)], "id long, ts long"
+    )
+    us_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(instants_us)], "id long, ts long"
+    )
+    got_ns = {r.id: r.ts for r in normalize_event_ts(ns_df).collect()}
+    got_us = {r.id: r.ts for r in normalize_event_ts(us_df).collect()}
+    assert got_ns == got_us
+    assert got_ns[0].year == 2024  # not 1970: the double-division bug class
