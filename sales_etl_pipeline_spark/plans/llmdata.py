@@ -717,7 +717,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KMEANS_ROWS_PER_CENT = 50  # corpus rows per centroid: k = ceil(n / 50)
+KMEANS_ROWS_PER_CENT = 50  # corpus rows per centroid: k = ceil(n / 50)...
+KMEANS_MAX_K = 4096  # ...capped: k must stay broadcast/driver-holdable
+# (4096 × 64 doubles ≈ 2 MB). Uncapped, k = n/50 grows linearly with the
+# corpus and the "k-grain collect" claim silently becomes corpus-grain at
+# 100 TB; with the cap, clusters get bigger instead — the correct trade,
+# since cluster size only bounds the candidate equi-join fan-in.
 KMEANS_ITERS = 2  # Lloyd iterations (unrolled in the DuckDB oracle too)
 SEMDEDUP_NPROBE = 3  # multi-probe: each vector joins its 3 nearest clusters
 
@@ -801,7 +806,7 @@ def _train_centroids(emb: DataFrame, cache_key: str | None = None):
     if cache_key is not None and cache_key in _CENTROID_CACHE:
         return _CENTROID_CACHE[cache_key]
     n = emb.count()
-    k = max(1, int(math.ceil(n / KMEANS_ROWS_PER_CENT)))
+    k = min(max(1, int(math.ceil(n / KMEANS_ROWS_PER_CENT))), KMEANS_MAX_K)
     init_rows = (
         emb.select(
             "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
@@ -1118,7 +1123,9 @@ def _kmeans_cents_sql() -> str:
                 FROM e
             )
             WHERE rn <= (
-                SELECT CAST(ceil(COUNT(*) / {KMEANS_ROWS_PER_CENT}.0) AS BIGINT)
+                SELECT LEAST(
+                    CAST(ceil(COUNT(*) / {KMEANS_ROWS_PER_CENT}.0) AS BIGINT),
+                    {KMEANS_MAX_K})
                 FROM e
             )
         )"""
