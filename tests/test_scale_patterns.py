@@ -118,3 +118,23 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_xsum_partition_invariant(spark):
+    """The cross-engine parity AND 1000-executor determinism claims both
+    rest on xsum being accumulation-order independent: the same values must
+    produce bit-identical sums under any partitioning (plain double sum()
+    would not — float addition does not associate)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.functions.core import xsum
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        F.explode(F.col("embedding").cast("array<double>")).alias("val")
+    )
+    sums = {
+        emb.repartition(n).agg(xsum("val").alias("s")).first().s
+        for n in (1, 7, 32)
+    }
+    assert len(sums) == 1  # bit-identical across partitionings
