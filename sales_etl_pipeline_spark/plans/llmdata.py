@@ -971,6 +971,74 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 20
+
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph — the
+    clustering step that turns pairwise matches into dedup groups (the
+    other standard policy besides ``semantic_dedup``'s greedy leader rule:
+    one canonical document per TRANSITIVE chain, not per direct pair).
+
+    Iterative min-label propagation: label(v) starts at v, each round
+    becomes min(label(v), min neighbor label), and the loop stops at
+    fixpoint (or ``CC_MAX_ITERS``). Near-dup chains have small diameter,
+    so few rounds suffice; each round is one symmetric-edge equi-join +
+    vertex-grain groupBy min — hash-partitioned shuffles only, nothing at
+    the driver beyond the convergence counter. ``localCheckpoint``
+    truncates lineage so the plan tree stays flat across iterations
+    (unbounded lineage is the classic iterative-Spark failure). Genuinely
+    iterative ⇒ no SQL oracle (library tier, rows-only there); the real
+    gate replays the same pair relation through a union-find in pytest
+    (tests/test_operators.py::test_near_dup_components_match_union_find).
+
+    Returns (doc_id, component) for every document with ≥1 near-dup
+    neighbor; component = min doc_id of its transitive cluster.
+    """
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("component")
+    ).orderBy("doc_id")
+
+
 def _hyperplanes(n_planes: int, dims: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 (no RNG state —
     reproducible across engines and sessions)."""
@@ -1562,4 +1630,7 @@ LIBRARY_QUERIES = {
     "simhash_signatures": simhash_signatures,
     "embedding_near_dup": embedding_near_dup,
     "semantic_dedup": semantic_dedup,
+    # iterative (no SQL twin): rows-only in the library harness; exactly
+    # checked against a union-find replay in tests/test_operators.py
+    "near_dup_components": near_dup_components,
 }

@@ -259,3 +259,39 @@ def test_normalize_event_ts_magnitude_branch(spark):
     got_us = {r.id: r.ts for r in normalize_event_ts(us_df).collect()}
     assert got_ns == got_us
     assert got_ns[0].year == 2024  # not 1970: the double-division bug class
+
+
+def test_near_dup_components_match_union_find(spark):
+    """The iterative label-propagation CC has no SQL oracle; its exact gate
+    is a union-find replay of the same MinHash pair relation."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in llmdata.minhash_near_dup(spark, SF).collect()
+    ]
+    assert pairs  # corpus must actually contain near-dup chains
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root stays the component min
+
+    want = {x: find(x) for x in parent}
+    got = {
+        r.doc_id: r.component
+        for r in llmdata.near_dup_components(spark, SF).collect()
+    }
+    assert got == want
+    # sanity: at least one transitive chain longer than a single pair
+    from collections import Counter
+
+    assert max(Counter(want.values()).values()) >= 3
