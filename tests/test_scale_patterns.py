@@ -138,3 +138,47 @@ def test_xsum_partition_invariant(spark):
         for n in (1, 7, 32)
     }
     assert len(sums) == 1  # bit-identical across partitionings
+
+
+def test_arrow_dot_kernels_bit_match_catalyst_fold(spark):
+    """The oracle-checked IVF path rests on the numpy kernels producing the
+    SAME BITS as the Catalyst left fold (_dot_expr). Pin it: expression dot
+    vs Arrow pair-dot kernel vs the row-dots kernel, exact float equality
+    over real embedding pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans.llmdata import (
+        _dot_expr,
+        _embeddings_double,
+        _foldexact_row_dots,
+        _pair_dot_udf,
+    )
+
+    emb = _embeddings_double(spark, SF)
+    a = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    pair_dot = _pair_dot_udf()
+    rows = (
+        a.crossJoin(b)
+        .select(
+            "ia",
+            "ib",
+            "va",
+            "vb",
+            _dot_expr(F.col("va"), F.col("vb")).alias("expr_dot"),
+            pair_dot(F.col("va"), F.col("vb")).alias("udf_dot"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.expr_dot == r.udf_dot  # exact bit agreement, no tolerance
+        np_dot = _foldexact_row_dots(
+            np.array([r.va], dtype=np.float64), np.array(r.vb, dtype=np.float64)
+        )[0]
+        assert r.expr_dot == np_dot
