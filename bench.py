@@ -91,7 +91,7 @@ EXTRA_QUERIES = {
 }
 
 #: prior-round bench results for per-query regression flagging
-PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r01.json")
+PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r06.json")
 REGRESSION_RATIO = 1.3
 
 
