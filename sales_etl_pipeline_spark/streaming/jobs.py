@@ -181,6 +181,94 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+CUSTOM_SESSION_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "session_events long"
+)
+CUSTOM_SESSION_STATE = "start_us long, last_us long, cnt long"
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matches the batch twin
+
+
+def stream_custom_sessions(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` with
+    **EventTimeTimeout** — reimplements ``session_window``'s merge
+    semantics as explicit per-user state, the pattern for session logic
+    the built-in operator cannot express (per-session custom aggregates,
+    conditional merges, side outputs on close).
+
+    State per user is one open session (start, last-event, count). Events
+    within the 30-minute gap extend it; a later event closes and emits it
+    and opens a new one; ``state.setTimeoutTimestamp(last + gap)`` makes
+    the WATERMARK finalize the open session once no more events can join
+    it — bounded state with event-time-correct eviction, the part
+    ProcessingTimeTimeout cannot give you. Emitted rows match the batch
+    ``event_sessionization`` exactly for every session the final
+    watermark passes (tests/test_streaming.py asserts the subset).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        out: list[tuple] = []
+
+        def emit(start_us: int, last_us: int, cnt: int) -> None:
+            out.append(
+                (
+                    key[0],
+                    pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(last_us + _SESSION_GAP_US, unit="us"),
+                    cnt,
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                emit(*state.get)
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = sorted(
+                rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            start = last = cnt = None
+            if state.exists:
+                start, last, cnt = state.get
+            for t in ts_us:
+                if start is None:
+                    start, last, cnt = int(t), int(t), 1
+                elif t <= last + _SESSION_GAP_US:
+                    last, cnt = max(last, int(t)), cnt + 1
+                else:
+                    emit(start, last, cnt)
+                    start, last, cnt = int(t), int(t), 1
+            if start is not None:
+                state.update((start, last, cnt))
+                # epoch-ms deadline: watermark past last+gap ⇒ finalize
+                state.setTimeoutTimestamp((last + _SESSION_GAP_US) // 1000)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "session_events",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            CUSTOM_SESSION_OUTPUT,
+            CUSTOM_SESSION_STATE,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_foreach_batch_parquet(
     df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> list[int]:

@@ -119,3 +119,43 @@ def test_stream_foreach_batch_idempotent_sink(spark, tmp_path):
     batch = eventplans.event_tumbling_window(spark, SF)
     cols = ["window_start", "window_end", "event_type", "event_count", "total_value"]
     assert _rows(written, cols) == _rows(batch, cols)
+
+
+def test_stream_custom_sessions_match_batch(spark, tmp_path):
+    """Custom EventTimeTimeout sessionization vs the native session_window
+    batch twin: the events table is split into time-ordered chunks streamed
+    one file per microbatch, so the watermark advances between batches and
+    fires the event-time timers. Every finalized session must equal a batch
+    session exactly; the unfinalized tail (watermark never passes the last
+    sessions on a bounded stream) is the only allowed difference."""
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "evsplit"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_custom_sessions(normalize_event_ts(raw)),
+        "t_custom_sessions",
+        "update",
+    )
+    cols = ["user_id", "session_start", "session_end", "session_events"]
+    got = set(_rows(out, cols))
+    want = set(_rows(eventplans.event_sessionization(spark, SF), cols))
+    assert got, "no sessions finalized — timers never fired"
+    assert got <= want  # every finalized session is bit-equal to batch
+    assert len(got) >= 0.5 * len(want)  # and most sessions DID finalize
