@@ -52,11 +52,14 @@ IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
 SPLIT_BUCKETS = 100
 EVAL_PCT = 5
 
-# source_mix_sample: per-source keep fractions (the mixing config is the
-# API; constants tuned so several sources up/down-sample on the synthetic
-# corpus). Deterministic md5-rank sampling, not random().
+# source_mix_sample: per-source mixing weights (the config is the API;
+# constants tuned so the synthetic corpus exercises every branch).
+# weight < 1 downsamples (md5-rank keep fraction); weight > 1 upsamples
+# (floor(w) full epochs + an md5-rank fractional epoch) — the standard
+# epoch-replication way corpus mixing ratios are realized. Deterministic,
+# not random().
 DEFAULT_MIX_WEIGHT = 0.6
-MIX_WEIGHTS = {"src0": 1.0, "src1": 0.3, "src2": 0.8}
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 0.8, "src3": 1.0}
 
 
 def _injected_text() -> F.Column:
@@ -186,16 +189,21 @@ def _mix_weight_sql() -> str:
 
 
 def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted per-source downsampling (data-mixing): keep the first
-    ``ceil(weight × stratum_size)`` documents of each source in
-    deterministic md5-rank order. This is how corpus mixing ratios
-    (up-weight curated sources, down-weight crawl) are realized
-    reproducibly; the md5 rank makes the kept set independent of
-    partitioning and stable across runs. The weight product is a single
-    IEEE double multiply — bit-identical across engines, so the ceil
-    boundary cannot disagree."""
+    """Full data-mixing semantics, reproducibly: each source's documents
+    are replicated ``floor(weight)`` times (whole epochs), plus one more
+    copy for the documents whose md5 rank falls inside the fractional
+    remainder — so weight 2.5 yields 2 copies of every document and a
+    third copy for the md5-first half, weight 0.3 keeps the md5-first
+    30%, weight 1.0 is the identity. This is how corpus mixing ratios
+    (up-weight curated sources, down-weight crawl) are realized in
+    training pipelines; the md5 rank makes the selection independent of
+    partitioning and stable across runs, and ``copy_idx`` gives
+    downstream shuffling a deterministic replica key. The weight
+    arithmetic is one IEEE double multiply + ceil on both engines, so
+    the fractional boundary cannot disagree."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("h", "doc_id")
+    weight = _mix_weight_col()
     ranked = (
         docs.select(
             "doc_id",
@@ -207,17 +215,30 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stratum_size",
             F.count(F.lit(1)).over(Window.partitionBy("source")),
         )
+        .withColumn(
+            "n_copies",
+            (
+                F.floor(weight).cast("long")
+                + F.when(
+                    F.col("sample_rank")
+                    <= F.ceil(
+                        (weight - F.floor(weight)) * F.col("stratum_size")
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+        )
     )
     return (
-        ranked.filter(
-            F.col("sample_rank")
-            <= F.ceil(_mix_weight_col() * F.col("stratum_size"))
-        )
+        ranked.filter(F.col("n_copies") > 0)
         .select(
             "doc_id",
             "source",
             F.col("sample_rank").cast("int").alias("sample_rank"),
             F.col("stratum_size").cast("int").alias("stratum_size"),
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_copies") - 1).cast("int"))
+            ).alias("copy_idx"),
         )
     )
 
@@ -268,13 +289,23 @@ LIBRARY_ORACLE: dict[str, str] = {
                        ORDER BY {oracle_md5_long("CAST(doc_id AS VARCHAR)")},
                                 doc_id
                    ) AS sample_rank,
-                   COUNT(*) OVER (PARTITION BY source) AS stratum_size
+                   COUNT(*) OVER (PARTITION BY source) AS stratum_size,
+                   {_mix_weight_sql()} AS wt
             FROM documents
+        ),
+        copies AS (
+            SELECT doc_id, source, sample_rank, stratum_size,
+                   CAST(floor(wt) AS BIGINT)
+                   + CASE WHEN sample_rank
+                               <= ceil((wt - floor(wt)) * stratum_size)
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM ranked
         )
         SELECT doc_id, source,
                CAST(sample_rank AS INT) AS sample_rank,
-               CAST(stratum_size AS INT) AS stratum_size
-        FROM ranked
-        WHERE sample_rank <= ceil({_mix_weight_sql()} * stratum_size)
+               CAST(stratum_size AS INT) AS stratum_size,
+               CAST(unnest(range(n_copies)) AS INT) AS copy_idx
+        FROM copies
+        WHERE n_copies > 0
     """,
 }
