@@ -577,6 +577,49 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RARE_DF_MAX = 2  # a token is "rare" if it appears in ≤ 2 documents
+
+
+def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality signal per document: mean inverse document
+    frequency of its tokens (rational 1/df — log-free, same reason as
+    tfidf's rational idf) and the fraction of tokens that are corpus-rare
+    (df ≤ RARE_DF_MAX). High mean-IDF / rare_frac = gibberish or unique
+    boilerplate; low = stopword soup. Complements ``text_quality``, whose
+    signals are all doc-LOCAL — this one needs the corpus-wide df
+    relation, which is exactly what makes it a distributed-engine op:
+    token-grain tf, term-grain df, one join back, doc-grain aggregate,
+    every shuffle at aggregate grain. Sums go through xsum (each 1/df is
+    one exact double division, identical in both engines; the sum must be
+    accumulation-order independent to survive any partitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                xsum(F.col("tf").cast("double") / F.col("df"))
+                / F.sum("tf").cast("double")
+            ).alias("mean_inv_df"),
+            (
+                F.sum(
+                    F.when(F.col("df") <= RARE_DF_MAX, F.col("tf")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("tf")
+            ).alias("rare_frac"),
+        )
+        .select("doc_id", "n_tokens", "mean_inv_df", "rare_frac")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
@@ -1481,6 +1524,25 @@ LIBRARY_ORACLE: dict[str, str] = {
         WHERE vec_id NOT IN (SELECT vec_id FROM removed)
         ORDER BY vec_id
     """,
+    "rare_token_stats": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        )
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               {oracle_xsum("CAST(tf.tf AS DOUBLE) / dfreq.df")}
+                 / CAST(SUM(tf.tf) AS DOUBLE) AS mean_inv_df,
+               CAST(SUM(CASE WHEN dfreq.df <= {RARE_DF_MAX}
+                             THEN tf.tf ELSE 0 END) AS DOUBLE)
+                 / SUM(tf.tf) AS rare_frac
+        FROM tf JOIN dfreq USING (term)
+        GROUP BY tf.doc_id
+    """,
 }
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,4 +1695,5 @@ LIBRARY_QUERIES = {
     # iterative (no SQL twin): rows-only in the library harness; exactly
     # checked against a union-find replay in tests/test_operators.py
     "near_dup_components": near_dup_components,
+    "rare_token_stats": rare_token_stats,
 }
