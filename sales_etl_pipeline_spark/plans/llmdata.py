@@ -181,6 +181,63 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    corpus_state: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """Merge a NEW document batch into an already-deduped corpus state
+    without touching the old corpus' text — the only shape exact dedup can
+    take operationally at 100 TB (you never re-shuffle the full corpus per
+    ingest; you join the delta against the existing fingerprint state).
+
+    ``corpus_state`` is the running (doc_id, content_md5, dup_count)
+    relation (``exact_dedup`` output, or a previous call's result);
+    ``new_docs`` is a raw (doc_id, text, ...) delta. The delta is hashed
+    and collapsed batch-locally (one shuffle over the DELTA only), then
+    full-outer-merged with the state on content_md5: existing groups keep
+    their canonical id (min-id rule can only be won by an older, smaller
+    id — new ids are monotonically larger in append-only ingest) and add
+    the delta's dup_count; new groups enter with the delta's canonical.
+    The state relation shuffles on its key too, but it is fingerprint
+    grain (one skinny row per DISTINCT text), not corpus grain — and with
+    the state bucketed on content_md5 (sources/writers.py:write_bucketed)
+    even that exchange disappears.
+
+    Equivalence contract (pinned in tests/test_operators.py): for any
+    split of the corpus into batches, folding the batches through this
+    merge equals ``exact_dedup`` over the whole corpus.
+    """
+    delta = (
+        new_docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+    s = corpus_state.select(
+        "content_md5",
+        F.col("doc_id").alias("s_doc_id"),
+        F.col("dup_count").alias("s_cnt"),
+    )
+    d = delta.select(
+        "content_md5",
+        F.col("doc_id").alias("d_doc_id"),
+        F.col("dup_count").alias("d_cnt"),
+    )
+    return (
+        s.join(d, "content_md5", "full_outer")
+        .select(
+            F.least(
+                F.coalesce("s_doc_id", "d_doc_id"),
+                F.coalesce("d_doc_id", "s_doc_id"),
+            ).alias("doc_id"),
+            "content_md5",
+            (
+                F.coalesce("s_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+            ).alias("dup_count"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by 3-gram Jaccard ≥ 0.8. Candidates via the
     shared-shingle equi-join (exact but quadratic in shingle document

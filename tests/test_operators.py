@@ -295,3 +295,45 @@ def test_near_dup_components_match_union_find(spark):
     from collections import Counter
 
     assert max(Counter(want.values()).values()) >= 3
+
+
+def test_incremental_exact_dedup_equals_full_recompute(spark):
+    """Folding the corpus through incremental_exact_dedup in batches must
+    equal one-shot exact_dedup over everything — the incremental-ingest
+    contract (state is fingerprint-grain; only deltas are rehashed)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # batches in append-only ingest order; batch 3 re-ingests half the
+    # corpus verbatim under new (higher) ids — cross-batch duplicates
+    # whose canonical must remain the ORIGINAL id
+    b1 = docs.filter(F.col("doc_id") % 10 < 5)
+    b2 = docs.filter(F.col("doc_id") % 10 >= 5)
+    b3 = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    full = b1.unionByName(b2).unionByName(b3)
+    state = (
+        b1.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "content_md5", "dup_count")
+    )
+    state = llmdata.incremental_exact_dedup(state, b2)
+    state = llmdata.incremental_exact_dedup(state, b3)
+    got = {r.content_md5: (r.doc_id, r.dup_count) for r in state.collect()}
+    want = {
+        r.content_md5: (r.doc_id, r.dup_count)
+        for r in (
+            full.groupBy(F.md5("text").alias("content_md5"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.count(F.lit(1)).alias("dup_count"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    assert any(cnt > 1 for _, cnt in want.values())  # dup groups exist
+    assert all(did < 100000 for did, cnt in want.values() if cnt > 1)
