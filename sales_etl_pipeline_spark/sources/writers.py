@@ -43,6 +43,24 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def write_json(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """JSON-lines sink (read/write symmetry with readers.read_json) —
+    the interchange format for downstream tokenizer/training jobs that
+    consume line-delimited records rather than columnar files."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the other columnar format Spark supports natively
+    (zero extra deps); same pushdown/pruning story as parquet for
+    warehouses standardized on ORC."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, buckets: int = 32
 ) -> None:
@@ -111,6 +129,12 @@ def save_tables(tables: dict[str, DataFrame], output_dir: str, formats: list[str
             elif fmt == "sqlite":
                 path = os.path.join(output_dir, "sales_data.db")
                 write_sqlite(df, path, name)
+            elif fmt == "json":
+                path = os.path.join(output_dir, f"{name}.json")
+                write_json(df, path)
+            elif fmt == "orc":
+                path = os.path.join(output_dir, f"{name}.orc")
+                write_orc(df, path)
             else:
                 raise ValueError(f"Unknown sink format: {fmt!r} (jdbc sinks go through write_jdbc)")
             paths.append(path)

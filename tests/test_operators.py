@@ -337,3 +337,40 @@ def test_incremental_exact_dedup_equals_full_recompute(spark):
     assert got == want
     assert any(cnt > 1 for _, cnt in want.values())  # dup groups exist
     assert all(did < 100000 for did, cnt in want.values() if cnt > 1)
+
+
+def test_json_orc_sinks_roundtrip(spark, tmp_path):
+    """JSON-lines and ORC sinks: write → read back → identical rows."""
+    from sales_etl_pipeline_spark.sources import writers
+
+    df = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    writers.write_json(df, str(tmp_path / "n.json"))
+    writers.write_orc(df, str(tmp_path / "n.orc"))
+    want = sorted((r.n_nationkey, r.n_name) for r in df.collect())
+    got_json = sorted(
+        (r.n_nationkey, r.n_name)
+        for r in spark.read.json(str(tmp_path / "n.json")).collect()
+    )
+    got_orc = sorted(
+        (r.n_nationkey, r.n_name)
+        for r in spark.read.orc(str(tmp_path / "n.orc")).collect()
+    )
+    assert got_json == want
+    assert got_orc == want
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Operational surface for corpus growth: a later ingest adds a column;
+    mergeSchema reads must surface the union schema with NULLs for old
+    files — the append-only-corpus schema-evolution contract."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    v1 = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    v1.write.parquet(f"{base}/batch=1")
+    v2 = v1.withColumn("ingest_round", F.lit(2))
+    v2.write.parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) >= {"n_nationkey", "n_name", "ingest_round"}
+    assert merged.count() == v1.count() * 2
+    assert merged.filter(F.col("ingest_round").isNull()).count() == v1.count()
