@@ -50,6 +50,12 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (write twin: sources/writers.py:write_orc) — same
+    pushdown/pruning behavior as the parquet scan."""
+    return spark.read.orc(path)
+
+
 def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
     """Excel adapter (reference etl.py:51 ``pd.read_excel``).
 

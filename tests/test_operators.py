@@ -351,9 +351,11 @@ def test_json_orc_sinks_roundtrip(spark, tmp_path):
         (r.n_nationkey, r.n_name)
         for r in spark.read.json(str(tmp_path / "n.json")).collect()
     )
+    from sales_etl_pipeline_spark.sources.readers import read_orc
+
     got_orc = sorted(
         (r.n_nationkey, r.n_name)
-        for r in spark.read.orc(str(tmp_path / "n.orc")).collect()
+        for r in read_orc(spark, str(tmp_path / "n.orc")).collect()
     )
     assert got_json == want
     assert got_orc == want
