@@ -8,6 +8,8 @@ DuckDB oracle SQL, grouped by family.
 - llmdata: training-data-pipeline extensions (dedup, similarity, text).
 - curation: corpus curation (repetition metrics, quality filter,
   stratified sampling).
+- assembly: dataset assembly (PII redaction, train/eval split, weighted
+  source mixing).
 - eventplans: event-time / sessionization queries over the events table.
 
 Cache lifecycle: several plans ``persist()`` subplans consumed more than
