@@ -185,7 +185,9 @@ CUSTOM_SESSION_OUTPUT = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "session_events long"
 )
-CUSTOM_SESSION_STATE = "start_us long, last_us long, cnt long"
+CUSTOM_SESSION_STATE = (
+    "starts array<long>, lasts array<long>, cnts array<long>"
+)
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matches the batch twin
 
 
@@ -196,56 +198,84 @@ def stream_custom_sessions(events: DataFrame) -> DataFrame:
     the built-in operator cannot express (per-session custom aggregates,
     conditional merges, side outputs on close).
 
-    State per user is one open session (start, last-event, count). Events
-    within the 30-minute gap extend it; a later event closes and emits it
-    and opens a new one; ``state.setTimeoutTimestamp(last + gap)`` makes
-    the WATERMARK finalize the open session once no more events can join
-    it — bounded state with event-time-correct eviction, the part
-    ProcessingTimeTimeout cannot give you. Emitted rows match the batch
-    ``event_sessionization`` exactly for every session the final
-    watermark passes (tests/test_streaming.py asserts the subset).
+    State per user is the list of OPEN sessions (start, last-event, count
+    triples) the watermark has not yet passed — not just the latest one,
+    so out-of-order events across microbatches are handled exactly:
+    a watermark-admitted event earlier than an open session's start
+    extends it backward (start = min(start, t)), one more than a gap
+    before every open session opens its own earlier session, and one
+    bridging two open sessions merges them (interval union, identical to
+    ``session_window``'s merge rule: windows [t, t+gap) merge iff they
+    overlap, i.e. strictly t < last + gap).
+
+    A session is emitted only when the watermark passes its end
+    (watermark ≥ last + gap) — at that point no admissible event can
+    still merge into it, so every emitted row matches the batch
+    ``event_sessionization`` bit-for-bit (tests/test_streaming.py
+    asserts the subset, including a late-event-in-later-microbatch
+    case). ``state.setTimeoutTimestamp`` on the earliest open session
+    end keeps eviction event-time-correct with bounded state (open
+    sessions per user ≤ in-flight sessions inside one watermark delay).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def _update(key, pdfs, state):
         import pandas as pd
 
-        out: list[tuple] = []
+        gap = _SESSION_GAP_US
+        sessions: list[list[int]] = []  # [start_us, last_us, cnt]
+        if state.exists:
+            starts, lasts, cnts = state.get
+            sessions = [list(t) for t in zip(starts, lasts, cnts)]
 
-        def emit(start_us: int, last_us: int, cnt: int) -> None:
-            out.append(
+        if not state.hasTimedOut:
+            parts = list(pdfs)
+            if parts:
+                rows = pd.concat(parts, ignore_index=True)
+                ts_us = (
+                    rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                )
+                sessions.extend([int(t), int(t), 1] for t in ts_us)
+            # Interval-union merge, the same rule session_window applies:
+            # [t, t+gap) merges into [start, last+gap) iff t < last + gap.
+            sessions.sort(key=lambda s: s[0])
+            merged: list[list[int]] = []
+            for s in sessions:
+                if merged and s[0] < merged[-1][1] + gap:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            sessions = merged
+
+        # Finalize: watermark ≥ session end ⇒ no admissible event (ts ≥
+        # watermark) can still satisfy ts < last + gap.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = [
+            (
+                key[0],
+                pd.Timestamp(start, unit="us"),
+                pd.Timestamp(last + gap, unit="us"),
+                cnt,
+            )
+            for start, last, cnt in sessions
+            if last + gap <= wm_us
+        ]
+        keep = [s for s in sessions if s[1] + gap > wm_us]
+        if keep:
+            state.update(
                 (
-                    key[0],
-                    pd.Timestamp(start_us, unit="us"),
-                    pd.Timestamp(last_us + _SESSION_GAP_US, unit="us"),
-                    cnt,
+                    [s[0] for s in keep],
+                    [s[1] for s in keep],
+                    [s[2] for s in keep],
                 )
             )
-
-        if state.hasTimedOut:
-            if state.exists:
-                emit(*state.get)
-            state.remove()
-        else:
-            rows = pd.concat(list(pdfs), ignore_index=True)
-            ts_us = sorted(
-                rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            # ceil to ms so the timer fires only once wm*1000 ≥ last+gap
+            state.setTimeoutTimestamp(
+                (min(s[1] for s in keep) + gap + 999) // 1000
             )
-            start = last = cnt = None
-            if state.exists:
-                start, last, cnt = state.get
-            for t in ts_us:
-                if start is None:
-                    start, last, cnt = int(t), int(t), 1
-                elif t <= last + _SESSION_GAP_US:
-                    last, cnt = max(last, int(t)), cnt + 1
-                else:
-                    emit(start, last, cnt)
-                    start, last, cnt = int(t), int(t), 1
-            if start is not None:
-                state.update((start, last, cnt))
-                # epoch-ms deadline: watermark past last+gap ⇒ finalize
-                state.setTimeoutTimestamp((last + _SESSION_GAP_US) // 1000)
+        else:
+            state.remove()
         yield pd.DataFrame(
             out,
             columns=[

@@ -159,3 +159,141 @@ def test_stream_custom_sessions_match_batch(spark, tmp_path):
     assert got, "no sessions finalized — timers never fired"
     assert got <= want  # every finalized session is bit-equal to batch
     assert len(got) >= 0.5 * len(want)  # and most sessions DID finalize
+
+
+def test_stream_restart_recovery_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: a second ``availableNow`` run over the SAME
+    checkpoint must process only files added after the first run stopped —
+    no reprocessing, no duplicate windows. This is the recovery contract a
+    production deployment relies on (checkpoint = source offsets + sink
+    commit log + watermark), exercised end-to-end with the parquet sink."""
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    paths = []
+    for i in range(4):
+        p = str(src / f"part{i}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        paths.append(p)
+    # First run sees only the first two chunks.
+    hidden = [p + ".later" for p in paths[2:]]
+    for p, h in zip(paths[2:], hidden):
+        os.rename(p, h)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.stream_tumbling_counts(normalize_event_ts(raw))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # run 1: chunks 0-1, then the query stops (the "kill")
+    first = set(
+        tuple(r) for r in spark.read.parquet(out_dir).collect()
+    )
+    for p, h in zip(paths[2:], hidden):
+        os.rename(h, p)
+    run_once()  # run 2: resumes from checkpoint, sees only chunks 2-3
+
+    cols = ["window_start", "window_end", "event_type", "event_count", "total_value"]
+    written = spark.read.parquet(out_dir).select(*cols)
+    got = [tuple(r) for r in written.collect()]
+    # no duplicate windows despite the restart (append emitted each
+    # finalized window exactly once across the two runs)
+    keys = [(r[0], r[1], r[2]) for r in got]
+    assert len(keys) == len(set(keys))
+    # resumed run finalized MORE windows (watermark advanced past run 1's)
+    assert len(got) > len(first) > 0
+    # and every emitted window is bit-equal to the batch twin over ALL data
+    want = set(_rows(eventplans.event_tumbling_window(spark, SF), cols))
+    assert set(got) <= want
+
+
+def test_stream_custom_sessions_late_events_across_microbatches(spark, tmp_path):
+    """Out-of-order events arriving in LATER microbatches, still inside the
+    watermark: (a) an event earlier than the open session's start must
+    extend the session backward (start = min(start, t)); (b) an event
+    landing between two open sessions must merge them into one. Both match
+    the batch session_window result exactly — this is the path the
+    time-sorted chunk test never exercises."""
+    import pandas as pd
+
+    US = 1_000_000
+
+    def ts(hhmm: str) -> int:  # µs since epoch for 2026-01-01 HH:MM
+        return int(pd.Timestamp(f"2026-01-01 {hhmm}:00").value // 1000)
+
+    # Watermark delay is 10 min, session gap 30 min. File boundaries chosen
+    # so each late event is admitted (≥ watermark) when its batch runs:
+    #   f0: u1@10:00                      → wm after f0 = 09:50
+    #   f1: u1@09:55 (LATE, before the open session's start — backward
+    #       extension), u2@10:00, u2@10:31 (two separate open sessions)
+    #                                     → wm after f1 = 10:21
+    #   f2: u2@10:25 (LATE, bridges u2's two open sessions into one)
+    #   f3: u3@23:00 (advances wm to 22:50 → finalizes everything above)
+    files = [
+        [(1, ts("10:00"))],
+        [(1, ts("09:55")), (2, ts("10:00")), (2, ts("10:31"))],
+        [(2, ts("10:25"))],
+        [(3, ts("23:00"))],
+    ]
+    src = tmp_path / "evlate"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(i * 10, i * 10 + len(rows)),
+                "ts": [t for _, t in rows],
+                "user_id": [u for u, _ in rows],
+                "event_type": "click",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        path = str(src / f"part{i}.parquet")
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))  # file order
+
+    from sales_etl_pipeline_spark.sources.readers import normalize_event_ts
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_custom_sessions(normalize_event_ts(raw)),
+        "t_custom_sessions_late",
+        "update",
+    )
+    cols = ["user_id", "session_start", "session_end", "session_events"]
+    got = set(_rows(out, cols))
+    want = {
+        # u1: {09:55, 10:00} → one session starting at the LATE event
+        (1, pd.Timestamp("2026-01-01 09:55"), pd.Timestamp("2026-01-01 10:30"), 2),
+        # u2: {10:00, 10:25, 10:31} → bridged into ONE session
+        (2, pd.Timestamp("2026-01-01 10:00"), pd.Timestamp("2026-01-01 11:01"), 3),
+        # u3's 23:00 session stays open (watermark never passes it)
+    }
+    assert got == want
