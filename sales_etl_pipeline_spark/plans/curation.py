@@ -365,15 +365,49 @@ CHUNK_TOKENS = 50
 
 
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking, fully relational: split → per-doc chunk
+    arrays via higher-order ``transform``/``slice`` → one ``posexplode``.
+    A single narrow generate projection — zero shuffle, zero Python, the
+    shape that belongs on a 100 TB hot path (each task chunks its own
+    parquet split independently).
+
+    ``split(text, ' ')`` matches Python ``str.split(' ')`` including
+    empty tokens from doubled spaces and the single empty token of an
+    empty string, so rows are bit-identical to the UDTF twin
+    (``doc_chunks_udtf``, library tier) and to the DuckDB oracle.
+    """
+    c = CHUNK_TOKENS
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(_toks) - 1) div {c}),"
+                    f" i -> slice(_toks, i * {c} + 1, {c}))"
+                )
+            ).alias("chunk_idx", "_chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+            F.size("_chunk").cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunking via a Python UDTF (PySpark 4 user-defined
     TABLE function — the escape hatch for one-row-to-many-rows logic that
     has no relational form; exercised here on semantics that DO have one,
     so the oracle can check the UDTF plumbing exactly).
 
-    Perf note: row-based Python execution — fine for a showcase, but the
-    relational twin (posexplode + integer div grouping) is what belongs on
-    a 100 TB hot path; see sequence_packing for the window-arithmetic
-    variant of this layout.
+    Library tier by design: row-based Python execution demonstrates the
+    UDTF surface but must not be the registry plan — ``doc_chunks`` (the
+    relational twin above) is the production path, and this one is held
+    bit-equal to the same oracle by tests/test_library_parity.py.
     """
     from pyspark.sql.functions import udtf
 
@@ -415,6 +449,7 @@ QUERIES = {
 LIBRARY_QUERIES = {
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
+    "doc_chunks_udtf": doc_chunks_udtf,
 }
 
 #: eval-split CTE (DuckDB): md5-rank stratified sample, doc_ids only
@@ -592,4 +627,7 @@ LIBRARY_ORACLE: dict[str, str] = {
         WHERE sample_rank <= (stratum_size + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
     """,
 }
+
+#: The UDTF twin is held to the same relational oracle as the registry plan.
+LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
 
