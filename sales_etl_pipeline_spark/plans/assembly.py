@@ -181,11 +181,15 @@ def _mix_weight_col() -> F.Column:
 
 
 def _mix_weight_sql() -> str:
+    # CAST to DOUBLE so DuckDB computes the fractional-epoch boundary in
+    # IEEE doubles like Spark does — a bare literal would be typed
+    # DECIMAL(p,s) (exact arithmetic), and a weight like 0.3333 could then
+    # make ceil((w - floor(w)) * stratum_size) disagree between engines.
     whens = " ".join(
-        f"WHEN source = '{src}' THEN {w}"
+        f"WHEN source = '{src}' THEN CAST({w} AS DOUBLE)"
         for src, w in sorted(MIX_WEIGHTS.items())
     )
-    return f"CASE {whens} ELSE {DEFAULT_MIX_WEIGHT} END"
+    return f"CASE {whens} ELSE CAST({DEFAULT_MIX_WEIGHT} AS DOUBLE) END"
 
 
 def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

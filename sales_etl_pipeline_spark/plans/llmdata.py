@@ -867,7 +867,18 @@ def _row_norms(cmat: "np.ndarray") -> "np.ndarray":
     return np.sqrt((cmat * cmat).cumsum(axis=1)[:, -1] + 0.0)
 
 
+#: One entry per corpus key: {cache_key: (fingerprint, (ords, cmat, cn))}.
+#: The fingerprint (row count + max vec_id) invalidates the entry if the
+#: corpus at that path is regenerated in-place; same-path same-shape edits
+#: that preserve both are not detected — call clear_centroid_cache() after
+#: rewriting a corpus without changing its cardinality.
 _CENTROID_CACHE: dict[str, tuple] = {}
+
+
+def clear_centroid_cache() -> None:
+    """Drop all memoized trained centroids (e.g. after mutating a corpus
+    in a way the count+max-vec_id fingerprint cannot see)."""
+    _CENTROID_CACHE.clear()
 
 
 def _train_centroids(emb: DataFrame, cache_key: str | None = None):
@@ -899,13 +910,20 @@ def _train_centroids(emb: DataFrame, cache_key: str | None = None):
     the data (hash-seeded init, order-independent fixed-point means), so
     the same corpus always yields the same centroids — repeat invocations
     (both IVF consumers, warm-up + timed bench runs) skip the training
-    jobs.
+    jobs. A cheap fingerprint (row count + max vec_id) guards the hit so
+    a corpus regenerated at the same path retrains instead of silently
+    reusing stale centroids; see clear_centroid_cache() for edits the
+    fingerprint cannot see.
     """
     import math
 
-    if cache_key is not None and cache_key in _CENTROID_CACHE:
-        return _CENTROID_CACHE[cache_key]
     n = emb.count()
+    fp = None
+    if cache_key is not None:
+        fp = (n, emb.agg(F.max("vec_id")).first()[0])
+        hit = _CENTROID_CACHE.get(cache_key)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
     k = min(max(1, int(math.ceil(n / KMEANS_ROWS_PER_CENT))), KMEANS_MAX_K)
     init_rows = (
         emb.select(
@@ -935,7 +953,7 @@ def _train_centroids(emb: DataFrame, cache_key: str | None = None):
         cmat = new_cmat
         cn = _row_norms(cmat)
     if cache_key is not None:
-        _CENTROID_CACHE[cache_key] = (ords, cmat, cn)
+        _CENTROID_CACHE[cache_key] = (fp, (ords, cmat, cn))
     return ords, cmat, cn
 
 
@@ -1080,16 +1098,20 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     other standard policy besides ``semantic_dedup``'s greedy leader rule:
     one canonical document per TRANSITIVE chain, not per direct pair).
 
-    Iterative min-label propagation: label(v) starts at v, each round
-    becomes min(label(v), min neighbor label), and the loop stops at
-    fixpoint (or ``CC_MAX_ITERS``). Near-dup chains have small diameter,
-    so few rounds suffice; each round is one symmetric-edge equi-join +
-    vertex-grain groupBy min — hash-partitioned shuffles only, nothing at
-    the driver beyond the convergence counter. ``localCheckpoint``
-    truncates lineage so the plan tree stays flat across iterations
-    (unbounded lineage is the classic iterative-Spark failure). Genuinely
-    iterative ⇒ no SQL oracle (library tier, rows-only there); the real
-    gate replays the same pair relation through a union-find in pytest
+    Iterative min-label propagation with pointer jumping: label(v) starts
+    at v, each round becomes min(label(v), min neighbor label) and is then
+    shortcut through its own label (label(v) ← label(label(v)) — the
+    doubling step), so reach grows exponentially and ``CC_MAX_ITERS`` = 20
+    rounds covers chain diameters up to ~2^20, not 20. The loop stops at
+    fixpoint and RAISES if the cap is ever hit unconverged — a silent
+    wrong-labels return is the one failure mode this operator must not
+    have. Each round is a symmetric-edge equi-join + vertex-grain groupBy
+    min + one self-join — hash-partitioned shuffles only, nothing at the
+    driver beyond the convergence counter. ``localCheckpoint`` truncates
+    lineage so the plan tree stays flat across iterations (unbounded
+    lineage is the classic iterative-Spark failure). Genuinely iterative
+    ⇒ no SQL oracle (library tier, rows-only there); the real gate
+    replays the same pair relation through a union-find in pytest
     (tests/test_operators.py::test_near_dup_components_match_union_find).
 
     Returns (doc_id, component) for every document with ≥1 near-dup
@@ -1107,6 +1129,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(CC_MAX_ITERS):
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
@@ -1114,13 +1137,25 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("doc_a", "doc_id")
         )
+        propagated = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label(v) <- label(label(v)); labels only decrease,
+        # so this shortcuts chains and doubles reach per round
         new_labels = (
-            labels.join(nbr, "doc_id", "left")
+            propagated.join(
+                propagated.select(
+                    F.col("doc_id").alias("label"),
+                    F.col("label").alias("label2"),
+                ),
+                "label",
+                "left",
+            )
             .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", "label")
-                ).alias("label"),
+                "doc_id", F.coalesce("label2", "label").alias("label")
             )
             .localCheckpoint()
         )
@@ -1134,6 +1169,12 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_components did not converge within {CC_MAX_ITERS} "
+            f"pointer-jumping rounds ({changed} labels still changing) — "
+            "component labels would be wrong; raise CC_MAX_ITERS"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("component")
     ).orderBy("doc_id")

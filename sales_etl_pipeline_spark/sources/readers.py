@@ -84,24 +84,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: normalize_event_ts sanity ceiling: 2200-01-01 in epoch-µs. A value whose
+#: chosen interpretation lands beyond this is almost certainly a
+#: misclassified precision and must fail loudly, not parse silently.
+_TS_SANE_MAX_US = 7_258_118_400_000_000
+
+
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an epoch-long event-time column to a µs timestamp.
 
     The batch parquet reader (under ``nanosAsLong=true``) delivers the
     INT64 TIMESTAMP(NANOS) column as nanoseconds, while the file-stream
     source delivers it already in microseconds — the same file, two
-    precisions. Magnitude disambiguates: ns since ~2001 is ≥1e18 while µs
-    is ~1e15, so anything ≥1e17 is nanoseconds and gets the integer
-    ``div 1000`` truncation (float division would lose precision beyond
-    double's 53-bit mantissa and round some microseconds differently from
-    DuckDB). No-op if the column is already a timestamp.
+    precisions. Magnitude disambiguates: anything ≥1e17 is nanoseconds
+    and gets the integer ``div 1000`` truncation (float division would
+    lose precision beyond double's 53-bit mantissa and round some
+    microseconds differently from DuckDB). No-op if the column is
+    already a timestamp.
+
+    Supported epoch range (documented contract): ns instants from
+    1973-03-03 (1e17 ns) through 2262 (int64 ns max), µs instants from
+    1970 through 2200. Outside it the magnitude heuristic is ambiguous —
+    an ns instant BEFORE 1973-03 has magnitude <1e17 and would silently
+    parse as a µs instant ~1000× later, so any result past 2200
+    (``_TS_SANE_MAX_US``) raises instead of misparsing. The residual
+    blind spot (ns instants in 1970-Jan–Mar, which map under 2200) is
+    accepted: event-time data predating 1973 is out of scope.
     """
     if dict(df.dtypes).get(col) != "bigint":
         return df
     micros = F.when(
         F.abs(F.col(col)) >= F.lit(10**17), F.expr(f"{col} div 1000")
     ).otherwise(F.col(col))
-    return df.withColumn(col, F.timestamp_micros(micros))
+    checked = F.when(
+        micros > F.lit(_TS_SANE_MAX_US),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"normalize_event_ts({col}): epoch value "
+                ),
+                F.col(col).cast("string"),
+                F.lit(
+                    " parses past year 2200 — likely a nanosecond instant "
+                    "before 1973-03 misread as microseconds; supported "
+                    "range is 1973-03..2200 (see docstring)"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(micros)
+    return df.withColumn(col, F.timestamp_micros(checked))
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -261,6 +261,50 @@ def test_normalize_event_ts_magnitude_branch(spark):
     assert got_ns[0].year == 2024  # not 1970: the double-division bug class
 
 
+def test_normalize_event_ts_rejects_out_of_range(spark):
+    """An ns-epoch instant before 1973-03 has magnitude <1e17 and would be
+    misread as µs, landing ~1000× in the future — the helper must raise
+    loudly instead of silently misparsing (documented contract)."""
+    import pytest
+
+    from sales_etl_pipeline_spark.sources.readers import normalize_event_ts
+
+    # 5e16 ns = 1971-08; as µs it would be year ~3554
+    bad = spark.createDataFrame(
+        [(0, 50_000_000_000_000_000)], "id long, ts long"
+    )
+    with pytest.raises(Exception, match="2200"):
+        normalize_event_ts(bad).collect()
+
+
+def test_centroid_cache_fingerprint_invalidation(spark):
+    """The trained-centroid memo must not survive a corpus regeneration:
+    the count+max-vec_id fingerprint guards the hit, and
+    clear_centroid_cache() empties the memo entirely."""
+    import math
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    def mk(n):
+        rows = [
+            (i, [float(i), 1.0], math.sqrt(float(i) ** 2 + 1.0))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, v array<double>, nrm double"
+        )
+
+    key = "__test_centroid_cache__"
+    llmdata._CENTROID_CACHE.pop(key, None)
+    o1 = llmdata._train_centroids(mk(10), cache_key=key)
+    o1b = llmdata._train_centroids(mk(10), cache_key=key)
+    assert o1[1] is o1b[1]  # same corpus → memo hit (same ndarray object)
+    o2 = llmdata._train_centroids(mk(12), cache_key=key)
+    assert o2[1] is not o1[1]  # fingerprint changed → retrained
+    llmdata.clear_centroid_cache()
+    assert not llmdata._CENTROID_CACHE
+
+
 def test_near_dup_components_match_union_find(spark):
     """The iterative label-propagation CC has no SQL oracle; its exact gate
     is a union-find replay of the same MinHash pair relation."""
