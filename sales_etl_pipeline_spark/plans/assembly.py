@@ -152,47 +152,68 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_test_split(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    buckets: int = SPLIT_BUCKETS,
+    eval_pct: int = EVAL_PCT,
+) -> DataFrame:
     """Reproducible train/eval split assignment: bucket = md5(doc_id) mod
-    ``SPLIT_BUCKETS``; buckets below ``EVAL_PCT`` are eval. A pure
+    ``buckets``; buckets below ``eval_pct`` are eval. A pure
     per-row function — no shuffle, no state, stable under retries,
     backfills, and corpus growth (a document's split never changes when
-    other documents arrive, unlike rank- or random-based splits)."""
+    other documents arrive, unlike rank- or random-based splits). The
+    knobs default to the module constants the registry/oracle use."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (md5_long(F.col("doc_id").cast("string")) % SPLIT_BUCKETS).cast(
-        "int"
-    )
+    bucket = (md5_long(F.col("doc_id").cast("string")) % buckets).cast("int")
     return docs.select(
         "doc_id",
         "lang",
         "source",
         bucket.alias("bucket"),
-        F.when(bucket < EVAL_PCT, F.lit("eval"))
+        F.when(bucket < eval_pct, F.lit("eval"))
         .otherwise(F.lit("train"))
         .alias("split"),
     )
 
 
-def _mix_weight_col() -> F.Column:
-    expr = F.lit(DEFAULT_MIX_WEIGHT)
-    for src, w in sorted(MIX_WEIGHTS.items()):
-        expr = F.when(F.col("source") == src, F.lit(w)).otherwise(expr)
+def _mix_weight_col(
+    mix_weights: dict[str, float] | None = None,
+    default_weight: float | None = None,
+) -> F.Column:
+    weights = MIX_WEIGHTS if mix_weights is None else mix_weights
+    default = DEFAULT_MIX_WEIGHT if default_weight is None else default_weight
+    expr = F.lit(float(default))
+    for src, w in sorted(weights.items()):
+        expr = F.when(F.col("source") == src, F.lit(float(w))).otherwise(expr)
     return expr
 
 
-def _mix_weight_sql() -> str:
+def _mix_weight_sql(
+    mix_weights: dict[str, float] | None = None,
+    default_weight: float | None = None,
+) -> str:
     # CAST to DOUBLE so DuckDB computes the fractional-epoch boundary in
     # IEEE doubles like Spark does — a bare literal would be typed
     # DECIMAL(p,s) (exact arithmetic), and a weight like 0.3333 could then
     # make ceil((w - floor(w)) * stratum_size) disagree between engines.
+    weights = MIX_WEIGHTS if mix_weights is None else mix_weights
+    default = DEFAULT_MIX_WEIGHT if default_weight is None else default_weight
     whens = " ".join(
         f"WHEN source = '{src}' THEN CAST({w} AS DOUBLE)"
-        for src, w in sorted(MIX_WEIGHTS.items())
+        for src, w in sorted(weights.items())
     )
-    return f"CASE {whens} ELSE CAST({DEFAULT_MIX_WEIGHT} AS DOUBLE) END"
+    return f"CASE {whens} ELSE CAST({default} AS DOUBLE) END"
 
 
-def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_mix_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mix_weights: dict[str, float] | None = None,
+    default_weight: float | None = None,
+) -> DataFrame:
     """Full data-mixing semantics, reproducibly: each source's documents
     are replicated ``floor(weight)`` times (whole epochs), plus one more
     copy for the documents whose md5 rank falls inside the fractional
@@ -204,10 +225,15 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning and stable across runs, and ``copy_idx`` gives
     downstream shuffling a deterministic replica key. The weight
     arithmetic is one IEEE double multiply + ceil on both engines, so
-    the fractional boundary cannot disagree."""
+    the fractional boundary cannot disagree.
+
+    ``mix_weights`` (source → weight) and ``default_weight`` default to
+    the module constants the registry/oracle use; pass your own to tune
+    a mix without editing the package (tests/test_operators.py pins a
+    custom-weights run against the parameterized oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("h", "doc_id")
-    weight = _mix_weight_col()
+    weight = _mix_weight_col(mix_weights, default_weight)
     ranked = (
         docs.select(
             "doc_id",
@@ -285,7 +311,18 @@ LIBRARY_ORACLE: dict[str, str] = {
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
     """,
-    "source_mix_sample": f"""
+    "source_mix_sample": None,  # filled below via _source_mix_oracle_sql
+}
+
+
+def _source_mix_oracle_sql(
+    mix_weights: dict[str, float] | None = None,
+    default_weight: float | None = None,
+) -> str:
+    """DuckDB oracle for ``source_mix_sample``, parameterized on the same
+    knobs so a custom-weights run can be oracle-checked too
+    (tests/test_operators.py::test_source_mix_sample_custom_weights)."""
+    return f"""
         WITH ranked AS (
             SELECT doc_id, source,
                    ROW_NUMBER() OVER (
@@ -294,7 +331,7 @@ LIBRARY_ORACLE: dict[str, str] = {
                                 doc_id
                    ) AS sample_rank,
                    COUNT(*) OVER (PARTITION BY source) AS stratum_size,
-                   {_mix_weight_sql()} AS wt
+                   {_mix_weight_sql(mix_weights, default_weight)} AS wt
             FROM documents
         ),
         copies AS (
@@ -311,5 +348,7 @@ LIBRARY_ORACLE: dict[str, str] = {
                CAST(unnest(range(n_copies)) AS INT) AS copy_idx
         FROM copies
         WHERE n_copies > 0
-    """,
-}
+    """
+
+
+LIBRARY_ORACLE["source_mix_sample"] = _source_mix_oracle_sql()

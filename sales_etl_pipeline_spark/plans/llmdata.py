@@ -867,7 +867,8 @@ def _row_norms(cmat: "np.ndarray") -> "np.ndarray":
     return np.sqrt((cmat * cmat).cumsum(axis=1)[:, -1] + 0.0)
 
 
-#: One entry per corpus key: {cache_key: (fingerprint, (ords, cmat, cn))}.
+#: One entry per (corpus key, knob tuple):
+#: {(cache_key, rows_per_centroid, max_k, iters): (fingerprint, result)}.
 #: The fingerprint (row count + max vec_id) invalidates the entry if the
 #: corpus at that path is regenerated in-place; same-path same-shape edits
 #: that preserve both are not detected — call clear_centroid_cache() after
@@ -881,7 +882,14 @@ def clear_centroid_cache() -> None:
     _CENTROID_CACHE.clear()
 
 
-def _train_centroids(emb: DataFrame, cache_key: str | None = None):
+def _train_centroids(
+    emb: DataFrame,
+    cache_key: str | None = None,
+    *,
+    rows_per_centroid: int = KMEANS_ROWS_PER_CENT,
+    max_k: int = KMEANS_MAX_K,
+    iters: int = KMEANS_ITERS,
+):
     """Deterministic seeded k-means over the corpus: Forgy init on the k
     vectors with the smallest ``md5(vec_id)`` (a hash-ordered uniform
     sample — reproducible across engines, unlike RNG state), then
@@ -906,6 +914,11 @@ def _train_centroids(emb: DataFrame, cache_key: str | None = None):
     Returns (ords (k,) 1-based centroid ordinals in md5 order,
     cmat (k, d), cn (k,)).
 
+    The sizing/iteration knobs (``rows_per_centroid``, ``max_k``,
+    ``iters``) default to the module constants the registry plans and
+    their DuckDB oracles are built from — override them to tune an index
+    without editing the package (the memo key includes them).
+
     Results are memoized per corpus key: training is a pure function of
     the data (hash-seeded init, order-independent fixed-point means), so
     the same corpus always yields the same centroids — repeat invocations
@@ -919,12 +932,13 @@ def _train_centroids(emb: DataFrame, cache_key: str | None = None):
 
     n = emb.count()
     fp = None
+    memo_key = (cache_key, rows_per_centroid, max_k, iters)
     if cache_key is not None:
         fp = (n, emb.agg(F.max("vec_id")).first()[0])
-        hit = _CENTROID_CACHE.get(cache_key)
+        hit = _CENTROID_CACHE.get(memo_key)
         if hit is not None and hit[0] == fp:
             return hit[1]
-    k = min(max(1, int(math.ceil(n / KMEANS_ROWS_PER_CENT))), KMEANS_MAX_K)
+    k = min(max(1, int(math.ceil(n / rows_per_centroid))), max_k)
     init_rows = (
         emb.select(
             "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
@@ -936,7 +950,7 @@ def _train_centroids(emb: DataFrame, cache_key: str | None = None):
     cmat = np.array([list(r.v) for r in init_rows], dtype=np.float64)
     ords = np.arange(1, k + 1, dtype=np.int64)
     cn = _row_norms(cmat)
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         assign1 = _assign_clusters_udf(ords, cmat, cn, 1)
         ex = emb.select(
             F.element_at(assign1(F.col("v"), F.col("nrm")), 1).alias("cluster"),
@@ -953,7 +967,7 @@ def _train_centroids(emb: DataFrame, cache_key: str | None = None):
         cmat = new_cmat
         cn = _row_norms(cmat)
     if cache_key is not None:
-        _CENTROID_CACHE[cache_key] = (fp, (ords, cmat, cn))
+        _CENTROID_CACHE[memo_key] = (fp, (ords, cmat, cn))
     return ords, cmat, cn
 
 
@@ -994,10 +1008,20 @@ def _assign_clusters_udf(cent_ids, cmat, cn, nprobe: int):
     return _top
 
 
-def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nprobe: int = SEMDEDUP_NPROBE,
+    rows_per_centroid: int = KMEANS_ROWS_PER_CENT,
+    max_k: int = KMEANS_MAX_K,
+) -> DataFrame:
     """Scale-safe SemDeDup: IVF-bucketed candidate pairs instead of the
     exact twin's O(n²) cross join (``semantic_dedup`` above — correct but
-    a 100-TB non-starter, round-1 verdict item 3).
+    a 100-TB non-starter, round-1 verdict item 3). The index knobs
+    (``nprobe``, ``rows_per_centroid``, ``max_k``) default to the module
+    constants the registry plan and oracle use; override to trade recall
+    against candidate volume without editing the package.
 
     Shape: deterministic seeded k-means centroids (_train_centroids —
     hash-ordered Forgy init + Lloyd iterations, k-grain driver traffic
@@ -1031,7 +1055,13 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scale). Vectors are re-fetched by id only for surviving
     # candidate pairs (late materialization).
     top_clusters = _assign_clusters_udf(
-        *_train_centroids(emb, cache_key=sf_dir), SEMDEDUP_NPROBE
+        *_train_centroids(
+            emb,
+            cache_key=sf_dir,
+            rows_per_centroid=rows_per_centroid,
+            max_k=max_k,
+        ),
+        nprobe,
     )
     assigned = emb.select(
         "vec_id",
@@ -1716,13 +1746,29 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+IVF_NPROBE = 3  # query-side probes (ann_ivf_topk)
+IVF_TOP_K = 5  # neighbors returned per query
+IVF_N_QUERIES = 50  # registry query set: vec_id < 50
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = IVF_TOP_K,
+    n_queries: int = IVF_N_QUERIES,
+    rows_per_centroid: int = KMEANS_ROWS_PER_CENT,
+    max_k: int = KMEANS_MAX_K,
+) -> DataFrame:
     """IVF-style ANN (the other scale path besides LSH): a trained
     centroid set (seeded k-means, _train_centroids),
     each vector assigned to its nearest centroid (broadcast, no shuffle),
-    queries probe their nprobe=3 nearest clusters, candidates come from a
-    cluster equi-join. Rows-only: approximate by construction; the exact
-    brute-force twin (knn_cosine_topk) is the oracle-checked baseline.
+    queries probe their ``nprobe`` nearest clusters, candidates come from
+    a cluster equi-join. Rows-only: approximate by construction; the
+    exact brute-force twin (knn_cosine_topk) is the oracle-checked
+    baseline. All index/query knobs default to the module constants the
+    registry entry uses; override to tune recall vs probe cost.
     """
     # assignment and probing are both the zero-shuffle map-side top-k
     # Arrow kernel (_assign_clusters_udf, shared with
@@ -1731,21 +1777,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-line on the corpus relation, so vectors never take an extra
     # join hop.
     emb = _embeddings_normed(spark, sf_dir).persist()
-    cent_ids, cmat, cn = _train_centroids(emb, cache_key=sf_dir)
+    cent_ids, cmat, cn = _train_centroids(
+        emb,
+        cache_key=sf_dir,
+        rows_per_centroid=rows_per_centroid,
+        max_k=max_k,
+    )
     assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1)
-    assign3 = _assign_clusters_udf(cent_ids, cmat, cn, 3)
+    assign_probe = _assign_clusters_udf(cent_ids, cmat, cn, nprobe)
     assigned = emb.select(
         "vec_id",
         "v",
         "nrm",
         F.explode(assign1(F.col("v"), F.col("nrm"))).alias("cluster"),
     )
-    q = emb.filter(F.col("vec_id") < 50)
+    q = emb.filter(F.col("vec_id") < n_queries)
     probes = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.explode(assign3(F.col("v"), F.col("nrm"))).alias("cluster"),
+        F.explode(assign_probe(F.col("v"), F.col("nrm"))).alias("cluster"),
     )
     scored = (
         probes.join(assigned, "cluster")
@@ -1762,7 +1813,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w_top))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
 

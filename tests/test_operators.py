@@ -305,6 +305,32 @@ def test_centroid_cache_fingerprint_invalidation(spark):
     assert not llmdata._CENTROID_CACHE
 
 
+def test_source_mix_sample_custom_weights(spark):
+    """The mixing knobs are parameters, not package edits: a custom
+    weight map — including 0.3333, the repeating-fraction case where a
+    DECIMAL-typed oracle would disagree with IEEE doubles on the
+    fractional-epoch ceil boundary — must still match the parameterized
+    DuckDB oracle exactly."""
+    from sales_etl_pipeline_spark.plans import assembly
+    from tests.oracle_harness import compare, duckdb_connection
+
+    weights = {"src0": 0.3333, "src1": 1.7, "src2": 3.0}
+    df = assembly.source_mix_sample(
+        spark, SF, mix_weights=weights, default_weight=0.9999
+    )
+    con = duckdb_connection(SF)
+    try:
+        problems = compare(
+            df,
+            con,
+            assembly._source_mix_oracle_sql(weights, 0.9999),
+            "source_mix_sample_custom",
+        )
+    finally:
+        con.close()
+    assert not problems, "\n".join(problems)
+
+
 def test_near_dup_components_match_union_find(spark):
     """The iterative label-propagation CC has no SQL oracle; its exact gate
     is a union-find replay of the same MinHash pair relation."""
