@@ -50,6 +50,13 @@ from ..sources.readers import load_table
 SHINGLE_N = 3
 MINHASH_SIGS = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
+#: Hot-bucket cap for the LSH band join (skew hardening): a band bucket
+#: larger than this is split into ceil(size/cap) sub-buckets by a
+#: secondary doc-id hash, bounding the per-key self-join at O(size·cap)
+#: instead of O(size²). Small enough to stop boilerplate-family blowup,
+#: large enough that no benign bucket ever splits (uniform buckets hold
+#: ~corpus/band-key-space docs).
+MINHASH_BUCKET_CAP = 256
 
 #: Universal-hash family over a single 32-bit md5 base hash:
 #: h_j(s) = (A[j] * h32(s) + B[j]) mod P. One md5 per shingle instead of
@@ -304,13 +311,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expand_dup_pairs(canon_pairs, gmap)
 
 
-def _dup_groups(spark: SparkSession, sf_dir: str):
-    """Exact-duplicate groups over shingle-eligible documents:
-    (gmap: doc_id → canon_id, canon_docs: one representative per distinct
-    text). Docs with < SHINGLE_N tokens have no shingles, so the naive
-    near-dup semantics never pair them — excluded here to match."""
+def _dup_groups(spark: SparkSession, sf_dir: str, require_shingles: bool = True):
+    """Exact-duplicate groups: (gmap: doc_id → canon_id, canon_docs: one
+    representative per distinct text). With ``require_shingles`` (the
+    Jaccard paths), docs with < SHINGLE_N tokens are excluded — they have
+    no shingles, so the naive near-dup semantics never pair them; the
+    SimHash path takes every document (its signature is defined for any
+    token count)."""
     docs = load_table(spark, sf_dir, "documents")
-    eligible = docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N)
+    eligible = (
+        docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N)
+        if require_shingles
+        else docs
+    )
     gmap = eligible.select(
         "doc_id",
         F.min("doc_id")
@@ -325,12 +338,20 @@ def _dup_groups(spark: SparkSession, sf_dir: str):
     return gmap, canon_docs
 
 
-def _expand_dup_pairs(canon_pairs: DataFrame, gmap: DataFrame) -> DataFrame:
+def _expand_dup_pairs(
+    canon_pairs: DataFrame,
+    gmap: DataFrame,
+    value_col: str = "jaccard",
+    within_value=None,
+) -> DataFrame:
     """Expand canonical near-dup pairs back to member pairs. Cross-group:
-    every (member of A) × (member of B) pair shares A×B's shingle sets,
-    hence its Jaccard verbatim; least/greatest restores the doc_a < doc_b
-    convention. Within-group: identical texts, Jaccard ≡ 1.0 (= n/n in the
-    naive oracle — exact in both engines)."""
+    every (member of A) × (member of B) pair shares A×B's text verbatim,
+    hence its similarity value (Jaccard or Hamming) verbatim;
+    least/greatest restores the doc_a < doc_b convention. Within-group:
+    identical texts — Jaccard ≡ 1.0 (= n/n in the naive oracle) or
+    Hamming ≡ 0 (identical signatures), exact in both engines."""
+    if within_value is None:
+        within_value = F.lit(1.0)
     cross = (
         canon_pairs.join(
             gmap.select(F.col("canon_id").alias("doc_a"), F.col("doc_id").alias("mem_a")),
@@ -343,7 +364,7 @@ def _expand_dup_pairs(canon_pairs: DataFrame, gmap: DataFrame) -> DataFrame:
         .select(
             F.least("mem_a", "mem_b").alias("doc_a"),
             F.greatest("mem_a", "mem_b").alias("doc_b"),
-            "jaccard",
+            value_col,
         )
     )
     within = (
@@ -356,13 +377,15 @@ def _expand_dup_pairs(canon_pairs: DataFrame, gmap: DataFrame) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+            within_value.alias(value_col),
         )
     )
     return cross.unionByName(within)
 
 
-def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_near_dup(
+    spark: SparkSession, sf_dir: str, *, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
     """MinHash + LSH banding near-dup (the 100-TB dedup path): 16 md5-seeded
     min-hashes, banded 4×4; only band-key collisions become candidates, then
     exact Jaccard ≥ 0.8 verifies. Identical md5 hashing on the oracle side
@@ -373,7 +396,20 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts yield identical signatures and band keys, so signatures are
     computed once per distinct text and member pairs expand afterwards —
     semantics unchanged, signature/candidate work divided by the
-    duplication factor."""
+    duplication factor.
+
+    Hot-bucket cap (skew hardening): a boilerplate-heavy corpus can put
+    thousands of near-identical — but not byte-identical, so the exact
+    collapse misses them — documents into ONE band bucket, and the band
+    self-join goes quadratic inside that key. Any bucket larger than
+    ``bucket_cap`` is split into ceil(size/cap) sub-buckets by a
+    secondary doc-id hash (integer arithmetic only), turning the worst
+    case into O(size·cap) while normal buckets (nsub = 1) are untouched.
+    The split is deterministic and mirrored verbatim in the DuckDB
+    oracle, so the plan stays exactly value-hash checkable even where
+    the cap bites. Recall in a split bucket degrades gracefully — a pair
+    survives iff any of its other 3 bands still collides — and the
+    exact-Jaccard verify keeps precision at 1 regardless."""
     gmap, canon_docs = _dup_groups(spark, sf_dir)
     # Persisted: feeds the signature aggregation AND the exact-Jaccard
     # verification of candidates (three uses; same rationale as
@@ -412,12 +448,27 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # hot-bucket split (see docstring): bucket sizes shuffle on the same
+    # (band, key) the candidate join uses, so the size join adds no new
+    # partitioning; sub = doc-hash mod ceil(size/cap), pure int arithmetic
+    # reproduced verbatim oracle-side.
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    sub_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    capped = bands.join(sizes, ["band", "key"]).select(
+        "doc_id",
+        "band",
+        "key",
+        (sub_hash % F.expr(f"(bsz + {bucket_cap - 1}) div {bucket_cap}")).alias("sub"),
+    )
     cand = (
-        bands.alias("x")
+        capped.alias("x")
         .join(
-            bands.alias("y"),
+            capped.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.sub") == F.col("y.sub"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
@@ -426,12 +477,15 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expand_dup_pairs(_pair_jaccard(sh, cand), gmap)
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_signatures(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """60-bit SimHash per document: per-token md5-hash, per-bit ±1 vote,
     sign of the vote sum sets the bit. Shaped as explode → hash-agg so the
     votes combine map-side (one shuffle at doc grain regardless of corpus
     size)."""
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).withColumn("h", md5_long("tok"))
@@ -472,11 +526,26 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform signature), never all-pairs, and verification is one
     xor+popcount per candidate. At web scale widen the band key (16 bits)
     and AND-compose band tables to keep buckets bounded; the plan shape is
-    unchanged."""
+    unchanged.
+
+    Skew hardening: exact duplicates — the unbounded hot-bucket source on
+    crawl corpora, since identical texts share every band of an identical
+    signature — are collapsed FIRST (same ``_dup_groups`` pre-pass as
+    minhash_near_dup, minus the shingle-eligibility filter: SimHash is
+    defined for any token count). Signatures are computed once per
+    distinct text, the band join runs at canonical grain, and member
+    pairs expand afterwards (cross-group pairs inherit the canonical
+    Hamming verbatim, within-group pairs are Hamming 0) — bit-identical
+    to the uncollapsed plan, so the brute-force all-pairs oracle is
+    unchanged. Residual hot buckets (near-identical families with small
+    nonzero Hamming) are inherently pair-quadratic in the RESULT, so
+    candidate capping cannot help there without breaking exactness —
+    the band-width widening note above is the scale lever for those."""
+    gmap, canon_docs = _dup_groups(spark, sf_dir, require_shingles=False)
     # signature relation feeds both join sides — persist so the token
     # explode + 60-column vote agg runs once (CacheManager dedups by
     # sameResult across repeated calls)
-    sig = simhash_signatures(spark, sf_dir).persist()
+    sig = simhash_signatures(spark, sf_dir, docs=canon_docs).persist()
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -505,7 +574,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "key"
     )
-    return (
+    canon_pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -519,6 +588,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a pair can share several bands — hamming is functionally
         # determined by the pair, so row-level distinct dedups candidates
         .distinct()
+    )
+    return _expand_dup_pairs(
+        canon_pairs, gmap, value_col="hamming", within_value=F.lit(0).cast("int")
     )
 
 
@@ -1462,10 +1534,22 @@ ORACLE: dict[str, str] = {
                 for b in range(MINHASH_BANDS)
             )}
         ),
+        bsz AS (
+            SELECT band, key, COUNT(*) AS bsz FROM bands GROUP BY band, key
+        ),
+        capped AS (
+            SELECT b.doc_id, b.band, b.key,
+                   CAST('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT)
+                     % ((s.bsz + {MINHASH_BUCKET_CAP - 1}) // {MINHASH_BUCKET_CAP})
+                     AS sub
+            FROM bands b JOIN bsz s ON b.band = s.band AND b.key = s.key
+        ),
         cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            FROM capped x JOIN capped y
+              ON x.band = y.band AND x.key = y.key AND x.sub = y.sub
+                 AND x.doc_id < y.doc_id
         )
         {_PAIR_JACCARD_SQL}
     """,
