@@ -129,16 +129,20 @@ def _shingle_table(
     )
 
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(src: str = "documents") -> str:
+    return f"""
     SELECT doc_id,
            list_distinct(list_transform(
                range(0, len(string_split(text, ' ')) - {SHINGLE_N - 1}),
                i -> array_to_string(
                    string_split(text, ' ')[i + 1 : i + {SHINGLE_N}], ' ')
            )) AS shingles
-    FROM documents
+    FROM {src}
     WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def _pair_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
@@ -383,6 +387,107 @@ def _expand_dup_pairs(
     return cross.unionByName(within)
 
 
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band relation over a shingle table: k seeded
+    min-hashes as k MIN aggregates over the (doc, shingle) relation —
+    whole-stage codegen, partial-aggregated map-side; at 100 TB the shuffle
+    carries one 16-column row per document — then MINHASH_BANDS band keys
+    per doc."""
+    ex = sh.withColumn(
+        "h32", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    )
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{j}")
+            for j, (a, b) in enumerate(UH)
+        ]
+    )
+    rows_per_band = MINHASH_SIGS // MINHASH_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"m{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _band_sub_hash():
+    """Secondary hash for the hot-bucket split: md5 of ``band:doc_id``, so
+    each band partitions its hot bucket independently (the cross-band
+    recall recovery depends on the splits being different per band)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("band").cast("string"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def minhash_band_stats(
+    spark: SparkSession, sf_dir: str, *, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
+    """Skew diagnostic for the LSH band join: one row per (band, key)
+    bucket with its size, sub-bucket split factor, and the candidate-pair
+    counts the join would generate with and without the hot-bucket cap
+    (uncapped = C(size, 2); capped = Σ C(sub-size, 2) over the secondary
+    hash split — exact, computed from the same sub assignment the join
+    uses). Run this before a big dedup job to see whether the corpus is
+    boilerplate-skewed and how much the cap saves; the capped total is the
+    join's actual per-band candidate volume."""
+    _gmap, canon_docs = _dup_groups(spark, sf_dir)
+    sh = _shingle_table(spark, sf_dir, canon_docs)
+    bands = _minhash_bands(sh)
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    sub_hash = _band_sub_hash()
+    per_sub = (
+        bands.join(sizes, ["band", "key"])
+        .select(
+            "band",
+            "key",
+            (sub_hash % F.expr(f"(bsz + {bucket_cap - 1}) div {bucket_cap}")).alias(
+                "sub"
+            ),
+        )
+        .groupBy("band", "key", "sub")
+        .agg(F.count(F.lit(1)).alias("ssz"))
+        .groupBy("band", "key")
+        .agg(F.sum(F.expr("ssz * (ssz - 1) div 2")).alias("capped_pairs"))
+    )
+    return (
+        sizes.join(per_sub, ["band", "key"])
+        .select(
+            "band",
+            "key",
+            "bsz",
+            F.expr(f"(bsz + {bucket_cap - 1}) div {bucket_cap}").alias("nsub"),
+            F.expr("bsz * (bsz - 1) div 2").alias("uncapped_pairs"),
+            "capped_pairs",
+        )
+        .orderBy(F.desc("bsz"), "band", "key")
+    )
+
+
 def minhash_near_dup(
     spark: SparkSession, sf_dir: str, *, bucket_cap: int = MINHASH_BUCKET_CAP
 ) -> DataFrame:
@@ -405,57 +510,28 @@ def minhash_near_dup(
     ``bucket_cap`` is split into ceil(size/cap) sub-buckets by a
     secondary doc-id hash (integer arithmetic only), turning the worst
     case into O(size·cap) while normal buckets (nsub = 1) are untouched.
-    The split is deterministic and mirrored verbatim in the DuckDB
-    oracle, so the plan stays exactly value-hash checkable even where
-    the cap bites. Recall in a split bucket degrades gracefully — a pair
-    survives iff any of its other 3 bands still collides — and the
-    exact-Jaccard verify keeps precision at 1 regardless."""
+    The secondary hash keys on (band, doc_id) — each band splits its hot
+    bucket DIFFERENTLY, so a family pair separated in one band's split
+    still collides in another band's with probability 1-(1-1/nsub)^bands
+    (a doc-only hash would partition identically in every band and lose
+    the pair outright). The split is deterministic and mirrored verbatim
+    in the DuckDB oracle — which must therefore also mirror the exact-dup
+    collapse, since bucket sizes (and hence split factors) are defined at
+    CANONICAL grain — so the plan stays exactly value-hash checkable even
+    where the cap bites; the exact-Jaccard verify keeps precision at 1
+    regardless."""
     gmap, canon_docs = _dup_groups(spark, sf_dir)
     # Persisted: feeds the signature aggregation AND the exact-Jaccard
     # verification of candidates (three uses; same rationale as
     # ngram_jaccard_pairs).
     sh = _shingle_table(spark, sf_dir, canon_docs).persist()
-    # k seeded min-hashes as k MIN aggregates over the (doc, shingle)
-    # relation — whole-stage codegen, partial-aggregated map-side; at 100 TB
-    # the shuffle carries one 16-column row per document.
-    ex = sh.withColumn(
-        "h32", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-    )
-    sigs = ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{j}")
-            for j, (a, b) in enumerate(UH)
-        ]
-    )
-    rows_per_band = MINHASH_SIGS // MINHASH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col(f"m{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _minhash_bands(sh)
     # hot-bucket split (see docstring): bucket sizes shuffle on the same
     # (band, key) the candidate join uses, so the size join adds no new
-    # partitioning; sub = doc-hash mod ceil(size/cap), pure int arithmetic
-    # reproduced verbatim oracle-side.
+    # partitioning; sub = (band:doc)-hash mod ceil(size/cap), pure int
+    # arithmetic reproduced verbatim oracle-side.
     sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
-    sub_hash = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    sub_hash = _band_sub_hash()
     capped = bands.join(sizes, ["band", "key"]).select(
         "doc_id",
         "band",
@@ -1113,12 +1189,34 @@ def semantic_dedup_bucketed(
     approximation. Recall vs the exact twin is asserted separately at
     sf0.01 (tests/test_operators.py::test_semantic_dedup_bucketed_recall;
     plan shape in tests/test_plans.py).
+
+    Skew hardening — exact-vector pre-collapse: duplicate-heavy corpora
+    (the 100-TB norm; every crawl replica carries the same embeddings)
+    otherwise make the cluster equi-join quadratic in the duplication
+    factor AND let duplicates weight the k-means means. Identical vectors
+    are collapsed to their min vec_id first (groupBy the vector value —
+    bitwise equality, partial-aggregated map-side), the index trains and
+    pairs generate at canonical grain, and the survivor set needs no
+    expansion at all: a non-canonical member always has cosine 1.0 ≥
+    threshold with its lower-id canonical twin, so it can never survive —
+    survivors are exactly the surviving canonical ids. Mirrored verbatim
+    in the DuckDB oracle (GROUP BY the list value), so the plan stays
+    exactly value-hash checkable; on a duplicate-free corpus the collapse
+    is the identity and the algorithm is bit-unchanged.
     """
     # emb feeds five consumers (centroid set, assignment, the two
     # pair-side vector fetches, final anti-join) — persist once; Spark
     # re-executes unpersisted subplans per consumer, and CacheManager
     # dedups by sameResult so repeated query calls reuse one cache entry.
-    emb = _embeddings_normed(spark, sf_dir).persist()
+    # nrm rides in the group key: it is derived bitwise from v, so
+    # (v, nrm) grouping == v grouping and the norm needs no recompute.
+    emb = (
+        _embeddings_normed(spark, sf_dir)
+        .groupBy("v", "nrm")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "v", "nrm")
+        .persist()
+    )
     # Candidate generation stays SKINNY (ids only): assignment is the
     # zero-shuffle Arrow-batched map-side top-nprobe and the 64-dim
     # vectors are dropped BEFORE the pair expansion — otherwise every
@@ -1126,10 +1224,12 @@ def semantic_dedup_bucketed(
     # (measured ~0.5 GB of duplicated arrays at sf0.1; a non-starter at
     # corpus scale). Vectors are re-fetched by id only for surviving
     # candidate pairs (late materialization).
+    # distinct memo key from ann_ivf_topk's full-corpus training: the
+    # canonical set has its own (count, max vec_id) fingerprint
     top_clusters = _assign_clusters_udf(
         *_train_centroids(
             emb,
-            cache_key=sf_dir,
+            cache_key=f"{sf_dir}#canon",
             rows_per_centroid=rows_per_centroid,
             max_k=max_k,
         ),
@@ -1520,8 +1620,23 @@ ORACLE: dict[str, str] = {
         )
         {_PAIR_JACCARD_SQL}
     """,
+    # Mirrors the Spark plan's exact-dup collapse EXPLICITLY (pre-cap, an
+    # all-docs banding was provably equivalent; the hot-bucket split
+    # factor is defined by CANONICAL bucket sizes, so the oracle must
+    # band at canonical grain too), then the capped band join, then the
+    # member-pair expansion.
     "minhash_near_dup": f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH gmap AS (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+        ),
+        cdocs AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN gmap g
+              ON g.doc_id = d.doc_id AND g.doc_id = g.canon_id
+        ),
+        sh AS ({_shingles_sql('cdocs')}),
         sig AS ({_minhash_sig_sql()}),
         bands AS (
             {" UNION ALL ".join(
@@ -1539,8 +1654,9 @@ ORACLE: dict[str, str] = {
         ),
         capped AS (
             SELECT b.doc_id, b.band, b.key,
-                   CAST('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)
-                        AS BIGINT)
+                   CAST('0x' || substring(md5(
+                       CAST(b.band AS VARCHAR) || ':' || CAST(b.doc_id AS VARCHAR)
+                   ), 1, 8) AS BIGINT)
                      % ((s.bsz + {MINHASH_BUCKET_CAP - 1}) // {MINHASH_BUCKET_CAP})
                      AS sub
             FROM bands b JOIN bsz s ON b.band = s.band AND b.key = s.key
@@ -1550,8 +1666,25 @@ ORACLE: dict[str, str] = {
             FROM capped x JOIN capped y
               ON x.band = y.band AND x.key = y.key AND x.sub = y.sub
                  AND x.doc_id < y.doc_id
+        ),
+        canon_pairs AS ({_PAIR_JACCARD_SQL}),
+        cross_pairs AS (
+            SELECT LEAST(ga.doc_id, gb.doc_id) AS doc_a,
+                   GREATEST(ga.doc_id, gb.doc_id) AS doc_b,
+                   p.jaccard
+            FROM canon_pairs p
+            JOIN gmap ga ON ga.canon_id = p.doc_a
+            JOIN gmap gb ON gb.canon_id = p.doc_b
+        ),
+        within_pairs AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM gmap x JOIN gmap y
+              ON x.canon_id = y.canon_id AND x.doc_id < y.doc_id
         )
-        {_PAIR_JACCARD_SQL}
+        SELECT doc_a, doc_b, jaccard FROM cross_pairs
+        UNION ALL
+        SELECT doc_a, doc_b, jaccard FROM within_pairs
     """,
     # Brute-force all-pairs twin of the banded plan — identical result set
     # by the pigeonhole argument (see simhash_near_dup docstring), so the
@@ -1667,8 +1800,11 @@ ORACLE: dict[str, str] = {
     # Mirrors the IVF bucketing algorithm itself (centroid rule, cosine
     # fold association, rn tie-break) — exact check, not a recall bound.
     "semantic_dedup_bucketed": f"""
-        WITH e AS (
+        WITH e0 AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        e AS (
+            SELECT MIN(vec_id) AS vec_id, v FROM e0 GROUP BY v
         ),
         {_kmeans_cents_sql()},
         cents AS (
@@ -1839,7 +1975,7 @@ def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     *,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     top_k: int = IVF_TOP_K,
     n_queries: int = IVF_N_QUERIES,
     rows_per_centroid: int = KMEANS_ROWS_PER_CENT,
@@ -1851,8 +1987,17 @@ def ann_ivf_topk(
     queries probe their ``nprobe`` nearest clusters, candidates come from
     a cluster equi-join. Rows-only: approximate by construction; the
     exact brute-force twin (knn_cosine_topk) is the oracle-checked
-    baseline. All index/query knobs default to the module constants the
+    baseline. Index/query knobs default to the module constants the
     registry entry uses; override to tune recall vs probe cost.
+
+    ``nprobe`` defaults to the standard IVF rule max(IVF_NPROBE, ⌈√k⌉):
+    a fixed probe count collapses on clustered data once k subdivides
+    each natural cluster into many cells — the true neighbors of a query
+    scatter across adjacent cells, and probing a constant 3 of ~√n cells
+    lost 38% recall on the clustered skew corpus (measured; ⌈√k⌉ = 13
+    probes restores ≥ 0.92, pinned in tests/test_skew.py). Probe cost
+    stays sublinear: candidates ≈ nprobe · n/k ≈ √k · rows_per_centroid
+    per query.
     """
     # assignment and probing are both the zero-shuffle map-side top-k
     # Arrow kernel (_assign_clusters_udf, shared with
@@ -1867,6 +2012,8 @@ def ann_ivf_topk(
         rows_per_centroid=rows_per_centroid,
         max_k=max_k,
     )
+    if nprobe is None:
+        nprobe = max(IVF_NPROBE, int(np.ceil(np.sqrt(cmat.shape[0]))))
     assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1)
     assign_probe = _assign_clusters_udf(cent_ids, cmat, cn, nprobe)
     assigned = emb.select(

@@ -1,0 +1,155 @@
+"""Adversarial-skew gates for the near-dup / ANN scale paths.
+
+A uniform synthetic corpus never stresses the claims that matter at 100 TB:
+boilerplate-heavy near-dup families blow up LSH band buckets, power-law
+sources skew stratified ops, and clustered + duplicate-heavy embeddings
+break untrained centroids and duplicate-quadratic cluster joins. The corpus
+from ``scripts/make_skewdata.py`` (deterministic, versioned) produces
+exactly those shapes; these tests pin:
+
+- the MinHash hot-bucket cap actually triggers there and bounds candidate
+  volume linearly (subquadratic evidence, exact counts);
+- both banded near-dup plans and the collapsed semantic dedup stay
+  EXACTLY oracle-parity on that corpus (the cap and the collapse are
+  mirrored in DuckDB — approximation parameters, not divergence);
+- trained IVF keeps recall ≥ 0.9 against exact brute force on genuinely
+  clustered vectors, with no degenerate mega-cluster.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sales_etl_pipeline_spark.plans import llmdata
+from scripts.make_skewdata import ensure_skew_corpus
+
+from oracle_harness import compare
+
+SKEW_DIR = "/tmp/sfskew"
+
+
+@pytest.fixture(scope="module")
+def skew_dir():
+    return ensure_skew_corpus(SKEW_DIR)
+
+
+@pytest.fixture(scope="module")
+def skew_con(skew_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{skew_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_band_cap_triggers_and_bounds_candidates(spark, skew_dir):
+    """The adversarial corpus must actually exceed the cap (else the suite
+    proves nothing), and the capped candidate count must hold the linear
+    O(rows · cap) bound while strictly beating the uncapped quadratic."""
+    stats = llmdata.minhash_band_stats(spark, skew_dir).collect()
+    max_bucket = max(r.bsz for r in stats)
+    assert max_bucket > llmdata.MINHASH_BUCKET_CAP, (
+        f"skew corpus no longer exercises the cap (max bucket {max_bucket})"
+    )
+    uncapped = sum(r.uncapped_pairs for r in stats)
+    capped = sum(r.capped_pairs for r in stats)
+    band_rows = sum(r.bsz for r in stats)
+    assert capped <= band_rows * llmdata.MINHASH_BUCKET_CAP
+    assert capped < uncapped
+
+
+def test_minhash_near_dup_oracle_parity_on_skew(spark, skew_dir, skew_con):
+    """Exact value parity where the hot-bucket split actually bites — the
+    cap is an approximation parameter shared by both engines, never a
+    divergence."""
+    probs = compare(
+        llmdata.minhash_near_dup(spark, skew_dir),
+        skew_con,
+        llmdata.ORACLE["minhash_near_dup"],
+        "minhash_near_dup@skew",
+    )
+    assert not probs, probs
+
+
+def test_simhash_near_dup_oracle_parity_on_skew(spark, skew_dir, skew_con):
+    """The exact-dup collapse must be invisible in the result: the oracle
+    is still brute-force all-pairs over every document."""
+    probs = compare(
+        llmdata.simhash_near_dup(spark, skew_dir),
+        skew_con,
+        llmdata.ORACLE["simhash_near_dup"],
+        "simhash_near_dup@skew",
+    )
+    assert not probs, probs
+
+
+def test_semantic_dedup_bucketed_oracle_parity_on_skew(spark, skew_dir, skew_con):
+    """Exercises the exact-vector pre-collapse (10% of skew vectors are
+    duplicates) against the mirrored GROUP-BY-vector oracle."""
+    llmdata.clear_centroid_cache()
+    probs = compare(
+        llmdata.semantic_dedup_bucketed(spark, skew_dir),
+        skew_con,
+        llmdata.ORACLE["semantic_dedup_bucketed"],
+        "semantic_dedup_bucketed@skew",
+    )
+    assert not probs, probs
+
+
+def _exact_topk(vecs: np.ndarray, n_queries: int, k: int):
+    """Float64 brute-force cosine top-k with the plans' tie-break
+    (cosine DESC, neighbor_id ASC)."""
+    norms = np.linalg.norm(vecs, axis=1)
+    out = set()
+    for q in range(n_queries):
+        cos = (vecs @ vecs[q]) / (norms * norms[q])
+        cos[q] = -np.inf
+        order = np.lexsort((np.arange(len(cos)), -cos))[:k]
+        out.update((q, int(n)) for n in order)
+    return out
+
+
+def test_ivf_recall_on_clustered_embeddings(spark, skew_dir):
+    """Trained IVF (seeded k-means) must keep recall ≥ 0.9 vs exact brute
+    force on genuinely clustered vectors — the corpus shape where the old
+    modulo-centroid rule collapsed."""
+    import pyarrow.parquet as pq
+
+    llmdata.clear_centroid_cache()
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in llmdata.ann_ivf_topk(spark, skew_dir).collect()
+    }
+    tbl = pq.read_table(f"{skew_dir}/embeddings.parquet")
+    vecs = np.vstack(tbl["embedding"].to_numpy()).astype(np.float64)
+    exact = _exact_topk(vecs, llmdata.IVF_N_QUERIES, llmdata.IVF_TOP_K)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9 on clustered corpus"
+
+
+def test_trained_ivf_cluster_sizes_bounded(spark, skew_dir):
+    """No degenerate mega-cluster on Zipf-clustered data: the candidate
+    equi-join's per-key fan-in is bounded by cluster size, so trained
+    centroids must spread the corpus."""
+    llmdata.clear_centroid_cache()
+    emb = llmdata._embeddings_normed(spark, skew_dir)
+    ords, cmat, cn = llmdata._train_centroids(emb, cache_key=None)
+    assign1 = llmdata._assign_clusters_udf(ords, cmat, cn, 1)
+    sizes = (
+        emb.select(F.element_at(assign1(F.col("v"), F.col("nrm")), 1).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    n = sum(r["count"] for r in sizes)
+    biggest = max(r["count"] for r in sizes)
+    # avg cluster size is rows_per_centroid (50); allow 10x imbalance but
+    # never a cluster that makes the pair join quadratic in corpus size
+    assert biggest <= 10 * llmdata.KMEANS_ROWS_PER_CENT, (
+        f"mega-cluster: {biggest} of {n} vectors in one cluster"
+    )
