@@ -60,6 +60,12 @@ HEADLINE = (
     "ann_ivf_topk",
     "training_pipeline_curated",
     "pii_redact",
+    # round 8: pair the memoized steady-state IVF number with the cold
+    # training cost it amortizes, and time the banded near-dup join on an
+    # adversarially skewed corpus (boilerplate families, power-law
+    # sources) to show the hot-bucket cap keeps it subquadratic there.
+    "ann_ivf_train",
+    "minhash_near_dup_skew",
 )
 
 
@@ -85,9 +91,38 @@ def _pii_redact(spark, sf_dir: str):
     return assembly.pii_redact(spark, sf_dir)
 
 
+def _ann_ivf_train(spark, sf_dir: str):
+    """Cold IVF training cost (the number the memoized steady-state
+    ann_ivf_topk row hides): clear the centroid memo, train, return a
+    k-row relation. Each timed run clears the cache, so best-of-two still
+    measures a full cold train."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    llmdata.clear_centroid_cache()
+    emb = llmdata._embeddings_normed(spark, sf_dir)
+    ords, cmat, cn = llmdata._train_centroids(emb, cache_key=None)
+    return spark.range(cmat.shape[0])
+
+
+#: skewed-corpus location — generated on first use, shared with pytest
+SKEW_DIR = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/tmp/sfskew")
+
+
+def _minhash_near_dup_skew(spark, sf_dir: str):
+    """minhash_near_dup on the adversarial boilerplate-family corpus
+    (scripts/make_skewdata.py) — the shape where the uncapped band join
+    goes quadratic; this row is the evidence the hot-bucket cap holds."""
+    from scripts.make_skewdata import ensure_skew_corpus
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    return llmdata.minhash_near_dup(spark, ensure_skew_corpus(SKEW_DIR))
+
+
 EXTRA_QUERIES = {
     "training_pipeline_curated": _training_pipeline_curated,
     "pii_redact": _pii_redact,
+    "ann_ivf_train": _ann_ivf_train,
+    "minhash_near_dup_skew": _minhash_near_dup_skew,
 }
 
 #: prior-round bench results for per-query regression flagging

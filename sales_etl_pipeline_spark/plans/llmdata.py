@@ -525,18 +525,29 @@ def minhash_near_dup(
     # verification of candidates (three uses; same rationale as
     # ngram_jaccard_pairs).
     sh = _shingle_table(spark, sf_dir, canon_docs).persist()
-    bands = _minhash_bands(sh)
+    # the band relation feeds the bucket-size aggregate AND (via capped)
+    # both sides of the candidate self-join — persist both skinny
+    # relations (4 rows/doc), else the 16-min signature aggregate under
+    # them executes three times (measured 2× on the composed curation
+    # funnel)
+    bands = _minhash_bands(sh).persist()
     # hot-bucket split (see docstring): bucket sizes shuffle on the same
     # (band, key) the candidate join uses, so the size join adds no new
     # partitioning; sub = (band:doc)-hash mod ceil(size/cap), pure int
     # arithmetic reproduced verbatim oracle-side.
     sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
     sub_hash = _band_sub_hash()
-    capped = bands.join(sizes, ["band", "key"]).select(
-        "doc_id",
-        "band",
-        "key",
-        (sub_hash % F.expr(f"(bsz + {bucket_cap - 1}) div {bucket_cap}")).alias("sub"),
+    capped = (
+        bands.join(sizes, ["band", "key"])
+        .select(
+            "doc_id",
+            "band",
+            "key",
+            (sub_hash % F.expr(f"(bsz + {bucket_cap - 1}) div {bucket_cap}")).alias(
+                "sub"
+            ),
+        )
+        .persist()
     )
     cand = (
         capped.alias("x")
