@@ -1408,47 +1408,112 @@ def _hyperplanes(n_planes: int, dims: int) -> list[list[float]]:
     return planes
 
 
+LSH_BITS = 12  # sign bits per table → 4096 buckets; bucket size n/4096
+LSH_TABLES = 6  # independent hyperplane tables (recall stacks per table)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path): 12 random-hyperplane sign bits form a
-    bucket key; neighbors are searched only within the query's bucket —
-    the brute-force cross join becomes a bucket equi-join. Rows-only check
-    (approximate by construction; the exact baseline above is the oracle-
-    checked one)."""
+    """Multi-table multi-probe hyperplane LSH ANN (random-hyperplane
+    signatures per Charikar 2002; 1-bit-flip multi-probe per Lv et al.
+    2007 — both public): each of ``LSH_TABLES`` tables hashes a vector to
+    a ``LSH_BITS``-bit sign bucket; the corpus emits one (table, bucket)
+    row per table, a query additionally probes every 1-bit flip of its
+    bucket (the nearest-miss buckets), and candidates come from the
+    (table, bucket) equi-join. Rows-only check (approximate by
+    construction; knn_cosine_topk is the oracle-checked exact baseline).
+
+    Why not one table: a single 12-bit signature needs all 12 sign bits
+    to agree, and per-bit agreement for a true top-5 neighbor is ~0.9 on
+    clustered data (~0.68 on structureless uniform vectors) — measured
+    recall was 0.26 / ~0.0. With 6 tables × (1 + 12) probes the clustered
+    recall is ≥ 0.9 (pinned in tests/test_skew.py) at ~tables·probes·
+    n/2^bits candidates per query — two orders below brute force, and the
+    knob story scales: bits ~ log2(n) keeps buckets bounded, tables ×
+    probes buys recall. On uniform structureless data sign-LSH degrades
+    (no free lunch in 64-dim); IVF (ann_ivf_topk) is the default scale
+    path, this is the index-free alternative for clustered real-world
+    embeddings.
+
+    Scale shape: bucketing is a map-only Arrow kernel (one BLAS matmul
+    per record batch — a giant sign-bit Catalyst expression exceeds the
+    64 KB janino method limit and falls back to interpreted); candidate
+    generation is ids-only (vectors re-fetched for surviving pairs —
+    late materialization, same rationale as semantic_dedup_bucketed);
+    the only shuffles are the (table, bucket) join and the final
+    per-query top-k window."""
     from pyspark.sql.functions import pandas_udf
 
-    emb = _embeddings_normed(spark, sf_dir)
-    planes = np.array(_hyperplanes(12, EMB_DIMS))  # (12, 64), deterministic
+    emb = _embeddings_normed(spark, sf_dir).persist()
+    # (tables·bits, dims) hyperplanes; table t owns rows [t·bits, (t+1)·bits)
+    planes = np.array(_hyperplanes(LSH_TABLES * LSH_BITS, EMB_DIMS))
+    weights = 1 << np.arange(LSH_BITS - 1, -1, -1, dtype=np.int64)
 
-    # The 12-plane sign-bit bucket as ONE Catalyst expression is ~1700
-    # nodes — janino refuses ("Code grows beyond 64 KB"; a single
-    # expression cannot be split across generated methods) and the whole
-    # stage falls back to interpreted. The production shape for
-    # hyperplane LSH is a vectorized Arrow-batched kernel anyway: one
-    # BLAS matmul per record batch, map-only, no shuffle, no codegen
-    # ceiling. Deterministic (fixed planes, fixed reduction shape).
-    @pandas_udf("long")
-    def _bucket(vs: pd.Series) -> pd.Series:
-        mat = np.vstack(vs.to_numpy())  # (batch, 64)
-        bits = (mat @ planes.T) > 0.0  # (batch, 12)
-        weights = 1 << np.arange(11, -1, -1, dtype=np.int64)
-        return pd.Series(bits @ weights)
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.vstack(vs.to_numpy())  # (batch, dims)
+        bits = (mat @ planes.T) > 0.0  # (batch, tables·bits)
+        out = [
+            bits[:, t * LSH_BITS : (t + 1) * LSH_BITS] @ weights
+            for t in range(LSH_TABLES)
+        ]
+        return pd.Series(list(np.stack(out, axis=1)))
 
-    with_bucket = emb.withColumn("bucket", _bucket(F.col("v")))
-    q = with_bucket.filter(F.col("vec_id") < 50).select(
+    corpus = emb.select(
+        "vec_id",
+        F.posexplode(_buckets(F.col("v"))).alias("table", "bucket"),
+    )
+    # query side: per table, the exact bucket plus its LSH_BITS 1-bit
+    # flips (multi-probe) — bucket arithmetic, no extra hashing
+    probes = (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(_buckets(F.col("v"))).alias("table", "b0"),
+        )
+        .select(
+            "query_id",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("b0"),
+                    *[
+                        F.col("b0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(LSH_BITS)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    )
+    # ids-only candidates; a pair colliding in several tables/probes is
+    # deduped BEFORE the dot — scoring is the hot cost here
+    cand = (
+        probes.join(corpus, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        "bucket",
     )
     scored = (
-        with_bucket.alias("c")
-        .join(q.alias("q"), (F.col("c.bucket") == F.col("q.bucket")) & (F.col("c.vec_id") != F.col("q.query_id")))
+        cand.join(qv, "query_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ),
+            "neighbor_id",
+        )
         .select(
             "query_id",
-            F.col("c.vec_id").alias("neighbor_id"),
+            "neighbor_id",
             (
-                _dot_expr(F.col("q.qv"), F.col("c.v"))
-                / (F.col("q.qn") * F.col("c.nrm"))
+                _dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
             ).alias("cosine"),
         )
     )

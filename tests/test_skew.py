@@ -132,6 +132,25 @@ def test_ivf_recall_on_clustered_embeddings(spark, skew_dir):
     assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9 on clustered corpus"
 
 
+def test_lsh_recall_on_clustered_embeddings(spark, skew_dir):
+    """Multi-table multi-probe hyperplane LSH must keep recall ≥ 0.9 vs
+    exact brute force on clustered vectors (single-table single-probe
+    measured 0.26 — the upgrade is the difference between a toy and a
+    usable index-free ANN; uniform structureless data remains out of
+    scope for sign-LSH, documented in the plan docstring)."""
+    import pyarrow.parquet as pq
+
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in llmdata.ann_lsh_topk(spark, skew_dir).collect()
+    }
+    tbl = pq.read_table(f"{skew_dir}/embeddings.parquet")
+    vecs = np.vstack(tbl["embedding"].to_numpy()).astype(np.float64)
+    exact = _exact_topk(vecs, 50, 5)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 on clustered corpus"
+
+
 def test_trained_ivf_cluster_sizes_bounded(spark, skew_dir):
     """No degenerate mega-cluster on Zipf-clustered data: the candidate
     equi-join's per-key fan-in is bounded by cluster size, so trained
