@@ -1000,11 +1000,13 @@ def _foldexact_row_dots(mat: "np.ndarray", vec: "np.ndarray") -> "np.ndarray":
     return (mat * vec).cumsum(axis=1)[:, -1] + 0.0
 
 
-def _pair_dot_udf():
-    """Arrow-batched pair dot: bit-identical to ``_dot_expr(a, b)`` (see
-    _foldexact_row_dots) at ~100× the interpreted throughput. Use for
-    pair-grain scoring volume; the expression form stays fine for
-    vector-grain norms."""
+def _pair_dot_udf(foldexact: bool = True):
+    """Arrow-batched pair dot at ~100× the interpreted-fold throughput.
+    With ``foldexact`` (default) the cumsum kernel is bit-identical to
+    ``_dot_expr(a, b)`` — required on oracle-replayed paths; with it off,
+    a plain vectorized multiply-sum (reassociated, low-bit differences
+    only) for rows-only consumers. Use for pair-grain scoring volume; the
+    expression form stays fine for vector-grain norms."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -1013,7 +1015,9 @@ def _pair_dot_udf():
             return pd.Series([], dtype="float64")
         ma = np.vstack(a.to_numpy())
         mb = np.vstack(b.to_numpy())
-        return pd.Series((ma * mb).cumsum(axis=1)[:, -1] + 0.0)
+        if foldexact:
+            return pd.Series((ma * mb).cumsum(axis=1)[:, -1] + 0.0)
+        return pd.Series((ma * mb).sum(axis=1))
 
     return _dot
 
@@ -1048,6 +1052,7 @@ def _train_centroids(
     rows_per_centroid: int = KMEANS_ROWS_PER_CENT,
     max_k: int = KMEANS_MAX_K,
     iters: int = KMEANS_ITERS,
+    foldexact: bool = True,
 ):
     """Deterministic seeded k-means over the corpus: Forgy init on the k
     vectors with the smallest ``md5(vec_id)`` (a hash-ordered uniform
@@ -1091,7 +1096,7 @@ def _train_centroids(
 
     n = emb.count()
     fp = None
-    memo_key = (cache_key, rows_per_centroid, max_k, iters)
+    memo_key = (cache_key, rows_per_centroid, max_k, iters, foldexact)
     if cache_key is not None:
         fp = (n, emb.agg(F.max("vec_id")).first()[0])
         hit = _CENTROID_CACHE.get(memo_key)
@@ -1110,7 +1115,7 @@ def _train_centroids(
     ords = np.arange(1, k + 1, dtype=np.int64)
     cn = _row_norms(cmat)
     for _ in range(iters):
-        assign1 = _assign_clusters_udf(ords, cmat, cn, 1)
+        assign1 = _assign_clusters_udf(ords, cmat, cn, 1, foldexact=foldexact)
         ex = emb.select(
             F.element_at(assign1(F.col("v"), F.col("nrm")), 1).alias("cluster"),
             "v",
@@ -1130,10 +1135,18 @@ def _train_centroids(
     return ords, cmat, cn
 
 
-def _assign_clusters_udf(cent_ids, cmat, cn, nprobe: int):
+def _assign_clusters_udf(cent_ids, cmat, cn, nprobe: int, foldexact: bool = True):
     """Map-side top-``nprobe`` centroid assignment as an Arrow-batched
-    kernel: per record batch, one fold-exact dot pass per centroid and a
+    kernel: per record batch, one dot pass per centroid and a
     stable argsort — ZERO shuffle, and no giant interpreted expression.
+
+    ``foldexact`` picks the summation kernel: the left-fold cumsum
+    (bit-identical to the Catalyst/DuckDB fold — REQUIRED wherever a
+    DuckDB oracle replays the assignment, i.e. semantic_dedup_bucketed)
+    or a BLAS matmul (``mat @ cmat.T`` — reassociated summation, low-bit
+    differences only, but an order of magnitude faster; the right choice
+    for rows-only consumers like ann_ivf_topk, whose gate is a recall
+    bound, not a value hash). Same stable tie-break either way.
 
     Two rejected shapes, both measured at 10× sf0.1:
     - broadcast fanout join + row_number window: shuffles k×N rows (8M
@@ -1156,11 +1169,14 @@ def _assign_clusters_udf(cent_ids, cmat, cn, nprobe: int):
             return pd.Series([], dtype="object")
         mat = np.vstack(v.to_numpy())
         k = cmat.shape[0]
-        cos = np.empty((mat.shape[0], k))
-        for j in range(k):
-            cos[:, j] = _foldexact_row_dots(mat, cmat[j]) / (
-                nrm.to_numpy() * cn[j]
-            )
+        if foldexact:
+            cos = np.empty((mat.shape[0], k))
+            for j in range(k):
+                cos[:, j] = _foldexact_row_dots(mat, cmat[j]) / (
+                    nrm.to_numpy() * cn[j]
+                )
+        else:
+            cos = (mat @ cmat.T) / np.outer(nrm.to_numpy(), cn)
         order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(cent_ids[order]))
 
@@ -2081,17 +2097,22 @@ def ann_ivf_topk(
     # shuffles k×N rows (see the kernel docstring). Assignment happens
     # in-line on the corpus relation, so vectors never take an extra
     # join hop.
+    # rows-only plan (recall-gated, no DuckDB value-hash replay), so every
+    # kernel runs the BLAS/vectorized path: training + assignment are
+    # matmuls, pair scoring is an Arrow multiply-sum — the fold-exact
+    # kernels stay reserved for the oracle-replayed semantic_dedup path
     emb = _embeddings_normed(spark, sf_dir).persist()
     cent_ids, cmat, cn = _train_centroids(
         emb,
         cache_key=sf_dir,
         rows_per_centroid=rows_per_centroid,
         max_k=max_k,
+        foldexact=False,
     )
     if nprobe is None:
         nprobe = max(IVF_NPROBE, int(np.ceil(np.sqrt(cmat.shape[0]))))
-    assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1)
-    assign_probe = _assign_clusters_udf(cent_ids, cmat, cn, nprobe)
+    assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1, foldexact=False)
+    assign_probe = _assign_clusters_udf(cent_ids, cmat, cn, nprobe, foldexact=False)
     assigned = emb.select(
         "vec_id",
         "v",
@@ -2105,6 +2126,7 @@ def ann_ivf_topk(
         F.col("nrm").alias("qn"),
         F.explode(assign_probe(F.col("v"), F.col("nrm"))).alias("cluster"),
     )
+    pair_dot = _pair_dot_udf(foldexact=False)
     scored = (
         probes.join(assigned, "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2112,7 +2134,7 @@ def ann_ivf_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (
-                _dot_expr(F.col("qv"), F.col("v"))
+                pair_dot(F.col("qv"), F.col("v"))
                 / (F.col("qn") * F.col("nrm"))
             ).alias("cosine"),
         )
