@@ -11,6 +11,8 @@ DuckDB oracle SQL, grouped by family.
 - assembly: dataset assembly (PII redaction, train/eval split, weighted
   source mixing).
 - eventplans: event-time / sessionization queries over the events table.
+- cdc: change-data-capture surface (latest-wins upsert snapshots,
+  incremental snapshot+delta MERGE, SCD type-2 dimension build).
 
 Cache lifecycle: several plans ``persist()`` subplans consumed more than
 once within the same query (shingle tables, tf, packing locals). The
@@ -21,7 +23,7 @@ CacheManager dedups by plan equality, so re-invoking the same query never
 stacks duplicate cached copies.
 """
 
-from . import analytics, assembly, curation, eventplans, llmdata, parity, temporal
+from . import analytics, assembly, cdc, curation, eventplans, llmdata, parity, temporal
 from ..operators import multimodal
 
 # Ordered so that if an external harness caps the number of entries it
@@ -39,6 +41,7 @@ _MODULES = (
     eventplans,
     llmdata,
     assembly,
+    cdc,
 )
 
 

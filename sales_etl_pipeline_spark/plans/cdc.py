@@ -1,0 +1,189 @@
+"""Change-data-capture plans over the ``events`` table: latest-wins upsert
+snapshots, incremental snapshot+delta MERGE, and SCD type-2 dimension
+building — the mutation-handling operators an ETL engine needs once its
+inputs are changelogs instead of immutable files.
+
+The reference pipeline (``/root/reference/data/etl.py``) is a
+full-recompute batch script with no notion of updates or deletes; these
+plans define the engine's CDC surface the same way plans/eventplans
+defines its event-time surface (north-star scope, SURVEY.md §2.10-2.11).
+The ``events`` table plays the changelog: key = ``user_id``, each event
+upserts (``last_event_type``, ``last_value``), and ``'error'`` events are
+interpreted as tombstones (DELETE ops) — a deterministic convention over
+the synthetic data, same pattern as the injected PII in plans/assembly.
+
+Scale notes (100 TB):
+- ``cdc_latest_snapshot`` is one shuffle on the key + a ranked window —
+  the max-timestamp-per-key pattern; partial aggregation does not apply
+  to row_number but the shuffle carries only the 5 projected columns.
+- ``cdc_incremental_merge`` is the production shape: the full changelog
+  is never re-read — a persisted base snapshot (key-grain, small) unions
+  with the new delta partition and the latest-wins window runs at
+  (base + delta) grain. Repeated merges should bucket the snapshot by
+  key so successive merges co-locate without re-shuffling (see
+  sources/writers.write_parquet_bucketed). Tombstone compaction is safe
+  at merge boundaries because absence ≡ deleted (documented invariant:
+  delta event-time never precedes base event-time — an event-time-
+  partitioned changelog guarantees this by construction).
+- ``scd2_intervals`` is one shuffle on the key + lead(): each mutation
+  becomes a validity interval [valid_from, valid_to) with an
+  ``is_current`` flag — the standard type-2 slowly-changing-dimension
+  build, linear in changelog size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.readers import load_events
+
+#: event_type interpreted as a DELETE op in the changelog reading
+TOMBSTONE_TYPE = "error"
+
+#: event-time boundary splitting base snapshot from delta in the
+#: incremental-merge registry plan (mid-corpus: events span 2024-01-01 to
+#: 2024-01-30 at every sf, so both sides are non-empty)
+CDC_CUTOFF = "2024-01-16 00:00:00"
+
+_SNAPSHOT_COLS = (
+    "user_id",
+    "last_event_id",
+    "last_ts",
+    "last_event_type",
+    "last_value",
+)
+
+
+def _latest_wins(changelog: DataFrame) -> DataFrame:
+    """Latest-wins reduction of a changelog to a keyed snapshot: rank rows
+    per key by (ts, event_id) descending, keep rank 1, drop keys whose
+    final state is a tombstone. The ranked-window form (not groupBy+max
+    +self-join) reads the changelog once and shuffles once."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != TOMBSTONE_TYPE)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the current state of the changelog: one row per live
+    key with its most recent upsert, tombstoned keys absent."""
+    return _latest_wins(load_events(spark, sf_dir))
+
+
+def merge_snapshot(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """MERGE a delta changelog partition into an existing snapshot:
+    re-expand the snapshot rows into changelog form, union with the delta,
+    and reduce latest-wins. Handles inserts (new key in delta), updates
+    (delta outranks base state), and deletes (delta tombstone evicts the
+    key) in one pass — the relational equivalent of
+    ``MERGE INTO base USING delta WHEN MATCHED ... WHEN NOT MATCHED ...``.
+
+    Invariant: delta event-time must not precede base event-time (an
+    event-time-partitioned changelog guarantees this); under it, snapshot
+    rows carry enough state for latest-wins to be exact, and compacted
+    tombstones (keys already absent from ``base``) stay deleted unless
+    the delta re-inserts them.
+    """
+    base_as_log = base.select(
+        "user_id",
+        F.col("last_event_id").alias("event_id"),
+        F.col("last_ts").alias("ts"),
+        F.col("last_event_type").alias("event_type"),
+        F.col("last_value").alias("value"),
+    )
+    delta_as_log = delta.select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return _latest_wins(base_as_log.unionByName(delta_as_log))
+
+
+def cdc_incremental_merge(
+    spark: SparkSession, sf_dir: str, *, cutoff: str = CDC_CUTOFF
+) -> DataFrame:
+    """Incremental snapshot maintenance, self-verifying: build the base
+    snapshot from events before ``cutoff``, MERGE the delta (events at or
+    after ``cutoff``), and return the merged snapshot — which must equal
+    the full recompute bit-for-bit (the oracle IS the full-recompute SQL;
+    tests/test_operators.py additionally pins merge ≡ recompute across
+    several cutoffs). This is the path a daily 100-TB ingest runs: delta
+    grain work, never a full-history rescan."""
+    events = load_events(spark, sf_dir)
+    cutoff_ts = F.to_timestamp(F.lit(cutoff))
+    base = _latest_wins(events.filter(F.col("ts") < cutoff_ts))
+    delta = events.filter(F.col("ts") >= cutoff_ts)
+    return merge_snapshot(base, delta)
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: every changelog row becomes
+    a version with a validity interval — ``valid_from`` = its event time,
+    ``valid_to`` = the next mutation's event time (NULL while current),
+    ``version`` = 1-based mutation ordinal, ``is_current`` on the open
+    interval. Tombstones participate as versions (they close the previous
+    interval and their own interval represents the deleted state), so the
+    dimension records deletion history — the reason SCD2 exists."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("event_type").alias("attr_event_type"),
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+_SNAPSHOT_SQL = f"""
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    AND event_type <> '{TOMBSTONE_TYPE}'
+"""
+
+#: No driver-registry entries (50-cap, COVERAGE.md) — library tier,
+#: oracle-checked every pytest run by tests/test_library_parity.py.
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+LIBRARY_QUERIES = {
+    "cdc_latest_snapshot": cdc_latest_snapshot,
+    "cdc_incremental_merge": cdc_incremental_merge,
+    "scd2_intervals": scd2_intervals,
+}
+
+LIBRARY_ORACLE: dict[str, str] = {
+    "cdc_latest_snapshot": _SNAPSHOT_SQL,
+    # The merged snapshot must equal the full recompute — the oracle for
+    # the incremental path is deliberately the SAME full-recompute SQL.
+    "cdc_incremental_merge": _SNAPSHOT_SQL,
+    "scd2_intervals": """
+        SELECT user_id,
+               CAST(row_number() OVER w AS INT) AS version,
+               event_type AS attr_event_type,
+               value AS attr_value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+}

@@ -1,0 +1,93 @@
+"""CDC family invariants beyond the library-tier oracle (which already
+pins cdc_latest_snapshot / cdc_incremental_merge / scd2_intervals against
+DuckDB): the incremental MERGE must equal the full recompute for ANY
+event-time cutoff, including degenerate ones (empty base, empty delta),
+and the SCD2 dimension must tile each key's history exactly."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sales_etl_pipeline_spark.plans import cdc  # noqa: E402
+from sales_etl_pipeline_spark.sources.readers import load_events  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _as_sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "cutoff",
+    [
+        "2023-01-01 00:00:00",  # empty base: everything is delta
+        "2024-01-02 12:00:00",  # tiny base
+        "2024-01-16 00:00:00",  # registry cutoff
+        "2024-01-29 00:00:00",  # tiny delta
+        "2025-01-01 00:00:00",  # empty delta: merge degenerates to base
+    ],
+)
+def test_incremental_merge_equals_recompute(spark, cutoff):
+    full = cdc.cdc_latest_snapshot(spark, SF)
+    merged = cdc.cdc_incremental_merge(spark, SF, cutoff=cutoff)
+    assert _as_sorted_rows(merged) == _as_sorted_rows(full)
+
+
+def test_merge_handles_insert_update_delete(spark):
+    """Unit-level MERGE semantics on a hand-built base/delta pair: a new
+    key inserts, a newer upsert updates, a tombstone deletes, and an
+    untouched key survives unchanged."""
+    base = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "view", 1.0),   # will update
+            (2, 11, "2024-01-01 00:00:00", "click", 2.0),  # will delete
+            (3, 12, "2024-01-01 00:00:00", "view", 3.0),   # untouched
+        ],
+        "user_id long, last_event_id long, last_ts string,"
+        " last_event_type string, last_value double",
+    ).withColumn("last_ts", F.to_timestamp("last_ts"))
+    delta = spark.createDataFrame(
+        [
+            (1, 20, "2024-01-02 00:00:00", "purchase", 9.0),
+            (2, 21, "2024-01-02 00:00:00", cdc.TOMBSTONE_TYPE, 0.0),
+            (4, 22, "2024-01-02 00:00:00", "signup", 4.0),  # insert
+        ],
+        "user_id long, event_id long, ts string,"
+        " event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.user_id: (r.last_event_id, r.last_event_type, r.last_value)
+        for r in cdc.merge_snapshot(base, delta).collect()
+    }
+    assert got == {
+        1: (20, "purchase", 9.0),
+        3: (12, "view", 3.0),
+        4: (22, "signup", 4.0),
+    }
+
+
+def test_scd2_tiles_history(spark):
+    """Per key: versions are 1..n with no gaps, exactly one is_current row,
+    and consecutive intervals abut (valid_to of version k == valid_from of
+    version k+1) — the SCD2 tiling invariant."""
+    dim = cdc.scd2_intervals(spark, SF).collect()
+    by_user: dict = {}
+    for r in dim:
+        by_user.setdefault(r.user_id, []).append(r)
+    events = load_events(spark, SF)
+    n_events = events.count()
+    assert sum(len(v) for v in by_user.values()) == n_events
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.is_current for r in rows) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
