@@ -24,6 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.core import md5_long, oracle_md5_long, tokens
@@ -221,6 +222,113 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
     return (
         train_sh.join(eval_sh, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+# contamination_bloom: bits per eval-shingle hash in the Bloom bitset
+# (m = next power of two ≥ n·BLOOM_BITS_PER_KEY) and number of probe
+# functions. 12 bits / 5 probes ≈ 0.6% theoretical false-positive rate.
+BLOOM_BITS_PER_KEY = 12
+BLOOM_PROBES = 5
+
+
+def _bloom_build(hashes, bits_per_key: int = BLOOM_BITS_PER_KEY,
+                 probes: int = BLOOM_PROBES):
+    """Build a numpy Bloom bitset over 64-bit hashes. Double hashing
+    (Kirsch–Mitzenmacher): probe_i = h1 + i·h2 mod m with m a power of
+    two, h2 forced odd so the probe sequence spans the ring."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    n = max(len(h), 1)
+    m = 1 << int(n * bits_per_key - 1).bit_length()
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    h1 = h & np.uint64(m - 1)
+    h2 = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) | np.uint64(1)
+    for i in range(probes):
+        idx = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+        np.bitwise_or.at(bits, idx >> np.uint64(3),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bits, m
+
+
+def _bloom_contains_udf(bits, m: int, probes: int = BLOOM_PROBES):
+    """Arrow-batched membership test against the broadcast bitset —
+    vectorized numpy, ~probes array ops per batch, no Python-row work."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(hcol: pd.Series) -> pd.Series:
+        h = hcol.to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = h & np.uint64(m - 1)
+        h2 = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) | np.uint64(1)
+        ok = np.ones(len(h), dtype=bool)
+        for i in range(probes):
+            idx = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+            ok &= (bits[idx >> np.uint64(3)]
+                   >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return pd.Series(ok)
+
+    return might_contain
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``contamination_check`` with a broadcast Bloom prefilter — the
+    100-TB shape of benchmark decontamination. Same output, different
+    plan: instead of shuffling the full training-shingle relation into
+    the join, every train shingle is first tested map-side against a
+    Bloom bitset built over the eval split's shingle hashes; only the
+    ~matching sliver (true matches + <1% false positives) reaches the
+    exact equi-join that confirms matches and counts per-doc overlaps.
+    At scale the train side is the 100-TB corpus while the eval side is
+    a fixed benchmark suite (10^5–10^7 shingles), so the bitset is a few
+    MiB — the collect here is eval-grain, the same boundedness argument
+    as the IVF centroid training's k-grain traffic
+    (plans/llmdata._train_centroids). The join after the prefilter
+    broadcasts, because the surviving candidate side is eval-sized.
+
+    False positives cannot corrupt the result (the exact join discards
+    them); the Bloom only prunes shuffle volume. Exactness is pinned two
+    ways: the library oracle is contamination_check's own SQL, and
+    tests/test_curation_bloom.py asserts plan-level row equality plus a
+    measured false-positive bound on the prefilter itself.
+
+    Spark's built-in runtime-filter variant of this pattern exists JVM-side
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, injected into
+    shuffle joins by cost heuristics); this operator makes the pattern an
+    explicit, always-on part of the decontamination plan rather than a
+    heuristic, and works under local[] where the injection rule rarely
+    fires.
+    """
+    from .llmdata import _shingle_table
+
+    sh = _shingle_table(spark, sf_dir).persist()
+    eval_ids = stratified_sample(spark, sf_dir).select("doc_id")
+    eval_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    # eval-grain driver traffic: distinct 64-bit hashes of the benchmark
+    # shingles (not the strings), bounded by benchmark-suite size.
+    eval_hashes = [
+        r.h
+        for r in eval_sh.select(F.xxhash64("s").alias("h")).distinct().collect()
+    ]
+    bits, m = _bloom_build(eval_hashes)
+    might_contain = _bloom_contains_udf(bits, m)
+    train_cand = (
+        sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+        .withColumn("h", F.xxhash64("s"))
+        .filter(might_contain(F.col("h")))
+        .drop("h")
+    )
+    return (
+        train_cand.join(F.broadcast(eval_sh), "s")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("s").alias("n_shared_shingles"),
@@ -450,6 +558,7 @@ LIBRARY_QUERIES = {
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "doc_chunks_udtf": doc_chunks_udtf,
+    "contamination_bloom": contamination_bloom,
 }
 
 #: eval-split CTE (DuckDB): md5-rank stratified sample, doc_ids only
@@ -630,4 +739,8 @@ LIBRARY_ORACLE: dict[str, str] = {
 
 #: The UDTF twin is held to the same relational oracle as the registry plan.
 LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
+
+#: The Bloom prefilter must not change the result: held to the exact
+#: contamination oracle (false positives die in the confirming join).
+LIBRARY_ORACLE["contamination_bloom"] = _contamination_oracle()
 

@@ -836,6 +836,44 @@ def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram signal per document: the fraction of a doc's
+    distinct word-3-gram shingles that occur in at least one OTHER
+    document (corpus document frequency ≥ 2) — the relational form of the
+    cross-document duplicate-substring statistic used to flag
+    boilerplate-contaminated training documents (exact-substring dedup
+    literature; a doc can be unique as a whole yet mostly assembled from
+    corpus-duplicated spans, which per-doc signals like repetition_stats
+    cannot see). Docs with fewer than SHINGLE_N tokens have no shingles
+    and are absent, matching the shingle relation on both engines.
+
+    Scale shape: word-count on the shingle key (map-side partial agg),
+    then a join back on the same key — co-partitioned with the aggregate's
+    exchange, so one extra shuffle of the shingle relation at most — and a
+    doc-grain aggregate. No UDFs, no driver traffic; the shingle relation
+    is persisted once because both the df aggregate and the join consume
+    it."""
+    sh = _shingle_table(spark, sf_dir).persist()
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            (
+                F.col("n_dup_shingles").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
@@ -1983,6 +2021,21 @@ LIBRARY_ORACLE: dict[str, str] = {
         FROM tf JOIN dfreq USING (term)
         GROUP BY tf.doc_id
     """,
+    "dup_ngram_fraction": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(shingles) AS s FROM ({_SHINGLES_SQL})
+        ), dfreq AS (
+            SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        )
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_shingles,
+               CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+        FROM sh JOIN dfreq USING (s)
+        GROUP BY sh.doc_id
+    """,
 }
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,4 +2227,5 @@ LIBRARY_QUERIES = {
     # checked against a union-find replay in tests/test_operators.py
     "near_dup_components": near_dup_components,
     "rare_token_stats": rare_token_stats,
+    "dup_ngram_fraction": dup_ngram_fraction,
 }
