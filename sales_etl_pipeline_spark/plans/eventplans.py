@@ -204,6 +204,65 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: click→purchase attribution lookback (shared with the streaming twin
+#: streaming/jobs.stream_click_attribution)
+ATTRIBUTION_WINDOW_MIN = 60
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: every (click, purchase) pair for the
+    same user where the purchase lands within ATTRIBUTION_WINDOW_MIN
+    minutes after the click — the event-correlation interval join whose
+    streaming form is the watermarked stream-stream join
+    (streaming/jobs.stream_click_attribution; tests/test_streaming.py
+    pins stream ≡ this batch plan).
+
+    At scale this is a user-key equi-join with a residual time-range
+    predicate: both sides shuffle once on user_id (clicks and purchases
+    are each a filtered projection of the same scan), the range condition
+    evaluates inside the sort-merge join, and per-user event counts bound
+    the pair blowup. No time-bucketing trick is needed because the equi
+    half of the condition already co-locates; a pure interval join
+    (no equi key) would instead use the epoch-bucket double-join pattern
+    documented in plans/temporal.asof_join_events_orders."""
+    events = load_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts")
+                + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+            # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+            F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias(
+                "lag_us"
+            ),
+        )
+    )
+
+
 def event_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour activity per event via a RANGE frame over epoch
     seconds — the time-based window family (frames defined by value
@@ -358,6 +417,35 @@ ORACLE: dict[str, str] = {
                    AS activity_share
         FROM agg
         ORDER BY hour
+    """,
+}
+
+#: Library tier (50-entry driver cap, COVERAGE.md): oracle-checked every
+#: pytest run by tests/test_library_parity.py; the streaming twin in
+#: streaming/jobs.py is additionally pinned stream ≡ batch.
+LIBRARY_QUERIES = {
+    "event_attribution": event_attribution,
+}
+
+LIBRARY_ORACLE: dict[str, str] = {
+    "event_attribution": f"""
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT event_id AS purchase_id, user_id,
+                   ts AS purchase_ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts,
+               purchase_value,
+               CAST(datediff('microseconds', click_ts, purchase_ts) AS BIGINT)
+                   AS lag_us
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND purchase_ts >= click_ts
+         AND purchase_ts <= click_ts
+             + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
     """,
 }
 

@@ -299,6 +299,65 @@ def stream_custom_sessions(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_click_attribution(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream inner join — the streaming twin of
+    plans/eventplans.event_attribution (click→purchase pairs within the
+    attribution window, same user). Both sides are filtered projections
+    of the same event stream (a stream-stream SELF-join); each carries
+    its own watermark, and the join's time-range condition lets Spark
+    bound state: a buffered click can be dropped once the watermark
+    passes click_ts + window (no future purchase can match it), a
+    buffered purchase once the watermark passes purchase_ts. Without the
+    range condition the state store would grow without bound — the
+    reason the batch plan's join condition is reused verbatim rather
+    than re-filtered after a plain equi-join.
+
+    Inner-join rows are emitted as soon as both sides arrive, so with
+    the availableNow backfill trigger the materialized result equals the
+    batch twin exactly (tests/test_streaming.py pins it)."""
+    from ..plans.eventplans import ATTRIBUTION_WINDOW_MIN
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts")
+            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+        F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias(
+            "lag_us"
+        ),
+    )
+
+
 def run_foreach_batch_parquet(
     df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> list[int]:

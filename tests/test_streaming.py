@@ -67,6 +67,29 @@ def test_stream_sliding_matches_batch(spark):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream self-join (watermarked click→purchase attribution):
+    inner-join rows emit once both sides arrive, so the availableNow
+    backfill must reproduce the batch interval join exactly."""
+    events = jobs.read_events_stream(spark, SF)
+    out = jobs.run_to_memory(
+        jobs.stream_click_attribution(events), "t_attrib", "append"
+    )
+    batch = eventplans.event_attribution(spark, SF)
+    cols = [
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+        "lag_us",
+    ]
+    got = _rows(out, cols)
+    assert len(got) > 0
+    assert got == _rows(batch, cols)
+
+
 def test_stream_parquet_sink_checkpoint(spark, tmp_path):
     """File-sink path: append mode + checkpoint. With a bounded stream the
     final watermark never passes the last windows, so append emits a strict
