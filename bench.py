@@ -66,6 +66,17 @@ HEADLINE = (
     # sources) to show the hot-bucket cap keeps it subquadratic there.
     "ann_ivf_train",
     "minhash_near_dup_skew",
+    # round 8 additions: the Bloom-prefiltered decontamination scale path
+    # (same output as contamination_check; expected ~2× SLOWER here —
+    # local shuffle is memcpy while the bloom pays an Arrow pass; the row
+    # exists to track the prefilter's own cost, see the
+    # contamination_bloom docstring for the regime where it wins), the
+    # CDC incremental MERGE (snapshot+delta maintenance, the daily-ingest
+    # shape), and the interval-join attribution pair generator (batch
+    # twin of the stream-stream join).
+    "contamination_bloom",
+    "cdc_incremental_merge",
+    "event_attribution",
 )
 
 
@@ -126,7 +137,7 @@ EXTRA_QUERIES = {
 }
 
 #: prior-round bench results for per-query regression flagging
-PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r06.json")
+PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r07.json")
 REGRESSION_RATIO = 1.3
 
 
@@ -146,7 +157,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    all_queries = {**plans.all_queries(), **EXTRA_QUERIES}
+    all_queries = {
+        **plans.all_queries(),
+        **plans.library_queries(),
+        **EXTRA_QUERIES,
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in all_queries:

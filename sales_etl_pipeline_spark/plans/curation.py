@@ -305,14 +305,26 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit, always-on part of the decontamination plan rather than a
     heuristic, and works under local[] where the injection rule rarely
     fires.
+
+    When to use which (measured, BASELINE.md): at local/toy scale the
+    exact path is ~2× faster — its eval side broadcasts as a join hash
+    table and local shuffle is memcpy, while the Bloom path pays an extra
+    driver action plus an Arrow pass over every train shingle. The Bloom
+    variant is for the regime where the eval shingle STRINGS are too big
+    to broadcast-hash-join comfortably but their bitset is not (12 bits
+    vs ~50-byte strings ≈ 30× smaller per key, e.g. 10^8 eval shingles =
+    150 MiB bitset vs 5 GiB hash relation) and the train side is large
+    enough that shuffling or hash-probing it all is network/memory-bound.
     """
     from .llmdata import _shingle_table
 
     sh = _shingle_table(spark, sf_dir).persist()
-    eval_ids = stratified_sample(spark, sf_dir).select("doc_id")
+    # eval_ids feeds three consumers (semi join, anti join, hash collect);
+    # persist so the sample's window runs once.
+    eval_ids = stratified_sample(spark, sf_dir).select("doc_id").persist()
     eval_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_semi").select(
         F.col("doc_id").alias("eval_doc"), "s"
-    )
+    ).persist()
     # eval-grain driver traffic: distinct 64-bit hashes of the benchmark
     # shingles (not the strings), bounded by benchmark-suite size.
     eval_hashes = [
