@@ -77,6 +77,11 @@ HEADLINE = (
     "contamination_bloom",
     "cdc_incremental_merge",
     "event_attribution",
+    # residual IVF-PQ with exact re-rank (the memory-bound ANN path:
+    # 32 B codes vs 512 B raw vectors in the candidate scoring join);
+    # steady-state like ann_ivf_topk — index training memoized, its cold
+    # cost tracked by the ann_ivf_train row
+    "ann_ivfpq_topk",
 )
 
 

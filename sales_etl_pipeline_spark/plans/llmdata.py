@@ -1078,9 +1078,11 @@ _CENTROID_CACHE: dict[str, tuple] = {}
 
 
 def clear_centroid_cache() -> None:
-    """Drop all memoized trained centroids (e.g. after mutating a corpus
-    in a way the count+max-vec_id fingerprint cannot see)."""
+    """Drop all memoized trained index metadata — IVF centroids AND PQ
+    codebooks (e.g. after mutating a corpus in a way the
+    count+max-vec_id fingerprint cannot see)."""
     _CENTROID_CACHE.clear()
+    _PQ_CACHE.clear()
 
 
 def _train_centroids(
@@ -2200,6 +2202,306 @@ def ann_ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the memory-bound scale path)
+
+PQ_M = 32  # subspaces (EMB_DIMS must divide evenly) → m bytes per code
+PQ_K = 256  # codewords per subspace → one uint8 code per subspace
+PQ_SAMPLE = 16_384  # training-sample bound (codebooks train on a sample)
+PQ_ITERS = 3  # Lloyd iterations per subspace codebook
+PQ_REFINE = 10  # ADC shortlist = top_k × PQ_REFINE before exact re-rank
+# Sizing, measured on the adversarial clustered corpus (ADC shortlist
+# recall of the true top-5 at depth 50): m=8 → 0.46, m=16 → 0.83,
+# m=32 → 1.00. Tight clusters leave tiny cosine gaps between true and
+# near neighbors, so the residual codebook needs enough subspaces to
+# rank within a cluster; m=32 over 64 dims = 2-dim cells, 32 B/code =
+# 16× under the 512 B raw vector. Higher-dim real embeddings keep
+# ds=2–8 (e.g. 1024 dims at m=128 → 128 B, 64× compression). refine=10
+# then recovers the IVF candidate ceiling exactly (zero PQ-layer loss).
+
+#: Same memo discipline as _CENTROID_CACHE (cleared together).
+_PQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _train_pq(
+    emb: DataFrame,
+    cmat: "np.ndarray",
+    cn: "np.ndarray",
+    cache_key: str | None = None,
+    *,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample: int = PQ_SAMPLE,
+    iters: int = PQ_ITERS,
+) -> "np.ndarray":
+    """Train product-quantization codebooks over IVF RESIDUALS: each
+    sample vector is assigned to its nearest trained centroid, the
+    residual x − c(x) is split into ``m`` subspaces, and each subspace is
+    k-means'd independently (Jégou et al.'s PQ, FAISS IndexIVFPQ shape).
+    Residual coding is load-bearing on clustered data: the centroid
+    carries the coarse position, so the codebook's bits all go to the
+    within-cluster detail that actually ranks neighbors — plain-vector PQ
+    measured 0.32 recall on the clustered skew corpus vs ≥0.9 residual
+    (the codewords all landed on cluster centers and within-cluster
+    ordering was noise). Returns books of shape (m, k_eff, d/m).
+
+    Training runs driver-side in numpy over a deterministic md5-ordered
+    sample of ≤ ``sample`` vectors — bounded driver traffic by
+    construction (16384 × 64 doubles = 8 MiB), the standard way PQ
+    codebooks are fit (they are index METADATA, like the IVF centroid
+    matrix; the per-row work — encoding and scoring — stays
+    distributed). Init is Forgy on the md5-ordered prefix, empty cells
+    keep their previous codeword, distances use the ‖x‖²−2x·c+‖c‖²
+    expansion — one (S × k) matrix per subspace.
+    """
+    n = emb.count()
+    memo_key = (cache_key, m, k, sample, iters)
+    fp = None
+    if cache_key is not None:
+        fp = (n, emb.agg(F.max("vec_id")).first()[0])
+        hit = _PQ_CACHE.get(memo_key)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+    rows = (
+        emb.select(
+            "v",
+            "nrm",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy("h", "vec_id")
+        .limit(min(n, sample))
+        .collect()
+    )
+    X = np.array([list(r.v) for r in rows], dtype=np.float64)
+    xn = np.array([r.nrm for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"PQ_M={m} must divide dims={d}")
+    ds = d // m
+    # same assignment rule as the distributed kernel: top-1 cosine, ties
+    # on the lower ordinal (stable argmax via argsort not needed — argmax
+    # returns the first max)
+    assign = ((X @ cmat.T) / np.outer(xn, cn)).argmax(1)
+    R = X - cmat[assign]
+    k_eff = min(k, R.shape[0])
+    books = np.empty((m, k_eff, ds), dtype=np.float64)
+    for mi in range(m):
+        sub = R[:, mi * ds : (mi + 1) * ds]
+        cb = sub[:k_eff].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ cb.T)
+                + (cb * cb).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            sums = np.zeros_like(cb)
+            np.add.at(sums, a, sub)
+            counts = np.bincount(a, minlength=k_eff).astype(np.float64)
+            nonempty = counts > 0
+            cb[nonempty] = sums[nonempty] / counts[nonempty, None]
+        books[mi] = cb
+    if cache_key is not None:
+        _PQ_CACHE[memo_key] = (fp, books)
+    return books
+
+
+def _pq_encode_udf(books: "np.ndarray", cmat: "np.ndarray"):
+    """Arrow-batched residual-PQ encoder: (vector, assigned cluster) →
+    m small codes (nearest codeword per subspace of x − c(x)). Map-side,
+    zero shuffle — the corpus's raw vectors are read once at index build
+    and never join again until re-rank."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k_eff, ds = books.shape
+    cb_sq = [(books[mi] * books[mi]).sum(1) for mi in range(m)]
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series, cluster: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.vstack(v.to_numpy())
+        resid = mat - cmat[cluster.to_numpy(dtype=np.int64) - 1]
+        codes = np.empty((mat.shape[0], m), dtype=np.int64)
+        for mi in range(m):
+            sub = resid[:, mi * ds : (mi + 1) * ds]
+            d2 = -2.0 * (sub @ books[mi].T) + cb_sq[mi][None, :]
+            codes[:, mi] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return _enc
+
+
+def _pq_adc_udf(
+    books: "np.ndarray", cmat: "np.ndarray", q_ids, q_mat: "np.ndarray"
+):
+    """Asymmetric-distance scoring for residual PQ:
+    dot(q, x) ≈ dot(q, c(x)) + dot(q, r̂) — the first term is an exact
+    (n_queries × k) centroid-dot table, the second a Σ_m LUT[m, code_m]
+    gather over per-query (m × k) subspace tables. m table reads per
+    candidate instead of a d-dim dot against a raw vector; the LUTs
+    (n_queries × m × k doubles) are closure-captured like the centroid
+    matrix, and scoring is one vectorized gather per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k_eff, ds = books.shape
+    qc = q_mat @ cmat.T  # (nq, k_ivf): exact dot(q, centroid)
+    # LUT[qi, mi, c] = dot(q_sub(mi), books[mi, c])
+    lut = np.stack(
+        [
+            np.stack(
+                [books[mi] @ q_mat[qi, mi * ds : (mi + 1) * ds] for mi in range(m)]
+            )
+            for qi in range(q_mat.shape[0])
+        ]
+    )
+    idx_of = {int(q): i for i, q in enumerate(q_ids)}
+    mi_range = np.arange(m)
+
+    @pandas_udf("double")
+    def _adc(
+        query_id: pd.Series, cluster: pd.Series, codes: pd.Series
+    ) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.vstack(codes.to_numpy()).astype(np.int64)
+        qi = query_id.map(idx_of).to_numpy(dtype=np.int64)
+        cl = cluster.to_numpy(dtype=np.int64) - 1
+        resid_dot = lut[qi[:, None], mi_range[None, :], c].sum(1)
+        return pd.Series(qc[qi, cl] + resid_dot)
+
+    return _adc
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nprobe: int | None = None,
+    top_k: int = IVF_TOP_K,
+    n_queries: int = IVF_N_QUERIES,
+    refine: int = PQ_REFINE,
+    pq_m: int = PQ_M,
+    pq_k: int = PQ_K,
+    rows_per_centroid: int = KMEANS_ROWS_PER_CENT,
+    max_k: int = KMEANS_MAX_K,
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking — the memory-bound ANN scale path.
+    ``ann_ivf_topk`` prunes WHICH vectors a query scores but still reads
+    raw vectors (d × 8 bytes each) for every candidate; at 10^11 vectors
+    the raw matrix is the bottleneck (64 dims × 8 B = 512 B/vec = 50 TB).
+    PQ stores an m-byte RESIDUAL code instead (32 B/vec here, 16×
+    smaller — see the PQ_M sizing note), scores candidates against
+    per-query lookup tables (ADC), and only the ADC shortlist
+    (top_k × refine) touches raw vectors again for exact cosines — the
+    standard IVF-PQ + re-rank pipeline (Jégou et al.;
+    FAISS IndexIVFPQR shape), expressed as: trained-centroid cluster
+    equi-join (shared with ann_ivf_topk) over the CODES relation, ADC
+    gather kernel, shortlist window, skinny re-rank join back to raw
+    vectors, final top-k window.
+
+    Rows-only (approximate by construction): recall vs the exact brute
+    force is pinned in tests/test_skew.py on the clustered corpus, and
+    tests/test_operators.py pins the code-size invariant plus recall at
+    sf0.001. Returned cosines are EXACT (computed at re-rank), so a hit
+    list agrees with knn_cosine_topk wherever candidates overlap.
+    """
+    emb = _embeddings_normed(spark, sf_dir).persist()
+    cent_ids, cmat, cn = _train_centroids(
+        emb,
+        cache_key=sf_dir,
+        rows_per_centroid=rows_per_centroid,
+        max_k=max_k,
+        foldexact=False,
+    )
+    books = _train_pq(emb, cmat, cn, cache_key=sf_dir, m=pq_m, k=pq_k)
+    if nprobe is None:
+        nprobe = max(IVF_NPROBE, int(np.ceil(np.sqrt(cmat.shape[0]))))
+    assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1, foldexact=False)
+    assign_probe = _assign_clusters_udf(
+        cent_ids, cmat, cn, nprobe, foldexact=False
+    )
+    encode = _pq_encode_udf(books, cmat)
+    # The PQ index relation: (vec_id, cluster, codes, nrm) — no raw
+    # vectors. nrm is stored exact (8 B) so ADC cosines use true norms.
+    index = emb.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(assign1(F.col("v"), F.col("nrm"))).alias("cluster"),
+    ).select(
+        "vec_id",
+        "cluster",
+        encode(F.col("v"), F.col("cluster")).alias("codes"),
+        "nrm",
+    )
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )  # query-grain driver traffic (n_queries rows), builds the ADC LUTs
+    q_ids = [r.vec_id for r in q_rows]
+    q_mat = np.array([list(r.v) for r in q_rows], dtype=np.float64)
+    adc = _pq_adc_udf(books, cmat, q_ids, q_mat)
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nrm").alias("qn"),
+            F.explode(assign_probe(F.col("v"), F.col("nrm"))).alias("cluster"),
+        )
+    )
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), "neighbor_id"
+    )
+    shortlist = (
+        probes.join(index, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qn",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                adc(F.col("query_id"), F.col("cluster"), F.col("codes"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("adc_cos"),
+        )
+        .withColumn("rk", F.row_number().over(shortlist_w))
+        .filter(F.col("rk") <= top_k * refine)
+        .select("query_id", "qn", "neighbor_id")
+    )
+    # Exact re-rank: only the shortlist touches raw vectors again.
+    pair_dot = _pair_dot_udf(foldexact=False)
+    qv = spark.createDataFrame(
+        [(int(r.vec_id), list(r.v)) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), "v", "nrm"
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                pair_dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -2228,4 +2530,8 @@ LIBRARY_QUERIES = {
     "near_dup_components": near_dup_components,
     "rare_token_stats": rare_token_stats,
     "dup_ngram_fraction": dup_ngram_fraction,
+    # rows-only in the library harness (approximate by construction);
+    # recall + code-size invariants pinned in tests/test_operators.py
+    # and tests/test_skew.py
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }

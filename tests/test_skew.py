@@ -151,6 +151,26 @@ def test_lsh_recall_on_clustered_embeddings(spark, skew_dir):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 on clustered corpus"
 
 
+def test_ivfpq_recall_on_clustered_embeddings(spark, skew_dir):
+    """Residual IVF-PQ (compressed codes + ADC shortlist + exact
+    re-rank) must hold the same ≥ 0.9 recall gate as uncompressed IVF on
+    the clustered corpus — the shape where plain-vector PQ measured 0.32
+    (codewords swallowed the cluster structure; residual coding is the
+    fix, see plans/llmdata._train_pq)."""
+    import pyarrow.parquet as pq
+
+    llmdata.clear_centroid_cache()
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in llmdata.ann_ivfpq_topk(spark, skew_dir).collect()
+    }
+    tbl = pq.read_table(f"{skew_dir}/embeddings.parquet")
+    vecs = np.vstack(tbl["embedding"].to_numpy()).astype(np.float64)
+    exact = _exact_topk(vecs, llmdata.IVF_N_QUERIES, llmdata.IVF_TOP_K)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"IVF-PQ recall {recall:.3f} < 0.9 on clustered corpus"
+
+
 def test_trained_ivf_cluster_sizes_bounded(spark, skew_dir):
     """No degenerate mega-cluster on Zipf-clustered data: the candidate
     equi-join's per-key fan-in is bounded by cluster size, so trained
