@@ -836,6 +836,63 @@ def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_K = 64  # Misra-Gries counters per partition (error ≤ n_tokens/(K+1))
+
+
+def approx_heavy_hitters(
+    spark: SparkSession, sf_dir: str, *, k: int = HH_K
+) -> DataFrame:
+    """Approximate frequent terms via a per-partition Misra–Gries sketch
+    with mergeable summaries (Agarwal et al.): each partition streams its
+    tokens through ``k`` counters in one pass (decrement-all when full),
+    emits its k-row summary, and the summaries merge by termwise
+    addition. The deterministic guarantee — NOT a probabilistic sketch:
+    every term with true frequency > n/(k+1) is present, and each
+    estimate lies in [true − n/(k+1), true] (per-partition
+    under-estimation ≤ n_p/(k+1) sums to ≤ n/(k+1) under merge).
+
+    Why it exists next to the exact ``groupBy(term).count()``: the exact
+    plan's shuffle is term-cardinality-grain — fine for text, fatal when
+    the key space is huge (URLs, n-grams, join keys under skew
+    diagnosis). The sketch's shuffle carries ``partitions × k`` rows
+    regardless of cardinality, and the per-partition pass is one dict in
+    one Python loop over Arrow batches — bounded memory by construction.
+
+    Library rows-only BY DESIGN: counter states depend on partition
+    boundaries and intra-partition order, so no engine-independent SQL
+    twin exists; the deterministic containment + error-band guarantee is
+    pinned against exact counts in tests/test_operators.py instead
+    (a stronger check than value-hash equality of one arbitrary run)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term in pdf["term"]:
+                if term in counters:
+                    counters[term] += 1
+                elif len(counters) < k:
+                    counters[term] = 1
+                else:
+                    dead = [t for t in counters if counters[t] == 1]
+                    for t in counters:
+                        counters[t] -= 1
+                    for t in dead:
+                        del counters[t]
+        if counters:
+            yield pd.DataFrame(
+                {"term": list(counters), "cnt": list(counters.values())}
+            )
+
+    summaries = tok.mapInPandas(_mg, "term string, cnt long")
+    return (
+        summaries.groupBy("term")
+        .agg(F.sum("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), "term")
+    )
+
+
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-n-gram signal per document: the fraction of a doc's
     distinct word-3-gram shingles that occur in at least one OTHER
@@ -2534,4 +2591,7 @@ LIBRARY_QUERIES = {
     # recall + code-size invariants pinned in tests/test_operators.py
     # and tests/test_skew.py
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    # rows-only by design (partition-order-dependent counters); the MG
+    # containment + error-band guarantee is pinned in tests/test_operators.py
+    "approx_heavy_hitters": approx_heavy_hitters,
 }

@@ -389,6 +389,58 @@ def run_foreach_batch_parquet(
     return seen
 
 
+def run_cdc_merge_stream(
+    events: DataFrame, snapshot_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming MERGE sink: maintain a latest-wins snapshot table from
+    the changelog stream via ``foreachBatch`` + ``plans.cdc.merge_snapshot``
+    — the streaming form of ``cdc_incremental_merge``, and the concrete
+    use of the foreachBatch escape hatch the run_foreach_batch_parquet
+    docstring points at (MERGE is not a native streaming sink).
+
+    Each microbatch reads the current snapshot parquet (empty on first
+    epoch), merges the batch's changelog rows (insert/update/delete in
+    one ranked-window pass), and atomically replaces the snapshot via
+    write-to-staging + rename. Correctness leans on the same invariant
+    as the batch MERGE (delta event-time ≥ base event-time — file
+    streams deliver whole files, and merge_snapshot reduces latest-wins
+    within the batch too, so intra-batch disorder is fine). Idempotence:
+    replaying an epoch re-merges rows already folded into the snapshot —
+    latest-wins is idempotent under replay (same key, same ts, same
+    event wins again), so an at-least-once trigger yields
+    exactly-once-effect state. tests/test_streaming.py pins the final
+    snapshot equal to the batch ``cdc_latest_snapshot``."""
+    import shutil
+
+    from ..plans.cdc import _latest_wins, merge_snapshot
+
+    spark = events.sparkSession
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        live = os.path.join(snapshot_dir, "live")
+        if os.path.isdir(live):
+            base = spark.read.parquet(live)
+            merged = merge_snapshot(base, batch_df)
+        else:
+            merged = _latest_wins(batch_df)
+        staging = os.path.join(snapshot_dir, f"staging_epoch_{epoch_id}")
+        merged.write.mode("overwrite").parquet(staging)
+        old = os.path.join(snapshot_dir, f"old_epoch_{epoch_id}")
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(staging, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    query = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -446,3 +446,34 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) >= {"n_nationkey", "n_name", "ingest_round"}
     assert merged.count() == v1.count() * 2
     assert merged.filter(F.col("ingest_round").isNull()).count() == v1.count()
+
+
+def test_misra_gries_heavy_hitters_guarantee(spark):
+    """Misra–Gries is deterministic-error, not probabilistic: against the
+    exact term counts, every term with true frequency > n/(k+1) MUST be
+    present in the merged sketch, and every estimate must lie in
+    [true − n/(k+1), true]. Partition layout may change which low-count
+    terms survive, but never these bounds — so the test holds under any
+    parallelism."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.functions.core import tokens
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    sketch = {
+        r.term: r.est_count
+        for r in llmdata.approx_heavy_hitters(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    exact = {r.term: r.cnt for r in tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(exact.values())
+    eps = n / (llmdata.HH_K + 1)
+    heavy = {t for t, c in exact.items() if c > eps}
+    assert heavy, "corpus has no heavy hitters — test data assumption broken"
+    missing = heavy - set(sketch)
+    assert not missing, f"MG containment violated: {sorted(missing)[:5]}"
+    for t, est in sketch.items():
+        true = exact.get(t, 0)
+        assert true - eps <= est <= true, (t, est, true, eps)

@@ -184,6 +184,48 @@ def test_stream_custom_sessions_match_batch(spark, tmp_path):
     assert len(got) >= 0.5 * len(want)  # and most sessions DID finalize
 
 
+def test_stream_cdc_merge_snapshot_matches_batch(spark, tmp_path):
+    """Streaming MERGE sink: the events changelog streamed in time-ordered
+    chunks (one file per microbatch) through foreachBatch + merge_snapshot
+    must leave the SAME snapshot on disk as the batch full recompute —
+    inserts, updates, and tombstone deletes folded epoch by epoch."""
+    from sales_etl_pipeline_spark.plans.cdc import cdc_latest_snapshot
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "evchunks"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        p = str(src / f"part{i}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snap_dir = str(tmp_path / "snapshot")
+    jobs.run_cdc_merge_stream(
+        normalize_event_ts(raw), snap_dir, str(tmp_path / "ckpt")
+    )
+    got = spark.read.parquet(os.path.join(snap_dir, "live"))
+    want = cdc_latest_snapshot(spark, SF)
+    cols = [
+        "user_id",
+        "last_event_id",
+        "last_ts",
+        "last_event_type",
+        "last_value",
+    ]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stream_restart_recovery_from_checkpoint(spark, tmp_path):
     """Kill-and-resume: a second ``availableNow`` run over the SAME
     checkpoint must process only files added after the first run stopped —
