@@ -147,6 +147,44 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 with change compaction: a new version opens only when the
+    tracked attributes actually CHANGE — consecutive changelog rows with
+    identical (event_type, value) extend the open interval instead of
+    fragmenting it. This is the dimension most warehouses mean by
+    "type 2": ``scd2_intervals`` records every mutation (an audit log in
+    interval form); this plan records state history. Two window passes
+    over the same partitioning (lag to flag changes, lead to close the
+    kept rows' intervals) — Catalyst plans a single shuffle on the key,
+    both windows reuse the sort."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    kept = flagged.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+        | (F.col("value") != F.col("prev_value"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return kept.select(
+        "user_id",
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.col("event_type").alias("attr_event_type"),
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
 _SNAPSHOT_SQL = f"""
     SELECT user_id,
            event_id AS last_event_id,
@@ -168,6 +206,7 @@ LIBRARY_QUERIES = {
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "cdc_incremental_merge": cdc_incremental_merge,
     "scd2_intervals": scd2_intervals,
+    "scd2_compacted": scd2_compacted,
 }
 
 LIBRARY_ORACLE: dict[str, str] = {
@@ -185,5 +224,29 @@ LIBRARY_ORACLE: dict[str, str] = {
                lead(ts) OVER w IS NULL AS is_current
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "scd2_compacted": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   lag(event_type) OVER w AS prev_type,
+                   lag(value) OVER w AS prev_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        kept AS (
+            SELECT * FROM flagged
+            WHERE prev_type IS NULL
+               OR event_type <> prev_type
+               OR value <> prev_value
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w2 AS INT) AS version,
+               event_type AS attr_event_type,
+               value AS attr_value,
+               ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM kept
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 }

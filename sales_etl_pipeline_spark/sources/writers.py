@@ -61,6 +61,94 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     writer.orc(path)
 
 
+#: z-order quantization resolution per dimension (bits)
+ZORDER_BITS = 16
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> F.Column:
+    """Morton (z-order) key over 2+ numeric/date columns: each column is
+    min/max-quantized to ``bits`` levels, and the bit-planes are
+    interleaved so rows close in EVERY dimension get close keys. Built
+    entirely from shift/and/or expressions — codegen'd, no UDF; the only
+    pre-pass is one global min/max aggregate per column (a single
+    scan-grain job whose result folds into the expression as literals).
+
+    Min/max linear quantization is the simple default; a skewed column
+    wastes levels (the standard refinement is quantile-based boundaries
+    — swap the (lo, hi) literals for approx-quantile cut points without
+    touching the interleave)."""
+    dtypes = dict(df.dtypes)
+
+    def _numeric(c: str) -> F.Column:
+        # timestamps (tz or ntz) and dates have no direct double cast;
+        # epoch seconds / days preserve order, which is all z-order needs
+        t = dtypes[c]
+        if t.startswith("timestamp"):
+            return F.unix_timestamp(F.col(c)).cast("double")
+        if t == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).cast("double")
+
+    stats = df.agg(
+        *[
+            f(_numeric(c)).alias(f"{n}_{c}")
+            for c in cols
+            for n, f in (("lo", F.min), ("hi", F.max))
+        ]
+    ).first()
+    ncols = len(cols)
+    quantized = []
+    for c in cols:
+        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                (_numeric(c) - F.lit(lo))
+                / F.lit(span)
+                * F.lit(float((1 << bits) - 1) + 0.9999)
+            ).cast("long"),
+        )
+        quantized.append(q)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    files: int = 32,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Z-order-clustered parquet: range-partition and sort by the Morton
+    key of ``cols`` so every file's min/max footer stats span a narrow
+    range in ALL clustered dimensions — the multi-column data-skipping
+    layout (Delta/Iceberg OPTIMIZE ZORDER; here as a plain-parquet
+    write). A single-column sort gives perfect pruning on that column
+    and none on the others; z-order trades a little per-column locality
+    for pruning on every clustered column at once
+    (tests/test_scale_patterns.py measures both effects on real footer
+    stats). At 100 TB this is the difference between a needle query
+    scanning one file and scanning a full partition."""
+    zcol = zorder_column(df, cols, bits)
+    (
+        df.withColumn("_z", zcol)
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, buckets: int = 32
 ) -> None:

@@ -389,6 +389,45 @@ def run_foreach_batch_parquet(
     return seen
 
 
+def user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static per-user dimension for stream enrichment: earliest signup
+    time per user (batch aggregate over the events table — stands in for
+    the user/account dimension a production pipeline would load)."""
+    from ..sources.readers import load_events
+
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+
+
+def stream_enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream against a static (or
+    slowly-refreshed) dimension — the third join mode Structured
+    Streaming supports besides stream-stream and aggregation, and the
+    everyday one (fact stream × dimension snapshot). The static side is
+    re-planned every microbatch, so a dimension table that is overwritten
+    between batches is picked up without restarting the query; broadcast
+    keeps the join map-side (no stream-side shuffle, no state store —
+    unlike the stream-stream join there is nothing to watermark or
+    evict). Left join keeps pre-signup/no-signup events with NULL
+    enrichment. tests/test_streaming.py pins stream ≡ the identical
+    batch join."""
+    return (
+        events.join(F.broadcast(profile), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "signup_ts",
+            (F.col("ts") >= F.col("signup_ts")).alias("after_signup"),
+        )
+    )
+
+
 def run_cdc_merge_stream(
     events: DataFrame, snapshot_dir: str, checkpoint_dir: str
 ) -> None:

@@ -184,6 +184,29 @@ def test_stream_custom_sessions_match_batch(spark, tmp_path):
     assert len(got) >= 0.5 * len(want)  # and most sessions DID finalize
 
 
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static enrichment: the event stream left-joined to the
+    static per-user profile must equal the identical batch join — no
+    state, no watermark, broadcast dimension."""
+    from sales_etl_pipeline_spark.sources.readers import load_events
+
+    profile = jobs.user_profile(spark, SF)
+    events = jobs.read_events_stream(spark, SF)
+    out = jobs.run_to_memory(
+        jobs.stream_enrich_with_profile(events, profile), "t_enrich", "append"
+    )
+    batch = jobs.stream_enrich_with_profile(load_events(spark, SF), profile)
+    cols = ["event_id", "user_id", "ts", "event_type", "signup_ts", "after_signup"]
+    got = _rows(out, cols)
+    assert len(got) > 0
+    assert got == _rows(batch, cols)
+    # enrichment happened (every sf0.001 user has a signup, so the NULL
+    # branch of the left join is data-dependent — not asserted) and the
+    # derived flag varies, so the join carried real values through
+    assert any(r[4] is not None for r in got)
+    assert {r[5] for r in got} == {True, False}
+
+
 def test_stream_cdc_merge_snapshot_matches_batch(spark, tmp_path):
     """Streaming MERGE sink: the events changelog streamed in time-ordered
     chunks (one file per microbatch) through foreachBatch + merge_snapshot
