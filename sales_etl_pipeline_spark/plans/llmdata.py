@@ -839,32 +839,31 @@ def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_K = 64  # Misra-Gries counters per partition (error ≤ n_tokens/(K+1))
 
 
-def approx_heavy_hitters(
-    spark: SparkSession, sf_dir: str, *, k: int = HH_K
-) -> DataFrame:
-    """Approximate frequent terms via a per-partition Misra–Gries sketch
-    with mergeable summaries (Agarwal et al.): each partition streams its
-    tokens through ``k`` counters in one pass (decrement-all when full),
-    emits its k-row summary, and the summaries merge by termwise
+def misra_gries(df: DataFrame, col: str, k: int = HH_K) -> DataFrame:
+    """Generic per-partition Misra–Gries sketch with mergeable summaries
+    (Agarwal et al.) over any string-typed column: each partition streams
+    its values through ``k`` counters in one pass (decrement-all when
+    full), emits its k-row summary, and the summaries merge by termwise
     addition. The deterministic guarantee — NOT a probabilistic sketch:
-    every term with true frequency > n/(k+1) is present, and each
+    every value with true frequency > n/(k+1) is present, and each
     estimate lies in [true − n/(k+1), true] (per-partition
     under-estimation ≤ n_p/(k+1) sums to ≤ n/(k+1) under merge).
 
-    Why it exists next to the exact ``groupBy(term).count()``: the exact
-    plan's shuffle is term-cardinality-grain — fine for text, fatal when
-    the key space is huge (URLs, n-grams, join keys under skew
-    diagnosis). The sketch's shuffle carries ``partitions × k`` rows
-    regardless of cardinality, and the per-partition pass is one dict in
-    one Python loop over Arrow batches — bounded memory by construction.
+    Why it exists next to the exact ``groupBy(col).count()``: the exact
+    plan's shuffle is key-cardinality-grain — fine for small domains,
+    fatal when the key space is huge (URLs, n-grams, join keys). The
+    sketch's shuffle carries ``partitions × k`` rows regardless of
+    cardinality, and the per-partition pass is one dict in one Python
+    loop over Arrow batches — bounded memory by construction. Also the
+    skew-diagnosis primitive: run it on a join key before a big join to
+    find the hot keys that need salting (functions/core.salted_agg) or
+    AQE skew handling.
 
-    Library rows-only BY DESIGN: counter states depend on partition
-    boundaries and intra-partition order, so no engine-independent SQL
-    twin exists; the deterministic containment + error-band guarantee is
-    pinned against exact counts in tests/test_operators.py instead
-    (a stronger check than value-hash equality of one arbitrary run)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    Returns (term, est_count) sorted by estimate. Partition-order
+    dependent by construction (which low-count stragglers survive varies
+    with layout) — the guarantee above is what is stable, and what
+    tests/test_operators.py pins."""
+    vals = df.select(F.col(col).alias("term"))
 
     def _mg(batches):
         counters: dict[str, int] = {}
@@ -885,12 +884,23 @@ def approx_heavy_hitters(
                 {"term": list(counters), "cnt": list(counters.values())}
             )
 
-    summaries = tok.mapInPandas(_mg, "term string, cnt long")
+    summaries = vals.mapInPandas(_mg, "term string, cnt long")
     return (
         summaries.groupBy("term")
         .agg(F.sum("cnt").alias("est_count"))
         .orderBy(F.desc("est_count"), "term")
     )
+
+
+def approx_heavy_hitters(
+    spark: SparkSession, sf_dir: str, *, k: int = HH_K
+) -> DataFrame:
+    """Frequent corpus terms via the generic ``misra_gries`` sketch over
+    the exploded token relation — the registry-facing instantiation;
+    guarantee + tiering notes on the generic function."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return misra_gries(tok, "term", k)
 
 
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:

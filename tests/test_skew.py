@@ -192,3 +192,26 @@ def test_trained_ivf_cluster_sizes_bounded(spark, skew_dir):
     assert biggest <= 10 * llmdata.KMEANS_ROWS_PER_CENT, (
         f"mega-cluster: {biggest} of {n} vectors in one cluster"
     )
+
+
+def test_misra_gries_diagnoses_power_law_sources(spark, skew_dir):
+    """The generic misra_gries sketch as the skew-diagnosis primitive:
+    over the power-law source column it must surface the true hottest
+    key as its top estimate and honor the deterministic error band —
+    what a pipeline runs on a join key before deciding to salt it."""
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, skew_dir, "documents")
+    sketch = llmdata.misra_gries(docs, "source", k=16).collect()
+    exact = {
+        r.source: r.cnt
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(exact.values())
+    eps = n / (16 + 1)
+    true_top = max(exact, key=exact.get)
+    assert sketch[0].term == true_top
+    for r in sketch:
+        true = exact.get(r.term, 0)
+        assert true - eps <= r.est_count <= true
