@@ -249,6 +249,56 @@ def incremental_exact_dedup(
     )
 
 
+def incremental_minhash_near_dup(
+    base_docs: DataFrame, delta_docs: DataFrame
+) -> DataFrame:
+    """Delta-only near-dup for append-only ingest — the MinHash analogue
+    of ``incremental_exact_dedup``: find every near-dup pair that TOUCHES
+    the new batch (delta×base and delta×delta) without re-running the
+    corpus-wide band self-join. Candidate generation joins the DELTA's
+    band keys against the full band relation, so per-batch work is
+    O(|delta| × collision rate); operationally the base band relation is
+    the persisted LSH *index* a pipeline maintains across batches
+    (4 skinny rows/doc — bucket it on (band, key) and the per-batch
+    exchange disappears, same argument as the fingerprint state in
+    incremental_exact_dedup).
+
+    Semantics: same 16 md5-seeded min-hashes, 4×4 banding, and exact
+    Jaccard ≥ threshold verification as ``minhash_near_dup``, WITHOUT the
+    exact-dup collapse or the hot-bucket cap — per-batch deltas are
+    small, so the quadratic hazards those guard against live in the
+    initial backfill (run the full plan there), not the steady-state
+    ingest. Called with an empty base, this IS the uncapped full
+    recompute, which gives the fold-equivalence contract its clean form:
+    pairs(base ∪ delta) = pairs(base) ∪ incremental(base, delta)
+    (pinned for a 3-way split in tests/test_operators.py).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and at least one
+    side from the delta.
+    """
+    spark = delta_docs.sparkSession
+    all_docs = base_docs.unionByName(delta_docs)
+    sh = _shingle_table(spark, "", all_docs).persist()
+    delta_ids = delta_docs.select("doc_id")
+    bands_all = _minhash_bands(sh).persist()
+    bands_delta = bands_all.join(F.broadcast(delta_ids), "doc_id", "left_semi")
+    cand = (
+        bands_delta.alias("d")
+        .join(
+            bands_all.alias("a"),
+            (F.col("d.band") == F.col("a.band"))
+            & (F.col("d.key") == F.col("a.key"))
+            & (F.col("d.doc_id") != F.col("a.doc_id")),
+        )
+        .select(
+            F.least("d.doc_id", "a.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "a.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _pair_jaccard(sh, cand)
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by 3-gram Jaccard ≥ 0.8. Candidates via the
     shared-shingle equi-join (exact but quadratic in shingle document

@@ -477,3 +477,36 @@ def test_misra_gries_heavy_hitters_guarantee(spark):
     for t, est in sketch.items():
         true = exact.get(t, 0)
         assert true - eps <= est <= true, (t, est, true, eps)
+
+
+def test_incremental_minhash_near_dup_equals_full(spark):
+    """Fold-equivalence for the delta-only LSH path: pairs(all) must
+    equal pairs(base) ∪ incremental(base, delta) for a doc_id split —
+    every pair touching the delta comes from the incremental call, every
+    base-only pair from the base run, with identical jaccard values."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter("doc_id % 10 < 7")
+    delta = docs.filter("doc_id % 10 >= 7")
+    empty = spark.createDataFrame([], docs.schema)
+
+    def pairs(df):
+        return {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in df.collect()
+        }
+
+    full = pairs(llmdata.incremental_minhash_near_dup(empty, docs))
+    base_only = pairs(llmdata.incremental_minhash_near_dup(empty, base))
+    incr = pairs(llmdata.incremental_minhash_near_dup(base, delta))
+    assert full, "corpus has no near-dup pairs — test assumption broken"
+    assert incr, "delta touches no near-dup pairs — split assumption broken"
+    merged = {**base_only, **incr}
+    assert set(merged) == set(full)
+    for k, v in merged.items():
+        assert v == full[k]
+    # the two contributions are disjoint: incr pairs all touch the delta
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    assert all(a in delta_ids or b in delta_ids for a, b in incr)
+    assert not any(a in delta_ids or b in delta_ids for a, b in base_only)
