@@ -249,19 +249,37 @@ def incremental_exact_dedup(
     )
 
 
+def minhash_index(docs: DataFrame) -> DataFrame:
+    """Build the persistable LSH band index for a document set: the
+    (doc_id, band, key) relation — 4 skinny rows per document. This is
+    the state an append-only near-dup pipeline maintains across ingest
+    batches (write it bucketed on (band, key),
+    sources/writers.write_bucketed, and the per-batch candidate join
+    needs no exchange on the index side)."""
+    spark = docs.sparkSession
+    return _minhash_bands(_shingle_table(spark, "", docs))
+
+
 def incremental_minhash_near_dup(
-    base_docs: DataFrame, delta_docs: DataFrame
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    base_index: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-only near-dup for append-only ingest — the MinHash analogue
     of ``incremental_exact_dedup``: find every near-dup pair that TOUCHES
     the new batch (delta×base and delta×delta) without re-running the
-    corpus-wide band self-join. Candidate generation joins the DELTA's
-    band keys against the full band relation, so per-batch work is
-    O(|delta| × collision rate); operationally the base band relation is
-    the persisted LSH *index* a pipeline maintains across batches
-    (4 skinny rows/doc — bucket it on (band, key) and the per-batch
-    exchange disappears, same argument as the fingerprint state in
-    incremental_exact_dedup).
+    corpus-wide band self-join.
+
+    Per-batch work is delta-grain end to end:
+    - signatures/bands are computed for the DELTA only; the base side
+      comes from ``base_index`` (the persisted relation from
+      ``minhash_index`` — recomputed here from ``base_docs`` only if not
+      supplied, for the self-contained/backfill case);
+    - candidates come from the delta-bands × index equi-join,
+      O(|delta| × collision rate);
+    - exact-Jaccard verification shingles ONLY the candidate documents
+      (a skinny-id semi-join pulls their text from the corpus), so the
+      expensive token work is candidate-grain, not corpus-grain.
 
     Semantics: same 16 md5-seeded min-hashes, 4×4 banding, and exact
     Jaccard ≥ threshold verification as ``minhash_near_dup``, WITHOUT the
@@ -271,17 +289,18 @@ def incremental_minhash_near_dup(
     ingest. Called with an empty base, this IS the uncapped full
     recompute, which gives the fold-equivalence contract its clean form:
     pairs(base ∪ delta) = pairs(base) ∪ incremental(base, delta)
-    (pinned for a 3-way split in tests/test_operators.py).
+    (pinned for a doc_id split, with and without a precomputed index, in
+    tests/test_operators.py).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and at least one
     side from the delta.
     """
     spark = delta_docs.sparkSession
-    all_docs = base_docs.unionByName(delta_docs)
-    sh = _shingle_table(spark, "", all_docs).persist()
-    delta_ids = delta_docs.select("doc_id")
-    bands_all = _minhash_bands(sh).persist()
-    bands_delta = bands_all.join(F.broadcast(delta_ids), "doc_id", "left_semi")
+    if base_index is None:
+        base_index = minhash_index(base_docs)
+    delta_sh = _shingle_table(spark, "", delta_docs)
+    bands_delta = _minhash_bands(delta_sh).persist()
+    bands_all = base_index.unionByName(bands_delta)
     cand = (
         bands_delta.alias("d")
         .join(
@@ -295,8 +314,17 @@ def incremental_minhash_near_dup(
             F.greatest("d.doc_id", "a.doc_id").alias("doc_b"),
         )
         .distinct()
+        .persist()
     )
-    return _pair_jaccard(sh, cand)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    all_docs = base_docs.unionByName(delta_docs)
+    cand_docs = all_docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh_cand = _shingle_table(spark, "", cand_docs).persist()
+    return _pair_jaccard(sh_cand, cand)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -510,3 +510,11 @@ def test_incremental_minhash_near_dup_equals_full(spark):
     delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
     assert all(a in delta_ids or b in delta_ids for a, b in incr)
     assert not any(a in delta_ids or b in delta_ids for a, b in base_only)
+    # the production path — a precomputed persisted index — must give
+    # byte-identical results to the self-contained recompute path
+    incr_indexed = pairs(
+        llmdata.incremental_minhash_near_dup(
+            base, delta, base_index=llmdata.minhash_index(base)
+        )
+    )
+    assert incr_indexed == incr
