@@ -389,6 +389,51 @@ def run_foreach_batch_parquet(
     return seen
 
 
+def stream_click_attribution_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join — same pairing as
+    ``stream_click_attribution`` but clicks that find NO purchase within
+    the attribution window are still emitted (purchase columns NULL).
+    The outer side makes the watermark semantics visible: a NULL row for
+    a click can only be emitted once the watermark passes
+    click_ts + window (before that a matching purchase could still
+    arrive), so on a bounded availableNow run the final watermark leaves
+    the tail's unmatched clicks unemitted — matched rows equal the inner
+    join exactly, NULL rows are exactly the batch anti-join's clicks
+    whose window the watermark closed (tests/test_streaming.py pins all
+    three properties)."""
+    from ..plans.eventplans import ATTRIBUTION_WINDOW_MIN
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts")
+            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        ),
+        "left_outer",
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
 def user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static per-user dimension for stream enrichment: earliest signup
     time per user (batch aggregate over the events table — stands in for

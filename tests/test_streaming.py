@@ -184,6 +184,46 @@ def test_stream_custom_sessions_match_batch(spark, tmp_path):
     assert len(got) >= 0.5 * len(want)  # and most sessions DID finalize
 
 
+def test_stream_stream_outer_join_matches_batch(spark):
+    """LEFT OUTER stream-stream join: matched rows must equal the inner
+    join exactly; NULL rows may only appear for clicks the batch
+    anti-join also leaves unmatched (the tail — clicks whose window the
+    bounded stream's final watermark never closed — is the only allowed
+    shortfall), and at least some NULLs must finalize so the outer path
+    is actually exercised."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.sources.readers import load_events
+
+    events = jobs.read_events_stream(spark, SF)
+    out = jobs.run_to_memory(
+        jobs.stream_click_attribution_outer(events), "t_attrib_outer", "append"
+    ).collect()
+    matched = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in out
+        if r.purchase_id is not None
+    }
+    nulls = {r.click_id for r in out if r.purchase_id is None}
+
+    inner = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in eventplans.event_attribution(spark, SF).collect()
+    }
+    assert matched == inner
+    batch_matched_clicks = {c for _, c, _ in inner}
+    all_clicks = {
+        r.event_id
+        for r in load_events(spark, SF)
+        .filter(F.col("event_type") == "click")
+        .collect()
+    }
+    batch_unmatched = all_clicks - batch_matched_clicks
+    assert nulls, "no unmatched clicks finalized — outer path not exercised"
+    assert nulls <= batch_unmatched
+    assert not nulls & batch_matched_clicks
+
+
 def test_stream_static_join_matches_batch(spark):
     """Stream-static enrichment: the event stream left-joined to the
     static per-user profile must equal the identical batch join — no
