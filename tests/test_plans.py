@@ -126,3 +126,47 @@ def test_train_test_split_shuffle_free(spark):
 
     plan = _plan(assembly.train_test_split(spark, SF))
     assert "Exchange" not in plan  # pure per-row projection, zero shuffle
+
+
+def test_cdc_snapshot_single_exchange(spark):
+    """Latest-wins reduction must be ONE shuffle on the key (ranked
+    window), not a groupBy+max+self-join (two exchanges + a join)."""
+    from sales_etl_pipeline_spark.plans import cdc
+
+    plan = _plan(cdc.cdc_latest_snapshot(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_scd2_single_exchange_shared_sort(spark):
+    """Both window passes (lag flagging is absent here, but version +
+    lead share one spec) must reuse a single key shuffle."""
+    from sales_etl_pipeline_spark.plans import cdc
+
+    plan = _plan(cdc.scd2_intervals(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_event_attribution_equi_join_not_cartesian(spark):
+    """The interval join must plan as an equi-join on user_id with the
+    time range as a residual condition — never a cartesian or
+    nested-loop product."""
+    from sales_etl_pipeline_spark.plans import eventplans
+
+    plan = _plan(eventplans.event_attribution(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_minhash_candidate_join_is_equi(spark):
+    """Delta×index candidate generation must be a (band, key) equi-join;
+    a nested-loop fallback would defeat the whole incremental design."""
+    from sales_etl_pipeline_spark.plans import llmdata as ld
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter("doc_id % 10 < 7")
+    delta = docs.filter("doc_id % 10 >= 7")
+    plan = _plan(ld.incremental_minhash_near_dup(base, delta))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
