@@ -161,6 +161,102 @@ class TrainingDataPipeline:
             .join(dropped, "doc_id", "left_anti")
         )
 
+    # ------------------------------------------------------------------
+    # append-only ingest: the steady-state production loop
+
+    _EMPTY_STATE_SCHEMA = "doc_id long, content_md5 string, dup_count long"
+
+    def reset_ingest(self) -> None:
+        """Drop all ingest state (fingerprints, canonical corpus, band
+        index, near-dup tombstones) — start a fresh append-only run."""
+        self._dedup_state: DataFrame | None = None
+        self._corpus_canon: DataFrame | None = None
+        self._band_index: DataFrame | None = None
+        self._dropped: DataFrame | None = None
+
+    def ingest_batch(self, new_docs: DataFrame) -> dict:
+        """Fold one document batch into the curated corpus — the
+        steady-state shape of corpus maintenance at 100 TB, where the
+        backfill ran once (``curated()``) and every later ingest must be
+        DELTA-grain: the batch is hashed and merged into the fingerprint
+        state (incremental_exact_dedup), the batch's new canonical
+        documents are near-dup-checked against the persisted LSH band
+        index (incremental_minhash_near_dup), the newer member of every
+        confirmed pair is tombstoned, and the index grows by the batch's
+        bands. Stateless per-document filters (lang/quality) compose in
+        front of this trivially; the stateful dedup stages are what need
+        the machinery.
+
+        Append-only invariant (same as both incremental operators):
+        batch doc_ids are larger than everything already ingested, so
+        the newer member of a cross-batch pair is always ``doc_b`` and
+        an old survivor is never evicted. Fold-equivalence with the
+        batch-free computation is pinned in tests/test_operators.py.
+
+        Returns per-batch stats; read the current corpus via
+        ``ingested_survivors()``."""
+        from pyspark.sql import functions as F
+
+        from ..plans import llmdata
+
+        spark = new_docs.sparkSession
+        if getattr(self, "_dedup_state", None) is None:
+            self.reset_ingest()
+        prev_state = self._dedup_state or spark.createDataFrame(
+            [], self._EMPTY_STATE_SCHEMA
+        )
+        state = llmdata.incremental_exact_dedup(prev_state, new_docs).persist()
+        delta_ids = new_docs.select("doc_id")
+        new_canon = (
+            new_docs.join(
+                state.select("doc_id").join(
+                    F.broadcast(delta_ids), "doc_id", "left_semi"
+                ),
+                "doc_id",
+                "left_semi",
+            )
+        ).persist()
+        base = self._corpus_canon
+        if base is None:
+            base = new_docs.filter(F.lit(False))  # empty, same schema
+        pairs = llmdata.incremental_minhash_near_dup(
+            base, new_canon, base_index=self._band_index
+        )
+        new_dropped = pairs.select(
+            F.col("doc_b").alias("doc_id")
+        ).distinct().persist()
+        n_new, n_canon, n_drop = (
+            new_docs.count(),
+            new_canon.count(),
+            new_dropped.count(),
+        )
+        self._dedup_state = state
+        self._corpus_canon = base.unionByName(new_canon)
+        new_bands = llmdata.minhash_index(new_canon).persist()
+        self._band_index = (
+            new_bands
+            if self._band_index is None
+            else self._band_index.unionByName(new_bands)
+        )
+        self._dropped = (
+            new_dropped
+            if self._dropped is None
+            else self._dropped.unionByName(new_dropped).distinct()
+        )
+        return {
+            "batch_docs": n_new,
+            "new_canonical": n_canon,
+            "exact_dup_collapsed": n_new - n_canon,
+            "near_dup_dropped": n_drop,
+        }
+
+    def ingested_survivors(self) -> DataFrame:
+        """The curated corpus after the batches folded so far: canonical
+        documents minus near-dup tombstones."""
+        if getattr(self, "_corpus_canon", None) is None:
+            raise RuntimeError("No batches ingested. Run ingest_batch() first.")
+        return self._corpus_canon.join(self._dropped, "doc_id", "left_anti")
+
     def run(self) -> dict:
         import time
 

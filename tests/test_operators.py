@@ -518,3 +518,33 @@ def test_incremental_minhash_near_dup_equals_full(spark):
         )
     )
     assert incr_indexed == incr
+
+
+def test_ingest_batches_equal_batchfree_curation(spark, tmp_path):
+    """Folding the corpus through TrainingDataPipeline.ingest_batch in
+    id-ordered batches (the append-only invariant) must yield exactly
+    the batch-free computation: exact-dedup canonicals minus the newer
+    member of every uncapped near-dup pair among canonicals."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    docs = load_table(spark, SF, "documents")
+    pipe = TrainingDataPipeline(spark, SF, str(tmp_path))
+    pipe.reset_ingest()
+    stats = []
+    for lo, hi in [(0, 150), (150, 350), (350, 10**9)]:
+        batch = docs.filter(f"doc_id >= {lo} and doc_id < {hi}")
+        stats.append(pipe.ingest_batch(batch))
+    got = {r.doc_id for r in pipe.ingested_survivors().select("doc_id").collect()}
+
+    canon_ids = llmdata.exact_dedup(spark, SF).select("doc_id")
+    canon_docs = docs.join(canon_ids, "doc_id", "left_semi")
+    empty = spark.createDataFrame([], docs.schema)
+    full_pairs = llmdata.incremental_minhash_near_dup(empty, canon_docs)
+    dropped = {r.doc_b for r in full_pairs.collect()}
+    want = {r.doc_id for r in canon_ids.collect()} - dropped
+    assert got == want
+    assert sum(s["near_dup_dropped"] for s in stats) >= len(dropped)
+    assert sum(s["batch_docs"] for s in stats) == docs.count()
