@@ -230,6 +230,80 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization — the first pass of every
+    crawl-curation pipeline: strip markup, case-fold, collapse
+    whitespace/control characters, trim. Pure chained
+    regexp_replace/lower/trim projection: codegen'd, shuffle-free,
+    linear — the same plan shape as pii_redact.
+
+    The synthetic corpus is already clean, so (same convention as the
+    PII injection, plans/assembly.py) deterministic dirt is injected on
+    BOTH engines first — HTML tags (doc_id % 4 == 0), tab/newline runs
+    (% 5 == 0), full upper-casing (% 3 == 0) — and the normalizer then
+    does real work the oracle verifies. Regexes stay in the
+    Java-regex ∩ RE2 shared dialect ('<[^>]*>' and '\\s+'); chr(9/10)
+    builds the whitespace injection identically on both engines.
+
+    Emits the normalized text plus n_raw/n_norm lengths (the shrinkage
+    signal a curation run monitors)."""
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.when(did % 3 == 0, F.upper(F.col("text"))).otherwise(F.col("text")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(' <p class="x">Header</p> <a href="http://e.com">L</a>')
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.expr("chr(9)"),
+                F.lit("tabbed"),
+                F.expr("chr(10)"),
+                F.lit("  lines  "),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(dirty), "<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(dirty).cast("long").alias("n_raw"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_norm"),
+    )
+
+
+_NORMALIZE_SQL = """
+    WITH dirty AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' <p class="x">Header</p> <a href="http://e.com">L</a>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(9) || 'tabbed' || chr(10) || '  lines  '
+                       ELSE '' END AS d
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(d) AS BIGINT) AS n_raw,
+           trim(regexp_replace(
+               regexp_replace(lower(d), '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(
+               regexp_replace(lower(d), '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS BIGINT) AS n_norm
+    FROM dirty
+"""
+
+
 # contamination_bloom: bits per eval-shingle hash in the Bloom bitset
 # (m = next power of two ≥ n·BLOOM_BITS_PER_KEY) and number of probe
 # functions. 12 bits / 5 probes ≈ 0.6% theoretical false-positive rate.
@@ -571,6 +645,7 @@ LIBRARY_QUERIES = {
     "stratified_sample": stratified_sample,
     "doc_chunks_udtf": doc_chunks_udtf,
     "contamination_bloom": contamination_bloom,
+    "text_normalize": text_normalize,
 }
 
 #: eval-split CTE (DuckDB): md5-rank stratified sample, doc_ids only
@@ -755,4 +830,6 @@ LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
 #: The Bloom prefilter must not change the result: held to the exact
 #: contamination oracle (false positives die in the confirming join).
 LIBRARY_ORACLE["contamination_bloom"] = _contamination_oracle()
+
+LIBRARY_ORACLE["text_normalize"] = _NORMALIZE_SQL
 
