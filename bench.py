@@ -82,6 +82,14 @@ HEADLINE = (
     # steady-state like ann_ivf_topk — index training memoized, its cold
     # cost tracked by the ann_ivf_train row
     "ann_ivfpq_topk",
+    # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
+    # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
+    # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
+    # (state parquet write/read round trips), which is the POINT of the
+    # design (state on disk between batches) and amortizes at real batch
+    # sizes; putting a job-count-bound row in a 1-second-scale suite
+    # total would misread as a regression. Measured number recorded in
+    # BASELINE.md; fold ≡ batch-free correctness pinned in pytest.
 )
 
 
@@ -134,8 +142,37 @@ def _minhash_near_dup_skew(spark, sf_dir: str):
     return llmdata.minhash_near_dup(spark, ensure_skew_corpus(SKEW_DIR))
 
 
+def _ingest_batch_fold(spark, sf_dir: str):
+    """The append-only production loop (TrainingDataPipeline.ingest_batch):
+    fold the documents table through 3 id-ordered batches — fingerprint
+    merge + LSH-index near-dup + tombstones per batch — and return the
+    final survivors. Times the whole fold, i.e. 3 delta-grain passes."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    pipe = TrainingDataPipeline(
+        spark, sf_dir, tempfile.mkdtemp(prefix="bench_ingest_")
+    )
+    pipe.reset_ingest()
+    for i in range(3):
+        pipe.ingest_batch(
+            docs.filter(
+                (F.col("doc_id") >= i * hi // 3)
+                & (F.col("doc_id") < (i + 1) * hi // 3)
+            )
+        )
+    return pipe.ingested_survivors()
+
+
 EXTRA_QUERIES = {
     "training_pipeline_curated": _training_pipeline_curated,
+    "ingest_batch_fold": _ingest_batch_fold,
     "pii_redact": _pii_redact,
     "ann_ivf_train": _ann_ivf_train,
     "minhash_near_dup_skew": _minhash_near_dup_skew,

@@ -169,10 +169,35 @@ class TrainingDataPipeline:
     def reset_ingest(self) -> None:
         """Drop all ingest state (fingerprints, canonical corpus, band
         index, near-dup tombstones) — start a fresh append-only run."""
+        import shutil
+
         self._dedup_state: DataFrame | None = None
         self._corpus_canon: DataFrame | None = None
         self._band_index: DataFrame | None = None
         self._dropped: DataFrame | None = None
+        self._ingest_epoch = 0
+        shutil.rmtree(f"{self.output_dir}/ingest_state", ignore_errors=True)
+
+    def _materialize(self, df: DataFrame, name: str, append: bool) -> DataFrame:
+        """Write a state relation to parquet and read it back — state
+        lives ON DISK between batches (exactly like the streaming CDC
+        sink's snapshot), so each batch's lineage starts from a scan
+        instead of replaying every earlier batch's jobs. Append-grain
+        state (canonicals, band index, tombstones) lands in per-epoch
+        subdirectories read as one relation; full-replace state (the
+        fingerprint relation) gets an epoch-named directory."""
+        spark = df.sparkSession
+        root = f"{self.output_dir}/ingest_state/{name}"
+        if append:
+            # plain subdirectory (no key=value name: this is an append
+            # log, not a partition column)
+            df.write.mode("overwrite").parquet(
+                f"{root}/batch_{self._ingest_epoch}"
+            )
+            return spark.read.parquet(f"{root}/batch_*")
+        path = f"{root}_e{self._ingest_epoch}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     def ingest_batch(self, new_docs: DataFrame) -> dict:
         """Fold one document batch into the curated corpus — the
@@ -200,49 +225,55 @@ class TrainingDataPipeline:
         from ..plans import llmdata
 
         spark = new_docs.sparkSession
-        if getattr(self, "_dedup_state", None) is None:
+        if getattr(self, "_dedup_state", None) is None and not hasattr(
+            self, "_ingest_epoch"
+        ):
             self.reset_ingest()
+        self._ingest_epoch += 1
         prev_state = self._dedup_state or spark.createDataFrame(
             [], self._EMPTY_STATE_SCHEMA
         )
-        state = llmdata.incremental_exact_dedup(prev_state, new_docs).persist()
+        state = self._materialize(
+            llmdata.incremental_exact_dedup(prev_state, new_docs),
+            "fingerprints",
+            append=False,
+        )
         delta_ids = new_docs.select("doc_id")
-        new_canon = (
+        new_canon = self._materialize(
             new_docs.join(
                 state.select("doc_id").join(
                     F.broadcast(delta_ids), "doc_id", "left_semi"
                 ),
                 "doc_id",
                 "left_semi",
-            )
-        ).persist()
+            ),
+            "canonical",
+            append=True,
+        ).join(F.broadcast(delta_ids), "doc_id", "left_semi")
         base = self._corpus_canon
         if base is None:
             base = new_docs.filter(F.lit(False))  # empty, same schema
         pairs = llmdata.incremental_minhash_near_dup(
             base, new_canon, base_index=self._band_index
         )
-        new_dropped = pairs.select(
-            F.col("doc_b").alias("doc_id")
-        ).distinct().persist()
+        new_dropped = self._materialize(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "tombstones",
+            append=True,
+        ).join(F.broadcast(delta_ids), "doc_id", "left_semi")
+        new_bands = self._materialize(
+            llmdata.minhash_index(new_canon), "bands", append=True
+        )
         n_new, n_canon, n_drop = (
             new_docs.count(),
             new_canon.count(),
             new_dropped.count(),
         )
+        root = f"{self.output_dir}/ingest_state"
         self._dedup_state = state
-        self._corpus_canon = base.unionByName(new_canon)
-        new_bands = llmdata.minhash_index(new_canon).persist()
-        self._band_index = (
-            new_bands
-            if self._band_index is None
-            else self._band_index.unionByName(new_bands)
-        )
-        self._dropped = (
-            new_dropped
-            if self._dropped is None
-            else self._dropped.unionByName(new_dropped).distinct()
-        )
+        self._corpus_canon = spark.read.parquet(f"{root}/canonical/batch_*")
+        self._band_index = new_bands  # read of the full bands dir
+        self._dropped = spark.read.parquet(f"{root}/tombstones/batch_*")
         return {
             "batch_docs": n_new,
             "new_canonical": n_canon,
