@@ -91,3 +91,78 @@ def test_scd2_tiles_history(spark):
         assert rows[-1].is_current and rows[-1].valid_to is None
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from
+
+
+# ---------------------------------------------------------------------------
+# property-based: merge semantics against a pure-Python reference model
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _event_lists = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user_id (collisions!)
+            st.integers(min_value=0, max_value=50),  # ts offset seconds
+            st.sampled_from(["view", "click", "purchase", cdc.TOMBSTONE_TYPE]),
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    def _py_snapshot(rows):
+        """Reference model: latest (ts, event_id) per user wins; absent
+        if the winner is a tombstone."""
+        best: dict = {}
+        for eid, (uid, ts, etype, val) in enumerate(rows):
+            if uid not in best or (ts, eid) > (best[uid][0], best[uid][1]):
+                best[uid] = (ts, eid, etype, val)
+        return {
+            uid: (eid, etype, val)
+            for uid, (ts, eid, etype, val) in best.items()
+            if etype != cdc.TOMBSTONE_TYPE
+        }
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=_event_lists, split_frac=st.floats(min_value=0, max_value=1))
+    def test_merge_property_random_changelogs(spark, rows, split_frac):
+        """For ANY changelog and ANY event-time-respecting split point,
+        merge_snapshot(latest_wins(base), delta) must equal the pure
+        Python latest-wins model of the whole log — inserts, updates,
+        deletes, ties (same ts ⇒ higher event_id wins), empty sides."""
+        from sales_etl_pipeline_spark.plans.cdc import _latest_wins, merge_snapshot
+
+        data = [
+            (eid, uid, f"2024-01-01 00:00:{ts:02d}", etype, val)
+            for eid, (uid, ts, etype, val) in enumerate(rows)
+        ]
+        schema = (
+            "event_id long, user_id long, ts string, event_type string,"
+            " value double"
+        )
+        all_df = (
+            spark.createDataFrame(data, schema)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        # event-time split: base = earliest fraction (ties by event_id),
+        # preserving the append-only invariant the merge documents
+        srt = sorted(data, key=lambda r: (r[2], r[0]))
+        k = int(len(srt) * split_frac)
+        base_ids = {r[0] for r in srt[:k]}
+        base = _latest_wins(all_df.filter(F.col("event_id").isin(base_ids) if base_ids else F.lit(False)))
+        delta = all_df.filter(~F.col("event_id").isin(base_ids) if base_ids else all_df["event_id"].isNotNull())
+        got = {
+            r.user_id: (r.last_event_id, r.last_event_type, r.last_value)
+            for r in merge_snapshot(base, delta).collect()
+        }
+        assert got == _py_snapshot(rows)
