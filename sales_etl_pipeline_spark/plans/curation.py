@@ -423,6 +423,72 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length statistics via a GROUPED_AGG pandas UDAF
+    — the custom-aggregate surface (SURVEY §2.10): median and median
+    absolute deviation of document length, computed vectorized in numpy
+    per group and shuffled at group grain like any built-in aggregate
+    (partial aggregation does not apply — grouped-agg UDAFs ship the
+    group's column, which is the documented trade vs built-ins; use them
+    for statistics Catalyst lacks, like MAD).
+
+    Exact-parity note: lengths are integers, so numpy's interpolated
+    median is either an integer or x.5 — both exactly representable —
+    and DuckDB's ``median``/``mad`` use the same definition, making even
+    this UDAF oracle-checkable."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _mad(x: pd.Series) -> float:
+        v = x.to_numpy(dtype=np.float64)
+        return float(np.median(np.abs(v - np.median(v))))
+
+    @pandas_udf("double")
+    def _median(x: pd.Series) -> float:
+        return float(np.median(x.to_numpy(dtype=np.float64)))
+
+    @pandas_udf("long")
+    def _n(x: pd.Series) -> int:
+        # grouped-agg UDFs cannot mix with built-in aggregates in one
+        # agg() (INVALID_PANDAS_UDF_PLACEMENT) — count rides along as a
+        # UDAF too
+        return len(x)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            _n(F.col("n_chars")).alias("n_docs"),
+            _median(F.col("n_chars")).alias("median_len"),
+            _mad(F.col("n_chars")).alias("mad_len"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_length_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length ordinals via ``applyInPandas`` — the group-map
+    surface (each source's rows arrive as one pandas frame; the escape
+    hatch for per-group logic no window expresses, here deliberately a
+    rank so the window twin IS the oracle). Shuffles once on the group
+    key; group size bounds executor memory (sources are ~n/4 docs here;
+    at corpus scale a group-map over a mega-source would need salting —
+    prefer window functions when they express the logic)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def _rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        pdf["length_rank"] = range(1, len(pdf) + 1)
+        return pdf
+
+    return docs.groupBy("source").applyInPandas(
+        _rank, "doc_id long, source string, n_chars long, length_rank long"
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel as one composed plan: quality filter →
     exact content dedup (keep the min doc_id per distinct text) →
@@ -646,6 +712,8 @@ LIBRARY_QUERIES = {
     "doc_chunks_udtf": doc_chunks_udtf,
     "contamination_bloom": contamination_bloom,
     "text_normalize": text_normalize,
+    "source_length_mad": source_length_mad,
+    "source_length_ranks": source_length_ranks,
 }
 
 #: eval-split CTE (DuckDB): md5-rank stratified sample, doc_ids only
@@ -832,4 +900,23 @@ LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
 LIBRARY_ORACLE["contamination_bloom"] = _contamination_oracle()
 
 LIBRARY_ORACLE["text_normalize"] = _NORMALIZE_SQL
+
+#: UDAF / group-map showcases: deliberately chosen so even the pandas
+#: paths have exact SQL twins (integer-median representability; rank).
+LIBRARY_ORACLE["source_length_mad"] = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(median(n_chars) AS DOUBLE) AS median_len,
+           CAST(mad(n_chars) AS DOUBLE) AS mad_len
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+LIBRARY_ORACLE["source_length_ranks"] = """
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS length_rank
+    FROM documents
+"""
 
