@@ -944,19 +944,23 @@ def misra_gries(df: DataFrame, col: str, k: int = HH_K) -> DataFrame:
     vals = df.select(F.col(col).alias("term"))
 
     def _mg(batches):
+        # Vectorized mergeable-summaries form (Agarwal et al. §3): each
+        # Arrow batch's exact value_counts IS a zero-error MG summary of
+        # itself; fold it in by termwise addition (distinct-value-grain
+        # Python, never row-grain), then reduce back to k counters by
+        # subtracting the (k+1)-th largest count from every survivor —
+        # the reduction that preserves the n/(k+1) error bound under
+        # merge. Equivalent guarantees to the textbook per-item loop at
+        # a fraction of the Python cost.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for term in pdf["term"]:
-                if term in counters:
-                    counters[term] += 1
-                elif len(counters) < k:
-                    counters[term] = 1
-                else:
-                    dead = [t for t in counters if counters[t] == 1]
-                    for t in counters:
-                        counters[t] -= 1
-                    for t in dead:
-                        del counters[t]
+            for term, c in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(c)
+            if len(counters) > k:
+                thresh = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - thresh for t, c in counters.items() if c > thresh
+                }
         if counters:
             yield pd.DataFrame(
                 {"term": list(counters), "cnt": list(counters.values())}
