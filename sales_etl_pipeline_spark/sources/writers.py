@@ -149,6 +149,39 @@ def write_zordered(
     )
 
 
+def write_shuffled(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    files: int = 32,
+    seed: str = "epoch0",
+) -> None:
+    """Deterministic global shuffle — the 'randomize training order'
+    step between curation and tokenization: rows are ordered by
+    ``md5(key || seed)`` (a reproducible pseudo-random permutation; a
+    different ``seed`` gives an independent order per epoch), range-
+    partitioned into ``files`` sorted output files. Unlike
+    ``orderBy(rand())`` the permutation is stable across retries and
+    cluster sizes — rerunning a failed write yields byte-identical
+    files, and two epochs' orders are decorrelated by the seed, not by
+    RNG state. One range exchange, no driver involvement
+    (tests/test_scale_patterns.py pins determinism, completeness, and
+    inter-file order)."""
+    from ..functions.core import md5_long
+
+    shuffle_key = md5_long(
+        F.concat(F.col(key_col).cast("string"), F.lit("#"), F.lit(seed))
+    )
+    (
+        df.withColumn("_shuffle", shuffle_key)
+        .repartitionByRange(files, "_shuffle")
+        .sortWithinPartitions("_shuffle")
+        .drop("_shuffle")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, buckets: int = 32
 ) -> None:

@@ -254,3 +254,36 @@ def test_zorder_write_multi_column_skipping(spark, tmp_path):
     got = spark.read.parquet(z_dir)
     assert got.count() == li.count()
     assert got.agg(F.sum("l_partkey")).first()[0] == li.agg(F.sum("l_partkey")).first()[0]
+
+
+def test_write_shuffled_deterministic_permutation(spark, tmp_path):
+    """The corpus-shuffle writer must be a reproducible permutation:
+    two runs with the same seed produce byte-identical per-file row
+    sequences; a different seed produces a different global order;
+    every row survives exactly once; and the order is actually mixed
+    (not id-sorted)."""
+    import glob
+
+    from sales_etl_pipeline_spark.sources.writers import write_shuffled
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+
+    def read_order(path):
+        order = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            order.extend(
+                r.doc_id for r in spark.read.parquet(f).collect()
+            )
+        return order
+
+    a1, a2, b = (str(tmp_path / n) for n in ("a1", "a2", "b"))
+    write_shuffled(docs, a1, "doc_id", files=8, seed="epoch0")
+    write_shuffled(docs, a2, "doc_id", files=8, seed="epoch0")
+    write_shuffled(docs, b, "doc_id", files=8, seed="epoch1")
+    o1, o2, ob = read_order(a1), read_order(a2), read_order(b)
+    assert o1 == o2  # retry-stable
+    assert sorted(o1) == sorted(ob) == sorted(
+        r.doc_id for r in docs.collect()
+    )  # complete, exactly once
+    assert o1 != ob  # seeds decorrelate epochs
+    assert o1 != sorted(o1)  # genuinely permuted
