@@ -149,6 +149,49 @@ def write_zordered(
     )
 
 
+#: compaction target: bytes per output file (128 MiB — one HDFS-ish block;
+#: small enough to parallelize, large enough that footer/open overhead and
+#: NameNode/listing pressure stay negligible)
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compact_parquet(
+    src: str,
+    dest: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    spark=None,
+) -> dict:
+    """Compact a small-files parquet directory into ~``target_bytes``
+    files — the operational fix for THE chronic large-pipeline problem
+    (streaming sinks, per-epoch appends, and over-parallel writes leave
+    thousands of KB-scale files; every later scan then pays per-file
+    open/footer/listing cost and tiny row groups defeat pruning).
+
+    Sizing comes from the source's actual on-disk bytes (filesystem
+    listing, no data read), so the output file count adapts to the data:
+    n_out = ceil(total_bytes / target_bytes). The rewrite is one
+    round-robin repartition — no key assumption; use write_zordered /
+    write_shuffled instead when the layout should also cluster or
+    permute. Returns {files_in, files_out, bytes}."""
+    import glob
+
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    files = [
+        f
+        for f in glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+        or glob.glob(os.path.join(src, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(src)
+    df.repartition(n_out).write.mode("overwrite").parquet(dest)
+    n_written = len(glob.glob(os.path.join(dest, "*.parquet")))
+    return {"files_in": len(files), "files_out": n_written, "bytes": total}
+
+
 def write_shuffled(
     df: DataFrame,
     path: str,

@@ -287,3 +287,27 @@ def test_write_shuffled_deterministic_permutation(spark, tmp_path):
     )  # complete, exactly once
     assert o1 != ob  # seeds decorrelate epochs
     assert o1 != sorted(o1)  # genuinely permuted
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Small-files compaction: a 64-file write of a small relation must
+    compact to the size-derived file count (1 here — total bytes are far
+    under one target), preserving every row; a tiny target must yield
+    multiple files."""
+    from sales_etl_pipeline_spark.sources.writers import compact_parquet
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(src)
+    dest = str(tmp_path / "compacted")
+    stats = compact_parquet(src, dest, spark=spark)
+    assert stats["files_in"] == 64
+    assert stats["files_out"] == 1
+    back = spark.read.parquet(dest)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    dest2 = str(tmp_path / "recompacted")
+    stats2 = compact_parquet(dest, dest2, target_bytes=16 * 1024, spark=spark)
+    assert stats2["files_out"] > 1
