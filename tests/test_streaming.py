@@ -425,3 +425,38 @@ def test_stream_custom_sessions_late_events_across_microbatches(spark, tmp_path)
         # u3's 23:00 session stays open (watermark never passes it)
     }
     assert got == want
+
+
+def test_streaming_on_rocksdb_state_store(spark):
+    """Run a stateful streaming job on the RocksDB state-store provider —
+    the production backend for large state (the default in-memory
+    HDFS-backed store keeps every key on-heap; RocksDB spills to local
+    disk and bounds executor memory). The provider must produce the
+    identical result to the batch twin, proving the jobs are not
+    silently coupled to the default store."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        events = jobs.read_events_stream(spark, SF)
+        out = jobs.run_to_memory(
+            jobs.stream_tumbling_counts(events), "t_rocksdb", "complete"
+        )
+        batch = eventplans.event_tumbling_window(spark, SF)
+        cols = [
+            "window_start",
+            "window_end",
+            "event_type",
+            "event_count",
+            "total_value",
+        ]
+        assert _rows(out, cols) == _rows(batch, cols)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)
