@@ -231,7 +231,12 @@ def main() -> None:
     if os.path.exists(prior_path):
         try:
             with open(prior_path) as f:
-                prior = json.load(f).get("queries", {})
+                doc = json.load(f)
+            # the driver's BENCH_r{N}.json wraps the bench line under
+            # "parsed"; a raw bench.py line has "queries" top-level
+            prior = doc.get("queries") or doc.get("parsed", {}).get(
+                "queries", {}
+            )
             regressions = {
                 name: round(t / prior[name], 2)
                 for name, t in timings.items()
