@@ -166,3 +166,55 @@ if _HAS_HYPOTHESIS:
             for r in merge_snapshot(base, delta).collect()
         }
         assert got == _py_snapshot(rows)
+
+
+if _HAS_HYPOTHESIS:
+    _doc_lists = st.lists(
+        st.text(
+            alphabet="ab ", min_size=0, max_size=12
+        ),  # tiny alphabet → forced duplicate texts
+        min_size=0,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=_doc_lists, cuts=st.tuples(
+        st.floats(min_value=0, max_value=1), st.floats(min_value=0, max_value=1)
+    ))
+    def test_incremental_exact_dedup_property(spark, texts, cuts):
+        """For ANY corpus and ANY 3-way batch split (append-only id
+        order), folding batches through incremental_exact_dedup must
+        equal the single-pass model: canonical = min doc_id per distinct
+        text, dup_count = group size."""
+        from sales_etl_pipeline_spark.plans.llmdata import (
+            incremental_exact_dedup,
+        )
+
+        docs = [(i, t) for i, t in enumerate(texts)]
+        want: dict = {}
+        for i, t in docs:
+            if t not in want:
+                want[t] = [i, 0]
+            want[t][1] += 1
+        a, b = sorted(int(len(docs) * c) for c in cuts)
+        schema = "doc_id long, text string"
+        state = spark.createDataFrame(
+            [], "doc_id long, content_md5 string, dup_count long"
+        )
+        for lo, hi in ((0, a), (a, b), (b, len(docs))):
+            batch = spark.createDataFrame(docs[lo:hi], schema)
+            state = incremental_exact_dedup(state, batch)
+        got = {
+            r.content_md5: (r.doc_id, r.dup_count) for r in state.collect()
+        }
+        import hashlib
+
+        expected = {
+            hashlib.md5(t.encode()).hexdigest(): (i, n)
+            for t, (i, n) in want.items()
+        }
+        assert got == expected

@@ -548,3 +548,34 @@ def test_ingest_batches_equal_batchfree_curation(spark, tmp_path):
     assert got == want
     assert sum(s["near_dup_dropped"] for s in stats) >= len(dropped)
     assert sum(s["batch_docs"] for s in stats) == docs.count()
+
+
+def test_near_dup_apis_handle_empty_corpus(spark):
+    """Edge hygiene: the incremental near-dup APIs must return empty
+    relations (correct schemas, no crash) when either side — or both —
+    is empty; the ingest loop must accept an empty first batch."""
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    docs = load_table(spark, SF, "documents")
+    empty = spark.createDataFrame([], docs.schema)
+    some = docs.limit(20)
+    assert llmdata.incremental_minhash_near_dup(empty, empty).count() == 0
+    assert llmdata.incremental_minhash_near_dup(some, empty).count() == 0
+    assert llmdata.minhash_index(empty).count() == 0
+    import tempfile
+
+    pipe = TrainingDataPipeline(
+        spark, SF, tempfile.mkdtemp(prefix="empty_ingest_")
+    )
+    pipe.reset_ingest()
+    stats = pipe.ingest_batch(empty)
+    assert stats == {
+        "batch_docs": 0,
+        "new_canonical": 0,
+        "exact_dup_collapsed": 0,
+        "near_dup_dropped": 0,
+    }
+    stats2 = pipe.ingest_batch(some)
+    assert stats2["batch_docs"] == 20
+    assert pipe.ingested_survivors().count() <= 20
