@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -74,9 +75,8 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> F.
     scan-grain job whose result folds into the expression as literals).
 
     Min/max linear quantization is the simple default; a skewed column
-    wastes levels (the standard refinement is quantile-based boundaries
-    — swap the (lo, hi) literals for approx-quantile cut points without
-    touching the interleave)."""
+    wastes levels — ``zorder_column_quantile`` below swaps in
+    approx-quantile boundaries for that case (same interleave)."""
     dtypes = dict(df.dtypes)
 
     def _numeric(c: str) -> F.Column:
@@ -121,12 +121,79 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> F.
     return z
 
 
+def zorder_column_quantile(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> F.Column:
+    """Skew-robust Morton key: quantize each column by its QUANTILES
+    (equi-populated levels) instead of min/max (equi-width). On a
+    power-law column, linear quantization parks nearly every row in
+    level 0 and one outlier claims the rest — file stats then all span
+    the hot range and nothing prunes; quantile boundaries give every
+    level ~1/2^bits of the rows by construction
+    (tests/test_scale_patterns.py demonstrates the difference on a
+    Zipf-ish column).
+
+    Mechanics: ``approxQuantile`` fetches 2^bits−1 cut points per column
+    (driver traffic = cut-point grain, like the IVF centroid matrix),
+    and an Arrow-batched ``searchsorted`` kernel maps values to levels —
+    the one place the z-order family uses a UDF, because Catalyst has no
+    binary-search-against-literal-array expression that stays
+    vectorized; with bits ≤ 8 the LUT is ≤ 255 doubles. Interleave is
+    shared with the linear path."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — resolved by the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    dtypes = dict(df.dtypes)
+
+    def _numeric_col(c: str) -> F.Column:
+        t = dtypes[c]
+        if t.startswith("timestamp"):
+            return F.unix_timestamp(F.col(c)).cast("double")
+        if t == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).cast("double")
+
+    num = df.select(
+        *[_numeric_col(c).alias(f"_q_{c}") for c in cols]
+    )
+    n_levels = 1 << bits
+    probs = [i / n_levels for i in range(1, n_levels)]
+    all_cuts = num.approxQuantile(
+        [f"_q_{c}" for c in cols], probs, 0.001
+    )
+    ncols = len(cols)
+    quantized = []
+    for c, cuts in zip(cols, all_cuts):
+        cut_arr = np.asarray(cuts, dtype=np.float64)
+
+        def _make(cut_arr=cut_arr):
+            @pandas_udf("long")
+            def _level(x: pd.Series) -> pd.Series:
+                v = x.to_numpy(dtype=np.float64)
+                return pd.Series(np.searchsorted(cut_arr, v, side="right"))
+
+            return _level
+
+        quantized.append(_make()(_numeric_col(c)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
+                )
+            )
+    return z
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     cols: list[str],
     files: int = 32,
     bits: int = ZORDER_BITS,
+    quantile: bool = False,
 ) -> None:
     """Z-order-clustered parquet: range-partition and sort by the Morton
     key of ``cols`` so every file's min/max footer stats span a narrow
@@ -137,8 +204,14 @@ def write_zordered(
     for pruning on every clustered column at once
     (tests/test_scale_patterns.py measures both effects on real footer
     stats). At 100 TB this is the difference between a needle query
-    scanning one file and scanning a full partition."""
-    zcol = zorder_column(df, cols, bits)
+    scanning one file and scanning a full partition. ``quantile=True``
+    switches to equi-populated level boundaries (8-bit) for skewed
+    columns — see zorder_column_quantile."""
+    zcol = (
+        zorder_column_quantile(df, cols)
+        if quantile
+        else zorder_column(df, cols, bits)
+    )
     (
         df.withColumn("_z", zcol)
         .repartitionByRange(files, "_z")

@@ -311,3 +311,57 @@ def test_compact_parquet_small_files(spark, tmp_path):
     dest2 = str(tmp_path / "recompacted")
     stats2 = compact_parquet(dest, dest2, target_bytes=16 * 1024, spark=spark)
     assert stats2["files_out"] > 1
+
+
+def test_zorder_quantile_beats_linear_on_skew(spark, tmp_path):
+    """On a power-law column, min/max (equi-width) quantization parks
+    the dense region in a handful of levels and predicates there stop
+    pruning; quantile (equi-populated) boundaries restore it. Measured
+    on real footer stats: quantile ~0.78 dense-region prune vs linear
+    ~0.48, while the uniform column keeps pruning on both layouts.
+    Thresholds sit under the measured values."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.sources.writers import write_zordered
+
+    df = spark.range(200000).select(
+        F.floor(F.lit(1_000_000) / (1 + F.col("id") % 1000)).alias("skew_val"),
+        (F.col("id") % 500).alias("uni"),
+        F.col("id"),
+    )
+    lin, qtl = str(tmp_path / "lin"), str(tmp_path / "qtl")
+    write_zordered(df, lin, ["skew_val", "uni"], files=16)
+    write_zordered(df, qtl, ["skew_val", "uni"], files=16, quantile=True)
+
+    import pyarrow.parquet as pq
+
+    def stats(path, col):
+        out = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            ci = names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                mins.append(s.min)
+                maxs.append(s.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def avg_prune(st, windows):
+        return sum(
+            sum(1 for mn, mx in st if mx < a or mn > b) / len(st)
+            for a, b in windows
+        ) / len(windows)
+
+    dense = [(1000 + i * 900, 1400 + i * 900) for i in range(10)]
+    uni_w = [(i * 48, i * 48 + 24) for i in range(10)]
+    assert avg_prune(stats(lin, "skew_val"), dense) <= 0.55
+    assert avg_prune(stats(qtl, "skew_val"), dense) >= 0.65
+    assert avg_prune(stats(qtl, "uni"), uni_w) >= 0.6
+    back = spark.read.parquet(qtl)
+    assert back.count() == df.count()
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
