@@ -143,6 +143,20 @@ def event_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_user_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse reshape of ``event_user_pivot``:
+    the wide per-user count matrix back to (user_id, event_type, n)
+    long form via ``unpivot``/``stack``. Round-trip closure with the
+    pivot is the semantic contract (pivot ∘ unpivot = identity on the
+    wide relation); zero-count cells are kept so the round trip is
+    lossless. Same single shuffle as the pivot it consumes — unpivot
+    itself is a per-row generator, no exchange."""
+    wide = event_user_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "user_id", list(EVENT_TYPES), "event_type", "n"
+    ).orderBy("user_id", "event_type")
+
+
 def event_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day activity profile — date-part extraction over event time
     plus share-of-total via a global window on the 24-row aggregate."""
@@ -425,6 +439,7 @@ ORACLE: dict[str, str] = {
 #: streaming/jobs.py is additionally pinned stream ≡ batch.
 LIBRARY_QUERIES = {
     "event_attribution": event_attribution,
+    "event_user_unpivot": event_user_unpivot,
 }
 
 LIBRARY_ORACLE: dict[str, str] = {
@@ -446,6 +461,23 @@ LIBRARY_ORACLE: dict[str, str] = {
          AND purchase_ts >= click_ts
          AND purchase_ts <= click_ts
              + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+    """,
+    "event_user_unpivot": """
+        WITH wide AS (
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, event_type, n
+        FROM wide
+        UNPIVOT INCLUDE NULLS (n FOR event_type IN
+            (click, error, purchase, signup, "view"))
+        ORDER BY user_id, event_type
     """,
 }
 
