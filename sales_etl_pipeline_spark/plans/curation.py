@@ -381,9 +381,10 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires.
 
     When to use which (measured, BASELINE.md): at local/toy scale the
-    exact path is ~2× faster — its eval side broadcasts as a join hash
-    table and local shuffle is memcpy, while the Bloom path pays an extra
-    driver action plus an Arrow pass over every train shingle. The Bloom
+    exact path is ~1.3× faster (1.1 s vs 1.4 s at sf0.1) — its eval side
+    broadcasts as a join hash table and local shuffle is memcpy, while
+    the Bloom path pays an extra driver action plus an Arrow pass over
+    every train shingle. The Bloom
     variant is for the regime where the eval shingle STRINGS are too big
     to broadcast-hash-join comfortably but their bitset is not (12 bits
     vs ~50-byte strings ≈ 30× smaller per key, e.g. 10^8 eval shingles =
