@@ -1372,6 +1372,46 @@ def _assign_clusters_udf(cent_ids, cmat, cn, nprobe: int, foldexact: bool = True
     return _top
 
 
+def ivf_cluster_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rows_per_centroid: int = KMEANS_ROWS_PER_CENT,
+    max_k: int = KMEANS_MAX_K,
+) -> DataFrame:
+    """Index-balance diagnostic for the trained IVF — the counterpart of
+    ``minhash_band_stats`` for the embedding side: one row per cluster
+    with its size and the candidate-pair volume the cluster equi-join
+    generates for it (C(size, 2)). Run before a big semantic-dedup/ANN
+    job: the max cluster size bounds the join's per-key fan-in, and a
+    degenerate mega-cluster here is the signal to raise k
+    (``rows_per_centroid`` down) or retrain. The same statistic
+    tests/test_skew.py bounds on the adversarial corpus, exposed as a
+    user-callable relation (rows-only: cluster ids are index-internal)."""
+    emb = _embeddings_normed(spark, sf_dir)
+    cent_ids, cmat, cn = _train_centroids(
+        emb,
+        cache_key=sf_dir,
+        rows_per_centroid=rows_per_centroid,
+        max_k=max_k,
+        foldexact=False,
+    )
+    assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1, foldexact=False)
+    return (
+        emb.select(
+            F.element_at(assign1(F.col("v"), F.col("nrm")), 1).alias("cluster")
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(
+            "cluster",
+            "size",
+            F.expr("size * (size - 1) div 2").alias("pair_volume"),
+        )
+        .orderBy(F.desc("size"), "cluster")
+    )
+
+
 def semantic_dedup_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -2686,4 +2726,7 @@ LIBRARY_QUERIES = {
     # rows-only by design (partition-order-dependent counters); the MG
     # containment + error-band guarantee is pinned in tests/test_operators.py
     "approx_heavy_hitters": approx_heavy_hitters,
+    # rows-only (cluster ids are index-internal); sizes bounded on the
+    # adversarial corpus in tests/test_skew.py
+    "ivf_cluster_stats": ivf_cluster_stats,
 }

@@ -215,3 +215,17 @@ def test_misra_gries_diagnoses_power_law_sources(spark, skew_dir):
     for r in sketch:
         true = exact.get(r.term, 0)
         assert true - eps <= r.est_count <= true
+
+
+def test_ivf_cluster_stats_diagnostic(spark, skew_dir):
+    """The public index diagnostic must agree with the internal
+    assignment it mirrors: total size = corpus size, pair_volume =
+    C(size, 2) per cluster, and the max cluster stays under the same
+    bound the dedicated balance test enforces."""
+    llmdata.clear_centroid_cache()
+    rows = llmdata.ivf_cluster_stats(spark, skew_dir).collect()
+    n = llmdata._embeddings_normed(spark, skew_dir).count()
+    assert sum(r.size for r in rows) == n
+    for r in rows[:20]:
+        assert r.pair_volume == r.size * (r.size - 1) // 2
+    assert rows[0].size <= 10 * 50  # 10x the rows_per_centroid average
