@@ -13,6 +13,11 @@ DuckDB oracle SQL, grouped by family.
 - eventplans: event-time / sessionization queries over the events table.
 - cdc: change-data-capture surface (latest-wins upsert snapshots,
   incremental snapshot+delta MERGE, SCD type-2 dimension build).
+- validation: data-quality constraint suite (Deequ/dbt-test-shaped rule
+  reports: null/range/accepted-values/uniqueness fused into one scan per
+  table, referential integrity via anti-joins).
+- incremental: incremental aggregate maintenance (mergeable summary
+  state folded per ingest batch; finalize ≡ full recompute).
 
 Cache lifecycle: several plans ``persist()`` subplans consumed more than
 once within the same query (shingle tables, tf, packing locals). The
@@ -23,7 +28,18 @@ CacheManager dedups by plan equality, so re-invoking the same query never
 stacks duplicate cached copies.
 """
 
-from . import analytics, assembly, cdc, curation, eventplans, llmdata, parity, temporal
+from . import (
+    analytics,
+    assembly,
+    cdc,
+    curation,
+    eventplans,
+    incremental,
+    llmdata,
+    parity,
+    temporal,
+    validation,
+)
 from ..operators import multimodal
 
 # Ordered so that if an external harness caps the number of entries it
@@ -42,6 +58,8 @@ _MODULES = (
     llmdata,
     assembly,
     cdc,
+    validation,
+    incremental,
 )
 
 

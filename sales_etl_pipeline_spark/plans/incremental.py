@@ -1,0 +1,196 @@
+"""Incremental aggregate maintenance: keep the reference's customer
+summary (SURVEY.md §2.3 A1 + §2.4 D1–D3, reference data/etl.py:109-148)
+up to date under append-only ingest WITHOUT re-reading history — the
+materialized-view-maintenance pattern a daily 100-TB warehouse load runs,
+where the reference's answer is a full recompute of every summary on
+every run (data/etl.py:238-260).
+
+Design — split the summary into a MERGEABLE STATE and a FINALIZE pass:
+
+- ``customer_state(batch)`` reduces one ingest batch (order-grain rows)
+  to per-customer partials where every field has an exact merge function:
+  counts sum, DECIMAL(38,10) revenue/quantity sums add associatively
+  (the same exactness contract as functions.core.dsum — kept as decimal
+  in the state so re-quantization never happens), first/last purchase
+  min/max, country min. State is customer-grain: orders of magnitude
+  smaller than the fact tables it summarizes.
+- ``merge_customer_state(*states)`` folds any number of batch states (or
+  a persisted state with a new delta) by key — one shuffle at state
+  grain, never touching history.
+- ``finalize_customer_summary(state)`` derives the non-mergeable outputs
+  at customer grain: avg order value, tenure days, and the pandas-qcut
+  quartile segmentation (exact interpolated percentiles over the merged
+  grain, same as plans/parity.customer_summary). Cheap at any scale —
+  the grain is #customers.
+
+Correctness invariant (documented, required): ingest batches PARTITION
+the order log at order grain — each order, with all its lineitems,
+arrives in exactly one batch, and arrives exactly once (the reference's
+source is an immutable transaction log, so this holds by construction;
+for at-least-once transports, run plans/llmdata.incremental_exact_dedup
+on order keys first). Under it, per-batch ``count(DISTINCT o_orderkey)``
+partials sum to the global distinct count — the one aggregate in the
+summary that is NOT mergeable in general becomes mergeable exactly.
+Updates/deletes are out of scope here by design: that is the CDC surface
+(plans/cdc.merge_snapshot) — this module is the append-only fast path.
+
+The registry plan is self-verifying the same way cdc_incremental_merge
+is: it splits the corpus at ``ORDER_CUTOFF``, folds base + delta states,
+finalizes, and must equal plans/parity.customer_summary's full recompute
+bit-for-bit — its oracle IS the full-recompute SQL.
+tests/test_operators.py additionally pins the fold across 3 batches ≡
+the one-shot plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.core import DEC
+from ..sources.readers import load_table
+from .parity import ORACLE as _PARITY_ORACLE, _non_cancelled_orders
+
+#: order-date boundary splitting the base state from the delta batch in
+#: the self-verifying library plan (orders span 1995-01-01..2001-08-01 at
+#: every sf, so both sides are non-empty)
+ORDER_CUTOFF = "1998-01-01 00:00:00"
+
+#: the mergeable per-customer state schema (all exact-merge fields)
+STATE_COLS = (
+    "customer_id",
+    "total_orders",  # long — sums across batches (order-partition invariant)
+    "rev_dec",  # decimal(38,10) — associative exact revenue sum
+    "items_dec",  # decimal(38,10), nullable — exact quantity sum
+    "first_purchase",  # min-merge
+    "last_purchase",  # max-merge
+    "country",  # min-merge (functionally dependent on customer anyway)
+)
+
+
+def order_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-batch input relation at order grain: non-cancelled
+    orders with their per-order lineitem quantity (decimal), customer's
+    nation joined in. One row per order — the unit an append-only ingest
+    delivers, and the grain whose partitioning the state fold requires."""
+    orders = _non_cancelled_orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("order_qty"))
+    )
+    return (
+        orders.join(items, orders.o_orderkey == items.l_orderkey, "left")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
+            "n_name", "order_qty",
+        )
+    )
+
+
+def customer_state(batch: DataFrame) -> DataFrame:
+    """Reduce one order-grain ingest batch to mergeable per-customer
+    partials. Distinct-order counting relies on the order-partition
+    invariant (module docstring); revenue/items stay DECIMAL so merging
+    never re-quantizes."""
+    return batch.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.countDistinct("o_orderkey").alias("total_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+        F.sum("order_qty").alias("items_dec"),
+        F.min("o_orderdate").alias("first_purchase"),
+        F.max("o_orderdate").alias("last_purchase"),
+        F.min("n_name").alias("country"),
+    )
+
+
+def merge_customer_state(*states: DataFrame) -> DataFrame:
+    """Fold batch states (or persisted state + delta state) by key. Every
+    merge is exact: long sums, decimal sums (associative), min/max. One
+    shuffle at customer grain."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("customer_id").agg(
+        F.sum("total_orders").alias("total_orders"),
+        F.sum("rev_dec").alias("rev_dec"),
+        F.sum("items_dec").alias("items_dec"),
+        F.min("first_purchase").alias("first_purchase"),
+        F.max("last_purchase").alias("last_purchase"),
+        F.min("country").alias("country"),
+    )
+
+
+def finalize_customer_summary(state: DataFrame) -> DataFrame:
+    """Derive the full customer summary from merged state: the decimal
+    sums surface as doubles exactly once (same cast point as
+    functions.core.dsum), derived metrics and the exact-qcut quartile
+    segmentation run at customer grain. Output schema/values identical to
+    plans/parity.customer_summary."""
+    agg = state.select(
+        "customer_id",
+        "total_orders",
+        F.col("rev_dec").cast("double").alias("total_revenue"),
+        F.col("items_dec").cast("double").alias("total_items"),
+        "first_purchase",
+        "last_purchase",
+        "country",
+        (F.col("rev_dec").cast("double") / F.col("total_orders")).alias(
+            "avg_order_value"
+        ),
+    ).persist()
+    quartiles = agg.agg(
+        F.percentile("total_revenue", 0.25).alias("q1"),
+        F.percentile("total_revenue", 0.50).alias("q2"),
+        F.percentile("total_revenue", 0.75).alias("q3"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(quartiles))
+        .withColumn(
+            "days_since_first", F.datediff("last_purchase", "first_purchase")
+        )
+        .withColumn(
+            "segment",
+            F.when(F.col("total_revenue") <= F.col("q1"), "Bronze")
+            .when(F.col("total_revenue") <= F.col("q2"), "Silver")
+            .when(F.col("total_revenue") <= F.col("q3"), "Gold")
+            .otherwise("Platinum"),
+        )
+        .drop("q1", "q2", "q3")
+        .select(
+            "customer_id", "total_orders", "total_revenue", "total_items",
+            "first_purchase", "last_purchase", "country", "avg_order_value",
+            "days_since_first", "segment",
+        )
+    )
+
+
+def incremental_customer_summary(
+    spark: SparkSession, sf_dir: str, *, cutoff: str = ORDER_CUTOFF
+) -> DataFrame:
+    """Self-verifying incremental maintenance: state(orders before
+    ``cutoff``) merged with state(orders at/after ``cutoff``), finalized —
+    must equal the full customer_summary recompute bit-for-bit (the
+    oracle is the full-recompute SQL). Work per ingest is delta-grain +
+    a state-grain merge; history is never re-read."""
+    grain = order_grain(spark, sf_dir)
+    cutoff_ts = F.to_timestamp(F.lit(cutoff))
+    base = customer_state(grain.filter(F.col("o_orderdate") < cutoff_ts))
+    delta = customer_state(grain.filter(F.col("o_orderdate") >= cutoff_ts))
+    return finalize_customer_summary(merge_customer_state(base, delta))
+
+
+#: No driver-registry entries (50-cap, COVERAGE.md) — library tier,
+#: oracle-checked every pytest run by tests/test_library_parity.py.
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+LIBRARY_QUERIES = {"incremental_customer_summary": incremental_customer_summary}
+
+#: the oracle for the incremental path is deliberately the SAME
+#: full-recompute SQL as plans/parity.customer_summary
+LIBRARY_ORACLE = {
+    "incremental_customer_summary": _PARITY_ORACLE["customer_summary"]
+}
