@@ -82,6 +82,12 @@ HEADLINE = (
     # steady-state like ann_ivf_topk — index training memoized, its cold
     # cost tracked by the ann_ivf_train row
     "ann_ivfpq_topk",
+    # data-quality constraint suite (one fused scan per table + FK
+    # anti-joins) and the incremental customer-summary maintenance fold
+    # (delta-grain state merge vs the full recompute it replaces —
+    # compare against the customer_summary row)
+    "dq_report",
+    "incremental_customer_summary",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch

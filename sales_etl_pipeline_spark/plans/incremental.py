@@ -182,15 +182,136 @@ def incremental_customer_summary(
     return finalize_customer_summary(merge_customer_state(base, delta))
 
 
+# ---------------------------------------------------------------------------
+# Product summary: the NON-mergeable-distinct case.
+#
+# customer_summary's one distinct count becomes mergeable through the
+# order-partition invariant (each order in exactly one batch). The product
+# summary's ``unique_customers`` = count(DISTINCT o_custkey) per part does
+# NOT: the same customer can buy the same part in many batches, so batch
+# counts over-count. The standard maintenance answer is an AUXILIARY STATE
+# at the distinct grain itself — the (partkey, custkey) pair set — merged
+# by set-union; the count is derived at finalize. Pair-set state is
+# bounded by #distinct pairs (≪ lineitem rows; it is exactly the relation
+# the full recompute's distinct-aggregate shuffle materializes anyway) and
+# the union dedups on the pair key — a delta-grain shuffle per ingest.
+# ``order_count`` per part IS mergeable (distinct orders partition across
+# batches), as are the decimal sums and the avg's (sum, count) pair.
+# ---------------------------------------------------------------------------
+
+
+def _line_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch input at lineitem grain joined to its (non-cancelled)
+    order — the rows one order-partitioned batch delivers."""
+    orders = _non_cancelled_orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+
+
+def product_state(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Reduce one lineitem-grain batch to the two product-state relations:
+    per-part mergeable partials, and the distinct (part, customer) pair
+    set that makes unique_customers maintainable."""
+    sums = batch.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("rev_dec"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("price_dec"),
+        F.count("l_extendedprice").alias("n_price"),
+        F.countDistinct("l_orderkey").alias("order_count"),
+    )
+    # countDistinct ignores NULLs — keep the pair-set semantics identical
+    pairs = (
+        batch.filter(F.col("o_custkey").isNotNull())
+        .select("l_partkey", "o_custkey")
+        .distinct()
+    )
+    return sums, pairs
+
+
+def merge_product_state(
+    *states: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Fold product states: per-part partials merge by sums; the pair sets
+    merge by union + distinct (dedup on the pair key — the same shuffle
+    key as the state, so successive merges co-locate under bucketing)."""
+    sums = states[0][0]
+    pairs = states[0][1]
+    for s, p in states[1:]:
+        sums = sums.unionByName(s)
+        pairs = pairs.unionByName(p)
+    merged_sums = sums.groupBy("l_partkey").agg(
+        F.sum("qty_dec").alias("qty_dec"),
+        F.sum("rev_dec").alias("rev_dec"),
+        F.sum("price_dec").alias("price_dec"),
+        F.sum("n_price").alias("n_price"),
+        F.sum("order_count").alias("order_count"),
+    )
+    return merged_sums, pairs.distinct()
+
+
+def finalize_product_summary(
+    state: tuple[DataFrame, DataFrame], part: DataFrame
+) -> DataFrame:
+    """Derive the full product summary: distinct-pair state collapses to
+    unique_customers, decimal state surfaces as doubles once (dsum/davg
+    cast points), part dimension broadcast in. Output schema/values
+    identical to plans/parity.product_summary."""
+    sums, pairs = state
+    uniq = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("unique_customers")
+    )
+    return (
+        sums.join(uniq, "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("qty_dec").cast("double").alias("total_quantity"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+            "order_count",
+            "unique_customers",
+            (F.col("price_dec").cast("double") / F.col("n_price")).alias(
+                "avg_unit_price"
+            ),
+        )
+    )
+
+
+def incremental_product_summary(
+    spark: SparkSession, sf_dir: str, *, cutoff: str = ORDER_CUTOFF
+) -> DataFrame:
+    """Self-verifying incremental product-summary maintenance: fold the
+    two-relation state over the base/delta order split and finalize —
+    must equal plans/parity.product_summary's full recompute bit-for-bit
+    (the oracle is the full-recompute SQL)."""
+    grain = _line_grain(spark, sf_dir)
+    cutoff_ts = F.to_timestamp(F.lit(cutoff))
+    base = product_state(grain.filter(F.col("o_orderdate") < cutoff_ts))
+    delta = product_state(grain.filter(F.col("o_orderdate") >= cutoff_ts))
+    part = load_table(spark, sf_dir, "part")
+    return finalize_product_summary(merge_product_state(base, delta), part)
+
+
 #: No driver-registry entries (50-cap, COVERAGE.md) — library tier,
 #: oracle-checked every pytest run by tests/test_library_parity.py.
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-LIBRARY_QUERIES = {"incremental_customer_summary": incremental_customer_summary}
+LIBRARY_QUERIES = {
+    "incremental_customer_summary": incremental_customer_summary,
+    "incremental_product_summary": incremental_product_summary,
+}
 
-#: the oracle for the incremental path is deliberately the SAME
-#: full-recompute SQL as plans/parity.customer_summary
+#: the oracle for each incremental path is deliberately the SAME
+#: full-recompute SQL as the plans/parity plan it maintains
 LIBRARY_ORACLE = {
-    "incremental_customer_summary": _PARITY_ORACLE["customer_summary"]
+    "incremental_customer_summary": _PARITY_ORACLE["customer_summary"],
+    "incremental_product_summary": _PARITY_ORACLE["product_summary"],
 }

@@ -109,6 +109,27 @@ def test_incremental_fold_equals_full_recompute_any_batching(spark):
     grain.unpersist()
 
 
+def test_incremental_product_fold_equals_full_recompute(spark):
+    """The auxiliary distinct-pair state makes unique_customers (a
+    non-mergeable distinct) exactly maintainable: 3-way order-partitioned
+    fold ≡ the one-shot product summary, bit-for-bit."""
+    full = parity.product_summary(spark, SF)
+    grain = incremental._line_grain(spark, SF).persist()
+    states = [
+        incremental.product_state(
+            grain.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i)
+        )
+        for i in range(3)
+    ]
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    folded = incremental.finalize_product_summary(
+        incremental.merge_product_state(*states), part
+    )
+    assert folded.columns == full.columns
+    assert _summaries_equal(folded, full)
+    grain.unpersist()
+
+
 def test_incremental_empty_delta_is_identity(spark):
     """Merging an empty batch state changes nothing — the no-new-data
     ingest run is a no-op on the summary."""
