@@ -415,3 +415,94 @@ QUERIES = {
     "repeat_buyer_set_ops": repeat_buyer_set_ops,
     "approx_distinct_stats": approx_distinct_stats,  # rows-only: sketches
 }
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(region, market segment) revenue — all four grouping-set
+    combinations in ONE pass (Catalyst's Expand: each input row fans out
+    to its grouping sets before one hash aggregate — no re-scan per
+    set), with ``grouping()`` flags disambiguating NULL-as-total from a
+    genuine NULL key. Completes the grouping-sets family next to
+    region_nation_rollup's ROLLUP (SURVEY §2.3 extension).
+
+    Scale: Expand multiplies shuffle rows by #sets (4 here) BEFORE the
+    partial aggregate, but partial aggregation collapses them to group
+    grain map-side — the shuffle carries group rows, not fact rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(~_cancel_pred())
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .cube("r_name", "c_mktsegment")
+        .agg(
+            dsum("o_totalprice").alias("total_revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.grouping("r_name").cast("int").alias("is_region_total"),
+            F.grouping("c_mktsegment").cast("int").alias("is_segment_total"),
+        )
+    )
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((region), (segment)) — two independent
+    one-dimensional summaries in a single pass over the join, skipping
+    the cross combinations a CUBE would also compute. Expressed through
+    the engine's SQL surface (temp views + spark.sql) — the same Catalyst
+    plan the DataFrame API builds, exercising the SQL entry point."""
+    orders = load_table(spark, sf_dir, "orders").filter(~_cancel_pred())
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders.createOrReplaceTempView("gs_orders")
+    customer.createOrReplaceTempView("gs_customer")
+    nation.createOrReplaceTempView("gs_nation")
+    region.createOrReplaceTempView("gs_region")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+                   AS total_revenue,
+               COUNT(DISTINCT o_orderkey) AS order_count
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+        """
+    )
+
+
+LIBRARY_QUERIES = {
+    "revenue_cube": revenue_cube,
+    "revenue_grouping_sets": revenue_grouping_sets,
+}
+
+LIBRARY_ORACLE = {
+    "revenue_cube": f"""
+        SELECT r_name, c_mktsegment,
+               {oracle_dsum('o_totalprice')} AS total_revenue,
+               COUNT(DISTINCT o_orderkey) AS order_count,
+               CAST(GROUPING(r_name) AS INTEGER) AS is_region_total,
+               CAST(GROUPING(c_mktsegment) AS INTEGER) AS is_segment_total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE NOT {_CANCEL_SQL}
+        GROUP BY CUBE (r_name, c_mktsegment)
+    """,
+    "revenue_grouping_sets": f"""
+        SELECT r_name, c_mktsegment,
+               {oracle_dsum('o_totalprice')} AS total_revenue,
+               COUNT(DISTINCT o_orderkey) AS order_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE NOT {_CANCEL_SQL}
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+    """,
+}

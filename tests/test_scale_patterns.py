@@ -365,3 +365,37 @@ def test_zorder_quantile_beats_linear_on_skew(spark, tmp_path):
     back = spark.read.parquet(qtl)
     assert back.count() == df.count()
     assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning — the 100-TB star-join mechanism the
+    static PartitionFilters test can't show: the fact's partition filter
+    comes from the FILTERED DIMENSION at runtime (a dynamicpruning
+    subquery reusing the dim broadcast), so a selective dim predicate
+    prunes fact partitions even though no literal year appears in the
+    query. Scan-level evidence + count vs the literal-predicate twin."""
+    orders = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_dpp")
+    write_parquet(orders, path, partition_by=["order_year"])
+    fact = spark.read.parquet(path)
+    # year dimension with an OPAQUE attribute (constructed data, not an
+    # expression of the key — else Catalyst constant-folds it into a
+    # static partition filter and DPP never fires); the query filters
+    # ONLY on the attribute, so the year can reach the fact scan through
+    # the dynamicpruning subquery alone
+    years = sorted(
+        r.order_year for r in orders.select("order_year").distinct().collect()
+    )
+    dim = spark.createDataFrame(
+        [(y, "focus" if y == 1996 else "other") for y in years],
+        "order_year int, label string",
+    )
+    joined = fact.join(dim, "order_year").filter(F.col("label") == "focus")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert (
+        joined.count()
+        == orders.filter(F.col("order_year") == 1996).count()
+    )
