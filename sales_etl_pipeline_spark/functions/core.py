@@ -183,6 +183,69 @@ def salted_agg(df, keys, aggs, salt_buckets: int = 16):
     )
 
 
+def skew_split_join(
+    fact,
+    dim,
+    fact_key: str,
+    dim_key: str,
+    hot_threshold: int = 100_000,
+    hot_keys=None,
+):
+    """Hot/cold hybrid equi-join for extreme key skew: rows whose join key
+    is HOT (appears more than ``hot_threshold`` times in ``fact``) join
+    against a broadcast of the matching dim slice — no shuffle, no sort,
+    a hot key's rows stay spread across their map partitions — while the
+    cold majority goes through the ordinary shuffle join. The union of
+    the two branches is exactly the inner join.
+
+    When to use vs the built-ins: AQE's OptimizeSkewedJoin already splits
+    oversized sort-merge partitions at runtime and covers most skew; this
+    explicit form is for when the skew is known ahead of time and you
+    want a deterministic plan (no dependence on runtime stats), when the
+    join runs where AQE can't re-plan (inside foreachBatch microbatches),
+    or when a handful of keys are SO hot that even a split sort-merge
+    partition still pays the sort — the broadcast branch does per-row
+    hash lookups instead. Salting (``salted_agg``) is the aggregation
+    analog.
+
+    ``hot_keys``: optional pre-known hot-key DataFrame (single column
+    named ``fact_key``) — supply it to skip the counting pass, e.g. from
+    ``plans.llmdata.misra_gries`` (the mergeable heavy-hitter sketch:
+    cardinality-independent shuffle, candidate-superset guarantee makes
+    it safe here — a false-positive hot key merely rides the broadcast
+    branch). Without it, one exact count pass over ``fact``'s key column
+    finds the hot set (column-pruned scan; acceptable when the fact is
+    re-read anyway, e.g. from cached parquet).
+
+    The hot-key relation must be SMALL (it is ≤ #rows/hot_threshold keys
+    by construction — a few thousand at most in any real corpus); it is
+    broadcast into both semi/anti splits, and the dim slice it selects is
+    at most that many rows, so the broadcast join is always holdable.
+    """
+    from pyspark.sql import functions as F  # local to avoid shadowing
+
+    if hot_keys is None:
+        hot_keys = (
+            fact.groupBy(fact_key)
+            .agg(F.count(F.lit(1)).alias("_kn"))
+            .filter(F.col("_kn") > hot_threshold)
+            .select(fact_key)
+        )
+    hot_keys = F.broadcast(hot_keys)
+    fact_hot = fact.join(hot_keys, fact_key, "left_semi")
+    fact_cold = fact.join(hot_keys, fact_key, "left_anti")
+    dim_hot = dim.join(
+        hot_keys.withColumnRenamed(fact_key, dim_key), dim_key, "left_semi"
+    )
+    hot_joined = fact_hot.join(
+        F.broadcast(dim_hot), fact_hot[fact_key] == dim_hot[dim_key], "inner"
+    )
+    cold_joined = fact_cold.join(
+        dim, fact_cold[fact_key] == dim[dim_key], "inner"
+    )
+    return hot_joined.unionByName(cold_joined)
+
+
 def tokens(col) -> Column:
     """Whitespace tokenization → array<string>. Oracle: string_split(x,' ')."""
     return F.split(col, " ")

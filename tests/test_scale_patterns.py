@@ -399,3 +399,61 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
         joined.count()
         == orders.filter(F.col("order_year") == 1996).count()
     )
+
+
+def test_skew_split_join_equals_plain_join(spark):
+    """Hot/cold hybrid join ≡ the plain inner join exactly on a corpus
+    with one extreme hot key, and the physical plan really has BOTH
+    branches: a broadcast hash join for the hot slice and a shuffle join
+    for the cold remainder."""
+    from sales_etl_pipeline_spark.functions.core import skew_split_join
+
+    # 1 hot key (5000 rows) + 500 cold keys (~4 rows each)
+    fact = spark.range(0, 7000).select(
+        F.when(F.col("id") < 5000, F.lit(7)).otherwise(
+            (F.col("id") % 500) + 100
+        ).alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    dim = spark.range(0, 700).select(
+        F.col("id").alias("dk"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    # disable auto-broadcast so the toy-sized dim doesn't broadcast BOTH
+    # branches: only the explicit hint on the hot slice may broadcast
+    # (at production scale the dim exceeds the threshold on its own)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hybrid = skew_split_join(fact, dim, "k", "dk", hot_threshold=1000)
+        plain = fact.join(dim, fact["k"] == dim["dk"], "inner")
+        cols = ["k", "payload", "dk", "name"]
+        assert sorted(map(tuple, hybrid.select(cols).collect())) == sorted(
+            map(tuple, plain.select(cols).collect())
+        )
+        plan = hybrid._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the cold branch must NOT be broadcast: a shuffle join survives
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_skew_split_join_accepts_precomputed_hot_keys(spark):
+    """Supplying the hot set (e.g. from the Misra–Gries sketch) skips the
+    counting pass; a false-positive 'hot' key must not change results."""
+    from sales_etl_pipeline_spark.functions.core import skew_split_join
+
+    fact = spark.range(0, 400).select(
+        (F.col("id") % 20).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("dk"), (F.col("id") * 10).alias("attr")
+    )
+    # claim keys 3 and 19 are hot, plus 999 which never occurs (FP)
+    hot = spark.createDataFrame([(3,), (19,), (999,)], "k long")
+    hybrid = skew_split_join(fact, dim, "k", "dk", hot_keys=hot)
+    plain = fact.join(dim, fact["k"] == dim["dk"], "inner")
+    cols = ["k", "payload", "dk", "attr"]
+    assert sorted(map(tuple, hybrid.select(cols).collect())) == sorted(
+        map(tuple, plain.select(cols).collect())
+    )

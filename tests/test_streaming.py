@@ -460,3 +460,82 @@ def test_streaming_on_rocksdb_state_store(spark):
             spark.conf.unset(provider_conf)
         else:
             spark.conf.set(provider_conf, old)
+
+
+def test_stream_dq_gate_routes_and_reports(spark, tmp_path):
+    """Streaming DQ gate: clean ∪ quarantine must PARTITION the input
+    exactly (no loss, no duplication), quarantine rows carry the names of
+    the rules they violate, and the per-epoch rule reports sum to the
+    batch dq counts over the same data."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans.validation import row_rule_report
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "dqchunks"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "gated")
+    epochs = jobs.run_dq_gate_stream(
+        normalize_event_ts(raw), out, str(tmp_path / "dqckpt")
+    )
+    assert len(epochs) == 4  # one microbatch per chunk file
+
+    batch = load_events(spark, SF)
+    clean = spark.read.parquet(f"{out}/clean")
+    quarantine = spark.read.parquet(f"{out}/quarantine")
+
+    # exact partition of the input
+    got_ids = sorted(
+        r.event_id for r in clean.select("event_id").collect()
+    ) + sorted(r.event_id for r in quarantine.select("event_id").collect())
+    assert sorted(got_ids) == sorted(
+        r.event_id for r in batch.select("event_id").collect()
+    )
+
+    # routing is exactly the rule disjunction; tags name the fired rule
+    bad = batch.filter((F.col("value") < 0) | (F.col("event_type") == "error"))
+    assert sorted(r.event_id for r in quarantine.collect()) == sorted(
+        r.event_id for r in bad.collect()
+    )
+    assert all(
+        "no_error_events" in r.violated_rules
+        for r in quarantine.filter(F.col("event_type") == "error").collect()
+    )
+
+    # per-epoch reports sum to the batch report over the same rules
+    reports = spark.read.parquet(f"{out}/report")
+    summed = {
+        r.rule_name: r.total
+        for r in reports.groupBy("rule_name")
+        .agg(F.sum("violation_count").alias("total"))
+        .collect()
+    }
+    want = {
+        r.rule_name: r.violation_count
+        for r in row_rule_report(
+            batch,
+            "events",
+            {
+                "value_non_negative": F.col("value") < 0,
+                "no_error_events": F.col("event_type") == "error",
+            },
+        ).collect()
+    }
+    assert summed == want
+    assert want["no_error_events"] > 0  # the corpus really exercises the gate
