@@ -41,6 +41,7 @@ from . import (
     validation,
 )
 from ..operators import multimodal
+from ..sources import pysource
 
 # Ordered so that if an external harness caps the number of entries it
 # checks, the tail is llmdata's rows-only approximate-ANN plans (which get
@@ -60,6 +61,7 @@ _MODULES = (
     cdc,
     validation,
     incremental,
+    pysource,
 )
 
 
