@@ -434,15 +434,64 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VARIANT (SURVEY §2.8 extension,
+    beyond `event_props_stats`'s string-path `get_json_object`): the JSON
+    is parsed ONCE into the binary variant encoding (`parse_json`), then
+    fields extract as typed values (`try_variant_get`) without re-parsing
+    per access — the Spark-4-native way to carry open-schema columns at
+    scale (one parse, many cheap typed reads; string-path JSON re-parses
+    on every extraction expression).
+
+    `try_` semantics on a missing field yield NULL per row (counted here)
+    instead of failing the query. Oracle extracts the same values via
+    DuckDB's JSON path functions; the variant-only surfaces with no SQL
+    twin (`schema_of_variant`, `is_variant_null`) are pinned by pytest
+    (tests/test_operators.py::test_variant_surfaces)."""
+    events = load_events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.absent_field", "int")
+    return (
+        events.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("long")).alias("k_sum"),
+            F.countDistinct("k").alias("k_distinct"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("missing_nulls"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: Library tier (50-entry driver cap, COVERAGE.md): oracle-checked every
 #: pytest run by tests/test_library_parity.py; the streaming twin in
 #: streaming/jobs.py is additionally pinned stream ≡ batch.
 LIBRARY_QUERIES = {
     "event_attribution": event_attribution,
     "event_user_unpivot": event_user_unpivot,
+    "event_props_variant": event_props_variant,
 }
 
 LIBRARY_ORACLE: dict[str, str] = {
+    "event_props_variant": """
+        WITH x AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               COUNT(DISTINCT k) AS k_distinct,
+               COUNT(*) AS missing_nulls
+        FROM x
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "event_attribution": f"""
         WITH clicks AS (
             SELECT event_id AS click_id, user_id, ts AS click_ts

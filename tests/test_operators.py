@@ -579,3 +579,30 @@ def test_near_dup_apis_handle_empty_corpus(spark):
     stats2 = pipe.ingest_batch(some)
     assert stats2["batch_docs"] == 20
     assert pipe.ingested_survivors().count() <= 20
+
+
+def test_variant_surfaces(spark):
+    """The VARIANT-only surfaces with no DuckDB twin (the extraction plan
+    event_props_variant is library-oracle-checked): schema_of_variant
+    reports the object shape, is_variant_null distinguishes JSON null
+    from missing, and typed extraction round-trips the raw JSON."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 7, "tag": "x"}',), ('{"k": null}',), ("[1, 2]",)],
+        "js string",
+    ).select(F.parse_json("js").alias("v"), "js")
+    rows = df.select(
+        F.schema_of_variant("v").alias("sch"),
+        F.is_variant_null(
+            F.try_variant_get("v", "$.k", "variant")
+        ).alias("k_is_json_null"),
+        F.try_variant_get("v", "$.k", "int").alias("k"),
+        F.try_variant_get("v", "$[0]", "int").alias("first_elem"),
+    ).collect()
+    assert rows[0].sch == "OBJECT<k: BIGINT, tag: STRING>"
+    assert rows[0].k == 7 and not rows[0].k_is_json_null
+    # JSON null is a present-but-null value: is_variant_null true
+    assert rows[1].k_is_json_null and rows[1].k is None
+    # arrays address by index; object paths on arrays miss quietly (try_)
+    assert rows[2].first_elem == 1 and rows[2].k is None
