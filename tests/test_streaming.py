@@ -539,3 +539,129 @@ def test_stream_dq_gate_routes_and_reports(spark, tmp_path):
     }
     assert summed == want
     assert want["no_error_events"] > 0  # the corpus really exercises the gate
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (named typed state: MapState + ValueState
+    per user) on RocksDB: counts are monotone across snapshot emissions,
+    so max-per-(user,type) must equal the batch aggregate exactly, and
+    the final per-user value totals match to accumulation order.
+
+    ENV-GATED like the live-JDBC targets: the transformWithState protocol
+    ships state over protobuf, and this container has no google.protobuf —
+    the gap surfaces as an explicit SKIP, not silence."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (absent in container)",
+    )
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.sources.readers import load_events
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        events = jobs.read_events_stream(spark, SF)
+        out = jobs.run_to_memory(
+            jobs.stream_user_type_counts_tws(events), "t_tws", "update"
+        )
+        got_counts = {
+            (r.user_id, r.event_type): r.n
+            for r in out.groupBy("user_id", "event_type")
+            .agg(F.max("n").alias("n"))
+            .collect()
+        }
+        want_counts = {
+            (r.user_id, r.event_type): r.n
+            for r in load_events(spark, SF)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got_counts == want_counts
+        got_totals = {
+            r.user_id: r.t
+            for r in out.groupBy("user_id").agg(F.max("user_total").alias("t")).collect()
+        }
+        want_totals = {
+            r.user_id: r.t
+            for r in load_events(spark, SF)
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("t"))
+            .collect()
+        }
+        assert set(got_totals) == set(want_totals)
+        for uid, t in want_totals.items():
+            assert abs(got_totals[uid] - t) < 1e-6
+    finally:
+        if old is not None:
+            spark.conf.set(provider_conf, old)
+        else:
+            spark.conf.unset(provider_conf)
+
+
+def test_tws_processor_fold_logic_with_fake_state(spark):
+    """Drive the transformWithState processor's fold through the SAME
+    state interface with in-memory fakes (the protobuf runtime the real
+    store needs is absent here): chunked per-user input must fold to the
+    batch aggregate, with monotone snapshot emissions."""
+    import pandas as pd
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def getValue(self, k):
+            return self._m[k]
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+        def iterator(self):
+            return iter(sorted(self._m.items()))
+
+    class FakeHandle:
+        def getMapState(self, name, ks, vs, ttlDurationMs=None):
+            return FakeMapState()
+
+        def getValueState(self, name, s, ttlDurationMs=None):
+            return FakeValueState()
+
+    proc = jobs._make_user_type_counts_processor()()
+    proc.init(FakeHandle())
+    chunks = [
+        pd.DataFrame({"event_type": ["view", "click", "view"], "value": [1.0, 2.0, 3.0]}),
+        pd.DataFrame({"event_type": ["view"], "value": [4.0]}),
+    ]
+    first = list(proc.handleInputRows((7,), chunks[:1], None))[0]
+    second = list(proc.handleInputRows((7,), chunks[1:], None))[0]
+    got = {
+        (r.user_id, r.event_type): (r.n, r.user_total)
+        for r in second.itertuples()
+    }
+    assert got == {(7, "click"): (1, 10.0), (7, "view"): (3, 10.0)}
+    # monotone: the first snapshot is dominated by the second
+    prev = {
+        (r.user_id, r.event_type): r.n for r in first.itertuples()
+    }
+    assert prev == {(7, "view"): 2, (7, "click"): 1}
