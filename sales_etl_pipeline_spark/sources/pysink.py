@@ -1,0 +1,161 @@
+"""Custom Python DataSource WRITER (the sink half of the connector
+surface; the reader half is sources/pysource.py): a JSON-lines sink with
+a real TWO-PHASE COMMIT, batch and streaming.
+
+Why this matters at scale: Spark runs write tasks speculatively and
+retries failed ones, so a sink that writes directly to its final
+location produces duplicates and torn output under retry. The standard
+answer — what every production committer (Hadoop FileOutputCommitter v1,
+object-store staging committers) does — is the protocol implemented
+here with the `pyspark.sql.datasource` writer API:
+
+1. each task writes its partition to a UNIQUELY-NAMED staging file and
+   returns a `WriterCommitMessage` naming it (task attempt = its own
+   file: retries/speculation collide with nothing);
+2. only the driver's `commit(messages)` — called once, with exactly one
+   message per SUCCESSFUL task — publishes the staged files into the
+   final directory and drops a `_SUCCESS` manifest listing them;
+3. `abort()` (job failure) removes the staging dir; orphaned attempts
+   from killed tasks are invisible either way, because readers go
+   through the manifest.
+
+The streaming variant keys the publish per `batchId` (epoch directory +
+per-epoch manifest), making replayed epochs overwrite their own output —
+the same idempotence contract as streaming/jobs.run_foreach_batch_parquet,
+but enforced by the sink itself rather than by handler discipline.
+
+Local-FS rename stands in for the object-store finalize step (this
+container has no cloud SDKs); the protocol — staging keys + driver-side
+finalize + manifest — is the part that transfers unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+FORMAT_NAME = "jsonl_commit"
+SUCCESS_FILE = "_SUCCESS"
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+def _json_default(v):
+    return str(v)  # timestamps/decimals degrade to ISO-ish strings
+
+
+def _write_partition(iterator, staging_dir: str) -> _FileCommit:
+    os.makedirs(staging_dir, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.jsonl"
+    path = os.path.join(staging_dir, name)
+    n = 0
+    with open(path, "w") as f:
+        for row in iterator:
+            f.write(json.dumps(row.asDict(), default=_json_default) + "\n")
+            n += 1
+    return _FileCommit(staged=name, rows=n)
+
+
+def _publish(staging_dir: str, final_dir: str, messages) -> None:
+    """Driver-side finalize: move exactly the files named by successful
+    tasks' commit messages, then write the manifest. Staged files not in
+    ``messages`` (failed/speculative attempts) are discarded with the
+    staging dir."""
+    os.makedirs(final_dir, exist_ok=True)
+    published, total = [], 0
+    for m in messages:
+        if m is None:
+            continue
+        os.rename(
+            os.path.join(staging_dir, m.staged), os.path.join(final_dir, m.staged)
+        )
+        published.append(m.staged)
+        total += m.rows
+    with open(os.path.join(final_dir, SUCCESS_FILE), "w") as f:
+        json.dump({"files": sorted(published), "rows": total}, f)
+    shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_commit requires a 'path' option")
+        self.overwrite = overwrite
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, iterator) -> _FileCommit:
+        return _write_partition(iterator, self.staging)
+
+    def commit(self, messages) -> None:
+        final = os.path.join(self.path, "data")
+        if self.overwrite and os.path.isdir(final):
+            shutil.rmtree(final)
+        _publish(self.staging, final, messages)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_commit requires a 'path' option")
+
+    def write(self, iterator) -> _FileCommit:
+        return _write_partition(iterator, os.path.join(self.path, "_staging"))
+
+    def commit(self, messages, batchId: int) -> None:
+        # epoch-keyed publish: a replayed epoch rewrites its own dir
+        final = os.path.join(self.path, f"epoch={batchId}")
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        _publish(os.path.join(self.path, "_staging"), final, messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonLinesCommitDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonLinesStreamWriter:
+        return JsonLinesStreamWriter(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(JsonLinesCommitDataSource)
+
+
+def read_back(spark, path: str, schema: str, subdir: str = "data"):
+    """Manifest-respecting reader: only files the commit published are
+    visible (the reason torn/orphaned attempts can never leak)."""
+    final = os.path.join(path, subdir)
+    with open(os.path.join(final, SUCCESS_FILE)) as f:
+        manifest = json.load(f)
+    files = [os.path.join(final, name) for name in manifest["files"]]
+    if not files:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
