@@ -693,6 +693,90 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: a 3-gram is "boilerplate" when it appears in at least this many
+#: distinct documents; dedup_spans removes every token it covers
+DUP_SPAN_MIN_DOCS = 4
+
+
+def dedup_spans(
+    spark: SparkSession, sf_dir: str, *, min_docs: int = DUP_SPAN_MIN_DOCS
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the rewrite step behind
+    `dup_ngram_fraction`'s signal (plans/llmdata.py): instead of scoring
+    how much of a document is boilerplate, produce the cleaned corpus
+    with the boilerplate spans cut out. This is the exact-substring-dedup
+    pass of RefinedWeb/MassiveText-style curation (public papers; there
+    it runs on suffix-array matches — here on word-3-gram coverage, the
+    same relational shape at shingle grain).
+
+    Pipeline, all bucketed equi-joins at token/shingle grain (no
+    pairwise work, one doc-keyed window for shingles — same scale shape
+    as plans/llmdata._shingle_table):
+    tokens(pos) → full 3-gram shingles(pos) → df-filtered duplicated
+    shingle set (count DISTINCT docs ≥ ``min_docs``) → covered positions
+    (each hit expands to its 3 token positions) → anti-join tokens →
+    reassemble per doc in position order. Documents whose every token is
+    covered survive with ``clean_text = ''`` (the quality_filter decides
+    what to do with them — removal here would silently change corpus
+    membership).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    sh = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("tok"), t1, t2).alias("s"),
+            t2.isNotNull().alias("full"),
+        )
+        .filter("full")
+        .drop("full")
+        .persist()  # feeds both the df aggregate and the coverage join
+    )
+    dup = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter(F.col("d") >= min_docs)
+        .select("s")
+    )
+    covered = (
+        sh.join(dup, "s")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_tokens = F.size(tokens(F.col("text")))
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
 QUERIES = {
     "quality_filter": quality_filter,
     "contamination_check": contamination_check,
@@ -708,6 +792,7 @@ QUERIES = {
 #: (_doc_token_metrics); stratified_sample is composed by
 #: contamination_check (the eval split) and curation_pipeline.
 LIBRARY_QUERIES = {
+    "dedup_spans": dedup_spans,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "doc_chunks_udtf": doc_chunks_udtf,
@@ -894,6 +979,42 @@ LIBRARY_ORACLE: dict[str, str] = {
 }
 
 #: The UDTF twin is held to the same relational oracle as the registry plan.
+LIBRARY_ORACLE["dedup_spans"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               CAST(unnest(range(len(string_split(text, ' ')))) AS INTEGER)
+                   AS pos
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, pos,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS s
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), dup AS (
+        SELECT s FROM sh WHERE s IS NOT NULL
+        GROUP BY s HAVING COUNT(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+    ), cov AS (
+        SELECT DISTINCT doc_id, pos + d AS pos
+        FROM sh JOIN dup USING (s)
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS d)
+    ), kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0)
+               AS INTEGER) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
 LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
 
 #: The Bloom prefilter must not change the result: held to the exact

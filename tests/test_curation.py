@@ -95,3 +95,27 @@ def test_sequence_packing_no_source_grain_window(spark):
         l for l in windows if "blk" in l and "lcum" in l
     ]
     assert fact_grain, f"no blocked fact-grain window found in: {windows}"
+
+
+def test_dedup_spans_reassembly_and_identity(spark):
+    """Span removal invariants: clean_text token count ≡ n_tokens −
+    n_removed (reassembly loses nothing else), and an unreachable
+    threshold makes the pass the identity."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans.curation import dedup_spans
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_spans(spark, sf)
+    bad = out.filter(
+        F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+            F.size(F.split("clean_text", " "))
+        )
+        != F.col("n_tokens") - F.col("n_removed")
+    )
+    assert bad.count() == 0
+    ident = dedup_spans(spark, sf, min_docs=10**9)
+    assert ident.filter(F.col("n_removed") != 0).count() == 0
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    joined = ident.join(docs, "doc_id")
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
