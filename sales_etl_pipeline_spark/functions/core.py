@@ -221,6 +221,17 @@ def skew_split_join(
     by construction — a few thousand at most in any real corpus); it is
     broadcast into both semi/anti splits, and the dim slice it selects is
     at most that many rows, so the broadcast join is always holdable.
+
+    Measured regime (BASELINE.md): at toy scale the hybrid LOSES — on a
+    6M-row persisted fact with 30% of rows on one key (local[32],
+    auto-broadcast off), plain shuffle join 1.2–1.3 s vs hybrid 1.6 s:
+    local shuffle is memcpy and one 1.8M-row reducer partition is
+    nothing, while the hybrid pays two extra broadcast-hash passes over
+    the fact for the semi/anti split. The crossover is where a hot
+    reducer partition stops fitting its executor (spill/OOM) or
+    serializes a wave — a cluster-scale condition by definition. Use
+    plain join + AQE first; reach for this when the hot keys are known
+    and the skew is pathological.
     """
     from pyspark.sql import functions as F  # local to avoid shadowing
 
