@@ -229,3 +229,40 @@ def test_ivf_cluster_stats_diagnostic(spark, skew_dir):
     for r in rows[:20]:
         assert r.pair_volume == r.size * (r.size - 1) // 2
     assert rows[0].size <= 10 * 50  # 10x the rows_per_centroid average
+
+
+def test_dedup_spans_cuts_boilerplate_on_skew(spark, skew_dir, skew_con):
+    """dedup_spans on the boilerplate-family corpus — its designed-for
+    shape: family members share an ~80-token base text, so family
+    shingles exceed the doc-frequency threshold and the shared spans are
+    cut, while singleton docs (unique token streams) stay intact. Exact
+    oracle parity must hold here too (the threshold is a parameter, not
+    a divergence), and the removal must separate families from
+    singletons cleanly."""
+    from sales_etl_pipeline_spark.plans import curation
+
+    df = curation.dedup_spans(spark, skew_dir).persist()
+    problems = compare(
+        df,
+        skew_con,
+        curation.LIBRARY_ORACLE["dedup_spans"],
+        "dedup_spans_skew",
+    )
+    assert not problems, "\n".join(problems)
+
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    joined = df.join(docs, "doc_id").withColumn(
+        "removed_frac", F.col("n_removed") / F.col("n_tokens")
+    )
+    # family docs are doc_id < N_FAMILIES-member range; identify by
+    # removal instead: the corpus has ~sum(500/f) family members that
+    # share base text. Assert a bimodal split: a substantial set of docs
+    # loses most tokens, the singleton tail loses ~none.
+    heavy = joined.filter(F.col("removed_frac") > 0.5).count()
+    clean = joined.filter(F.col("removed_frac") == 0.0).count()
+    total = joined.count()
+    assert heavy > 0.2 * total  # the boilerplate mass really is cut
+    assert clean > 0.2 * total  # unique docs are untouched
+    df.unpersist()
