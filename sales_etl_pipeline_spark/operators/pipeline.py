@@ -80,6 +80,40 @@ class AnalyticsPipeline:
                 logger.info("transform: %s = %d records", name, df.count())
         return self.transformed_data
 
+    #: referential integrity must hold before anything publishes; the
+    #: row-level rules are reported but don't gate by default (the
+    #: reference's own answer to bad rows is to DROP them in cleaning,
+    #: not to abort the run — reference etl.py:62-104)
+    DEFAULT_GATE_RULES = ("lineitem_orderkey_fk", "orders_custkey_fk")
+
+    def validate(
+        self, fail_on: tuple[str, ...] | None = None
+    ) -> DataFrame:
+        """Run the DQ constraint suite (plans/validation.dq_report) as a
+        publish gate: logs every failing rule, raises if a rule in
+        ``fail_on`` (default: the referential-integrity rules) failed.
+        Returns the rule-grain report for sinking alongside the outputs —
+        the engine's upgrade over the reference's log-and-drop
+        observability."""
+        from ..plans.validation import dq_report
+
+        if fail_on is None:
+            fail_on = self.DEFAULT_GATE_RULES
+        report = dq_report(self.spark, self.source_dir)
+        failed = {
+            r.rule_name: r.violation_count
+            for r in report.filter(~report.passed).collect()
+        }
+        for rule, n in failed.items():
+            logger.warning("validate: rule %s FAILED (%d violations)", rule, n)
+        gate_broken = sorted(set(fail_on) & set(failed))
+        if gate_broken:
+            raise ValueError(
+                f"validation gate failed: {gate_broken} "
+                f"(violations: {[failed[r] for r in gate_broken]})"
+            )
+        return report
+
     def load(self, formats: list[str] | None = None) -> dict[str, list[str]]:
         """Fan the catalog out to sinks (reference etl.py:364-386)."""
         if self.transformed_data is None:
@@ -89,10 +123,17 @@ class AnalyticsPipeline:
             logger.info("load: %s → %d tables", fmt, len(paths))
         return written
 
-    def run(self, output_formats: list[str] | None = None) -> dict:
-        """Full E-T-L (reference etl.py:390-413), wall-clock timed."""
+    def run(
+        self,
+        output_formats: list[str] | None = None,
+        validate_first: bool = False,
+    ) -> dict:
+        """Full E-T-L (reference etl.py:390-413), wall-clock timed; with
+        ``validate_first`` the DQ gate runs before any transform job."""
         start = time.time()
         self.extract()
+        if validate_first:
+            self.validate()
         self.transform()
         written = self.load(output_formats)
         return {

@@ -475,7 +475,69 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped orders for one
+    market segment, revenue-ranked top 10 — scan-filter both fact sides
+    BEFORE the join (the date predicates push into both parquet scans),
+    broadcast nothing (customer⋈orders⋈lineitem are all key joins AQE
+    plans), deterministic top-k via (revenue, orderkey) ordering →
+    TakeOrderedAndProject. o_orderpriority stands in for the schema's
+    missing o_shippriority column."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers ranked by
+    revenue lost to returns in one quarter — returnflag + date predicates
+    prune both fact scans, nation broadcasts, top 20 deterministic via
+    (revenue, custkey)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
 LIBRARY_QUERIES = {
+    "shipping_priority": shipping_priority,
+    "returned_item_report": returned_item_report,
     "revenue_cube": revenue_cube,
     "revenue_grouping_sets": revenue_grouping_sets,
 }
@@ -506,3 +568,32 @@ LIBRARY_ORACLE = {
         GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
     """,
 }
+
+LIBRARY_ORACLE["shipping_priority"] = f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+LIBRARY_ORACLE["returned_item_report"] = f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""

@@ -141,3 +141,18 @@ def test_incremental_empty_delta_is_identity(spark):
     )
     one_shot = incremental.finalize_customer_summary(base)
     assert _summaries_equal(merged, one_shot)
+
+
+def test_pipeline_validate_gate(spark, tmp_path):
+    """AnalyticsPipeline.validate(): the default gate (referential rules)
+    passes on the corpus; gating on a rule the corpus genuinely breaks
+    raises with the rule named."""
+    import pytest
+
+    from sales_etl_pipeline_spark.operators.pipeline import AnalyticsPipeline
+
+    pipe = AnalyticsPipeline(spark, SF, str(tmp_path / "out"))
+    report = pipe.validate()
+    assert report.count() == 10  # the full rule suite ran
+    with pytest.raises(ValueError, match="lineitem_pk_unique"):
+        pipe.validate(fail_on=("lineitem_pk_unique",))
