@@ -535,7 +535,56 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values: 10 × 50k-wide buckets via a
+    pure floor-division projection — the single-scan aggregation shape
+    histograms keep at any scale (no sort, no window; bucket id is
+    computed map-side and the shuffle carries ≤ #buckets rows). Empty
+    buckets are absent by construction (GROUP BY), documented."""
+    orders = load_table(spark, sf_dir, "orders").filter(~_cancel_pred())
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50_000.0)).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_revenue"),
+        )
+        .withColumn("lo", (F.col("bucket") * 50_000.0))
+        .withColumn("hi", ((F.col("bucket") + 1) * 50_000.0))
+        .select("bucket", "lo", "hi", "n_orders", "bucket_revenue")
+        .orderBy("bucket")
+    )
+
+
+def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surface: customers whose account balance
+    exceeds their nation's average — written as literal correlated SQL
+    (``WHERE c_acctbal > (SELECT AVG ... WHERE same nation)``) through
+    the engine's SQL entry point. Catalyst DECORRELATES this into an
+    aggregate + join (no per-row subquery execution — the rewrite that
+    makes correlated SQL viable at scale); the oracle runs the same
+    correlated form on DuckDB, which decorrelates likewise. davg-exact
+    threshold so the comparison is bit-identical."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "sq_customer"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM sq_customer outer_c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+                       / COUNT(c_acctbal)
+            FROM sq_customer inner_c
+            WHERE inner_c.c_nationkey = outer_c.c_nationkey
+        )
+        """
+    )
+
 LIBRARY_QUERIES = {
+    "order_value_histogram": order_value_histogram,
+    "above_avg_balance": above_avg_balance,
     "shipping_priority": shipping_priority,
     "returned_item_report": returned_item_report,
     "revenue_cube": revenue_cube,
@@ -596,4 +645,27 @@ LIBRARY_ORACLE["returned_item_report"] = f"""
     GROUP BY 1, 2, 3, 4
     ORDER BY revenue DESC, c_custkey ASC
     LIMIT 20
+"""
+
+LIBRARY_ORACLE["order_value_histogram"] = f"""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+           floor(o_totalprice / 50000.0) * 50000.0 AS lo,
+           (floor(o_totalprice / 50000.0) + 1) * 50000.0 AS hi,
+           COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS bucket_revenue
+    FROM orders
+    WHERE NOT {_CANCEL_SQL}
+    GROUP BY 1, 2, 3
+    ORDER BY bucket
+"""
+
+LIBRARY_ORACLE["above_avg_balance"] = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer outer_c
+    WHERE c_acctbal > (
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR)
+                   AS DOUBLE) / COUNT(c_acctbal)
+        FROM customer inner_c
+        WHERE inner_c.c_nationkey = outer_c.c_nationkey
+    )
 """
