@@ -170,3 +170,19 @@ def test_incremental_minhash_candidate_join_is_equi(spark):
     plan = _plan(ld.incremental_minhash_near_dup(base, delta))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """above_avg_balance is written as a literal correlated scalar
+    subquery; Catalyst must decorrelate it — the physical plan contains
+    an aggregate + join and NO subquery execution node."""
+    from sales_etl_pipeline_spark.plans.analytics import above_avg_balance
+
+    plan = (
+        above_avg_balance(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan and "Join" in plan, plan
