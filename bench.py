@@ -88,6 +88,9 @@ HEADLINE = (
     # compare against the customer_summary row)
     "dq_report",
     "incremental_customer_summary",
+    # duplicated-span removal (token/shingle-grain rewrite — the heaviest
+    # of the late-r8 text passes; scaling recorded in BASELINE.md)
+    "dedup_spans",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
