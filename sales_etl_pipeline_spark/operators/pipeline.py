@@ -38,13 +38,19 @@ class AnalyticsPipeline:
     """
 
     def __init__(self, spark: SparkSession, source_dir: str, output_dir: str,
-                 log_counts: bool = False):
+                 log_counts: bool = False, observe_counts: bool = False):
         self.spark = spark
         self.source_dir = source_dir
         self.output_dir = output_dir
         self.log_counts = log_counts
+        #: zero-cost alternative to log_counts: attach an ``Observation``
+        #: to each output plan so row counts ride the load() write action
+        #: itself — no second pass over the data, unlike count() jobs.
+        self.observe_counts = observe_counts
         self.raw_tables: dict[str, DataFrame] | None = None
         self.transformed_data: dict[str, DataFrame] | None = None
+        self._observations: dict = {}
+        self._loaded = False
 
     def extract(self) -> dict[str, DataFrame]:
         """Load the source catalog (lazy scans; nothing materializes)."""
@@ -71,6 +77,21 @@ class AnalyticsPipeline:
             "country_summary": parity.country_summary(self.spark, self.source_dir),
             "transactions": cleaned,
         }
+        if self.observe_counts:
+            # The reference pays a full extra pass for every logged count
+            # (pandas len() is free; Spark count() is a job — SURVEY
+            # §3.4). df.observe() instead accumulates metrics DURING the
+            # next action over the plan: load() writes the table and the
+            # row count falls out of the same job. observed_counts()
+            # reads them afterwards.
+            from pyspark.sql import Observation, functions as F
+
+            observed = {}
+            for name, df in self.transformed_data.items():
+                obs = Observation(f"rows_{name}")
+                observed[name] = df.observe(obs, F.count(F.lit(1)).alias("n"))
+                self._observations[name] = obs
+            self.transformed_data = observed
         logger.info("transform: composed %d output plans (no jobs yet)",
                     len(self.transformed_data))
         if self.log_counts:
@@ -119,6 +140,7 @@ class AnalyticsPipeline:
         if self.transformed_data is None:
             raise RuntimeError("No data to load. Run transform() first.")
         written = save_tables(self.transformed_data, self.output_dir, formats)
+        self._loaded = True
         for fmt, paths in written.items():
             logger.info("load: %s → %d tables", fmt, len(paths))
         return written
@@ -144,11 +166,27 @@ class AnalyticsPipeline:
 
     def get_summary(self) -> dict:
         """Row counts per output table (reference etl.py:415-422). Counts
-        are jobs; summaries are aggregate-grain so each is cheap."""
+        are jobs; summaries are aggregate-grain so each is cheap. With
+        ``observe_counts`` and a completed load(), prefers the observed
+        metrics — zero extra jobs."""
         if self.transformed_data is None:
             return {"status": "No data transformed yet"}
+        observed = self.observed_counts()
         return {
-            name: df.count() for name, df in self.transformed_data.items()
+            name: observed[name] if name in observed else df.count()
+            for name, df in self.transformed_data.items()
+        }
+
+    def observed_counts(self) -> dict:
+        """Row counts captured by the Observations during the last action
+        over each plan (empty until an action — e.g. load() — ran).
+        ``Observation.get`` blocks until its plan executed once, so
+        nothing is read before load() has run."""
+        if not self._observations or not self._loaded:
+            return {}
+        return {
+            name: obs.get["n"]
+            for name, obs in self._observations.items()
         }
 
 

@@ -606,3 +606,26 @@ def test_variant_surfaces(spark):
     assert rows[1].k_is_json_null and rows[1].k is None
     # arrays address by index; object paths on arrays miss quietly (try_)
     assert rows[2].first_elem == 1 and rows[2].k is None
+
+
+def test_observed_counts_ride_the_write(spark, tmp_path):
+    """observe_counts: row counts come from Observations attached to the
+    output plans — captured by the load() write jobs themselves, no
+    count() jobs afterwards — and must equal the plain count() numbers."""
+    from sales_etl_pipeline_spark.operators.pipeline import AnalyticsPipeline
+
+    sf = "/root/testdata/sf0.001"
+    pipe = AnalyticsPipeline(
+        spark, sf, str(tmp_path / "out"), observe_counts=True
+    )
+    pipe.extract()
+    pipe.transform()
+    assert pipe.observed_counts() == {}  # nothing ran yet — must not block
+    pipe.load(["parquet"])
+    observed = pipe.observed_counts()
+    plain = AnalyticsPipeline(spark, sf, str(tmp_path / "out2"))
+    plain.extract()
+    plain.transform()
+    want = {name: df.count() for name, df in plain.transformed_data.items()}
+    assert observed == want
+    assert pipe.get_summary() == want
