@@ -60,8 +60,12 @@ def row_rule_report(
     """
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, pred in rules.items():
+        # coalesce: sum() over zero rows is NULL — an EMPTY input has zero
+        # violations (vacuous pass), not an unknown verdict
         aggs.append(
-            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(f"v_{name}")
+            F.coalesce(
+                F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"v_{name}")
         )
     for name, keys in (unique_keys or {}).items():
         aggs.append(

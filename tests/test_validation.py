@@ -156,3 +156,41 @@ def test_pipeline_validate_gate(spark, tmp_path):
     assert report.count() == 10  # the full rule suite ran
     with pytest.raises(ValueError, match="lineitem_pk_unique"):
         pipe.validate(fail_on=("lineitem_pk_unique",))
+
+
+def test_row_rule_report_empty_input_vacuous_pass(spark):
+    """A DQ report over zero rows must report 0 violations and pass
+    vacuously — not NULL verdicts (sum() over no rows is NULL without
+    the coalesce)."""
+    empty = spark.createDataFrame([], "id long, amount double")
+    rows = validation.row_rule_report(
+        empty,
+        "t",
+        {"pos": ~(F.col("amount") > 0)},
+        unique_keys={"u": ["id"]},
+    ).collect()
+    assert all(r.violation_count == 0 and r.passed for r in rows)
+    assert all(r.checked_rows == 0 for r in rows)
+
+
+def test_incremental_state_survives_parquet_round_trip(spark, tmp_path):
+    """The production ingest shape: batch state written to parquet,
+    read back next run, merged with the new delta's state — must
+    finalize identically to the one-shot summary (state schema is
+    parquet-stable, incl. the DECIMAL(38,10) sums)."""
+    grain = incremental.order_grain(spark, SF)
+    cutoff = F.to_timestamp(F.lit(incremental.ORDER_CUTOFF))
+    base_state = incremental.customer_state(
+        grain.filter(F.col("o_orderdate") < cutoff)
+    )
+    state_path = str(tmp_path / "customer_state")
+    base_state.write.parquet(state_path)
+    restored = spark.read.parquet(state_path)
+    assert dict(restored.dtypes)["rev_dec"] == "decimal(38,10)"
+    delta_state = incremental.customer_state(
+        grain.filter(F.col("o_orderdate") >= cutoff)
+    )
+    folded = incremental.finalize_customer_summary(
+        incremental.merge_customer_state(restored, delta_state)
+    )
+    assert _summaries_equal(folded, parity.customer_summary(spark, SF))
