@@ -186,3 +186,31 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     )
     assert "Subquery" not in plan, plan
     assert "HashAggregate" in plan and "Join" in plan, plan
+
+
+def test_dedup_spans_no_cartesian(spark, sf_dir):
+    """The span-removal pipeline must stay equi-join shaped end to end —
+    no cartesian/nested-loop anywhere despite the multi-stage
+    shingle/coverage/anti-join composition."""
+    from sales_etl_pipeline_spark.plans.curation import dedup_spans
+
+    plan = (
+        dedup_spans(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_report_fk_rules_plan_left_anti(spark, sf_dir):
+    """Referential rules compile to LeftAnti joins (violation = orphan),
+    and the whole report is cartesian-free."""
+    from sales_etl_pipeline_spark.plans.validation import dq_report
+
+    plan = (
+        dq_report(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
