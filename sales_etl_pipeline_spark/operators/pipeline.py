@@ -255,6 +255,8 @@ class TrainingDataPipeline:
         self._band_index: DataFrame | None = None
         self._dropped: DataFrame | None = None
         self._ingest_epoch = 0
+        #: replay high-watermark — see ingest_batch
+        self._ingest_watermark = -1
         shutil.rmtree(f"{self.output_dir}/ingest_state", ignore_errors=True)
 
     def _materialize(self, df: DataFrame, name: str, append: bool) -> DataFrame:
@@ -309,6 +311,20 @@ class TrainingDataPipeline:
         ):
             self.reset_ingest()
         self._ingest_epoch += 1
+        # At-least-once transports re-deliver batches. The append-only
+        # invariant (ids strictly increase across batches) makes replay
+        # detection a pure high-watermark filter: any row at or below the
+        # max already-ingested doc_id is a replay and is dropped BEFORE it
+        # can re-enter the canonical log (without this, a replayed batch
+        # re-appends its canonicals and the corpus silently inflates —
+        # caught by tests/test_operators.py::test_ingest_batch_replay).
+        # Driver traffic is one scalar (the batch max) per ingest.
+        new_docs = new_docs.filter(
+            F.col("doc_id") > F.lit(self._ingest_watermark)
+        )
+        batch_hi = new_docs.agg(F.max("doc_id")).first()[0]
+        if batch_hi is not None:
+            self._ingest_watermark = max(self._ingest_watermark, batch_hi)
         prev_state = self._dedup_state or spark.createDataFrame(
             [], self._EMPTY_STATE_SCHEMA
         )

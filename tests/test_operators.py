@@ -629,3 +629,34 @@ def test_observed_counts_ride_the_write(spark, tmp_path):
     want = {name: df.count() for name, df in plain.transformed_data.items()}
     assert observed == want
     assert pipe.get_summary() == want
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once delivery: replaying an already-ingested batch (and a
+    half-replayed overlap) must leave the survivor corpus IDENTICAL —
+    the append-only high-watermark drops replayed rows before they can
+    re-enter the canonical log."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+
+    docs = load_table(spark, SF, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    b1 = docs.filter(F.col("doc_id") < hi // 2)
+    b2 = docs.filter(F.col("doc_id") >= hi // 2)
+
+    pipe = TrainingDataPipeline(spark, SF, str(tmp_path))
+    pipe.reset_ingest()
+    pipe.ingest_batch(b1)
+    pipe.ingest_batch(b2)
+    before = sorted(
+        r.doc_id for r in pipe.ingested_survivors().select("doc_id").collect()
+    )
+    stats = pipe.ingest_batch(b2)  # exact replay
+    assert stats["batch_docs"] == 0  # fully dropped at the watermark
+    overlap = docs.filter(F.col("doc_id") >= hi // 3)  # partial replay
+    pipe.ingest_batch(overlap)
+    after = sorted(
+        r.doc_id for r in pipe.ingested_survivors().select("doc_id").collect()
+    )
+    assert after == before
