@@ -259,6 +259,49 @@ class TrainingDataPipeline:
         self._ingest_watermark = -1
         shutil.rmtree(f"{self.output_dir}/ingest_state", ignore_errors=True)
 
+    def restore_ingest(self) -> dict:
+        """Rebuild the ingest state from the parquet a previous process
+        left in ``output_dir/ingest_state`` — the driver-crash recovery
+        path (the in-memory handles die with the driver; the state
+        relations never did). Restores: the latest fingerprint epoch, the
+        canonical/tombstone/band logs, the epoch counter, and the replay
+        high-watermark (= max canonical doc_id — a replayed exact-dup
+        member above it is still collapsed by the fingerprint state, so
+        the watermark only needs canonical grain). Returns restore stats.
+
+        Safe to call instead of reset_ingest() when resuming; raises if
+        no persisted state exists."""
+        import os
+        import re
+
+        root = f"{self.output_dir}/ingest_state"
+        if not os.path.isdir(f"{root}/canonical"):
+            raise RuntimeError(f"no ingest state to restore under {root}")
+        epochs = [
+            int(m.group(1))
+            for d in os.listdir(self.output_dir + "/ingest_state")
+            for m in [re.match(r"fingerprints_e(\d+)$", d)]
+            if m
+        ]
+        if not epochs:
+            raise RuntimeError(f"no fingerprint state under {root}")
+        from pyspark.sql import functions as F
+
+        self._ingest_epoch = max(epochs)
+        self._dedup_state = self.spark.read.parquet(
+            f"{root}/fingerprints_e{self._ingest_epoch}"
+        )
+        self._corpus_canon = self.spark.read.parquet(f"{root}/canonical/batch_*")
+        self._band_index = self.spark.read.parquet(f"{root}/bands/batch_*")
+        self._dropped = self.spark.read.parquet(f"{root}/tombstones/batch_*")
+        self._ingest_watermark = (
+            self._corpus_canon.agg(F.max("doc_id")).first()[0] or -1
+        )
+        return {
+            "restored_epoch": self._ingest_epoch,
+            "watermark": self._ingest_watermark,
+        }
+
     def _materialize(self, df: DataFrame, name: str, append: bool) -> DataFrame:
         """Write a state relation to parquet and read it back — state
         lives ON DISK between batches (exactly like the streaming CDC

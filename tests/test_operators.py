@@ -660,3 +660,47 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
         r.doc_id for r in pipe.ingested_survivors().select("doc_id").collect()
     )
     assert after == before
+
+
+def test_ingest_restore_after_driver_restart(spark, tmp_path):
+    """Crash recovery: a NEW pipeline object over the same output_dir
+    restores epoch/watermark/state from parquet and continues the fold —
+    final survivors must equal an uninterrupted 3-batch run, and a
+    replayed batch after restore is still a no-op."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+
+    docs = load_table(spark, SF, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    batches = [
+        docs.filter(
+            (F.col("doc_id") >= i * hi // 3) & (F.col("doc_id") < (i + 1) * hi // 3)
+        )
+        for i in range(3)
+    ]
+
+    # uninterrupted reference fold
+    ref = TrainingDataPipeline(spark, SF, str(tmp_path / "ref"))
+    ref.reset_ingest()
+    for b in batches:
+        ref.ingest_batch(b)
+    want = sorted(
+        r.doc_id for r in ref.ingested_survivors().select("doc_id").collect()
+    )
+
+    # crash between batch 2 and 3: new object, restore, continue
+    d = str(tmp_path / "crash")
+    p1 = TrainingDataPipeline(spark, SF, d)
+    p1.reset_ingest()
+    p1.ingest_batch(batches[0])
+    p1.ingest_batch(batches[1])
+    p2 = TrainingDataPipeline(spark, SF, d)  # "restarted driver"
+    stats = p2.restore_ingest()
+    assert stats["restored_epoch"] == 2
+    assert p2.ingest_batch(batches[1])["batch_docs"] == 0  # replay no-op
+    p2.ingest_batch(batches[2])
+    got = sorted(
+        r.doc_id for r in p2.ingested_survivors().select("doc_id").collect()
+    )
+    assert got == want
