@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 #: bump when the recipe changes — stale corpora regenerate automatically
-VERSION = "skew-v3"
+VERSION = "skew-v4"
 
 SEED = 20260814
 N_FAMILIES = 30
@@ -129,6 +129,45 @@ def _make_embeddings(rng: np.random.Generator):
     )
 
 
+#: events skew: one mega-user generates this fraction of the stream —
+#: the per-user window/session/state partitioning hot spot
+N_EVENTS = 20000
+N_USERS = 300
+HOT_USER_FRAC = 0.30
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def _make_events(rng: np.random.Generator):
+    """Hot-user event stream: user 0 emits HOT_USER_FRAC of all events —
+    the shape that concentrates per-user windows/sessions/state on one
+    reducer. Timestamps are ns-precision (same physical type as the
+    driver's events.parquet) over a month, increasing with jitter so
+    sessions exist."""
+    n_hot = int(N_EVENTS * HOT_USER_FRAC)
+    users = np.concatenate([
+        np.zeros(n_hot, dtype=np.int64),
+        rng.integers(1, N_USERS, size=N_EVENTS - n_hot),
+    ])
+    rng.shuffle(users)
+    base = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
+    # ~2.2 min mean gap over the month; exponential gaps → real sessions
+    gaps = rng.exponential(130.0, size=N_EVENTS) * 1e9
+    ts = base + np.cumsum(gaps).astype(np.int64)
+    etype = [EVENT_TYPES[i] for i in rng.integers(0, len(EVENT_TYPES), size=N_EVENTS)]
+    value = np.round(rng.random(N_EVENTS) * 300.0, 2)
+    props = [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=N_EVENTS)]
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(N_EVENTS), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+
+
 def ensure_skew_corpus(out_dir: str) -> str:
     """Write the skewed corpus to ``out_dir`` if absent or stale; returns
     ``out_dir``. Idempotent and cheap on the hit path (one marker read)."""
@@ -141,6 +180,11 @@ def ensure_skew_corpus(out_dir: str) -> str:
     rng = np.random.default_rng(SEED)
     pq.write_table(_make_documents(rng), os.path.join(out_dir, "documents.parquet"))
     pq.write_table(_make_embeddings(rng), os.path.join(out_dir, "embeddings.parquet"))
+    # separate generator: documents/embeddings stay byte-identical to v3
+    pq.write_table(
+        _make_events(np.random.default_rng(SEED + 1)),
+        os.path.join(out_dir, "events.parquet"),
+    )
     with open(marker, "w") as f:
         f.write(VERSION)
     return out_dir

@@ -218,3 +218,25 @@ if _HAS_HYPOTHESIS:
             for t, (i, n) in want.items()
         }
         assert got == expected
+
+
+def test_merge_snapshot_replay_idempotent(spark):
+    """At-least-once changelog delivery: re-merging a delta that was
+    already folded into the snapshot must be a no-op (latest-wins picks
+    the same winners again) — the property run_cdc_merge_stream's
+    crash-replay safety rests on."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans.cdc import _latest_wins, merge_snapshot
+    from sales_etl_pipeline_spark.sources.readers import load_events
+
+    events = load_events(spark, SF)
+    cutoff = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    base = _latest_wins(events.filter(F.col("ts") < cutoff))
+    delta = events.filter(F.col("ts") >= cutoff)
+    once = merge_snapshot(base, delta)
+    twice = merge_snapshot(once, delta)  # replayed delta
+    cols = sorted(once.columns)
+    a = sorted(map(tuple, once.select(cols).collect()))
+    b = sorted(map(tuple, twice.select(cols).collect()))
+    assert a == b

@@ -39,7 +39,7 @@ def skew_dir():
 @pytest.fixture(scope="module")
 def skew_con(skew_dir):
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{skew_dir}/{t}.parquet')"
         )
@@ -266,3 +266,30 @@ def test_dedup_spans_cuts_boilerplate_on_skew(spark, skew_dir, skew_con):
     assert heavy > 0.2 * total  # the boilerplate mass really is cut
     assert clean > 0.2 * total  # unique docs are untouched
     df.unpersist()
+
+
+def test_event_time_operators_parity_on_hot_user_stream(spark, skew_dir, skew_con):
+    """The per-user window family on a hot-user stream (user 0 = 30% of
+    all events — the partition-concentration shape): sessionization
+    (native session_window), ranked-window dedup, and the latest-wins CDC
+    snapshot must all hold EXACT oracle parity on that distribution. The
+    hot key costs time, never correctness — and the time cost is bounded
+    map-side: all three are partial-aggregatable or single-window plans
+    whose shuffle carries user-grain pre-reduced rows."""
+    from sales_etl_pipeline_spark.plans import cdc, eventplans
+
+    checks = [
+        ("event_sessionization", eventplans.event_sessionization,
+         eventplans.ORACLE["event_sessionization"]),
+        ("event_dedup_first", eventplans.event_dedup_first,
+         eventplans.ORACLE["event_dedup_first"]),
+        ("cdc_latest_snapshot", cdc.cdc_latest_snapshot,
+         cdc.LIBRARY_ORACLE["cdc_latest_snapshot"]),
+    ]
+    for name, fn, sql in checks:
+        problems = compare(fn(spark, skew_dir), skew_con, sql, f"{name}_hotuser")
+        assert not problems, "\n".join(problems)
+    # and the skew really is there: user 0 dominates
+    ev = spark.read.parquet(f"{skew_dir}/events.parquet")
+    top = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    assert top.user_id == 0 and top["count"] > 0.25 * ev.count()
