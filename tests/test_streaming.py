@@ -665,3 +665,58 @@ def test_tws_processor_fold_logic_with_fake_state(spark):
         (r.user_id, r.event_type): r.n for r in first.itertuples()
     }
     assert prev == {(7, "view"): 2, (7, "click"): 1}
+
+
+def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
+    """Late-data handling is observable, not silent: an event older than
+    the watermark arriving in a later microbatch is excluded from its
+    (already finalized) window, and the engine reports it in the state
+    operator's numRowsDroppedByWatermark metric — what a production
+    monitor alerts on."""
+    import pandas as pd
+
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "latechunks"
+    src.mkdir()
+    # Three microbatches: state eviction lags a batch (a late row whose
+    # window state still LIVES is aggregated in update mode, not
+    # dropped), so the late replay must arrive after batch 1 advanced
+    # the watermark and batch 1's commit evicted batch 0's windows.
+    half = len(pdf) // 2
+    p0 = str(src / "part0.parquet")
+    pdf.iloc[:half].to_parquet(p0, index=False)
+    p1 = str(src / "part1.parquet")
+    pdf.iloc[half:].to_parquet(p1, index=False)
+    late = pdf.iloc[[0]].copy()  # oldest event, replayed way too late
+    late["event_id"] = 10_000_000
+    p2 = str(src / "part2.parquet")
+    late.to_parquet(p2, index=False)
+    for i, p in enumerate((p0, p1, p2)):
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        jobs.stream_tumbling_counts(normalize_event_ts(raw))
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1  # the late replay was dropped, and visibly so
