@@ -203,12 +203,16 @@ class TrainingDataPipeline:
     """
 
     def __init__(self, spark: SparkSession, source_dir: str, output_dir: str,
-                 min_quality: float = 0.5, lang: str = "en"):
+                 min_quality: float = 0.5, lang: str = "en",
+                 strip_spans: bool = False):
         self.spark = spark
         self.source_dir = source_dir
         self.output_dir = output_dir
         self.min_quality = min_quality
         self.lang = lang
+        #: opt-in final rewrite: remove cross-document boilerplate spans
+        #: from survivors (plans/curation.dedup_spans)
+        self.strip_spans = strip_spans
 
     def curated(self) -> DataFrame:
         from pyspark.sql import functions as F
@@ -233,12 +237,29 @@ class TrainingDataPipeline:
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        return (
+        out = (
             docs.join(keep_lang, "doc_id", "left_semi")
             .join(keep_quality, "doc_id", "left_semi")
             .join(canonical, "doc_id", "left_semi")
             .join(dropped, "doc_id", "left_anti")
         )
+        if self.strip_spans:
+            # final rewrite stage: cut cross-document boilerplate spans
+            # from the SURVIVORS' text (plans/curation.dedup_spans —
+            # membership decided above on original text, so the span
+            # threshold can't flip who survives, only what they carry).
+            from ..plans.curation import dedup_spans
+
+            cleaned = dedup_spans(self.spark, self.source_dir).select(
+                "doc_id", "clean_text"
+            )
+            out = (
+                out.join(cleaned, "doc_id")
+                .drop("text")
+                .withColumnRenamed("clean_text", "text")
+                .select(*docs.columns)
+            )
+        return out
 
     # ------------------------------------------------------------------
     # append-only ingest: the steady-state production loop

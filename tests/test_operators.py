@@ -704,3 +704,29 @@ def test_ingest_restore_after_driver_restart(spark, tmp_path):
         r.doc_id for r in p2.ingested_survivors().select("doc_id").collect()
     )
     assert got == want
+
+
+def test_curated_strip_spans_rewrites_without_changing_membership(spark, tmp_path):
+    """strip_spans=True rewrites survivor text through dedup_spans but
+    must NOT change WHO survives (membership is decided on original
+    text), and rewritten docs keep their metadata columns."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+    from sales_etl_pipeline_spark.plans.curation import dedup_spans
+
+    plain = TrainingDataPipeline(spark, SF, str(tmp_path / "a")).curated()
+    stripped = TrainingDataPipeline(
+        spark, SF, str(tmp_path / "b"), strip_spans=True
+    ).curated()
+    assert plain.columns == stripped.columns
+    a = sorted(r.doc_id for r in plain.select("doc_id").collect())
+    b = sorted(r.doc_id for r in stripped.select("doc_id").collect())
+    assert a == b  # identical membership
+    # the rewrite really happened where spans were cut
+    cleaned = {r.doc_id: r.clean_text for r in dedup_spans(spark, SF).collect()}
+    changed = 0
+    for r in stripped.select("doc_id", "text").collect():
+        assert r.text == cleaned[r.doc_id]
+        changed += r.text != ""
+    assert changed > 0
