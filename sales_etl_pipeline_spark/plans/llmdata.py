@@ -2710,7 +2710,49 @@ QUERIES = {
 
 #: Library-tier plans (see LIBRARY_ORACLE): callable + oracle-checked via
 #: pytest, not registered with the driver.
+
+#: feature-hashing dimensionality (power of two so pmod distributes well
+#: over md5's uniform low bits)
+FEATURE_DIM = 256
+
+
+def hashed_token_features(
+    spark: SparkSession, sf_dir: str, *, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Signed feature hashing ("hashing trick", Weinberger et al. 2009 —
+    public paper): tokens hash into a fixed ``dim``-bucket space with a
+    ±1 sign from a second hash, giving every document a sparse
+    fixed-width feature vector with NO vocabulary pass — the
+    text→vector featurizer that needs zero fitted state, which is what
+    makes it the 100-TB default (fastText / Vowpal Wabbit input shape).
+
+    Emitted LONG-FORM (doc_id, bucket, weight) rather than as an array
+    column: the long form is what joins/aggregations consume (dot
+    products become bucket equi-joins), avoids array-ordering parity
+    concerns, and keeps the relation sparse (zero buckets absent; a
+    signed collision CAN cancel to weight 0 and such rows are kept —
+    they are real hash events, and dropping them would make the
+    relation depend on cancellation order).
+
+    Scale shape: one token explode (linear), one (doc, bucket) groupBy —
+    partial aggregation collapses map-side, the shuffle carries at most
+    docs × dim rows. Hashes are the md5 family (functions.core.md5_long),
+    so the whole featurizer is oracle-exact in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    bucket = F.pmod(md5_long(F.col("tok")), F.lit(dim)).cast("int")
+    sign = F.when(
+        F.pmod(md5_long(F.concat(F.col("tok"), F.lit("#s"))), F.lit(2)) == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("weight"))
+    )
+
 LIBRARY_QUERIES = {
+    "hashed_token_features": hashed_token_features,
     "simhash_signatures": simhash_signatures,
     "embedding_near_dup": embedding_near_dup,
     "semantic_dedup": semantic_dedup,
@@ -2730,3 +2772,16 @@ LIBRARY_QUERIES = {
     # adversarial corpus in tests/test_skew.py
     "ivf_cluster_stats": ivf_cluster_stats,
 }
+
+LIBRARY_ORACLE["hashed_token_features"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({oracle_md5_long('tok')} % {FEATURE_DIM} AS INTEGER) AS bucket,
+           CAST(SUM(CASE WHEN {oracle_md5_long("tok || '#s'")} % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS weight
+    FROM tok
+    GROUP BY 1, 2
+"""

@@ -155,7 +155,5 @@ def read_back(spark, path: str, schema: str, subdir: str = "data"):
         manifest = json.load(f)
     files = [os.path.join(final, name) for name in manifest["files"]]
     if not files:
-        from pyspark.sql.types import _parse_datatype_string
-
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
