@@ -2751,8 +2751,72 @@ def hashed_token_features(
         .agg(F.sum("sign").alias("weight"))
     )
 
+
+#: minimum cosine for hashed-feature pair emission
+HASHED_COS_THRESHOLD = 0.9
+
+
+def hashed_cosine_pairs(
+    spark: SparkSession, sf_dir: str, *, threshold: float = HASHED_COS_THRESHOLD
+) -> DataFrame:
+    """Sparse similarity JOIN over the hashed-feature vectors — the
+    inverted-index form of cosine: documents sharing a feature bucket
+    join on it, per-bucket weight products sum to the exact integer dot
+    product, and norms divide it out. The third lexical-similarity
+    family next to shingle-Jaccard (set overlap) and MinHash (sketch):
+    cosine over signed token-count vectors, exact.
+
+    Scale shape: the join key is the BUCKET (fixed ``FEATURE_DIM``-sized
+    domain), so this is the classic inverted-index self-join — candidate
+    volume is Σ_b n_b², bounded in practice by df-pruning the hottest
+    buckets (same lever as the MinHash hot-bucket cap; not needed at
+    test scale so the plan stays exact). Everything downstream of the
+    join is integer arithmetic until the final division, and both
+    engines' sqrt/divide are IEEE-correctly-rounded — the whole pair
+    relation is oracle-exact, unusual for a similarity operator.
+
+    Emits (doc_a < doc_b, cosine) for pairs at or above ``threshold``
+    (default 0.9 — on the synthetic corpus the all-pairs cosine
+    distribution has median ~0.63 and p99.9 ~0.88 from hash-collision
+    baseline mass at dim 256, so 0.9 selects the genuine near-dup tail).
+    """
+    feats = hashed_token_features(spark, sf_dir).filter(F.col("weight") != 0)
+    norms = feats.groupBy("doc_id").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("norm_sq")
+    )
+    a = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        "bucket",
+        F.col("weight").alias("wa"),
+    )
+    b = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        "bucket",
+        F.col("weight").alias("wb"),
+    )
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm_sq").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm_sq").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
 LIBRARY_QUERIES = {
     "hashed_token_features": hashed_token_features,
+    "hashed_cosine_pairs": hashed_cosine_pairs,
     "simhash_signatures": simhash_signatures,
     "embedding_near_dup": embedding_near_dup,
     "semantic_dedup": semantic_dedup,
@@ -2784,4 +2848,35 @@ LIBRARY_ORACLE["hashed_token_features"] = f"""
                          THEN 1 ELSE -1 END) AS BIGINT) AS weight
     FROM tok
     GROUP BY 1, 2
+"""
+
+LIBRARY_ORACLE["hashed_cosine_pairs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               CAST({oracle_md5_long('tok')} % {FEATURE_DIM} AS INTEGER) AS bucket,
+               CAST(SUM(CASE WHEN {oracle_md5_long("tok || '#s'")} % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM tok GROUP BY 1, 2
+        HAVING SUM(CASE WHEN {oracle_md5_long("tok || '#s'")} % 2 = 0
+                        THEN 1 ELSE -1 END) <> 0
+    ), norms AS (
+        SELECT doc_id, SUM(weight * weight) AS norm_sq FROM feats GROUP BY 1
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.weight * b.weight) AS dot
+        FROM feats a JOIN feats b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           dot / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE dot / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+          >= {HASHED_COS_THRESHOLD}
 """

@@ -730,3 +730,38 @@ def test_curated_strip_spans_rewrites_without_changing_membership(spark, tmp_pat
         assert r.text == cleaned[r.doc_id]
         changed += r.text != ""
     assert changed > 0
+
+
+def test_hashed_cosine_finds_exact_duplicates(spark):
+    """Identical texts have identical hashed vectors — every exact-dup
+    pair must surface in hashed_cosine_pairs with cosine == 1.0 (integer
+    dot == product of norms), and nothing below threshold leaks. Runs on
+    the skew corpus (the driver corpus has no byte-identical texts;
+    the boilerplate families there do)."""
+    from pyspark.sql import functions as F
+
+    from scripts.make_skewdata import ensure_skew_corpus
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    skew = ensure_skew_corpus("/tmp/sfskew")
+    docs = spark.read.parquet(f"{skew}/documents.parquet")
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    want_pairs = set()
+    for g in dup_groups:
+        ids = sorted(g.ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want_pairs.add((ids[i], ids[j]))
+    assert want_pairs  # the corpus really has exact dups
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in llmdata.hashed_cosine_pairs(spark, skew).collect()
+    }
+    for p in want_pairs:
+        assert p in got and abs(got[p] - 1.0) < 1e-12
+    assert all(c >= llmdata.HASHED_COS_THRESHOLD for c in got.values())
