@@ -467,16 +467,69 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the product-analytics staple the
+    reference's static summaries can't express: users grouped by their
+    first-active week (the cohort), counted in every later week they
+    remain active (on the dense synthetic stream every user is active
+    from week one, so the matrix collapses to a single full-retention
+    cohort — the plan's shape, not the data's sparsity, is what's under
+    test). Two aggregations and one join, all at user/week
+    grain (events reduce to distinct user-weeks first, so the join
+    input is orders of magnitude smaller than the event log):
+    user→cohort via min(week), user-week activity distinct, equi-join
+    on user, count distinct users per (cohort, offset). Week grain
+    because the synthetic stream spans one month; the month-grain
+    variant is the same plan with a different trunc unit."""
+    events = load_events(spark, sf_dir)
+    user_weeks = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
 #: Library tier (50-entry driver cap, COVERAGE.md): oracle-checked every
 #: pytest run by tests/test_library_parity.py; the streaming twin in
 #: streaming/jobs.py is additionally pinned stream ≡ batch.
 LIBRARY_QUERIES = {
+    "cohort_retention": cohort_retention,
     "event_attribution": event_attribution,
     "event_user_unpivot": event_user_unpivot,
     "event_props_variant": event_props_variant,
 }
 
 LIBRARY_ORACLE: dict[str, str] = {
+    "cohort_retention": """
+        WITH user_weeks AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ), cohorts AS (
+            SELECT user_id, MIN(week) AS cohort_week
+            FROM user_weeks GROUP BY 1
+        )
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, week) / 7 AS INTEGER)
+                   AS week_offset,
+               COUNT(DISTINCT u.user_id) AS active_users
+        FROM user_weeks u JOIN cohorts c ON u.user_id = c.user_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "event_props_variant": """
         WITH x AS (
             SELECT event_type,
