@@ -2902,9 +2902,126 @@ def hashed_cosine_pairs(
         .select("doc_a", "doc_b", "cosine")
     )
 
+#: deterministic seed tag for the demo linear-model weights
+LINEAR_SEED = "qw0"
+
+
+def hashed_linear_score(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dim: int = FEATURE_DIM,
+    seed: str = LINEAR_SEED,
+) -> DataFrame:
+    """Linear quality-classifier SCORING over the hashed features — the
+    fastText-style shape used by the GPT-3/LLaMA data pipelines (score
+    every crawl document against a trained linear model, keep the
+    high-margin tail). The model here is a deterministic stand-in — a
+    ``dim``-row weight table derived from md5 (a real pipeline would
+    load trained weights from parquet; the scoring plan is identical) —
+    because training a classifier is out of scope but SCORING at corpus
+    scale is the engine's job.
+
+    Scale shape: the model is a ``dim``-row relation, broadcast onto the
+    token-hashed features (model-dim-grain broadcast — the exact join a
+    trained-weights parquet would take), one doc-grain aggregate for the
+    margin. No shuffle beyond the feature groupBy; margins are
+    L2-normalized so document length cancels. Float parity: each
+    ``weight·w`` product is one IEEE multiply, the sum goes through xsum
+    (order-independent), the final divide is one IEEE op — oracle-exact.
+
+    Returns (doc_id, margin, quality_pass): margin = wᵀx/‖x‖,
+    quality_pass = margin > 0 (the decision boundary of the stand-in
+    model; a trained model would ship its own threshold)."""
+    feats = hashed_token_features(spark, sf_dir, dim=dim).filter(
+        F.col("weight") != 0
+    )
+    model = spark.range(dim).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            (
+                F.pmod(
+                    md5_long(F.concat(F.lit(seed), F.col("id").cast("string"))),
+                    F.lit(2001),
+                )
+                - 1000
+            ).cast("double")
+            / F.lit(1000.0)
+        ).alias("w"),
+    )
+    return (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            (
+                xsum(F.col("weight").cast("double") * F.col("w"))
+                / F.sqrt(
+                    F.sum(F.col("weight") * F.col("weight")).cast("double")
+                )
+            ).alias("margin")
+        )
+        .select(
+            "doc_id",
+            "margin",
+            (F.col("margin") > 0).alias("quality_pass"),
+        )
+    )
+
+
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM bits-per-token quality score — the CCNet-perplexity
+    shape (score each document by how surprising its tokens are under a
+    corpus-level language model; filter the high-perplexity tail as
+    gibberish and the low tail as boilerplate), with the unigram LM
+    trained ON the corpus itself in the same plan. A real CCNet run
+    scores with an external KenLM model — unavailable here, and the
+    engine-side shape (token join against a model relation + doc-grain
+    aggregate) is identical.
+
+    Log-free parity trick: true surprisal −log2(cnt/N) rounds
+    differently across engines' libm, so the score uses INTEGER dyadic
+    surprisal ``floor(log2(N div cnt))`` computed as
+    ``length(bin(N div cnt)) − 1`` — pure integer/string ops, identical
+    everywhere, and within 1 bit of the real value (plenty for a
+    filtering signal; the ranking it induces is the same as binned
+    perplexity). Per-doc score = Σ tf·bits / n_tokens: exact integer
+    sums, one IEEE division.
+
+    Scale shape: token-grain explode, term-grain count (map-side partial
+    agg), the 1-row corpus total broadcast, one join back at term grain,
+    doc-grain aggregate — every shuffle at aggregate grain, no UDFs.
+    Complements rare_token_stats (df-based, linear-scale): this is the
+    occurrence-count LM view on a log scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("n_total"))
+    # integer division via `div` (not double-divide + cast: a rounded
+    # double can cross an integer boundary at 100-TB token counts)
+    bits = (
+        F.length(F.bin(F.expr("n_total div cnt"))) - 1
+    ).alias("bits")
+    lm = cnt.crossJoin(F.broadcast(total)).select("term", bits)
+    return (
+        tf.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.col("bits")).cast("double")
+                / F.sum("tf")
+            ).alias("mean_bits_per_token"),
+        )
+        .select("doc_id", "n_tokens", "mean_bits_per_token")
+    )
+
+
 LIBRARY_QUERIES = {
     "hashed_token_features": hashed_token_features,
     "hashed_cosine_pairs": hashed_cosine_pairs,
+    "hashed_linear_score": hashed_linear_score,
+    "doc_surprisal": doc_surprisal,
     "simhash_signatures": simhash_signatures,
     "embedding_near_dup": embedding_near_dup,
     "semantic_dedup": semantic_dedup,
@@ -2967,4 +3084,52 @@ LIBRARY_ORACLE["hashed_cosine_pairs"] = f"""
     JOIN norms nb ON nb.doc_id = doc_b
     WHERE dot / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
           >= {HASHED_COS_THRESHOLD}
+"""
+
+LIBRARY_ORACLE["hashed_linear_score"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               CAST({oracle_md5_long('tok')} % {FEATURE_DIM} AS INTEGER) AS bucket,
+               CAST(SUM(CASE WHEN {oracle_md5_long("tok || '#s'")} % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM tok GROUP BY 1, 2
+        HAVING SUM(CASE WHEN {oracle_md5_long("tok || '#s'")} % 2 = 0
+                        THEN 1 ELSE -1 END) <> 0
+    ), model AS (
+        SELECT CAST(range AS INTEGER) AS bucket,
+               CAST({oracle_md5_long(f"'{LINEAR_SEED}' || CAST(range AS VARCHAR)")}
+                    % 2001 - 1000 AS DOUBLE) / 1000.0 AS w
+        FROM range({FEATURE_DIM})
+    ), margins AS (
+        SELECT doc_id,
+               {oracle_xsum('CAST(weight AS DOUBLE) * w')}
+                   / sqrt(CAST(SUM(weight * weight) AS DOUBLE)) AS margin
+        FROM feats JOIN model USING (bucket)
+        GROUP BY 1
+    )
+    SELECT doc_id, margin, margin > 0 AS quality_pass FROM margins
+"""
+
+LIBRARY_ORACLE["doc_surprisal"] = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), cnt AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt
+    ), lm AS (
+        SELECT term, length(bin(n_total // cnt)) - 1 AS bits
+        FROM cnt, tot
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * bits) AS DOUBLE) / SUM(tf) AS mean_bits_per_token
+    FROM tf JOIN lm USING (term)
+    GROUP BY 1
 """

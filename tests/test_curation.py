@@ -119,3 +119,42 @@ def test_dedup_spans_reassembly_and_identity(spark):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     joined = ident.join(docs, "doc_id")
     assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
+
+
+def test_hashed_linear_score_margin_bound_and_decision(spark):
+    """Cauchy–Schwarz bound: |margin| = |w·x|/|x| ≤ |w| ≤ √(dim·1.0²) = 16;
+    the stand-in model's symmetric weights must also split the corpus
+    into BOTH decision classes (a one-sided split would mean the score
+    degenerated to a length artifact)."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    rows = llmdata.hashed_linear_score(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    assert all(abs(r.margin) <= 16.0 for r in rows)
+    assert any(r.quality_pass for r in rows)
+    assert any(not r.quality_pass for r in rows)
+    for r in rows:
+        assert r.quality_pass == (r.margin > 0)
+
+
+def test_doc_surprisal_bits_bounds(spark):
+    """Mean bits-per-token lies in [0, floor(log2(N))]: the most common
+    token's dyadic surprisal is ≥ 0 and no token can exceed the
+    whole-corpus bit width; n_tokens must reconcile with the raw token
+    explode."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+    from sales_etl_pipeline_spark.functions.core import tokens
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = llmdata.doc_surprisal(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    n_total = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("n")
+    ).collect()[0].n
+    max_bits = n_total.bit_length() - 1
+    assert len(rows) == 500
+    assert sum(r.n_tokens for r in rows) == n_total
+    assert all(0.0 <= r.mean_bits_per_token <= max_bits for r in rows)
