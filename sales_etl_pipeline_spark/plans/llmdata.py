@@ -2817,15 +2817,7 @@ def hashed_cosine_pairs(
         F.col("weight") != 0
     )
     if method == "auto":
-        occ = feats.groupBy("bucket").agg(F.count("*").alias("n"))
-        row = occ.agg(
-            F.sum(F.col("n") * F.col("n")).alias("cand"),
-        ).crossJoin(
-            feats.agg(F.countDistinct("doc_id").alias("ndocs"))
-        ).collect()[0]
-        cand = row.cand or 0
-        ndocs = row.ndocs or 0
-        method = "inverted" if cand * 4 < ndocs * ndocs else "pairloop"
+        method = _hashed_cosine_method(feats)
     if method == "pairloop":
         vecs = feats.groupBy("doc_id").agg(
             F.map_from_entries(
@@ -2901,6 +2893,31 @@ def hashed_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+def _hashed_cosine_method(feats: DataFrame) -> str:
+    """The auto regime choice for hashed_cosine_pairs: one tiny occupancy
+    aggregate (driver traffic: 1 row) comparing the inverted index's
+    candidate volume Σ_b n_b² against the n²/4 line — below it the index
+    genuinely prunes (sparse bucket space: dim ≫ per-doc nonzeros and low
+    per-bucket df), at or above it the map-probe pair loop is strictly
+    better (the index would shuffle MORE rows than the raw pair count).
+    Both regimes are real, and the verdict tracks CONTENT, not just dim
+    (pinned in tests/test_skew.py): the driver corpus (31-word vocab)
+    and even the 2000-word boilerplate skew corpus land pairloop at ANY
+    dim — occupied buckets are capped by vocabulary, and a 500-member
+    boilerplate family keeps its ~80 buckets hot regardless — while a
+    distinct-content corpus over a real-text vocabulary (the prune
+    condition is roughly vocab > 4·tokens_per_doc²) lands inverted."""
+    occ = feats.groupBy("bucket").agg(F.count("*").alias("n"))
+    row = (
+        occ.agg(F.sum(F.col("n") * F.col("n")).alias("cand"))
+        .crossJoin(feats.agg(F.countDistinct("doc_id").alias("ndocs")))
+        .collect()[0]
+    )
+    cand = row.cand or 0
+    ndocs = row.ndocs or 0
+    return "inverted" if cand * 4 < ndocs * ndocs else "pairloop"
+
 
 #: deterministic seed tag for the demo linear-model weights
 LINEAR_SEED = "qw0"

@@ -293,3 +293,83 @@ def test_event_time_operators_parity_on_hot_user_stream(spark, skew_dir, skew_co
     ev = spark.read.parquet(f"{skew_dir}/events.parquet")
     top = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
     assert top.user_id == 0 and top["count"] > 0.25 * ev.count()
+
+
+def test_hashed_cosine_regime_dispatch_both_ways(spark, skew_dir, tmp_path):
+    """The auto dispatch must see BOTH regimes on real data shapes, and
+    its verdicts must reflect CONTENT, not just dim:
+
+    - boilerplate-heavy corpus (skew families): even at dim=65536 the
+      top family's 500 members share the same ~80 buckets, so
+      Σ_b n_b² ≥ 80·500² ≫ n²/4 — the inverted index does NOT prune and
+      auto must refuse it (this is exactly the hot-band lesson from the
+      MinHash cap, showing up in a second operator);
+    - distinct-content corpus over a real-text-scale vocabulary (50k
+      words — the prune condition is vocab > 4·tokens_per_doc², so a
+      2000-word vocab can NEVER reach the sparse regime at any dim) at
+      dim=65536: per-bucket df ≈ 1, the index prunes ~1000×, auto must
+      take it — and the two physical plans stay bit-identical there;
+    - the same distinct corpus crushed into dim=64 is dense again →
+      pairloop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    def feats_for(sf, dim):
+        return llmdata.hashed_token_features(spark, sf, dim=dim).filter(
+            F.col("weight") != 0
+        )
+
+    # boilerplate corpus: sparse dim does NOT rescue the index
+    assert llmdata._hashed_cosine_method(feats_for(skew_dir, 65536)) == "pairloop"
+
+    # distinct-content corpus over a realistic vocabulary
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(f"tok{t}" for t in rng.integers(0, 50_000, size=40))
+        for _ in range(1470)
+    ]
+    # 30 near-dup copies (2 of 40 tokens mutated → cosine ≈ 0.95) so the
+    # parity check below compares a non-empty pair relation
+    for i in range(30):
+        toks = texts[i].split()
+        toks[i % 40] = f"tok{int(rng.integers(0, 50_000))}"
+        toks[(i + 7) % 40] = f"tok{int(rng.integers(0, 50_000))}"
+        texts.append(" ".join(toks))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1500), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 1500,
+                "source": ["src0"] * 1500,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    uni = str(tmp_path)
+    assert llmdata._hashed_cosine_method(feats_for(uni, 65536)) == "inverted"
+    assert llmdata._hashed_cosine_method(feats_for(uni, 64)) == "pairloop"
+
+    # bit-parity between the two physical plans in the sparse regime
+    inv = sorted(
+        map(
+            tuple,
+            llmdata.hashed_cosine_pairs(
+                spark, uni, dim=65536, method="inverted", threshold=0.1
+            ).collect(),
+        )
+    )
+    pl = sorted(
+        map(
+            tuple,
+            llmdata.hashed_cosine_pairs(
+                spark, uni, dim=65536, method="pairloop", threshold=0.1
+            ).collect(),
+        )
+    )
+    assert inv == pl and inv
