@@ -13,6 +13,8 @@ here they are independent Spark jobs sharing the cached cleaned relation.
 from __future__ import annotations
 
 import logging
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -250,6 +252,8 @@ class TrainingDataPipeline:
             # threshold can't flip who survives, only what they carry).
             from ..plans.curation import dedup_spans
 
+            from pyspark.sql import functions as F
+
             cleaned = dedup_spans(self.spark, self.source_dir).select(
                 "doc_id", "clean_text"
             )
@@ -257,6 +261,10 @@ class TrainingDataPipeline:
                 out.join(cleaned, "doc_id")
                 .drop("text")
                 .withColumnRenamed("clean_text", "text")
+                # the rewrite changed the text — recompute the length
+                # metadata so downstream length filters/stats don't run
+                # on pre-strip values
+                .withColumn("n_chars", F.length("text").cast("long"))
                 .select(*docs.columns)
             )
         return out
@@ -284,34 +292,63 @@ class TrainingDataPipeline:
         """Rebuild the ingest state from the parquet a previous process
         left in ``output_dir/ingest_state`` — the driver-crash recovery
         path (the in-memory handles die with the driver; the state
-        relations never did). Restores: the latest fingerprint epoch, the
-        canonical/tombstone/band logs, the epoch counter, and the replay
-        high-watermark (= max canonical doc_id — a replayed exact-dup
-        member above it is still collapsed by the fingerprint state, so
-        the watermark only needs canonical grain). Returns restore stats.
+        relations never did).
+
+        The commit epoch is the newest ``canonical/batch_N`` — the
+        canonical rename is ingest_batch's LAST write, so anything newer
+        (a fingerprint epoch, tombstone/band batch dirs, a staging
+        canonical dir) is a torn attempt from the crash and is deleted
+        here before the handles are rebuilt; the at-least-once
+        redelivery of that batch then replays it in full. Restores: the
+        commit epoch's fingerprint state, the canonical/tombstone/band
+        logs, the epoch counter, and the replay high-watermark (= max
+        canonical doc_id — a replayed exact-dup member above it is still
+        collapsed by the fingerprint state, so the watermark only needs
+        canonical grain). Returns restore stats.
 
         Safe to call instead of reset_ingest() when resuming; raises if
         no persisted state exists."""
-        import os
         import re
 
         root = f"{self.output_dir}/ingest_state"
-        if not os.path.isdir(f"{root}/canonical"):
+
+        def _epochs(dirpath: str, pat: str) -> dict[int, str]:
+            if not os.path.isdir(dirpath):
+                return {}
+            out = {}
+            for d in os.listdir(dirpath):
+                m = re.match(pat, d)
+                if m:
+                    out[int(m.group(1))] = os.path.join(dirpath, d)
+            return out
+
+        canon = _epochs(f"{root}/canonical", r"batch_(\d+)$")
+        if not canon:
             raise RuntimeError(f"no ingest state to restore under {root}")
-        epochs = [
-            int(m.group(1))
-            for d in os.listdir(self.output_dir + "/ingest_state")
-            for m in [re.match(r"fingerprints_e(\d+)$", d)]
-            if m
-        ]
-        if not epochs:
-            raise RuntimeError(f"no fingerprint state under {root}")
+        commit = max(canon)
+        fps = _epochs(root, r"fingerprints_e(\d+)$")
+        if commit not in fps:
+            raise RuntimeError(
+                f"no fingerprint state for commit epoch {commit} under {root}"
+            )
+        # torn-attempt cleanup: the crash may have left a newer
+        # fingerprint epoch, tombstone/band batches, or a staged
+        # canonical dir; superseded fingerprint epochs (< commit) are
+        # also dead (full-replace state, only the latest is live)
+        for e, p in fps.items():
+            if e != commit:
+                shutil.rmtree(p, ignore_errors=True)
+        for d in os.listdir(root):
+            if d.startswith("staging_canonical_e"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        for sub in ("tombstones", "bands"):
+            for e, p in _epochs(f"{root}/{sub}", r"batch_(\d+)$").items():
+                if e > commit:
+                    shutil.rmtree(p, ignore_errors=True)
         from pyspark.sql import functions as F
 
-        self._ingest_epoch = max(epochs)
-        self._dedup_state = self.spark.read.parquet(
-            f"{root}/fingerprints_e{self._ingest_epoch}"
-        )
+        self._ingest_epoch = commit
+        self._dedup_state = self.spark.read.parquet(fps[commit])
         self._corpus_canon = self.spark.read.parquet(f"{root}/canonical/batch_*")
         self._band_index = self.spark.read.parquet(f"{root}/bands/batch_*")
         self._dropped = self.spark.read.parquet(f"{root}/tombstones/batch_*")
@@ -398,17 +435,28 @@ class TrainingDataPipeline:
             append=False,
         )
         delta_ids = new_docs.select("doc_id")
-        new_canon = self._materialize(
-            new_docs.join(
-                state.select("doc_id").join(
-                    F.broadcast(delta_ids), "doc_id", "left_semi"
-                ),
-                "doc_id",
-                "left_semi",
+        # The epoch's COMMIT POINT is the canonical/batch_N rename at the
+        # end: restore_ingest derives both the replay watermark and the
+        # torn-attempt cleanup horizon from the canonical log, so every
+        # derived relation (tombstones, bands) must hit disk BEFORE the
+        # canonical dir appears. A crash anywhere earlier leaves the
+        # commit epoch unchanged and the replayed batch redoes everything
+        # (the code-review finding: canonical-first ordering made a crash
+        # between the canonical and band writes unrecoverable — the
+        # watermark swallowed the replay and the batch's near-dup
+        # tombstones/bands were never created).
+        root = f"{self.output_dir}/ingest_state"
+        staging = f"{root}/staging_canonical_e{self._ingest_epoch}"
+        new_docs.join(
+            state.select("doc_id").join(
+                F.broadcast(delta_ids), "doc_id", "left_semi"
             ),
-            "canonical",
-            append=True,
-        ).join(F.broadcast(delta_ids), "doc_id", "left_semi")
+            "doc_id",
+            "left_semi",
+        ).write.mode("overwrite").parquet(staging)
+        new_canon = spark.read.parquet(staging).join(
+            F.broadcast(delta_ids), "doc_id", "left_semi"
+        )
         base = self._corpus_canon
         if base is None:
             base = new_docs.filter(F.lit(False))  # empty, same schema
@@ -428,7 +476,18 @@ class TrainingDataPipeline:
             new_canon.count(),
             new_dropped.count(),
         )
-        root = f"{self.output_dir}/ingest_state"
+        # commit: publish the canonical batch, then prune the superseded
+        # fingerprint epoch (full-replace state — only the latest is
+        # live; keeping every epoch is O(batches × corpus) disk)
+        os.makedirs(f"{root}/canonical", exist_ok=True)
+        os.rename(staging, f"{root}/canonical/batch_{self._ingest_epoch}")
+        shutil.rmtree(
+            f"{root}/fingerprints_e{self._ingest_epoch - 1}",
+            ignore_errors=True,
+        )
+        # every derived relation is on disk now — drop the batch's pinned
+        # caches so a long ingest loop holds at most one batch's worth
+        llmdata.release_incremental_caches()
         self._dedup_state = state
         self._corpus_canon = spark.read.parquet(f"{root}/canonical/batch_*")
         self._band_index = new_bands  # read of the full bands dir

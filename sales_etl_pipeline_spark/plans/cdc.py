@@ -156,7 +156,15 @@ def scd2_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval form); this plan records state history. Two window passes
     over the same partitioning (lag to flag changes, lead to close the
     kept rows' intervals) — Catalyst plans a single shuffle on the key,
-    both windows reuse the sort."""
+    both windows reuse the sort.
+
+    The change test is NULL-SAFE (``eqNullSafe`` / ``IS DISTINCT FROM``):
+    a plain ``<>`` evaluates to NULL when either side is NULL, so a
+    genuine transition to or from a NULL attribute value would be
+    silently compacted away and the dimension would keep showing the
+    stale value as current. The first row of a key is detected by
+    ``lag(event_id) IS NULL`` (event_id is never null), not by a NULL
+    prev attribute."""
     events = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select(
@@ -165,13 +173,14 @@ def scd2_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_type",
         "value",
+        F.lag("event_id").over(w).alias("prev_event_id"),
         F.lag("event_type").over(w).alias("prev_type"),
         F.lag("value").over(w).alias("prev_value"),
     )
     kept = flagged.filter(
-        F.col("prev_type").isNull()
-        | (F.col("event_type") != F.col("prev_type"))
-        | (F.col("value") != F.col("prev_value"))
+        F.col("prev_event_id").isNull()
+        | ~F.col("event_type").eqNullSafe(F.col("prev_type"))
+        | ~F.col("value").eqNullSafe(F.col("prev_value"))
     )
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return kept.select(
@@ -228,6 +237,7 @@ LIBRARY_ORACLE: dict[str, str] = {
     "scd2_compacted": """
         WITH flagged AS (
             SELECT user_id, event_id, ts, event_type, value,
+                   lag(event_id) OVER w AS prev_event_id,
                    lag(event_type) OVER w AS prev_type,
                    lag(value) OVER w AS prev_value
             FROM events
@@ -235,9 +245,9 @@ LIBRARY_ORACLE: dict[str, str] = {
         ),
         kept AS (
             SELECT * FROM flagged
-            WHERE prev_type IS NULL
-               OR event_type <> prev_type
-               OR value <> prev_value
+            WHERE prev_event_id IS NULL
+               OR event_type IS DISTINCT FROM prev_type
+               OR value IS DISTINCT FROM prev_value
         )
         SELECT user_id,
                CAST(row_number() OVER w2 AS INT) AS version,

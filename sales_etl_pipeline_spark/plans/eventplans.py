@@ -223,6 +223,63 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTION_WINDOW_MIN = 60
 
 
+def attribution_sides(
+    events: DataFrame, with_value: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """The (clicks, purchases) projections shared by the batch plan and
+    BOTH streaming twins (streaming/jobs.stream_click_attribution and
+    ..._outer) — one definition so a column or window change cannot
+    drift between the batch plan and the stream≡batch tests that pin
+    equivalence. ``with_value`` carries purchase_value (the outer
+    streaming variant drops it to keep its NULL-padded schema small)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    pcols = [
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ]
+    if with_value:
+        pcols.append(F.col("value").alias("purchase_value"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(*pcols)
+    return clicks, purchases
+
+
+def attribution_cond():
+    """The shared join predicate: same user, purchase within
+    ATTRIBUTION_WINDOW_MIN minutes after the click. The time-range half
+    is what lets the streaming joins bound their state — reuse it
+    verbatim, never re-filter after a plain equi-join."""
+    return (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts")
+            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        )
+    )
+
+
+def attribution_output(joined: DataFrame) -> DataFrame:
+    """The shared output projection of the inner attribution join."""
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+        # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+        F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias(
+            "lag_us"
+        ),
+    )
+
+
 def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution: every (click, purchase) pair for the
     same user where the purchase lands within ATTRIBUTION_WINDOW_MIN
@@ -240,41 +297,8 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no equi key) would instead use the epoch-bucket double-join pattern
     documented in plans/temporal.asof_join_events_orders."""
     events = load_events(spark, sf_dir)
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.col("ts").alias("click_ts"),
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
-    return (
-        clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user_id"))
-            & (F.col("purchase_ts") >= F.col("click_ts"))
-            & (
-                F.col("purchase_ts")
-                <= F.col("click_ts")
-                + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
-            ),
-        )
-        .select(
-            "user_id",
-            "click_id",
-            "purchase_id",
-            "click_ts",
-            "purchase_ts",
-            "purchase_value",
-            # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
-            F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias(
-                "lag_us"
-            ),
-        )
-    )
+    clicks, purchases = attribution_sides(events)
+    return attribution_output(clicks.join(purchases, attribution_cond()))
 
 
 def event_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:

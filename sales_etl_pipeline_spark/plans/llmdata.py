@@ -260,6 +260,22 @@ def minhash_index(docs: DataFrame) -> DataFrame:
     return _minhash_bands(_shingle_table(spark, "", docs))
 
 
+#: persisted subplans of the most recent incremental_minhash_near_dup
+#: call — see its "Cache lifecycle" docstring note
+_INCR_CACHES: list = []
+
+
+def release_incremental_caches() -> None:
+    """Unpersist the previous incremental_minhash_near_dup call's cached
+    subplans (no-op if none). Safe even if a caller still holds the
+    returned DataFrame — Spark just recomputes on next use."""
+    while _INCR_CACHES:
+        try:
+            _INCR_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
 def incremental_minhash_near_dup(
     base_docs: DataFrame,
     delta_docs: DataFrame,
@@ -294,8 +310,16 @@ def incremental_minhash_near_dup(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and at least one
     side from the delta.
-    """
+
+    Cache lifecycle: the three persisted subplans (delta bands,
+    candidate pairs, candidate shingles) are registered in a module
+    slot; each call releases the PREVIOUS call's entries, and
+    ``release_incremental_caches()`` drops the current ones — so a
+    long-running ingest loop pins at most one batch's caches instead of
+    accumulating three per batch until executor storage is exhausted
+    (TrainingDataPipeline.ingest_batch calls it after the commit)."""
     spark = delta_docs.sparkSession
+    release_incremental_caches()
     if base_index is None:
         base_index = minhash_index(base_docs)
     delta_sh = _shingle_table(spark, "", delta_docs)
@@ -324,6 +348,7 @@ def incremental_minhash_near_dup(
     all_docs = base_docs.unionByName(delta_docs)
     cand_docs = all_docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     sh_cand = _shingle_table(spark, "", cand_docs).persist()
+    _INCR_CACHES.extend((bands_delta, cand, sh_cand))
     return _pair_jaccard(sh_cand, cand)
 
 

@@ -70,13 +70,28 @@ def _write_partition(iterator, staging_dir: str) -> _FileCommit:
     return _FileCommit(staged=name, rows=n)
 
 
-def _publish(staging_dir: str, final_dir: str, messages) -> None:
+def _publish(
+    staging_dir: str, final_dir: str, messages, merge_existing: bool = False
+) -> None:
     """Driver-side finalize: move exactly the files named by successful
     tasks' commit messages, then write the manifest. Staged files not in
     ``messages`` (failed/speculative attempts) are discarded with the
-    staging dir."""
+    staging dir.
+
+    ``merge_existing`` (the append path) folds a prior commit's manifest
+    into the new one — without it a second append job's manifest would
+    list only its own files and silently orphan every previously
+    committed row. The manifest itself is replaced atomically
+    (tmp + os.replace) so a crash mid-commit leaves the PREVIOUS commit
+    fully visible, never a torn manifest."""
     os.makedirs(final_dir, exist_ok=True)
     published, total = [], 0
+    manifest_path = os.path.join(final_dir, SUCCESS_FILE)
+    if merge_existing and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prior = json.load(f)
+        published.extend(prior["files"])
+        total += prior["rows"]
     for m in messages:
         if m is None:
             continue
@@ -85,8 +100,10 @@ def _publish(staging_dir: str, final_dir: str, messages) -> None:
         )
         published.append(m.staged)
         total += m.rows
-    with open(os.path.join(final_dir, SUCCESS_FILE), "w") as f:
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"files": sorted(published), "rows": total}, f)
+    os.replace(tmp, manifest_path)
     shutil.rmtree(staging_dir, ignore_errors=True)
 
 
@@ -105,7 +122,7 @@ class JsonLinesWriter(DataSourceWriter):
         final = os.path.join(self.path, "data")
         if self.overwrite and os.path.isdir(final):
             shutil.rmtree(final)
-        _publish(self.staging, final, messages)
+        _publish(self.staging, final, messages, merge_existing=not self.overwrite)
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)

@@ -66,6 +66,33 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
 ZORDER_BITS = 16
 
 
+def _zorder_numeric(dtypes: dict, c: str) -> F.Column:
+    """Order-preserving numeric coercion shared by both z-order paths:
+    timestamps (tz or ntz) and dates have no direct double cast; epoch
+    seconds / days preserve order, which is all z-order needs."""
+    t = dtypes[c]
+    if t.startswith("timestamp"):
+        return F.unix_timestamp(F.col(c)).cast("double")
+    if t == "date":
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    return F.col(c).cast("double")
+
+
+def _zorder_interleave(quantized: list, bits: int) -> F.Column:
+    """Morton bit-interleave over per-column quantized levels — the
+    shift/and/or expression tree shared by both z-order paths."""
+    ncols = len(quantized)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
+                )
+            )
+    return z
+
+
 def zorder_column(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> F.Column:
     """Morton (z-order) key over 2+ numeric/date columns: each column is
     min/max-quantized to ``bits`` levels, and the bit-planes are
@@ -78,25 +105,13 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> F.
     wastes levels — ``zorder_column_quantile`` below swaps in
     approx-quantile boundaries for that case (same interleave)."""
     dtypes = dict(df.dtypes)
-
-    def _numeric(c: str) -> F.Column:
-        # timestamps (tz or ntz) and dates have no direct double cast;
-        # epoch seconds / days preserve order, which is all z-order needs
-        t = dtypes[c]
-        if t.startswith("timestamp"):
-            return F.unix_timestamp(F.col(c)).cast("double")
-        if t == "date":
-            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
-        return F.col(c).cast("double")
-
     stats = df.agg(
         *[
-            f(_numeric(c)).alias(f"{n}_{c}")
+            f(_zorder_numeric(dtypes, c)).alias(f"{n}_{c}")
             for c in cols
             for n, f in (("lo", F.min), ("hi", F.max))
         ]
     ).first()
-    ncols = len(cols)
     quantized = []
     for c in cols:
         lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
@@ -104,21 +119,13 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> F.
         q = F.least(
             F.lit((1 << bits) - 1),
             F.floor(
-                (_numeric(c) - F.lit(lo))
+                (_zorder_numeric(dtypes, c) - F.lit(lo))
                 / F.lit(span)
                 * F.lit(float((1 << bits) - 1) + 0.9999)
             ).cast("long"),
         )
         quantized.append(q)
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        for i, q in enumerate(quantized):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
-                )
-            )
-    return z
+    return _zorder_interleave(quantized, bits)
 
 
 def zorder_column_quantile(
@@ -145,24 +152,14 @@ def zorder_column_quantile(
     from pyspark.sql.functions import pandas_udf
 
     dtypes = dict(df.dtypes)
-
-    def _numeric_col(c: str) -> F.Column:
-        t = dtypes[c]
-        if t.startswith("timestamp"):
-            return F.unix_timestamp(F.col(c)).cast("double")
-        if t == "date":
-            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
-        return F.col(c).cast("double")
-
     num = df.select(
-        *[_numeric_col(c).alias(f"_q_{c}") for c in cols]
+        *[_zorder_numeric(dtypes, c).alias(f"_q_{c}") for c in cols]
     )
     n_levels = 1 << bits
     probs = [i / n_levels for i in range(1, n_levels)]
     all_cuts = num.approxQuantile(
         [f"_q_{c}" for c in cols], probs, 0.001
     )
-    ncols = len(cols)
     quantized = []
     for c, cuts in zip(cols, all_cuts):
         cut_arr = np.asarray(cuts, dtype=np.float64)
@@ -175,16 +172,8 @@ def zorder_column_quantile(
 
             return _level
 
-        quantized.append(_make()(_numeric_col(c)))
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        for i, q in enumerate(quantized):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
-                )
-            )
-    return z
+        quantized.append(_make()(_zorder_numeric(dtypes, c)))
+    return _zorder_interleave(quantized, bits)
 
 
 def write_zordered(

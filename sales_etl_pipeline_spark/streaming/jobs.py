@@ -315,46 +315,18 @@ def stream_click_attribution(events: DataFrame) -> DataFrame:
     Inner-join rows are emitted as soon as both sides arrive, so with
     the availableNow backfill trigger the materialized result equals the
     batch twin exactly (tests/test_streaming.py pins it)."""
-    from ..plans.eventplans import ATTRIBUTION_WINDOW_MIN
+    from ..plans.eventplans import (
+        attribution_cond,
+        attribution_output,
+        attribution_sides,
+    )
 
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            F.col("ts").alias("click_ts"),
+    clicks, purchases = attribution_sides(events)
+    return attribution_output(
+        clicks.withWatermark("click_ts", WATERMARK).join(
+            purchases.withWatermark("purchase_ts", WATERMARK),
+            attribution_cond(),
         )
-        .withWatermark("click_ts", WATERMARK)
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", WATERMARK)
-    )
-    return clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts")
-            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
-        ),
-    ).select(
-        "user_id",
-        "click_id",
-        "purchase_id",
-        "click_ts",
-        "purchase_ts",
-        "purchase_value",
-        F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias(
-            "lag_us"
-        ),
     )
 
 
@@ -401,37 +373,18 @@ def stream_click_attribution_outer(events: DataFrame) -> DataFrame:
     join exactly, NULL rows are exactly the batch anti-join's clicks
     whose window the watermark closed (tests/test_streaming.py pins all
     three properties)."""
-    from ..plans.eventplans import ATTRIBUTION_WINDOW_MIN
+    from ..plans.eventplans import attribution_cond, attribution_sides
 
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            F.col("ts").alias("click_ts"),
+    clicks, purchases = attribution_sides(events, with_value=False)
+    return (
+        clicks.withWatermark("click_ts", WATERMARK)
+        .join(
+            purchases.withWatermark("purchase_ts", WATERMARK),
+            attribution_cond(),
+            "left_outer",
         )
-        .withWatermark("click_ts", WATERMARK)
+        .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
     )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", WATERMARK)
-    )
-    return clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts")
-            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
-        ),
-        "left_outer",
-    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
 
 
 def user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,9 +452,35 @@ def run_cdc_merge_stream(
     from ..plans.cdc import _latest_wins, merge_snapshot
 
     spark = events.sparkSession
+    live = os.path.join(snapshot_dir, "live")
+
+    def _side_dirs(prefix: str) -> list[str]:
+        if not os.path.isdir(snapshot_dir):
+            return []
+        return sorted(
+            os.path.join(snapshot_dir, d)
+            for d in os.listdir(snapshot_dir)
+            if d.startswith(prefix)
+        )
+
+    def _recover() -> None:
+        """The swap is two renames (live→old, staging→live) and cannot be
+        atomic on a filesystem without exchange; make it CRASH-SAFE
+        instead by re-establishing the invariant before every merge. If
+        ``live`` is missing, a crash hit the window between the renames —
+        restore the newest ``old_epoch_*`` (pre-epoch state; the replayed
+        epoch re-merges on top, and latest-wins is idempotent). Leftover
+        old/staging dirs in every other state are post-commit or torn
+        pre-commit garbage — delete them."""
+        if not os.path.isdir(live):
+            olds = _side_dirs("old_epoch_")
+            if olds:
+                os.rename(olds[-1], live)
+        for d in _side_dirs("old_epoch_") + _side_dirs("staging_epoch_"):
+            shutil.rmtree(d, ignore_errors=True)
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        live = os.path.join(snapshot_dir, "live")
+        _recover()
         if os.path.isdir(live):
             base = spark.read.parquet(live)
             merged = merge_snapshot(base, batch_df)

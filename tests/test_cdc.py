@@ -240,3 +240,41 @@ def test_merge_snapshot_replay_idempotent(spark):
     a = sorted(map(tuple, once.select(cols).collect()))
     b = sorted(map(tuple, twice.select(cols).collect()))
     assert a == b
+
+
+def test_scd2_compacted_tracks_null_transitions(spark, tmp_path):
+    """Attribute transitions to/from NULL must OPEN new versions: the
+    change test is null-safe (eqNullSafe / IS DISTINCT FROM). With a
+    plain <>, (click,5.0)→(click,NULL) evaluates to NULL and the row is
+    compacted away — the dimension would show 5.0 as still current (the
+    code-review finding; the DuckDB oracle had the same blind spot, so
+    parity alone could not catch it)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-02 00:00:00",
+                    "2024-01-03 00:00:00",
+                    "2024-01-04 00:00:00",
+                    "2024-01-05 00:00:00",
+                ]
+            ).astype("datetime64[us]"),
+            "user_id": [7, 7, 7, 7, 7],
+            "event_type": ["click"] * 5,
+            "value": [5.0, None, None, 5.0, 5.0],
+            "props": ["{}"] * 5,
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    dim = sorted(
+        cdc.scd2_compacted(spark, str(tmp_path)).collect(),
+        key=lambda r: r.version,
+    )
+    vals = [r.attr_value for r in dim]
+    assert vals == [5.0, None, 5.0]  # NULL opened and closed a version
+    assert [r.version for r in dim] == [1, 2, 3]
+    assert [r.is_current for r in dim] == [False, False, True]

@@ -660,6 +660,11 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
         r.doc_id for r in pipe.ingested_survivors().select("doc_id").collect()
     )
     assert after == before
+    # the ingest loop must not accumulate pinned caches across batches
+    # (code-review finding: 3 persists per batch with no unpersist)
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    assert llmdata._INCR_CACHES == []
 
 
 def test_ingest_restore_after_driver_restart(spark, tmp_path):
@@ -706,6 +711,70 @@ def test_ingest_restore_after_driver_restart(spark, tmp_path):
     assert got == want
 
 
+def test_ingest_restore_cleans_torn_attempt(spark, tmp_path):
+    """Crash INSIDE an epoch, after the fingerprint/tombstone/band writes
+    but before the canonical commit rename (the code-review window):
+    restore must roll back to the last committed epoch — deleting the
+    torn fingerprint epoch, tombstone/band batch dirs, and the staged
+    canonical — so the at-least-once redelivery replays the batch in
+    full and the final corpus equals an uninterrupted run."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+
+    docs = load_table(spark, SF, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    batches = [
+        docs.filter(
+            (F.col("doc_id") >= i * hi // 3) & (F.col("doc_id") < (i + 1) * hi // 3)
+        )
+        for i in range(3)
+    ]
+
+    ref = TrainingDataPipeline(spark, SF, str(tmp_path / "ref"))
+    ref.reset_ingest()
+    for b in batches:
+        ref.ingest_batch(b)
+    want = sorted(
+        r.doc_id for r in ref.ingested_survivors().select("doc_id").collect()
+    )
+
+    d = str(tmp_path / "crash")
+    p1 = TrainingDataPipeline(spark, SF, d)
+    p1.reset_ingest()
+    p1.ingest_batch(batches[0])
+    p1.ingest_batch(batches[1])
+    # fabricate the torn epoch-3 attempt from the epoch-2 state: every
+    # pre-commit write present, the canonical commit rename missing
+    root = f"{d}/ingest_state"
+    shutil.copytree(f"{root}/fingerprints_e2", f"{root}/fingerprints_e3")
+    shutil.copytree(f"{root}/tombstones/batch_2", f"{root}/tombstones/batch_3")
+    shutil.copytree(f"{root}/bands/batch_2", f"{root}/bands/batch_3")
+    shutil.copytree(f"{root}/canonical/batch_2", f"{root}/staging_canonical_e3")
+
+    p2 = TrainingDataPipeline(spark, SF, d)  # "restarted driver"
+    stats = p2.restore_ingest()
+    assert stats["restored_epoch"] == 2
+    for torn in (
+        "fingerprints_e3",
+        "tombstones/batch_3",
+        "bands/batch_3",
+        "staging_canonical_e3",
+    ):
+        assert not os.path.exists(f"{root}/{torn}"), torn
+    p2.ingest_batch(batches[2])  # the redelivered batch replays in full
+    got = sorted(
+        r.doc_id for r in p2.ingested_survivors().select("doc_id").collect()
+    )
+    assert got == want
+    # full-replace fingerprint state keeps only the live epoch on disk
+    fps = [x for x in os.listdir(root) if x.startswith("fingerprints_e")]
+    assert fps == ["fingerprints_e3"]
+
+
 def test_curated_strip_spans_rewrites_without_changing_membership(spark, tmp_path):
     """strip_spans=True rewrites survivor text through dedup_spans but
     must NOT change WHO survives (membership is decided on original
@@ -726,8 +795,10 @@ def test_curated_strip_spans_rewrites_without_changing_membership(spark, tmp_pat
     # the rewrite really happened where spans were cut
     cleaned = {r.doc_id: r.clean_text for r in dedup_spans(spark, SF).collect()}
     changed = 0
-    for r in stripped.select("doc_id", "text").collect():
+    for r in stripped.select("doc_id", "text", "n_chars").collect():
         assert r.text == cleaned[r.doc_id]
+        # length metadata must track the REWRITTEN text, not the original
+        assert r.n_chars == len(r.text)
         changed += r.text != ""
     assert changed > 0
 

@@ -101,3 +101,27 @@ def test_stream_writer_publishes_per_epoch(spark, tmp_path):
         rows += map(tuple, pysink.read_back(spark, out, SCHEMA, e).collect())
     batch = spark.read.format(pysource.FORMAT_NAME).option("rows", 400).load()
     assert sorted(rows) == sorted(map(tuple, batch.collect()))
+
+
+def test_second_append_preserves_first_commit(spark, tmp_path):
+    """Two append jobs into the same directory must BOTH stay visible:
+    the second commit folds the prior manifest into its own instead of
+    replacing it (the code-review finding: a fresh manifest listing only
+    the second job's files silently orphans the first job's rows)."""
+    pysink.register(spark)
+    out = str(tmp_path / "sink")
+    _sample(spark, rows=300).write.format(pysink.FORMAT_NAME).option(
+        "path", out
+    ).mode("append").save()
+    _sample(spark, rows=120).write.format(pysink.FORMAT_NAME).option(
+        "path", out
+    ).mode("append").save()
+    back = pysink.read_back(spark, out, SCHEMA)
+    assert back.count() == 420
+    with open(os.path.join(out, "data", pysink.SUCCESS_FILE)) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 420
+    # no torn-manifest artifact left behind (atomic os.replace publish)
+    assert not os.path.exists(
+        os.path.join(out, "data", pysink.SUCCESS_FILE + ".tmp")
+    )

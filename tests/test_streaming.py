@@ -720,3 +720,71 @@ def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped >= 1  # the late replay was dropped, and visibly so
+
+
+def test_cdc_merge_recovers_from_crash_between_swap_renames(spark, tmp_path):
+    """The snapshot swap is two renames; simulate a driver crash in the
+    window between them (live already moved to old_epoch_*, staging not
+    yet promoted) before the second half of the stream runs. The next
+    run's recovery preamble must restore the newest old_epoch_* as live
+    and re-merge the replayed epoch on top — ending with the snapshot
+    the batch recompute produces, not one rebuilt from a single
+    microbatch."""
+    import shutil
+
+    from sales_etl_pipeline_spark.plans.cdc import cdc_latest_snapshot
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "evchunks"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(2):
+        p = str(src / f"part{i}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    snap_dir = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        raw = (
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        jobs.run_cdc_merge_stream(normalize_event_ts(raw), snap_dir, ckpt)
+
+    _run()  # first half of the changelog is folded into live
+
+    # simulate the crash window: live moved aside, promotion never ran;
+    # leave a torn staging dir behind too
+    live = os.path.join(snap_dir, "live")
+    os.rename(live, os.path.join(snap_dir, "old_epoch_97"))
+    os.makedirs(os.path.join(snap_dir, "staging_epoch_97"))
+
+    for i in range(2, 4):
+        p = str(src / f"part{i}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    _run()  # must recover, then fold the second half
+
+    got = spark.read.parquet(live)
+    want = cdc_latest_snapshot(spark, SF)
+    cols = [
+        "user_id",
+        "last_event_id",
+        "last_ts",
+        "last_event_type",
+        "last_value",
+    ]
+    assert _rows(got, cols) == _rows(want, cols)
+    leftovers = [
+        d for d in os.listdir(snap_dir) if d.startswith(("old_", "staging_"))
+    ]
+    assert leftovers == []
+    shutil.rmtree(snap_dir)
