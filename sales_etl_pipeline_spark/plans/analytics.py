@@ -582,9 +582,37 @@ def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface (the other half of the
+    correlated-SQL story next to ``above_avg_balance``'s scalar
+    subquery): each nation's 3 highest-value orders via a per-row
+    LATERAL derived table with ORDER BY … LIMIT. Catalyst rewrites the
+    correlated LATERAL into a DomainJoin → ranked-window plan (no
+    per-nation re-execution of the subquery — the same decorrelation
+    that makes ``top_customers_per_nation``'s explicit window form; this
+    plan exercises the SQL-surface route to it). DuckDB runs the
+    identical SQL; projection-only output, so parity is bit-exact."""
+    for t in ("nation", "customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        FROM lat_nation n,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM lat_orders JOIN lat_customer ON o_custkey = c_custkey
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) o
+        """
+    )
+
+
 LIBRARY_QUERIES = {
     "order_value_histogram": order_value_histogram,
     "above_avg_balance": above_avg_balance,
+    "lateral_topk_per_nation": lateral_topk_per_nation,
     "shipping_priority": shipping_priority,
     "returned_item_report": returned_item_report,
     "revenue_cube": revenue_cube,
@@ -592,6 +620,17 @@ LIBRARY_QUERIES = {
 }
 
 LIBRARY_ORACLE = {
+    "lateral_topk_per_nation": """
+        SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        FROM nation n,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) o
+    """,
     "revenue_cube": f"""
         SELECT r_name, c_mktsegment,
                {oracle_dsum('o_totalprice')} AS total_revenue,

@@ -188,6 +188,38 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     assert "HashAggregate" in plan and "Join" in plan, plan
 
 
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """lateral_topk_per_nation is a correlated LATERAL with ORDER BY …
+    LIMIT; Catalyst must rewrite it into a ranked-window plan (no
+    per-nation subquery re-execution), and the result must equal the
+    explicit window formulation row for row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans.analytics import lateral_topk_per_nation
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    df = lateral_topk_per_nation(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan, plan
+    assert "Window" in plan, plan
+
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    want = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "o_orderkey", "o_totalprice")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_dedup_spans_no_cartesian(spark, sf_dir):
     """The span-removal pipeline must stay equi-join shaped end to end —
     no cartesian/nested-loop anywhere despite the multi-stage
