@@ -455,13 +455,13 @@ def run_cdc_merge_stream(
     live = os.path.join(snapshot_dir, "live")
 
     def _side_dirs(prefix: str) -> list[str]:
+        """Epoch dirs sorted by NUMERIC epoch (lexicographic order would
+        rank old_epoch_9 above old_epoch_10)."""
         if not os.path.isdir(snapshot_dir):
             return []
-        return sorted(
-            os.path.join(snapshot_dir, d)
-            for d in os.listdir(snapshot_dir)
-            if d.startswith(prefix)
-        )
+        names = [d for d in os.listdir(snapshot_dir) if d.startswith(prefix)]
+        names.sort(key=lambda d: int(d[len(prefix):]))
+        return [os.path.join(snapshot_dir, d) for d in names]
 
     def _recover() -> None:
         """The swap is two renames (live→old, staging→live) and cannot be

@@ -762,10 +762,13 @@ def test_cdc_merge_recovers_from_crash_between_swap_renames(spark, tmp_path):
     _run()  # first half of the changelog is folded into live
 
     # simulate the crash window: live moved aside, promotion never ran;
-    # leave a torn staging dir behind too
+    # leave a torn staging dir behind too, plus a STALE older old_epoch
+    # whose number is lexicographically larger (9 > 10 as strings) —
+    # recovery must restore the numerically newest
     live = os.path.join(snap_dir, "live")
-    os.rename(live, os.path.join(snap_dir, "old_epoch_97"))
-    os.makedirs(os.path.join(snap_dir, "staging_epoch_97"))
+    os.rename(live, os.path.join(snap_dir, "old_epoch_10"))
+    os.makedirs(os.path.join(snap_dir, "old_epoch_9"))
+    os.makedirs(os.path.join(snap_dir, "staging_epoch_10"))
 
     for i in range(2, 4):
         p = str(src / f"part{i}.parquet")
