@@ -31,6 +31,7 @@ stacks duplicate cached copies.
 from . import (
     analytics,
     assembly,
+    bpe,
     cdc,
     curation,
     eventplans,
@@ -57,6 +58,7 @@ _MODULES = (
     curation,
     eventplans,
     llmdata,
+    bpe,
     assembly,
     cdc,
     validation,
@@ -64,32 +66,106 @@ _MODULES = (
     pysource,
 )
 
+# ---------------------------------------------------------------------------
+# Registry rotation (round 9): the driver independently oracle-checks at
+# most 50 plans per round, so plans that only ever lived in the library
+# tier would never earn a driver CORRECTNESS row. This policy layer swaps
+# membership WITHOUT moving code between modules: 20 long-stable plans
+# (green in every driver CORRECTNESS file since they landed) rotate OUT to
+# the library tier, and 20 library plans rotate IN. Both tiers run the
+# exact same DuckDB compare harness (driver at sf0.01 per round; pytest in
+# tests/test_library_parity.py every run), so nothing loses its exact
+# check — the rotation only changes WHICH harness confirms it this round.
 
-def all_queries():
+#: long-stable driver plans rotated out to the library tier (two extra —
+#: doc_chunks, embedding_centroids — make room for the new-in-r9 BPE
+#: plans, which enter the driver tier directly via bpe.QUERIES)
+ROTATED_OUT = frozenset({
+    "doc_chunks",
+    "embedding_centroids",
+    "daily_sales",
+    "stats_showcase",
+    "scalar_function_showcase",
+    "window_function_showcase",
+    "event_tumbling_window",
+    "event_sliding_window",
+    "event_sessionization",
+    "event_dedup_first",
+    "event_props_stats",
+    "event_user_pivot",
+    "event_hourly_activity",
+    "event_funnel",
+    "event_range_window",
+    "doc_fingerprint",
+    "lang_id",
+    "text_quality",
+    "token_stats",
+    "tfidf_top_terms",
+    "mm_image_features",
+    "mm_frame_sample",
+})
+
+#: library plans promoted into the driver registry for this round
+ROTATED_IN = frozenset({
+    "cdc_latest_snapshot",
+    "cdc_incremental_merge",
+    "scd2_intervals",
+    "scd2_compacted",
+    "dq_report",
+    "incremental_customer_summary",
+    "incremental_product_summary",
+    "revenue_cube",
+    "revenue_grouping_sets",
+    "dedup_spans",
+    "dup_ngram_fraction",
+    "contamination_bloom",
+    "hashed_token_features",
+    "hashed_cosine_pairs",
+    "hashed_linear_score",
+    "doc_surprisal",
+    "cohort_retention",
+    "event_props_variant",
+    "event_user_unpivot",
+    "synthetic_source_events",
+})
+
+
+def _merged(attr: str) -> dict:
     out = {}
     for mod in _MODULES:
-        out.update(mod.QUERIES)
+        out.update(getattr(mod, attr, {}))
+    return out
+
+
+def all_queries():
+    base = _merged("QUERIES")
+    lib = _merged("LIBRARY_QUERIES")
+    out = {k: v for k, v in base.items() if k not in ROTATED_OUT}
+    out.update({k: lib[k] for k in sorted(ROTATED_IN) if k in lib})
     return out
 
 
 def all_oracles():
-    out = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLE)
+    base = _merged("ORACLE")
+    lib = _merged("LIBRARY_ORACLE")
+    out = {k: v for k, v in base.items() if k not in ROTATED_OUT}
+    out.update({k: lib[k] for k in sorted(ROTATED_IN) if k in lib})
     return out
 
 
 def library_queries():
-    """Plans retired from the driver registry but still part of the public
-    API: oracle-checked by pytest (tests/test_library_parity.py)."""
-    out = {}
-    for mod in _MODULES:
-        out.update(getattr(mod, "LIBRARY_QUERIES", {}))
+    """Plans outside the driver registry this round but still part of the
+    public API: oracle-checked by pytest (tests/test_library_parity.py)."""
+    base = _merged("QUERIES")
+    lib = _merged("LIBRARY_QUERIES")
+    out = {k: v for k, v in lib.items() if k not in ROTATED_IN}
+    out.update({k: base[k] for k in sorted(ROTATED_OUT) if k in base})
     return out
 
 
 def library_oracles():
-    out = {}
-    for mod in _MODULES:
-        out.update(getattr(mod, "LIBRARY_ORACLE", {}))
+    base = _merged("ORACLE")
+    lib = _merged("LIBRARY_ORACLE")
+    out = {k: v for k, v in lib.items() if k not in ROTATED_IN}
+    out.update({k: base[k] for k in sorted(ROTATED_OUT) if k in base})
     return out

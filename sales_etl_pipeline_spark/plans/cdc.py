@@ -206,8 +206,10 @@ _SNAPSHOT_SQL = f"""
     AND event_type <> '{TOMBSTONE_TYPE}'
 """
 
-#: No driver-registry entries (50-cap, COVERAGE.md) — library tier,
-#: oracle-checked every pytest run by tests/test_library_parity.py.
+#: Module-level placement is library tier; the round-9 registry rotation
+#: (plans/__init__.py ROTATED_IN) promotes all four into the driver
+#: registry so they earn driver CORRECTNESS rows. Both tiers run the
+#: same DuckDB compare harness.
 QUERIES: dict = {}
 ORACLE: dict = {}
 

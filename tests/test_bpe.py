@@ -1,0 +1,132 @@
+"""Trained BPE tokenizer (plans/bpe.py): merge-application semantics,
+train/apply consistency, and reconstruction invariants. The exact DuckDB
+oracle parity of both registry plans (bpe_merges, bpe_token_stats) runs
+in tests/test_oracle_parity.py like every driver-tier plan."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sales_etl_pipeline_spark.plans import bpe  # noqa: E402
+from sales_etl_pipeline_spark.sources.readers import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_merge_application_is_left_to_right_non_overlapping(spark):
+    """The BPE convention: (a,a) on [a,a,a] yields [aa,a] — the first
+    match wins and the scan resumes AFTER the replacement; and a merge
+    never fires mid-token ([xa,b] is untouched by (a,b))."""
+    df = spark.createDataFrame(
+        [("aaa",), ("abab",), ("ab",)], "text string"
+    )
+    out = {
+        r.text: list(r.bpe_tokens)
+        for r in bpe.bpe_apply(df, "text", [("a", "a")]).collect()
+    }
+    assert out["aaa"] == ["aa", "a"]
+    # (a,b) after tokens have merged: "xa" stays whole
+    df2 = spark.createDataFrame([("xab",)], "text string")
+    toks = bpe.bpe_apply(df2, "text", [("x", "a"), ("a", "b")]).first().bpe_tokens
+    # round 1 merges (x,a) -> [xa, b]; round 2's (a,b) must NOT split xa
+    assert list(toks) == ["xa", "b"]
+
+
+def test_apply_reproduces_training_segmentation(spark):
+    """bpe_apply with the trained merge list must segment every training
+    word exactly as the training loop's final sequences do — train and
+    apply share one semantics."""
+    merges, seqs = bpe.train_bpe(spark, SF, 12)
+    want = {
+        r.word: r.seq.strip("_").split("__")
+        for r in seqs.collect()
+    }
+    vocab = spark.createDataFrame(
+        [(w,) for w in want], "text string"
+    )
+    got = {
+        r.text: list(r.bpe_tokens)
+        for r in bpe.bpe_apply(vocab, "text", merges).collect()
+    }
+    assert got == want
+
+
+def test_apply_reconstruction_and_unseen_words(spark):
+    """Tokens concatenate back to the pre-tokenized words (lossless within
+    the [a-z]+ alphabet), for corpus docs AND unseen words."""
+    merges, _ = bpe.train_bpe(spark, SF, 12)
+    docs = load_table(spark, SF, "documents").limit(50)
+    out = bpe.bpe_apply(docs, "text", merges)
+    rows = out.select(
+        F.concat_ws("", "bpe_tokens").alias("joined"),
+        F.concat_ws(
+            "", F.regexp_extract_all(F.lower("text"), F.lit("([a-z]+)"))
+        ).alias("want"),
+    ).collect()
+    assert rows and all(r.joined == r.want for r in rows)
+    unseen = spark.createDataFrame(
+        [("zzzquixotic frobnicate",), ("Mixed CASE 42 chars!",)], "text string"
+    )
+    got = bpe.bpe_apply(unseen, "text", merges).collect()
+    assert "".join(got[0].bpe_tokens) == "zzzquixoticfrobnicate"
+    assert "".join(got[1].bpe_tokens) == "mixedcasechars"
+
+
+def test_merge_table_shape_and_determinism(spark):
+    """The merge table is rank-ordered, merged = lhs||rhs, and training
+    twice gives the identical rule list (deterministic tie-breaks)."""
+    m = bpe.bpe_merges(spark, SF).collect()
+    assert [r.rank for r in m] == list(range(bpe.N_MERGES))
+    assert all(r.merged == r.lhs + r.rhs for r in m)
+    again = bpe.bpe_merges(spark, SF).collect()
+    assert [tuple(r) for r in m] == [tuple(r) for r in again]
+
+
+def test_token_stats_compression_bounds(spark):
+    """BPE token count per doc is bounded by chars (no merges at all)
+    below and words (everything merged) above; chars_per_token ≥ 1 and
+    grows with merges (more merges ⇒ fewer, longer tokens)."""
+    few = bpe.bpe_token_stats(spark, SF, n_merges=2)
+    many = bpe.bpe_token_stats(spark, SF, n_merges=bpe.N_MERGES)
+    j = (
+        few.select("doc_id", F.col("n_bpe_tokens").alias("t_few"))
+        .join(
+            many.select(
+                "doc_id", "n_words", "n_bpe_tokens", "chars_per_token"
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert j
+    for r in j:
+        assert r.n_words <= r.n_bpe_tokens <= r.t_few
+        assert r.chars_per_token >= 1.0
+
+
+def test_train_raises_when_pairs_exhaust(spark, tmp_path):
+    """Asking for more merges than the corpus supports must raise loudly
+    (a silently shorter rule list would diverge from the fixed-depth
+    oracle)."""
+    tiny = spark.createDataFrame(
+        [(1, "ab ab cab"), (2, "ab cab")], "doc_id long, text string"
+    )
+    tiny.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    # vocabulary {ab, cab} supports exactly 3 merges:
+    # (a,b)->ab, (c,a)? counts: pairs a-b ×5, c-a ×2 → merge ab;
+    # then cab = [c, ab] → (c,ab) ×2 → merge cab; then no pairs remain.
+    merges, seqs = bpe.train_bpe(spark, str(tmp_path), 2)
+    assert merges == [("a", "b"), ("c", "ab")]
+    assert {r.word: r.seq for r in seqs.collect()} == {
+        "ab": "_ab_",
+        "cab": "_cab_",
+    }
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe.train_bpe(spark, str(tmp_path), 3)
