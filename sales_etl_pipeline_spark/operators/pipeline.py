@@ -360,24 +360,26 @@ class TrainingDataPipeline:
             "watermark": self._ingest_watermark,
         }
 
-    def _materialize(self, df: DataFrame, name: str, append: bool) -> DataFrame:
+    def _materialize(
+        self, df: DataFrame, name: str, append: bool, epoch: int
+    ) -> DataFrame:
         """Write a state relation to parquet and read it back — state
         lives ON DISK between batches (exactly like the streaming CDC
         sink's snapshot), so each batch's lineage starts from a scan
         instead of replaying every earlier batch's jobs. Append-grain
         state (canonicals, band index, tombstones) lands in per-epoch
         subdirectories read as one relation; full-replace state (the
-        fingerprint relation) gets an epoch-named directory."""
+        fingerprint relation) gets an epoch-named directory. ``epoch`` is
+        the ATTEMPT epoch passed by ingest_batch — not yet committed, so
+        a failed attempt's dirs are overwritten by the retry."""
         spark = df.sparkSession
         root = f"{self.output_dir}/ingest_state/{name}"
         if append:
             # plain subdirectory (no key=value name: this is an append
             # log, not a partition column)
-            df.write.mode("overwrite").parquet(
-                f"{root}/batch_{self._ingest_epoch}"
-            )
+            df.write.mode("overwrite").parquet(f"{root}/batch_{epoch}")
             return spark.read.parquet(f"{root}/batch_*")
-        path = f"{root}_e{self._ingest_epoch}"
+        path = f"{root}_e{epoch}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
@@ -411,7 +413,15 @@ class TrainingDataPipeline:
             self, "_ingest_epoch"
         ):
             self.reset_ingest()
-        self._ingest_epoch += 1
+        # ATTEMPT epoch: self._ingest_epoch is consumed (assigned) only at
+        # the commit point below. A failed attempt leaves the counter —
+        # and the replay watermark — untouched, so an at-least-once
+        # redelivery to the SAME pipeline object reprocesses the batch in
+        # full at the same epoch number (overwriting the torn attempt's
+        # dirs) instead of being swallowed by a watermark that advanced
+        # for work that never committed. Mirrors how restore_ingest
+        # derives both values from the committed canonical log.
+        epoch = self._ingest_epoch + 1
         # At-least-once transports re-deliver batches. The append-only
         # invariant (ids strictly increase across batches) makes replay
         # detection a pure high-watermark filter: any row at or below the
@@ -423,9 +433,14 @@ class TrainingDataPipeline:
         new_docs = new_docs.filter(
             F.col("doc_id") > F.lit(self._ingest_watermark)
         )
-        batch_hi = new_docs.agg(F.max("doc_id")).first()[0]
-        if batch_hi is not None:
-            self._ingest_watermark = max(self._ingest_watermark, batch_hi)
+        # one combined agg job for the replay watermark AND the batch_docs
+        # stat (was two scans); the canonical/tombstone counts below ride
+        # their own write jobs via Observation — net: the per-batch job
+        # count is state I/O only, no dedicated count() passes
+        agg_row = new_docs.agg(
+            F.max("doc_id").alias("hi"), F.count(F.lit(1)).alias("n")
+        ).first()
+        batch_hi, n_new = agg_row.hi, agg_row.n
         prev_state = self._dedup_state or spark.createDataFrame(
             [], self._EMPTY_STATE_SCHEMA
         )
@@ -433,6 +448,7 @@ class TrainingDataPipeline:
             llmdata.incremental_exact_dedup(prev_state, new_docs),
             "fingerprints",
             append=False,
+            epoch=epoch,
         )
         delta_ids = new_docs.select("doc_id")
         # The epoch's COMMIT POINT is the canonical/batch_N rename at the
@@ -445,15 +461,21 @@ class TrainingDataPipeline:
         # between the canonical and band writes unrecoverable — the
         # watermark swallowed the replay and the batch's near-dup
         # tombstones/bands were never created).
+        from pyspark.sql import Observation
+
         root = f"{self.output_dir}/ingest_state"
-        staging = f"{root}/staging_canonical_e{self._ingest_epoch}"
+        staging = f"{root}/staging_canonical_e{epoch}"
+        obs_canon = Observation(f"ingest_canon_e{epoch}")
         new_docs.join(
             state.select("doc_id").join(
                 F.broadcast(delta_ids), "doc_id", "left_semi"
             ),
             "doc_id",
             "left_semi",
-        ).write.mode("overwrite").parquet(staging)
+        ).observe(obs_canon, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        n_canon = obs_canon.get["n"]
         new_canon = spark.read.parquet(staging).join(
             F.broadcast(delta_ids), "doc_id", "left_semi"
         )
@@ -463,26 +485,36 @@ class TrainingDataPipeline:
         pairs = llmdata.incremental_minhash_near_dup(
             base, new_canon, base_index=self._band_index
         )
-        new_dropped = self._materialize(
-            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        # the written tombstone batch is exactly this batch's drops (the
+        # append-only invariant makes every pair's newer member doc_b a
+        # delta doc), so the near_dup_dropped stat rides the write too
+        obs_tomb = Observation(f"ingest_tomb_e{epoch}")
+        self._materialize(
+            pairs.select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .observe(obs_tomb, F.count(F.lit(1)).alias("n")),
             "tombstones",
             append=True,
-        ).join(F.broadcast(delta_ids), "doc_id", "left_semi")
+            epoch=epoch,
+        )
+        n_drop = obs_tomb.get["n"]
         new_bands = self._materialize(
-            llmdata.minhash_index(new_canon), "bands", append=True
+            llmdata.minhash_index(new_canon), "bands", append=True,
+            epoch=epoch,
         )
-        n_new, n_canon, n_drop = (
-            new_docs.count(),
-            new_canon.count(),
-            new_dropped.count(),
-        )
-        # commit: publish the canonical batch, then prune the superseded
-        # fingerprint epoch (full-replace state — only the latest is
-        # live; keeping every epoch is O(batches × corpus) disk)
+        # COMMIT: publish the canonical batch; only now are the epoch
+        # counter and the replay watermark consumed (a crash anywhere
+        # above leaves both untouched, so the redelivered batch replays
+        # in full). Then prune the superseded fingerprint epoch
+        # (full-replace state — only the latest is live; keeping every
+        # epoch is O(batches × corpus) disk).
         os.makedirs(f"{root}/canonical", exist_ok=True)
-        os.rename(staging, f"{root}/canonical/batch_{self._ingest_epoch}")
+        os.rename(staging, f"{root}/canonical/batch_{epoch}")
+        self._ingest_epoch = epoch
+        if batch_hi is not None:
+            self._ingest_watermark = max(self._ingest_watermark, batch_hi)
         shutil.rmtree(
-            f"{root}/fingerprints_e{self._ingest_epoch - 1}",
+            f"{root}/fingerprints_e{epoch - 1}",
             ignore_errors=True,
         )
         # every derived relation is on disk now — drop the batch's pinned

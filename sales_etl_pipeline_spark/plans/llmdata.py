@@ -352,21 +352,37 @@ def incremental_minhash_near_dup(
     return _pair_jaccard(sh_cand, cand)
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, *, collapse: str = "auto"
+) -> DataFrame:
     """Exact near-dup pairs by 3-gram Jaccard ≥ 0.8. Candidates via the
     shared-shingle equi-join (exact but quadratic in shingle document
     frequency — the MinHash plan below is the scale path).
 
-    Exact-duplicate pre-collapse: crawl corpora are duplicate-heavy, and
-    identical texts have identical shingle sets, so the expensive
-    candidate/verify machinery runs on one canonical doc per distinct
-    text; member pairs are expanded afterwards (cross-group pairs inherit
-    the canonical pair's Jaccard; within-group pairs are exactly 1.0 —
-    n/n, bit-exact in both engines). On a 10×-replicated corpus this
-    shrinks the candidate join 100× (measured 49.8 s → see BASELINE.md)
-    while producing the identical pair set the naive oracle defines.
+    Exact-duplicate pre-collapse, REGIME-DISPATCHED: crawl corpora are
+    duplicate-heavy, and identical texts have identical shingle sets, so
+    the expensive candidate/verify machinery runs on one canonical doc
+    per distinct text; member pairs are expanded afterwards (cross-group
+    pairs inherit the canonical pair's Jaccard; within-group pairs are
+    exactly 1.0 — n/n, bit-exact in both engines). On a 10×-replicated
+    corpus this shrinks the candidate join 100× (measured 49.8 s → see
+    BASELINE.md). On a fully-DISTINCT corpus the collapse is pure
+    overhead (an md5 window + two expansion joins that are the
+    identity), so ``collapse="auto"`` runs the ``_all_distinct`` probe
+    (one 1-row agg) and skips the machinery when the corpus is provably
+    duplicate-free — where skip ≡ collapse bit-for-bit (and for Jaccard
+    the two branches are semantically the same pair relation at ANY dup
+    ratio; both pins in tests/test_operators.py). ``"always"``/``"skip"``
+    force a branch (tests; known-shape corpora).
     """
-    gmap, canon_docs = _dup_groups(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(F.size(tokens(F.col("text"))) >= SHINGLE_N)
+    if collapse == "auto":
+        collapse = "skip" if _all_distinct(eligible, F.md5("text")) else "always"
+    if collapse == "skip":
+        gmap, canon_docs = None, eligible
+    else:
+        gmap, canon_docs = _dup_groups(spark, sf_dir)
     # The shingle relation feeds five subplans (df counts, sizes, prefix,
     # and both sides of the intersection join); persist it once instead of
     # recomputing the tokenize+explode+distinct pipeline per use. Default
@@ -415,7 +431,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     canon_pairs = _pair_jaccard(sh, cand)
+    if gmap is None:
+        return canon_pairs  # duplicate-free: nothing to expand
     return _expand_dup_pairs(canon_pairs, gmap)
+
+
+def _all_distinct(df: DataFrame, col) -> bool:
+    """Regime probe for the exact-dup pre-collapse (same pattern as the
+    hashed_cosine_pairs occupancy dispatch): ONE aggregate comparing
+    total vs distinct counts over a hash of the content column — driver
+    traffic is 1 row. Collisions can only UNDER-count distinct, i.e.
+    only ever keep the collapse engaged — the safe direction; the skip
+    branch fires solely when the corpus is provably duplicate-free,
+    where the collapse is the identity and both branches are
+    bit-identical by construction (pinned in tests/test_operators.py).
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(col).alias("d")
+    ).collect()[0]
+    return row.n == row.d
 
 
 def _dup_groups(spark: SparkSession, sf_dir: str, require_shingles: bool = True):
@@ -942,7 +976,9 @@ def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_K = 64  # Misra-Gries counters per partition (error ≤ n_tokens/(K+1))
 
 
-def misra_gries(df: DataFrame, col: str, k: int = HH_K) -> DataFrame:
+def misra_gries(
+    df: DataFrame, col: str, k: int = HH_K, split: str | None = None
+) -> DataFrame:
     """Generic per-partition Misra–Gries sketch with mergeable summaries
     (Agarwal et al.) over any string-typed column: each partition streams
     its values through ``k`` counters in one pass (decrement-all when
@@ -962,6 +998,16 @@ def misra_gries(df: DataFrame, col: str, k: int = HH_K) -> DataFrame:
     find the hot keys that need salting (functions/core.salted_agg) or
     AQE skew handling.
 
+    ``split``: when the values are delimited token STREAMS (a text
+    column), pass the delimiter instead of pre-exploding — the kernel
+    tokenizes inside pandas (``str.split().explode().value_counts()``,
+    all C-speed) and Arrow then carries document-grain rows, not
+    token-grain (~100× less serialization on the corpus; measured
+    10.9 s → 4.0 s on the 100× replica). The counter fold sees the same
+    per-partition token stream, so the n/(k+1) guarantee is unchanged —
+    only the partition layout differs (doc-grain vs token-grain), which
+    the guarantee is invariant to.
+
     Returns (term, est_count) sorted by estimate. Partition-order
     dependent by construction (which low-count stragglers survive varies
     with layout) — the guarantee above is what is stable, and what
@@ -979,7 +1025,12 @@ def misra_gries(df: DataFrame, col: str, k: int = HH_K) -> DataFrame:
         # a fraction of the Python cost.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for term, c in pdf["term"].value_counts().items():
+            vc = (
+                pdf["term"].str.split(split).explode().value_counts()
+                if split is not None
+                else pdf["term"].value_counts()
+            )
+            for term, c in vc.items():
                 counters[term] = counters.get(term, 0) + int(c)
             if len(counters) > k:
                 thresh = sorted(counters.values(), reverse=True)[k]
@@ -1002,12 +1053,14 @@ def misra_gries(df: DataFrame, col: str, k: int = HH_K) -> DataFrame:
 def approx_heavy_hitters(
     spark: SparkSession, sf_dir: str, *, k: int = HH_K
 ) -> DataFrame:
-    """Frequent corpus terms via the generic ``misra_gries`` sketch over
-    the exploded token relation — the registry-facing instantiation;
-    guarantee + tiering notes on the generic function."""
+    """Frequent corpus terms via the generic ``misra_gries`` sketch —
+    the registry-facing instantiation; guarantee + tiering notes on the
+    generic function. Uses the fused ``split`` path (tokenize inside the
+    pandas kernel) so Arrow carries the document relation, not the
+    ~100×-larger exploded token relation; same whitespace token
+    convention as ``tokens()``."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    return misra_gries(tok, "term", k)
+    return misra_gries(docs, "text", k, split=" ")
 
 
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,6 +1497,7 @@ def semantic_dedup_bucketed(
     nprobe: int = SEMDEDUP_NPROBE,
     rows_per_centroid: int = KMEANS_ROWS_PER_CENT,
     max_k: int = KMEANS_MAX_K,
+    collapse: str = "auto",
 ) -> DataFrame:
     """Scale-safe SemDeDup: IVF-bucketed candidate pairs instead of the
     exact twin's O(n²) cross join (``semantic_dedup`` above — correct but
@@ -1483,7 +1537,16 @@ def semantic_dedup_bucketed(
     survivors are exactly the surviving canonical ids. Mirrored verbatim
     in the DuckDB oracle (GROUP BY the list value), so the plan stays
     exactly value-hash checkable; on a duplicate-free corpus the collapse
-    is the identity and the algorithm is bit-unchanged.
+    is the identity and the algorithm is bit-unchanged — which is what
+    makes the ``collapse="auto"`` regime dispatch safe: the
+    ``_all_distinct`` probe (one 1-row agg over xxhash of the vector;
+    collisions only ever KEEP the collapse) skips the group-by machinery
+    exactly when it is provably the identity, so both branches are
+    bit-identical where the skip can fire (pinned in
+    tests/test_operators.py). Unlike the Jaccard plan, skipping on a
+    corpus WITH duplicates would change k-means training weights and
+    break oracle parity — hence the exact-distinct condition, not a
+    ratio threshold.
     """
     # emb feeds five consumers (centroid set, assignment, the two
     # pair-side vector fetches, final anti-join) — persist once; Spark
@@ -1491,13 +1554,18 @@ def semantic_dedup_bucketed(
     # dedups by sameResult so repeated query calls reuse one cache entry.
     # nrm rides in the group key: it is derived bitwise from v, so
     # (v, nrm) grouping == v grouping and the norm needs no recompute.
-    emb = (
-        _embeddings_normed(spark, sf_dir)
-        .groupBy("v", "nrm")
-        .agg(F.min("vec_id").alias("vec_id"))
-        .select("vec_id", "v", "nrm")
-        .persist()
-    )
+    raw = _embeddings_normed(spark, sf_dir)
+    if collapse == "auto":
+        collapse = "skip" if _all_distinct(raw, F.hash("v")) else "always"
+    if collapse == "skip":
+        emb = raw.select("vec_id", "v", "nrm").persist()
+    else:
+        emb = (
+            raw.groupBy("v", "nrm")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .select("vec_id", "v", "nrm")
+            .persist()
+        )
     # Candidate generation stays SKINNY (ids only): assignment is the
     # zero-shuffle Arrow-batched map-side top-nprobe and the 64-dim
     # vectors are dropped BEFORE the pair expansion — otherwise every
@@ -1575,7 +1643,29 @@ def semantic_dedup_bucketed(
 CC_MAX_ITERS = 20
 
 
-def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+class ComponentsNotConverged(RuntimeError):
+    """near_dup_components hit its round cap before fixpoint. Carries the
+    state a caller needs to act: ``rounds`` run, ``still_changing`` label
+    count, and ``partial_labels`` (the checkpointed label relation as of
+    the last round — monotonically improved, NOT final; inspect it or
+    re-run with a higher ``max_iters``)."""
+
+    def __init__(self, rounds: int, still_changing: int, partial_labels):
+        self.rounds = rounds
+        self.still_changing = still_changing
+        self.partial_labels = partial_labels
+        super().__init__(
+            f"near_dup_components did not converge within {rounds} "
+            f"pointer-jumping rounds ({still_changing} labels still "
+            "changing) — component labels would be wrong. Retry with "
+            "near_dup_components(..., max_iters=<higher>) or inspect "
+            "exc.partial_labels (doc_id, label as of the last round)."
+        )
+
+
+def near_dup_components(
+    spark: SparkSession, sf_dir: str, *, max_iters: int | None = None
+) -> DataFrame:
     """Connected components over the MinHash near-dup pair graph — the
     clustering step that turns pairwise matches into dedup groups (the
     other standard policy besides ``semantic_dedup``'s greedy leader rule:
@@ -1599,7 +1689,11 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_id, component) for every document with ≥1 near-dup
     neighbor; component = min doc_id of its transitive cluster.
+    ``max_iters`` overrides ``CC_MAX_ITERS``; on non-convergence the
+    raised ``ComponentsNotConverged`` carries the partial label relation
+    and the rounds/still-changing counts for retry-with-higher-cap.
     """
+    rounds_cap = CC_MAX_ITERS if max_iters is None else max_iters
     pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
@@ -1613,7 +1707,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     changed = 1
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(rounds_cap):
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
             .groupBy("doc_a")
@@ -1653,11 +1747,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     if changed != 0:
-        raise RuntimeError(
-            f"near_dup_components did not converge within {CC_MAX_ITERS} "
-            f"pointer-jumping rounds ({changed} labels still changing) — "
-            "component labels would be wrong; raise CC_MAX_ITERS"
-        )
+        raise ComponentsNotConverged(rounds_cap, changed, labels)
     return labels.select(
         "doc_id", F.col("label").alias("component")
     ).orderBy("doc_id")

@@ -105,6 +105,23 @@ def _publish(
         json.dump({"files": sorted(published), "rows": total}, f)
     os.replace(tmp, manifest_path)
     shutil.rmtree(staging_dir, ignore_errors=True)
+    # Orphan sweep: a crash mid-rename-loop (above) leaves files in the
+    # final dir that no manifest will ever list — the retried job stages
+    # fresh uuid-named files, so the half-published ones would accumulate
+    # as unreclaimable garbage (invisible to read_back, but real disk).
+    # The manifest is the source of truth, so any part file it doesn't
+    # list is dead and reclaimed on the next successful commit.
+    keep = set(published)
+    for name in os.listdir(final_dir):
+        if (
+            name.startswith("part-")
+            and name.endswith(".jsonl")
+            and name not in keep
+        ):
+            try:
+                os.remove(os.path.join(final_dir, name))
+            except OSError:
+                pass  # best-effort reclaim; next commit retries
 
 
 class JsonLinesWriter(DataSourceWriter):

@@ -1,6 +1,6 @@
 """Custom Python DataSource (PySpark 4 ``pyspark.sql.datasource`` API) —
 the connector-extension surface of the engine: how a user plugs a source
-Spark has no built-in reader for (an internal service, a bespoke file
+Spark has no built-in reader for (a bespoke service, a custom file
 format, a synthetic generator) into the SAME DataFrame/Catalyst pipeline
 as the parquet tables, batch AND streaming, without JVM code.
 
@@ -135,15 +135,22 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
     def __init__(self, options) -> None:
         self.rows = int(options.get("rows", DEFAULT_ROWS))
-        self.batch_rows = int(options.get("batch_rows", max(1, self.rows // 4)))
         self.num_partitions = int(options.get("partitions", DEFAULT_PARTITIONS))
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
     def latestOffset(self) -> dict:
-        # bounded source: availableNow drains to self.rows in batch_rows
-        # steps; an unbounded feed would return its current high-watermark
+        # Bounded source: the whole id space is already "arrived", so the
+        # high-watermark is self.rows and availableNow drains it in ONE
+        # microbatch. An internal-state drain chunker (advance by N per
+        # call) is deliberately NOT implemented: the Python stream API has
+        # no admission control (no latestOffset(start, limit)), and
+        # Spark's availableNow fallback for such sources captures
+        # latestOffset() once — a chunked answer would silently truncate
+        # the drain to the first chunk (measured: 500/2000 rows). An
+        # unbounded feed would return its current external high-watermark
+        # here, which is monotone and restart-safe by construction.
         return {"i": self.rows}
 
     def partitions(self, start: dict, end: dict):

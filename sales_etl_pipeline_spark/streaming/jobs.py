@@ -426,14 +426,113 @@ def stream_enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFra
     )
 
 
+#: snapshot writer-lock file name (single-writer contract, see below)
+CDC_LOCK_FILE = "_writer.lock"
+
+
+def _acquire_cdc_lock(snapshot_dir: str, force: bool = False) -> str:
+    """Claim exclusive write ownership of a CDC snapshot directory.
+
+    The two-rename swap in run_cdc_merge_stream is correct ONLY
+    single-writer: two concurrent merge streams would interleave their
+    live→old / staging→live renames and leave the snapshot at one
+    writer's epoch with the other's updates silently lost (or no live
+    dir at all). This lock makes the contract explicit and a violation
+    LOUD: creation is O_CREAT|O_EXCL (atomic on POSIX), the payload
+    carries a per-writer token + pid, and a second writer raises
+    instead of corrupting the swap.
+
+    A crashed writer leaves its lock behind; pass ``force=True`` (a
+    deliberate operator action, not a default) to break it after
+    confirming the owner is dead. Returns the owner token; pair with
+    ``_check_cdc_lock`` (per-epoch ownership re-check) and
+    ``_release_cdc_lock``."""
+    import json
+    import uuid
+
+    os.makedirs(snapshot_dir, exist_ok=True)
+    lock = os.path.join(snapshot_dir, CDC_LOCK_FILE)
+    token = uuid.uuid4().hex
+    payload = json.dumps({"token": token, "pid": os.getpid()})
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        if not force:
+            try:
+                with open(lock) as f:
+                    holder = f.read()
+            except OSError:
+                holder = "<unreadable>"
+            raise RuntimeError(
+                f"snapshot {snapshot_dir} already has a live writer "
+                f"({holder}); a second concurrent merge stream would "
+                "corrupt the two-rename swap. If the holder crashed, "
+                "re-run with force_lock=True."
+            )
+        os.remove(lock)
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+    return token
+
+
+def _check_cdc_lock(snapshot_dir: str, token: str) -> None:
+    """Writer-epoch fencing: re-verify lock ownership before a swap. If a
+    second writer force-took the lock, THIS writer is the stale one and
+    must stop mutating the snapshot."""
+    import json
+
+    lock = os.path.join(snapshot_dir, CDC_LOCK_FILE)
+    try:
+        with open(lock) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        raise RuntimeError(
+            f"snapshot writer lock at {lock} missing or unreadable — "
+            "ownership was broken by another writer; aborting before "
+            "corrupting the swap"
+        )
+    if data.get("token") != token:
+        raise RuntimeError(
+            f"snapshot writer lock at {lock} now belongs to another "
+            "writer (force-taken); this stream is fenced off"
+        )
+
+
+def _release_cdc_lock(snapshot_dir: str, token: str) -> None:
+    """Drop the lock iff still owned (a force-taker's lock is left alone)."""
+    import json
+
+    lock = os.path.join(snapshot_dir, CDC_LOCK_FILE)
+    try:
+        with open(lock) as f:
+            if json.load(f).get("token") == token:
+                os.remove(lock)
+    except (OSError, ValueError):
+        pass
+
+
 def run_cdc_merge_stream(
-    events: DataFrame, snapshot_dir: str, checkpoint_dir: str
+    events: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    force_lock: bool = False,
 ) -> None:
     """Streaming MERGE sink: maintain a latest-wins snapshot table from
     the changelog stream via ``foreachBatch`` + ``plans.cdc.merge_snapshot``
     — the streaming form of ``cdc_incremental_merge``, and the concrete
     use of the foreachBatch escape hatch the run_foreach_batch_parquet
     docstring points at (MERGE is not a native streaming sink).
+
+    SINGLE-WRITER CONTRACT: exactly one merge stream may own a snapshot
+    directory at a time — the two-rename swap is not safe under
+    concurrent writers. The contract is enforced, not just documented: a
+    writer lock is claimed before the query starts (second writer raises
+    immediately), ownership is re-verified before every epoch's swap
+    (writer fencing — a force-taken lock stops the stale writer), and
+    the lock is released on completion. ``force_lock=True`` breaks a
+    crashed writer's leftover lock; tests/test_cdc.py pins all three
+    behaviors.
 
     Each microbatch reads the current snapshot parquet (empty on first
     epoch), merges the batch's changelog rows (insert/update/delete in
@@ -479,7 +578,10 @@ def run_cdc_merge_stream(
         for d in _side_dirs("old_epoch_") + _side_dirs("staging_epoch_"):
             shutil.rmtree(d, ignore_errors=True)
 
+    token = _acquire_cdc_lock(snapshot_dir, force=force_lock)
+
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        _check_cdc_lock(snapshot_dir, token)
         _recover()
         if os.path.isdir(live):
             base = spark.read.parquet(live)
@@ -488,6 +590,9 @@ def run_cdc_merge_stream(
             merged = _latest_wins(batch_df)
         staging = os.path.join(snapshot_dir, f"staging_epoch_{epoch_id}")
         merged.write.mode("overwrite").parquet(staging)
+        # fencing re-check right before the swap: the write above is the
+        # epoch's long pole, so this closes most of the takeover window
+        _check_cdc_lock(snapshot_dir, token)
         old = os.path.join(snapshot_dir, f"old_epoch_{epoch_id}")
         if os.path.isdir(live):
             os.rename(live, old)
@@ -495,13 +600,16 @@ def run_cdc_merge_stream(
         if os.path.isdir(old):
             shutil.rmtree(old)
 
-    query = (
-        events.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    try:
+        query = (
+            events.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        _release_cdc_lock(snapshot_dir, token)
 
 
 def run_to_memory(
@@ -554,6 +662,10 @@ def run_dq_gate_stream(
             "value_non_negative": F.col("value") < 0,
             "no_error_events": F.col("event_type") == "error",
         }
+    if not rules:
+        # explicit {}: fail with a clear message instead of the confusing
+        # plan-build error zero-arg F.concat() would raise below
+        raise ValueError("run_dq_gate_stream requires at least one rule")
 
     # violated_rules: names of every rule whose violation predicate fires
     tags = F.concat(

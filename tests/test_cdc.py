@@ -242,6 +242,52 @@ def test_merge_snapshot_replay_idempotent(spark):
     assert a == b
 
 
+def test_cdc_snapshot_single_writer_lock(spark, tmp_path):
+    """The snapshot's two-rename swap is single-writer; the contract is
+    enforced: a second concurrent merge stream must raise at startup
+    instead of corrupting the swap, and force_lock breaks a crashed
+    writer's leftover lock."""
+    from sales_etl_pipeline_spark.streaming import jobs
+
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    # simulate a live (or crashed) writer holding the lock
+    with open(os.path.join(snap, jobs.CDC_LOCK_FILE), "w") as f:
+        f.write('{"token": "someone-else", "pid": 1}')
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(RuntimeError, match="live writer"):
+        jobs.run_cdc_merge_stream(stream, snap, str(tmp_path / "ckpt"))
+    # the refused writer must not have clobbered the holder's lock
+    with open(os.path.join(snap, jobs.CDC_LOCK_FILE)) as f:
+        assert "someone-else" in f.read()
+    # force_lock (deliberate break of a crashed writer's lock) acquires;
+    # exercise it via the lock API directly, then verify release frees
+    # the dir for the next writer
+    token = jobs._acquire_cdc_lock(snap, force=True)
+    jobs._check_cdc_lock(snap, token)  # owner passes fencing
+    jobs._release_cdc_lock(snap, token)
+    assert not os.path.exists(os.path.join(snap, jobs.CDC_LOCK_FILE))
+    token2 = jobs._acquire_cdc_lock(snap)  # uncontended after release
+    jobs._release_cdc_lock(snap, token2)
+
+
+def test_cdc_lock_fencing_stops_stale_writer(spark, tmp_path):
+    """Writer fencing: if a second writer force-takes the lock, the
+    original writer's per-epoch ownership check must raise (it is now
+    the stale writer) and its release must leave the taker's lock
+    untouched."""
+    from sales_etl_pipeline_spark.streaming import jobs
+
+    snap = str(tmp_path / "snap")
+    old_token = jobs._acquire_cdc_lock(snap)
+    new_token = jobs._acquire_cdc_lock(snap, force=True)  # takeover
+    with pytest.raises(RuntimeError, match="another writer"):
+        jobs._check_cdc_lock(snap, old_token)
+    jobs._release_cdc_lock(snap, old_token)  # no-op: not the owner
+    jobs._check_cdc_lock(snap, new_token)  # taker still owns the lock
+    jobs._release_cdc_lock(snap, new_token)
+
+
 def test_scd2_compacted_tracks_null_transitions(spark, tmp_path):
     """Attribute transitions to/from NULL must OPEN new versions: the
     change test is null-safe (eqNullSafe / IS DISTINCT FROM). With a

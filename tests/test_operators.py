@@ -150,6 +150,40 @@ def test_semantic_dedup_bucketed_recall(spark):
         assert removed_bucketed / removed_exact >= 0.9
 
 
+def test_precollapse_regime_dispatch_bit_identical(spark):
+    """The exact-dup pre-collapse is regime-dispatched (VERDICT r8 item 3):
+    on the provably-distinct driver corpus the probe skips the collapse
+    machinery. Both forced branches must agree bit-for-bit there — the
+    collapse is the identity on a duplicate-free corpus — mirroring the
+    inverted≡pairloop pin on hashed_cosine_pairs."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    # probe direction on the distinct corpus
+    docs = load_table(spark, SF, "documents")
+    assert llmdata._all_distinct(docs, F.md5("text"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    spark.catalog.clearCache()
+    j_always = rows(llmdata.ngram_jaccard_pairs(spark, SF, collapse="always"))
+    spark.catalog.clearCache()
+    j_skip = rows(llmdata.ngram_jaccard_pairs(spark, SF, collapse="skip"))
+    assert j_always == j_skip and j_always
+
+    spark.catalog.clearCache()
+    s_always = rows(
+        llmdata.semantic_dedup_bucketed(spark, SF, collapse="always")
+    )
+    spark.catalog.clearCache()
+    s_skip = rows(llmdata.semantic_dedup_bucketed(spark, SF, collapse="skip"))
+    assert s_always == s_skip and s_always
+    spark.catalog.clearCache()
+
+
 def test_training_data_pipeline(spark, tmp_path):
     from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
     from sales_etl_pipeline_spark.plans import llmdata
@@ -365,6 +399,32 @@ def test_near_dup_components_match_union_find(spark):
     from collections import Counter
 
     assert max(Counter(want.values()).values()) >= 3
+
+
+def test_near_dup_components_nonconvergence_surfaces_partial_state(spark):
+    """Hitting the round cap before fixpoint raises ComponentsNotConverged
+    carrying the rounds run, the still-changing count, and the partial
+    label relation — so a caller can retry with a higher max_iters (the
+    code-review finding: the old raise discarded the partial labels)."""
+    import pytest
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    with pytest.raises(llmdata.ComponentsNotConverged) as ei:
+        llmdata.near_dup_components(spark, SF, max_iters=1)
+    e = ei.value
+    assert e.rounds == 1 and e.still_changing > 0
+    assert "max_iters" in str(e)
+    partial = e.partial_labels
+    assert set(partial.columns) == {"doc_id", "label"}
+    full = llmdata.near_dup_components(spark, SF)  # default cap converges
+    assert partial.count() == full.count()
+    # partial labels are monotone upper approximations: every label is
+    # ≥ the converged component (labels only decrease round over round)
+    joined = partial.withColumnRenamed("label", "partial_label").join(
+        full, "doc_id"
+    )
+    assert joined.filter("partial_label < component").count() == 0
 
 
 def test_incremental_exact_dedup_equals_full_recompute(spark):
@@ -665,6 +725,62 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     from sales_etl_pipeline_spark.plans import llmdata
 
     assert llmdata._INCR_CACHES == []
+
+
+def test_ingest_batch_inprocess_retry_after_mid_epoch_failure(
+    spark, tmp_path, monkeypatch
+):
+    """A Spark job failing INSIDE ingest_batch, before the canonical
+    commit rename, must leave the epoch counter and replay watermark
+    unconsumed — so an at-least-once redelivery to the SAME pipeline
+    object reprocesses the batch in full (the code-review finding: the
+    watermark used to advance up front, silently swallowing the retry
+    as a replay even though nothing committed)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.pipeline import TrainingDataPipeline
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    docs = load_table(spark, SF, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    b1 = docs.filter(F.col("doc_id") < hi // 2)
+    b2 = docs.filter(F.col("doc_id") >= hi // 2)
+
+    ref = TrainingDataPipeline(spark, SF, str(tmp_path / "ref"))
+    ref.reset_ingest()
+    ref.ingest_batch(b1)
+    ref.ingest_batch(b2)
+    want = sorted(
+        r.doc_id for r in ref.ingested_survivors().select("doc_id").collect()
+    )
+
+    pipe = TrainingDataPipeline(spark, SF, str(tmp_path / "crash"))
+    pipe.reset_ingest()
+    pipe.ingest_batch(b1)
+    wm_before = pipe._ingest_watermark
+
+    real_index = llmdata.minhash_index
+
+    def _fail_once(*a, **kw):
+        monkeypatch.setattr(llmdata, "minhash_index", real_index)
+        raise RuntimeError("injected mid-epoch failure")
+
+    monkeypatch.setattr(llmdata, "minhash_index", _fail_once)
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.ingest_batch(b2)
+    # nothing consumed: same epoch, same watermark, state handle unchanged
+    assert pipe._ingest_epoch == 1
+    assert pipe._ingest_watermark == wm_before
+    # redelivery of the SAME batch now replays in full (not dropped as a
+    # replay) and converges to the uninterrupted fold
+    stats = pipe.ingest_batch(b2)
+    assert stats["batch_docs"] == b2.count()
+    got = sorted(
+        r.doc_id for r in pipe.ingested_survivors().select("doc_id").collect()
+    )
+    assert got == want
+    assert pipe._ingest_epoch == 2
 
 
 def test_ingest_restore_after_driver_restart(spark, tmp_path):

@@ -57,6 +57,29 @@ def test_orphaned_staging_files_never_visible(spark, tmp_path):
     assert back.filter(F.col("event_id") == 999999).count() == 0
 
 
+def test_commit_sweeps_unmanifested_orphans(spark, tmp_path):
+    """A crash mid-publish (some staged files renamed into the final dir,
+    manifest never updated) leaves part files no manifest will ever list
+    — the retried job stages fresh uuid names. The NEXT successful commit
+    must reclaim them from disk (they were already invisible to
+    read_back; the sweep stops them accumulating as garbage)."""
+    pysink.register(spark)
+    out = str(tmp_path / "sink")
+    _sample(spark, rows=100).write.format(pysink.FORMAT_NAME).option(
+        "path", out
+    ).mode("append").save()
+    orphan = os.path.join(out, "data", "part-deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write(json.dumps({"event_id": 1, "user_id": 0, "event_type": "view",
+                            "value": 0.0, "ts_sec": 0}) + "\n")
+    _sample(spark, rows=50).write.format(pysink.FORMAT_NAME).option(
+        "path", out
+    ).mode("append").save()
+    assert not os.path.exists(orphan)  # reclaimed by the commit sweep
+    back = pysink.read_back(spark, out, SCHEMA)
+    assert back.count() == 150  # both commits intact, orphan rows absent
+
+
 def test_overwrite_replaces_previous_commit(spark, tmp_path):
     pysink.register(spark)
     out = str(tmp_path / "sink")
@@ -74,15 +97,14 @@ def test_stream_writer_publishes_per_epoch(spark, tmp_path):
     """Streaming sink: custom source → custom sink; every epoch publishes
     its own manifest-gated dir and the union of epochs equals the batch
     relation exactly. (The Python microbatch stream does not support
-    Trigger.AvailableNow — Spark logs the fallback to single-batch
-    execution — so epoch count is ≥1, not the 4 the batch_rows option
-    would suggest; the per-epoch publish path is exercised either way.)"""
+    Trigger.AvailableNow — Spark falls back to single-batch execution and
+    the bounded source drains in one epoch — so epoch count is ≥1; the
+    per-epoch publish path is exercised either way.)"""
     pysink.register(spark)
     pysource.register(spark)
     stream = (
         spark.readStream.format(pysource.FORMAT_NAME)
         .option("rows", 400)
-        .option("batch_rows", 100)
         .load()
     )
     out = str(tmp_path / "streamsink")

@@ -73,13 +73,14 @@ def test_unsupported_filters_still_correct(spark):
 
 def test_stream_reader_drains_to_batch_equivalence(spark, tmp_path):
     """availableNow over the custom stream source must deliver exactly the
-    batch relation — offsets partition the id space into replayable
-    ranges (rows=2000 in 500-row microbatches)."""
+    batch relation. The bounded source drains in ONE microbatch: Spark's
+    availableNow fallback for Python stream sources captures
+    latestOffset() once, so the source reports its full high-watermark
+    (see SyntheticEventsStreamReader.latestOffset)."""
     pysource.register(spark)
     stream = (
         spark.readStream.format(pysource.FORMAT_NAME)
         .option("rows", 2000)
-        .option("batch_rows", 500)
         .load()
     )
     query = (

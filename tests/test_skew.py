@@ -88,6 +88,31 @@ def test_simhash_near_dup_oracle_parity_on_skew(spark, skew_dir, skew_con):
     assert not probs, probs
 
 
+def test_precollapse_probe_keeps_collapse_on_dup_corpus(spark, skew_dir):
+    """Regime dispatch (VERDICT r8 item 3): on the duplicate-heavy skew
+    corpus the _all_distinct probe must report duplicates for BOTH
+    content columns, so collapse="auto" keeps the machinery engaged —
+    the skip branch may only fire on provably duplicate-free corpora.
+    For the Jaccard plan the two branches are semantically the same pair
+    relation even here (collapse+expand ≡ direct), pinned bit-for-bit."""
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, skew_dir, "documents")
+    assert not llmdata._all_distinct(docs, F.md5("text"))
+    emb = llmdata._embeddings_normed(spark, skew_dir)
+    assert not llmdata._all_distinct(emb, F.hash("v"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    spark.catalog.clearCache()
+    j_always = rows(llmdata.ngram_jaccard_pairs(spark, skew_dir, collapse="always"))
+    spark.catalog.clearCache()
+    j_skip = rows(llmdata.ngram_jaccard_pairs(spark, skew_dir, collapse="skip"))
+    assert j_always == j_skip and j_always
+    spark.catalog.clearCache()
+
+
 def test_semantic_dedup_bucketed_oracle_parity_on_skew(spark, skew_dir, skew_con):
     """Exercises the exact-vector pre-collapse (10% of skew vectors are
     duplicates) against the mirrored GROUP-BY-vector oracle."""

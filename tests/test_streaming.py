@@ -462,6 +462,20 @@ def test_streaming_on_rocksdb_state_store(spark):
             spark.conf.set(provider_conf, old)
 
 
+def test_stream_dq_gate_rejects_empty_rules(spark, tmp_path):
+    """An explicit rules={} must fail with a clear validation message at
+    call time, not the confusing zero-arg F.concat() plan-build error."""
+    import pytest
+
+    from sales_etl_pipeline_spark.sources.readers import load_events
+
+    with pytest.raises(ValueError, match="at least one rule"):
+        jobs.run_dq_gate_stream(
+            load_events(spark, SF), str(tmp_path / "o"),
+            str(tmp_path / "c"), rules={},
+        )
+
+
 def test_stream_dq_gate_routes_and_reports(spark, tmp_path):
     """Streaming DQ gate: clean ∪ quarantine must PARTITION the input
     exactly (no loss, no duplication), quarantine rows carry the names of
