@@ -91,6 +91,11 @@ HEADLINE = (
     # duplicated-span removal (token/shingle-grain rewrite — the heaviest
     # of the late-r8 text passes; scaling recorded in BASELINE.md)
     "dedup_spans",
+    # round 9: trained BPE tokenizer applied to the corpus — the row times
+    # the WHOLE stage (one corpus-grain word-count shuffle + N_MERGES
+    # training rounds over the distinct-word relation + the doc-grain
+    # application join), i.e. train+apply, not apply-only
+    "bpe_token_stats",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
@@ -188,8 +193,15 @@ EXTRA_QUERIES = {
 }
 
 #: prior-round bench results for per-query regression flagging
-PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r07.json")
+PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r08.json")
 REGRESSION_RATIO = 1.3
+
+#: query re-timed at the END of the run for the same-session stability
+#: pair (identical bytes, same JVM — any ratio ≠ 1 is host/GC noise, the
+#: bound used to adjudicate cross-round drift; see BASELINE.md). A
+#: mid-weight scan+agg query tracks host throughput better than a
+#: fixed-overhead one.
+STABILITY_QUERY = "customer_summary"
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
@@ -236,6 +248,25 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Same-session stability pair (BENCH protocol, round 9): re-time one
+    # already-timed query with identical bytes at the END of the run. Its
+    # ratio bounds how much of any cross-round delta is host/GC drift
+    # rather than code — recorded INSIDE the artifact so a reader never
+    # has to reconstruct the adjudication from BASELINE.md notes (the
+    # round-8 lesson: 12 phantom regression flags on a drifted host).
+    if STABILITY_QUERY in timings:
+        late = round(
+            min(run_one(spark, all_queries[STABILITY_QUERY], sf_dir) for _ in range(2)),
+            3,
+        )
+        spark.catalog.clearCache()
+        early = timings[STABILITY_QUERY]
+        out["stability_pair"] = {
+            "query": STABILITY_QUERY,
+            "early_sec": early,
+            "late_sec": late,
+            "ratio": round(late / early, 2) if early > 0 else None,
+        }
     prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), PRIOR_BENCH)
     if os.path.exists(prior_path):
         try:
@@ -246,10 +277,33 @@ def main() -> None:
             prior = doc.get("queries") or doc.get("parsed", {}).get(
                 "queries", {}
             )
-            regressions = {
-                name: round(t / prior[name], 2)
+            ratios = {
+                name: t / prior[name]
                 for name, t in timings.items()
-                if name in prior and prior[name] > 0 and t / prior[name] > REGRESSION_RATIO
+                if name in prior and prior[name] > 0
+            }
+            # Host-drift estimate: the MEDIAN ratio across shared queries.
+            # A code regression moves one query; host drift moves nearly
+            # all of them by a similar factor — dividing it out flags only
+            # queries that moved ON TOP of the host (drift_adjusted).
+            drift = 1.0
+            if len(ratios) >= 5:
+                srt = sorted(ratios.values())
+                mid = len(srt) // 2
+                drift = (
+                    srt[mid]
+                    if len(srt) % 2
+                    else (srt[mid - 1] + srt[mid]) / 2
+                )
+                out["drift_factor_vs_prior"] = round(drift, 3)
+            regressions = {
+                name: {
+                    "ratio": round(r, 2),
+                    "adjusted_ratio": round(r / drift, 2),
+                    "drift_adjusted": True,
+                }
+                for name, r in ratios.items()
+                if r / drift > REGRESSION_RATIO
             }
             if regressions:
                 out["regressions_vs_prior"] = regressions
