@@ -612,6 +612,62 @@ def run_cdc_merge_stream(
         _release_cdc_lock(snapshot_dir, token)
 
 
+def run_cdc_merge_stream_versioned(
+    events: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    writer: str = "cdc_merge",
+) -> None:
+    """The CDC merge sink on the VERSIONED table format
+    (``sources/table.VersionedTable``) — the production-shaped upgrade of
+    ``run_cdc_merge_stream``'s two-rename swap. Each microbatch merges
+    the changelog rows into the latest snapshot version and commits the
+    result as the NEXT version via the manifest log's atomic O_EXCL
+    create. What the format buys over the rename dance:
+
+    - **Readers never race the writer**: a reader resolves a committed
+      manifest and reads only its immutable files — there is no window
+      where ``live`` doesn't exist.
+    - **Multi-writer safe by construction**: a concurrent writer's
+      commit loses the manifest CAS and retries on the new base
+      (optimistic concurrency) instead of interleaving renames; no lock
+      file needed.
+    - **Replay idempotence is exact, not semantic**: each commit records
+      (writer, epoch); a replayed foreachBatch epoch finds its prior
+      commit in the log and SKIPS, rather than relying on latest-wins
+      re-merging to the same answer.
+    - **Time travel + audit**: every epoch's snapshot stays readable at
+      its version until ``vacuum`` reclaims it.
+
+    tests/test_table.py pins final state ≡ batch cdc_latest_snapshot
+    over a chunked stream, per-epoch time travel, and replay skip.
+    """
+    from ..plans.cdc import _latest_wins, merge_snapshot
+    from ..sources.table import VersionedTable
+
+    spark = events.sparkSession
+    table = VersionedTable(spark, table_root)
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        table.merge_commit(
+            lambda base: (
+                _latest_wins(batch_df)
+                if base is None
+                else merge_snapshot(base, batch_df)
+            ),
+            writer=writer,
+            epoch=epoch_id,
+        )
+
+    query = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -1,0 +1,227 @@
+"""Versioned snapshot table (sources/table.py): atomic commit visibility,
+snapshot isolation, time travel, optimistic concurrency, vacuum safety,
+and the versioned CDC merge sink (streaming/jobs.py:
+run_cdc_merge_stream_versioned)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sales_etl_pipeline_spark.sources.table import (  # noqa: E402
+    CommitConflict,
+    VersionedTable,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_commit_read_round_trip_and_history(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    assert t.versions() == []
+    with pytest.raises(FileNotFoundError):
+        t.read()
+    v0 = t.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), writer="w")
+    v1 = t.commit_overwrite(_df(spark, [(1, "a2")]), writer="w")
+    assert (v0, v1) == (0, 1)
+    assert _rows(t.read()) == [(1, "a2")]
+    assert _rows(t.read(version=0)) == [(1, "a"), (2, "b")]  # time travel
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["rows"] == 2 and hist[1]["rows"] == 1  # observed counts
+
+
+def test_staged_but_uncommitted_files_invisible(spark, tmp_path):
+    """The manifest log IS the table: data files with no manifest entry
+    (a crashed writer's stage) are invisible to readers."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a")]))
+    # fabricate a torn stage: file in data/, no manifest references it
+    _df(spark, [(9, "torn")]).coalesce(1).write.parquet(str(tmp_path / "x"))
+    part = next(
+        p for p in os.listdir(str(tmp_path / "x")) if p.endswith(".parquet")
+    )
+    os.rename(
+        str(tmp_path / "x" / part),
+        os.path.join(t._data, "deadbeef.parquet"),
+    )
+    assert _rows(t.read()) == [(1, "a")]
+
+
+def test_snapshot_isolation_across_commits(spark, tmp_path):
+    """A DataFrame pinned to version N keeps returning version N's rows
+    no matter what commits afterwards (immutable files + explicit file
+    list — never a directory listing)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "old")]))
+    pinned = t.read()
+    t.commit_overwrite(_df(spark, [(1, "new"), (2, "n2")]))
+    assert _rows(pinned) == [(1, "old")]
+    assert _rows(t.read()) == [(1, "new"), (2, "n2")]
+
+
+def test_commit_conflict_and_conditional_commit(spark, tmp_path):
+    """The O_EXCL manifest create is the CAS: a stale writer loses with
+    CommitConflict, commits nothing, and leaks no files."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a")]))
+    # writer A derives from version 0; writer B commits version 1 first
+    t.commit_overwrite(_df(spark, [(1, "b")]), expected_parent=0)
+    with pytest.raises(CommitConflict):
+        t.commit_overwrite(_df(spark, [(1, "stale")]), expected_parent=0)
+    assert _rows(t.read()) == [(1, "b")]  # loser's write absent
+    # loser's staged files were reclaimed: every data file is referenced
+    referenced = set()
+    for v in t.versions():
+        referenced.update(t._read_manifest(v)["files"])
+    on_disk = {f for f in os.listdir(t._data) if f.endswith(".parquet")}
+    assert on_disk == referenced
+
+
+def test_merge_commit_retries_on_conflict(spark, tmp_path):
+    """Optimistic read-modify-write: when another writer commits between
+    a merge's read and its commit, the merge re-derives from the NEW
+    base and retries — the final state reflects BOTH writes (no lost
+    update, the anomaly the two-rename swap could not rule out)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "base")]))
+
+    interfered = {"done": False}
+
+    def merge_fn(base):
+        # simulate a concurrent writer landing AFTER our read, BEFORE
+        # our commit — exactly once
+        if not interfered["done"]:
+            interfered["done"] = True
+            t.commit_overwrite(
+                base.unionByName(_df(spark, [(2, "concurrent")])),
+                expected_parent=t.latest_version(),
+            )
+        return base.unionByName(_df(spark, [(3, "mine")]))
+
+    t.merge_commit(merge_fn)
+    assert _rows(t.read()) == [(1, "base"), (2, "concurrent"), (3, "mine")]
+
+
+def test_merge_commit_epoch_replay_skips(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = t.merge_commit(
+        lambda base: _df(spark, [(1, "a")]), writer="w", epoch=7
+    )
+    v2 = t.merge_commit(
+        lambda base: base.unionByName(_df(spark, [(2, "b")])),
+        writer="w",
+        epoch=8,
+    )
+    # replayed epoch 7: must SKIP (no new version, state unchanged)
+    v3 = t.merge_commit(
+        lambda base: _df(spark, [(9, "replayed")]), writer="w", epoch=7
+    )
+    assert (v1, v2, v3) == (0, 1, 1)
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_schema_mismatch_rejected(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit_overwrite(
+            spark.createDataFrame([(1.5,)], "x double")
+        )
+    assert t.latest_version() == 0
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.commit_overwrite(_df(spark, [(i, f"v{i}")]))
+    stats = t.vacuum(keep_last=2)
+    assert stats["dropped_versions"] == [0, 1]
+    assert stats["removed_files"] > 0
+    assert t.versions() == [2, 3]
+    assert _rows(t.read(version=2)) == [(2, "v2")]  # kept versions readable
+    assert _rows(t.read()) == [(3, "v3")]
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)
+
+
+def test_versioned_cdc_merge_stream_equals_batch(spark, tmp_path):
+    """The versioned merge sink over a 4-chunk changelog stream: final
+    version ≡ batch cdc_latest_snapshot, every epoch left a time-travel
+    version, history carries (writer, epoch), and a full stream REPLAY
+    (fresh checkpoint, same data) commits nothing new."""
+    from sales_etl_pipeline_spark.plans.cdc import cdc_latest_snapshot
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+    from sales_etl_pipeline_spark.streaming import jobs
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "chunks"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "table")
+    jobs.run_cdc_merge_stream_versioned(
+        normalize_event_ts(raw), root, str(tmp_path / "ckpt")
+    )
+    t = VersionedTable(spark, root)
+    assert len(t.versions()) == 4  # one committed version per epoch
+    cols = ["user_id", "last_event_id", "last_ts", "last_event_type", "last_value"]
+    got = _rows(t.read().select(cols))
+    want = _rows(cdc_latest_snapshot(spark, SF).select(cols))
+    assert got == want
+    assert [h["epoch"] for h in t.history()] == [0, 1, 2, 3]
+    assert all(h["writer"] == "cdc_merge" for h in t.history())
+    # per-epoch time travel: version k ≡ batch latest-wins over exactly
+    # the first k+1 chunks (sizes are NOT monotone — tombstone chunks
+    # legitimately shrink the snapshot, so compare content, not counts)
+    from sales_etl_pipeline_spark.plans.cdc import _latest_wins
+
+    for k in t.versions():
+        prefix = normalize_event_ts(
+            spark.read.schema(jobs.EVENTS_RAW_SCHEMA).parquet(
+                *[str(src / f"part{i}.parquet") for i in range(k + 1)]
+            )
+        )
+        assert _rows(t.read(version=k).select(cols)) == _rows(
+            _latest_wins(prefix).select(cols)
+        )
+    # replay the whole stream with a FRESH checkpoint: every epoch is
+    # already in the log -> skipped, no new versions
+    jobs.run_cdc_merge_stream_versioned(
+        normalize_event_ts(
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        ),
+        root,
+        str(tmp_path / "ckpt2"),
+    )
+    assert len(t.versions()) == 4
+    assert _rows(t.read().select(cols)) == want
