@@ -312,6 +312,318 @@ def _token_stats_sql(n_merges: int) -> str:
     """
 
 
+def bpe_vocab(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """The trained vocabulary: every token the tokenizer can emit on the
+    training corpus — with a deterministic integer id (dense rank by
+    token text), the corpus frequency under the final segmentation
+    (word-frequency-weighted), and the token length. This is the second
+    model artifact a tokenizer ships (the merge table is the first);
+    ids are what `bpe_encoded_docs` encodes with.
+
+    Scale shape: one pass over the distinct-word seq relation (explode
+    to token grain, weight by freq), then a vocab-grain rank window —
+    vocabulary size is bounded by |alphabet| + n_merges, so the window
+    is on a tiny relation."""
+    _, seqs = train_bpe(spark, sf_dir, n_merges)
+    from pyspark.sql import Window
+
+    tok = seqs.select(
+        "freq",
+        F.explode(
+            F.split(F.expr("trim(BOTH '_' FROM seq)"), "__")
+        ).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(F.sum("freq").alias("n_occurrences"))
+    return counts.select(
+        F.row_number()
+        .over(Window.orderBy("token"))
+        .cast("int")
+        .alias("token_id"),
+        "token",
+        F.length("token").cast("int").alias("n_chars"),
+        "n_occurrences",
+    )
+
+
+def bpe_encoded_docs(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Documents ENCODED to token-id sequences — the artifact an LLM
+    training pipeline actually consumes (feed `sequence_packing` with
+    these ids instead of word counts and you have the tokenized corpus).
+    Returns (doc_id, token_ids array<int>, n_tokens).
+
+    Shape: the per-word token-id array is built ONCE on the distinct-word
+    relation (token→id lookup rides a broadcast of the bounded vocab as
+    a literal map — |alphabet| + n_merges entries, k-grain driver
+    traffic like the centroid collects); documents then posexplode their
+    words in order, join the word→ids relation, and reassemble with
+    array_sort(collect_list(struct(pos, ids))) + flatten — the same
+    positional-reassembly pattern as dedup_spans, shuffle at doc grain.
+    Encoding is invertible: ids → vocab tokens → concat reproduces the
+    pre-tokenized text (pinned in tests/test_bpe.py)."""
+    _, seqs = train_bpe(spark, sf_dir, n_merges)
+    vocab = {
+        r.token: r.token_id
+        for r in bpe_vocab(spark, sf_dir, n_merges).collect()
+    }
+    id_map = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in kv]
+    )
+    word_ids = seqs.select(
+        "word",
+        F.transform(
+            F.split(F.expr("trim(BOTH '_' FROM seq)"), "__"),
+            lambda t: F.element_at(id_map, t),
+        ).alias("ids"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_REGEX_SPARK))
+        ).alias("pos", "word"),
+    )
+    return (
+        doc_words.join(word_ids, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "ids"))
+                    ),
+                    lambda s: s.ids,
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            "doc_id",
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+        )
+    )
+
+
+#: context-window width for the id-level packer
+PACK_WINDOW = 64
+
+#: block width for the two-phase prefix sum (same trick as
+#: plans/curation.sequence_packing — a per-source running sum is a
+#: single-hot-partition scale killer; blocks bound every window
+#: partition)
+PACK_BLOCK = 256
+
+
+def bpe_packed_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    window: int = PACK_WINDOW,
+) -> DataFrame:
+    """The END of the tokenizer pipeline: documents → BPE ids → packed
+    fixed-size context windows, materialized as the actual id arrays a
+    pretraining loop consumes (concat-and-chunk per source, GPT-style).
+    `sequence_packing` (plans/curation.py) maps SPANS to window ids from
+    token counts; this emits the window CONTENTS under the trained
+    tokenizer. Returns (source, window_id, token_ids, n_tokens) — every
+    window full at ``window`` ids except each source's tail.
+
+    Scale shape: per-doc start offsets via the same two-phase blocked
+    prefix sum as sequence_packing (no per-source single-partition
+    window); then ONE token-grain posexplode with global position =
+    offset + pos, window = gpos div window, and a (source, window)-grain
+    positional reassembly (array_sort(collect_list(struct))) — shuffle
+    at window grain, ~window× smaller than the token relation."""
+    from pyspark.sql import Window
+
+    enc = bpe_encoded_docs(spark, sf_dir, n_merges)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sized = enc.join(src, "doc_id").withColumn(
+        "blk", F.expr(f"doc_id div {PACK_BLOCK}")
+    )
+    w_local = (
+        Window.partitionBy("source", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn(
+        "lcum", F.sum("n_tokens").over(w_local)
+    ).persist()
+    w_blocks = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("source", "blk")
+        .agg(F.sum("n_tokens").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.coalesce(
+                F.sum("blk_total").over(w_blocks), F.lit(0).cast("long")
+            ),
+        )
+        .select("source", "blk", "blk_offset")
+    )
+    with_off = local.join(offsets, ["source", "blk"]).withColumn(
+        "start", F.col("blk_offset") + F.col("lcum") - F.col("n_tokens")
+    )
+    tok = with_off.select(
+        "source",
+        "start",
+        F.posexplode("token_ids").alias("pos", "token_id"),
+    ).select(
+        "source",
+        (F.col("start") + F.col("pos")).alias("gpos"),
+        "token_id",
+    )
+    return (
+        tok.withColumn("window_id", F.expr(f"gpos div {window}").cast("int"))
+        .groupBy("source", "window_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("gpos", "token_id"))
+                ),
+                lambda s: s.token_id,
+            ).alias("token_ids")
+        )
+        .select(
+            "source",
+            "window_id",
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+        )
+    )
+
+
+def _packed_windows_sql(n_merges: int, window: int) -> str:
+    return f"""
+    WITH {_bpe_cte_chain(n_merges)},
+    tok0 AS (
+        SELECT freq, unnest(string_split(trim(seq, '_'), '__')) AS token
+        FROM s{n_merges}
+    ),
+    vocab AS (
+        SELECT CAST(row_number() OVER (ORDER BY token) AS INTEGER) AS token_id,
+               token
+        FROM (SELECT DISTINCT token FROM tok0)
+    ),
+    word_toks AS (
+        SELECT word, string_split(trim(seq, '_'), '__') AS toks
+        FROM s{n_merges}
+    ),
+    doc_words AS (
+        SELECT doc_id, i AS pos, words[i] AS word
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{WORD_REGEX_SQL}') AS words
+            FROM documents
+        ), LATERAL unnest(generate_series(1, len(words))) AS g(i)
+    ),
+    doc_toks AS (
+        SELECT dw.doc_id, dw.pos, j AS tok_pos, wt.toks[j] AS token
+        FROM doc_words dw
+        JOIN word_toks wt USING (word),
+        LATERAL unnest(generate_series(1, len(wt.toks))) AS h(j)
+    ),
+    doc_ids AS (
+        SELECT dt.doc_id, dt.pos, dt.tok_pos, v.token_id
+        FROM doc_toks dt JOIN vocab v ON v.token = dt.token
+    ),
+    enc AS (
+        SELECT doc_id,
+               list(token_id ORDER BY pos, tok_pos) AS token_ids,
+               COUNT(*) AS n_tokens
+        FROM doc_ids GROUP BY 1
+    ),
+    sized AS (
+        SELECT d.source, e.doc_id, e.token_ids,
+               SUM(e.n_tokens) OVER (
+                   PARTITION BY d.source ORDER BY e.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - e.n_tokens AS start
+        FROM enc e JOIN documents d USING (doc_id)
+    ),
+    gtok AS (
+        SELECT source,
+               start + j - 1 AS gpos,
+               token_ids[j] AS token_id
+        FROM sized, LATERAL unnest(generate_series(1, len(token_ids))) AS g(j)
+    )
+    SELECT source,
+           CAST(gpos // {window} AS INTEGER) AS window_id,
+           list(token_id ORDER BY gpos) AS token_ids,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens
+    FROM gtok
+    GROUP BY 1, 2
+    """
+
+
+def _vocab_sql(n_merges: int) -> str:
+    return f"""
+    WITH {_bpe_cte_chain(n_merges)},
+    tok AS (
+        SELECT freq, unnest(string_split(trim(seq, '_'), '__')) AS token
+        FROM s{n_merges}
+    ),
+    counts AS (
+        SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY token) AS INTEGER) AS token_id,
+           token,
+           CAST(length(token) AS INTEGER) AS n_chars,
+           n_occurrences
+    FROM counts
+    """
+
+
+def _encoded_docs_sql(n_merges: int) -> str:
+    return f"""
+    WITH {_bpe_cte_chain(n_merges)},
+    tok AS (
+        SELECT freq, unnest(string_split(trim(seq, '_'), '__')) AS token
+        FROM s{n_merges}
+    ),
+    vocab AS (
+        SELECT CAST(row_number() OVER (ORDER BY token) AS INTEGER) AS token_id,
+               token
+        FROM (SELECT DISTINCT token FROM tok)
+    ),
+    word_toks AS (
+        SELECT word, string_split(trim(seq, '_'), '__') AS toks
+        FROM s{n_merges}
+    ),
+    doc_words AS (
+        SELECT doc_id, i AS pos, words[i] AS word
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{WORD_REGEX_SQL}') AS words
+            FROM documents
+        ), LATERAL unnest(generate_series(1, len(words))) AS g(i)
+    ),
+    doc_toks AS (
+        SELECT dw.doc_id, dw.pos, j AS tok_pos, wt.toks[j] AS token
+        FROM doc_words dw
+        JOIN word_toks wt USING (word),
+        LATERAL unnest(generate_series(1, len(wt.toks))) AS h(j)
+    ),
+    doc_ids AS (
+        SELECT dt.doc_id, dt.pos, dt.tok_pos, v.token_id
+        FROM doc_toks dt JOIN vocab v ON v.token = dt.token
+    )
+    SELECT doc_id,
+           list(token_id ORDER BY pos, tok_pos) AS token_ids,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens
+    FROM doc_ids
+    GROUP BY 1
+    """
+
+
 QUERIES = {
     "bpe_merges": bpe_merges,
     "bpe_token_stats": bpe_token_stats,
@@ -320,4 +632,18 @@ QUERIES = {
 ORACLE = {
     "bpe_merges": _merges_sql(N_MERGES),
     "bpe_token_stats": _token_stats_sql(N_MERGES),
+}
+
+#: vocab + id encoding live at the library tier (driver registry is at
+#: its 50-entry cap); oracle-checked by tests/test_library_parity.py
+LIBRARY_QUERIES = {
+    "bpe_vocab": bpe_vocab,
+    "bpe_encoded_docs": bpe_encoded_docs,
+    "bpe_packed_windows": bpe_packed_windows,
+}
+
+LIBRARY_ORACLE = {
+    "bpe_vocab": _vocab_sql(N_MERGES),
+    "bpe_encoded_docs": _encoded_docs_sql(N_MERGES),
+    "bpe_packed_windows": _packed_windows_sql(N_MERGES, PACK_WINDOW),
 }

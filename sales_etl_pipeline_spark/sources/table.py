@@ -140,10 +140,42 @@ class VersionedTable:
     # ------------------------------------------------------------------
     # read path
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def files_for(
+        self, version: int, where: tuple | None = None
+    ) -> list[str]:
+        """The version's file names, optionally pruned by manifest stats:
+        ``where=(col, lo, hi)`` drops every file whose recorded
+        [min, max] for ``col`` cannot intersect [lo, hi] (None bound =
+        unbounded). Files without stats for the column are always kept —
+        pruning is an optimization, never a filter."""
+        m = self._read_manifest(version)
+        out = []
+        for e in m["files"]:
+            if where is not None:
+                col, lo, hi = where
+                st = (e.get("stats") or {}).get(col)
+                if st is not None:
+                    fmin, fmax = st
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        continue
+            out.append(e["name"])
+        return out
+
+    def read(
+        self, version: int | None = None, where: tuple | None = None
+    ) -> DataFrame:
         """The table at ``version`` (default: latest committed). The
         returned DataFrame is pinned to that version's exact file list —
-        later commits or vacuums of OTHER versions never change it."""
+        later commits or vacuums of OTHER versions never change it.
+
+        ``where=(col, lo, hi)`` enables MANIFEST-level data skipping:
+        files whose recorded min/max exclude the range are never opened
+        (the Iceberg/Delta mechanism; requires the table to have been
+        committed with ``stat_columns`` set). The predicate itself is
+        NOT applied to the surviving rows — callers ``.filter(...)`` as
+        usual; the manifest only shrinks the scan."""
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -152,7 +184,10 @@ class VersionedTable:
 
         m = self._read_manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        files = [os.path.join(self._data, name) for name in m["files"]]
+        files = [
+            os.path.join(self._data, name)
+            for name in self.files_for(version, where)
+        ]
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
@@ -160,11 +195,46 @@ class VersionedTable:
     # ------------------------------------------------------------------
     # write path
 
-    def _stage(self, df: DataFrame) -> tuple[list[str], str, int]:
+    #: columns whose per-file min/max ride the manifest for data skipping
+    #: (set per table before committing; numeric/string/date columns)
+    stat_columns: tuple[str, ...] = ()
+
+    def _file_stats(self, path: str) -> dict:
+        """Per-file min/max for ``stat_columns``, read from the parquet
+        FOOTER the writer already produced (pyarrow metadata — no data
+        scan). The manifest carries them so ``read(where=...)`` can drop
+        whole files without opening them — the Iceberg/Delta
+        manifest-level skipping mechanism, one directory level above the
+        row-group pruning Spark already does inside each file."""
+        if not self.stat_columns:
+            return {}
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        out = {}
+        for col in self.stat_columns:
+            if col not in idx:
+                continue
+            lo, hi = None, None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    return {}  # stats unavailable: skip rather than guess
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                out[col] = [
+                    lo.isoformat() if hasattr(lo, "isoformat") else lo,
+                    hi.isoformat() if hasattr(hi, "isoformat") else hi,
+                ]
+        return out
+
+    def _stage(self, df: DataFrame) -> tuple[list[dict], str, int]:
         """Write ``df`` to uniquely named immutable files under data/.
-        Returns (file names, schema json, row count — observed on the
-        write itself, no second pass). Files not yet referenced by any
-        manifest are invisible to every reader."""
+        Returns (file entries [{name, stats}], schema json, row count —
+        observed on the write itself, no second pass). Files not yet
+        referenced by any manifest are invisible to every reader."""
         from pyspark.sql import Observation, functions as F
 
         os.makedirs(self._data, exist_ok=True)
@@ -173,20 +243,21 @@ class VersionedTable:
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
             "overwrite"
         ).parquet(staging)
-        names = []
+        entries = []
         for part in sorted(os.listdir(staging)):
             if not part.endswith(".parquet"):
                 continue
             name = f"{uuid.uuid4().hex}.parquet"
-            os.rename(os.path.join(staging, part), os.path.join(self._data, name))
-            names.append(name)
+            final = os.path.join(self._data, name)
+            os.rename(os.path.join(staging, part), final)
+            entries.append({"name": name, "stats": self._file_stats(final)})
         shutil.rmtree(staging, ignore_errors=True)
-        return names, json.dumps(df.schema.jsonValue()), obs.get["n"]
+        return entries, json.dumps(df.schema.jsonValue()), obs.get["n"]
 
     def _try_commit(
         self,
         version: int,
-        files: list[str],
+        files: list[dict],
         schema: str,
         operation: str,
         writer: str | None,
@@ -241,9 +312,9 @@ class VersionedTable:
         files, schema, rows = self._stage(df)
 
         def _unstage():
-            for name in files:  # nothing references them — reclaim now
+            for e in files:  # nothing references them — reclaim now
                 try:
-                    os.remove(os.path.join(self._data, name))
+                    os.remove(os.path.join(self._data, e["name"]))
                 except OSError:
                     pass
 
@@ -314,7 +385,9 @@ class VersionedTable:
         drop, keep = vs[:-keep_last], vs[-keep_last:]
         referenced = set()
         for v in keep:
-            referenced.update(self._read_manifest(v)["files"])
+            referenced.update(
+                e["name"] for e in self._read_manifest(v)["files"]
+            )
         removed_files = 0
         for v in drop:
             os.remove(self._manifest_path(v))

@@ -111,6 +111,69 @@ def test_token_stats_compression_bounds(spark):
         assert r.chars_per_token >= 1.0
 
 
+def test_encoding_is_invertible(spark):
+    """bpe_encoded_docs ids decode back to the pre-tokenized text:
+    ids → vocab tokens → concat == concat of the doc's [a-z]+ words —
+    the losslessness contract a training pipeline needs before it
+    trusts the ids. Also: n_tokens agrees with bpe_token_stats."""
+    import re
+
+    vocab = {
+        r.token_id: r.token for r in bpe.bpe_vocab(spark, SF, 12).collect()
+    }
+    enc_rows = bpe.bpe_encoded_docs(spark, SF, 12).collect()
+    stats = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe.bpe_token_stats(spark, SF, 12).collect()
+    }
+    want_texts = {
+        r.doc_id: "".join(re.findall("[a-z]+", r.text.lower()))
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert enc_rows
+    for r in enc_rows:
+        decoded = "".join(vocab[i] for i in r.token_ids)
+        assert decoded == want_texts[r.doc_id]
+        assert r.n_tokens == len(r.token_ids) == stats[r.doc_id]
+
+
+def test_packed_windows_partition_the_id_stream(spark):
+    """bpe_packed_windows: per source, every window except the tail is
+    exactly PACK_WINDOW ids, and concatenating windows in window_id
+    order reproduces the concatenation of the source's encoded docs in
+    doc_id order — packing loses and reorders nothing."""
+    import collections
+
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    enc = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe.bpe_encoded_docs(spark, SF, 12).collect()
+    }
+    src_of = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    want = collections.defaultdict(list)
+    for doc_id in sorted(enc):
+        want[src_of[doc_id]].extend(enc[doc_id])
+
+    rows = bpe.bpe_packed_windows(spark, SF, 12).collect()
+    got = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.source, r.window_id)):
+        got[r.source].extend(r.token_ids)
+        assert r.n_tokens == len(r.token_ids)
+    assert dict(got) == dict(want)
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for ws in by_src.values():
+        ws.sort(key=lambda r: r.window_id)
+        assert [r.window_id for r in ws] == list(range(len(ws)))
+        assert all(r.n_tokens == bpe.PACK_WINDOW for r in ws[:-1])
+        assert 1 <= ws[-1].n_tokens <= bpe.PACK_WINDOW
+
+
 def test_train_raises_when_pairs_exhaust(spark, tmp_path):
     """Asking for more merges than the corpus supports must raise loudly
     (a silently shorter rule list would diverge from the fixed-depth

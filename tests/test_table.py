@@ -88,7 +88,7 @@ def test_commit_conflict_and_conditional_commit(spark, tmp_path):
     # loser's staged files were reclaimed: every data file is referenced
     referenced = set()
     for v in t.versions():
-        referenced.update(t._read_manifest(v)["files"])
+        referenced.update(e["name"] for e in t._read_manifest(v)["files"])
     on_disk = {f for f in os.listdir(t._data) if f.endswith(".parquet")}
     assert on_disk == referenced
 
@@ -144,6 +144,37 @@ def test_schema_mismatch_rejected(spark, tmp_path):
             spark.createDataFrame([(1.5,)], "x double")
         )
     assert t.latest_version() == 0
+
+
+def test_manifest_stat_pruning(spark, tmp_path):
+    """Iceberg-style data skipping: with stat_columns set, each commit
+    records per-file min/max from the parquet FOOTERS into the manifest,
+    and read(where=(col, lo, hi)) never opens files whose range cannot
+    match. Pruning is an optimization only — a column without stats
+    keeps every file, and surviving rows still need the real filter."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.stat_columns = ("k",)
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t.commit_overwrite(df.repartitionByRange(8, "k"))
+    ver = t.latest_version()
+    all_files = t.files_for(ver)
+    assert len(all_files) == 8
+    pruned = t.files_for(ver, where=("k", 0, 999))
+    assert 1 <= len(pruned) <= 2  # ~1/8 of the key space
+    got = sorted(
+        r.k
+        for r in t.read(where=("k", 0, 999))
+        .filter(F.col("k") <= 999)
+        .collect()
+    )
+    assert got == list(range(1000))  # pruning lost nothing
+    # column with no recorded stats: every file kept (never a filter)
+    assert t.files_for(ver, where=("v", 0, 0)) == all_files
+    # unbounded sides work
+    assert len(t.files_for(ver, where=("k", 9_000, None))) <= 2
+    assert t.files_for(ver, where=("k", None, None)) == all_files
 
 
 def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
