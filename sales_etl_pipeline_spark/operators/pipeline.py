@@ -137,10 +137,36 @@ class AnalyticsPipeline:
             )
         return report
 
-    def load(self, formats: list[str] | None = None) -> dict[str, list[str]]:
-        """Fan the catalog out to sinks (reference etl.py:364-386)."""
+    def load(
+        self, formats: list[str] | None = None, versioned: bool = False
+    ) -> dict[str, list[str]]:
+        """Fan the catalog out to sinks (reference etl.py:364-386).
+
+        ``versioned=True`` publishes each output table as a new COMMIT of
+        a versioned snapshot table (``sources/table.VersionedTable``)
+        instead of overwriting flat files: readers keep a consistent
+        version mid-publish, every past run stays time-travelable until
+        vacuumed, and a crashed publish is invisible (no manifest) — the
+        upgrade over the reference's in-place file overwrite
+        (etl.py:364-386), where a reader racing the rewrite sees a torn
+        table."""
         if self.transformed_data is None:
             raise RuntimeError("No data to load. Run transform() first.")
+        if versioned:
+            from ..sources.table import VersionedTable
+
+            published = []
+            for name, df in self.transformed_data.items():
+                t = VersionedTable(
+                    self.spark, os.path.join(self.output_dir, "versioned", name)
+                )
+                v = t.commit_overwrite(
+                    df, operation="publish", writer="analytics_pipeline"
+                )
+                published.append(f"{name}@v{v}")
+            self._loaded = True
+            logger.info("load: versioned → %d tables", len(published))
+            return {"versioned": published}
         written = save_tables(self.transformed_data, self.output_dir, formats)
         self._loaded = True
         for fmt, paths in written.items():

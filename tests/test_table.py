@@ -191,6 +191,34 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
         t.read(version=0)
 
 
+def test_analytics_pipeline_versioned_publish(spark, tmp_path):
+    """AnalyticsPipeline.load(versioned=True): each output table lands as
+    a versioned-table commit — a second run publishes version 1 on top,
+    the previous run stays time-travelable, and read-back equals the
+    transformed relation."""
+    from sales_etl_pipeline_spark.operators.pipeline import AnalyticsPipeline
+
+    out = str(tmp_path / "out")
+    pipe = AnalyticsPipeline(spark, SF, out)
+    pipe.extract()
+    pipe.transform()
+    written = pipe.load(versioned=True)
+    assert sorted(written) == ["versioned"]
+    assert all(p.endswith("@v0") for p in written["versioned"])
+    t = VersionedTable(spark, os.path.join(out, "versioned", "country_summary"))
+    want = _rows(pipe.transformed_data["country_summary"])
+    assert _rows(t.read()) == want
+    assert t.history()[0]["operation"] == "publish"
+    # second publish: version 1, version 0 still readable
+    pipe2 = AnalyticsPipeline(spark, SF, out)
+    pipe2.extract()
+    pipe2.transform()
+    written2 = pipe2.load(versioned=True)
+    assert all(p.endswith("@v1") for p in written2["versioned"])
+    assert _rows(t.read(version=0)) == want
+    assert _rows(t.read(version=1)) == want  # same inputs ⇒ same table
+
+
 def test_versioned_cdc_merge_stream_equals_batch(spark, tmp_path):
     """The versioned merge sink over a 4-chunk changelog stream: final
     version ≡ batch cdc_latest_snapshot, every epoch left a time-travel
