@@ -60,21 +60,27 @@ def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
     """Excel adapter (reference etl.py:51 ``pd.read_excel``).
 
     Excel is a driver-side, whole-file format — inherently not
-    distributable. We read via pandas (if openpyxl is available) and
-    parallelize the result. Only appropriate for dimension-sized inputs;
-    fact data at scale must arrive as parquet/CSV.
-    """
+    distributable. Only appropriate for dimension-sized inputs; fact
+    data at scale must arrive as parquet/CSV.
+
+    Prefers ``pd.read_excel`` when an engine (openpyxl) is installed —
+    maximum format fidelity; otherwise falls back to the engine's own
+    STDLIB xlsx parser (``sources/xlsx.py``: zip + SpreadsheetML XML,
+    shared strings, style-based date detection), which covers the data-
+    table subset the reference workbook uses — LIVE Excel ingestion no
+    longer env-gates on openpyxl (round 9; parser tested against
+    hand-built workbooks in tests/test_xlsx.py)."""
     if not os.path.exists(path):
         raise FileNotFoundError(f"Source file not found: {path}")
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:  # openpyxl not in this container
-        raise NotImplementedError(
-            "Excel ingestion requires pandas+openpyxl; install them or convert the workbook to CSV/parquet."
-        ) from exc
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:  # no openpyxl: use the stdlib SpreadsheetML parser
+        from .xlsx import read_excel_native
+
+        return read_excel_native(spark, path, sheet_name=sheet_name)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
