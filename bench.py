@@ -91,11 +91,14 @@ HEADLINE = (
     # duplicated-span removal (token/shingle-grain rewrite — the heaviest
     # of the late-r8 text passes; scaling recorded in BASELINE.md)
     "dedup_spans",
-    # round 9: trained BPE tokenizer applied to the corpus — the row times
-    # the WHOLE stage (one corpus-grain word-count shuffle + N_MERGES
-    # training rounds over the distinct-word relation + the doc-grain
-    # application join), i.e. train+apply, not apply-only
+    # round 9: trained BPE tokenizer. Training is memoized per data
+    # fingerprint (plans/bpe.py:_BPE_CACHE, same recipe as the IVF
+    # centroid memo), so the best-of-two bpe_token_stats row reports
+    # steady-state APPLY time with the tokenizer trained; the cold
+    # train cost it amortizes is the paired bpe_train row (cache
+    # cleared per run — the ann_ivf_topk / ann_ivf_train pattern).
     "bpe_token_stats",
+    "bpe_train",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
@@ -184,8 +187,21 @@ def _ingest_batch_fold(spark, sf_dir: str):
     return pipe.ingested_survivors()
 
 
+def _bpe_train(spark, sf_dir: str):
+    """Cold BPE training (the cost the memoized bpe_token_stats row
+    hides): clear the memo, train N_MERGES rules, return the word→seq
+    relation. Each timed run clears the cache, so best-of-two still
+    measures a full cold train."""
+    from sales_etl_pipeline_spark.plans import bpe
+
+    bpe.clear_bpe_cache()
+    merges, seqs = bpe.train_bpe(spark, sf_dir)
+    return seqs
+
+
 EXTRA_QUERIES = {
     "training_pipeline_curated": _training_pipeline_curated,
+    "bpe_train": _bpe_train,
     "ingest_batch_fold": _ingest_batch_fold,
     "pii_redact": _pii_redact,
     "ann_ivf_train": _ann_ivf_train,

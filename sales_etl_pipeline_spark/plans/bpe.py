@@ -103,6 +103,20 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     return pairs.groupBy("lhs", "rhs").agg(F.sum("freq").alias("c"))
 
 
+#: training memo: {(fingerprint, n_merges): (merges, seqs)} — the same
+#: recipe as llmdata's _CENTROID_CACHE: keyed on a cheap DATA fingerprint
+#: (count, max doc_id, total chars — one agg job), not just the path, so
+#: a rewritten corpus at the same location retrains. The five registry/
+#: library BPE plans all start with train_bpe; without the memo each one
+#: re-pays the 2·n_merges sequential round-trip jobs.
+_BPE_CACHE: dict = {}
+
+
+def clear_bpe_cache() -> None:
+    """Drop memoized trainings (bench cold-path measurement hook)."""
+    _BPE_CACHE.clear()
+
+
 def train_bpe(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
 ) -> tuple[list[tuple[str, str]], DataFrame]:
@@ -111,12 +125,24 @@ def train_bpe(
     Returns ``(merges, seqs)``: the ordered merge list and the
     distinct-word relation with each word's final token sequence (the
     trained tokenizer's segmentation of the training vocabulary).
+    Memoized per (data fingerprint, n_merges) — see ``_BPE_CACHE``;
+    ``clear_bpe_cache()`` forces a cold retrain.
 
     Raises if the corpus exhausts mergeable pairs before ``n_merges``
     rounds — silently returning fewer rules would diverge from the
     fixed-depth SQL oracle, and a caller asking for more merges than the
     corpus supports should find out loudly.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    fp_row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.length("text")).alias("chars"),
+    ).first()
+    key = ((fp_row.n, fp_row.hi, fp_row.chars), n_merges)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
     seqs = _init_seqs(_word_freq(spark, sf_dir)).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for r in range(n_merges):
@@ -141,6 +167,7 @@ def train_bpe(
                 F.lit(f"_{lhs}{rhs}_"),
             ),
         ).localCheckpoint(eager=True)
+    _BPE_CACHE[key] = (merges, seqs)
     return merges, seqs
 
 

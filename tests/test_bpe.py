@@ -81,12 +81,19 @@ def test_apply_reconstruction_and_unseen_words(spark):
 
 def test_merge_table_shape_and_determinism(spark):
     """The merge table is rank-ordered, merged = lhs||rhs, and training
-    twice gives the identical rule list (deterministic tie-breaks)."""
+    twice gives the identical rule list (deterministic tie-breaks).
+    The training memo is cleared between runs so the second call is a
+    genuine retrain, not a cache hit."""
+    bpe.clear_bpe_cache()
     m = bpe.bpe_merges(spark, SF).collect()
     assert [r.rank for r in m] == list(range(bpe.N_MERGES))
     assert all(r.merged == r.lhs + r.rhs for r in m)
+    bpe.clear_bpe_cache()
     again = bpe.bpe_merges(spark, SF).collect()
     assert [tuple(r) for r in m] == [tuple(r) for r in again]
+    # memo path: same fingerprint returns the identical objects
+    first = bpe.train_bpe(spark, SF)
+    assert bpe.train_bpe(spark, SF)[0] is first[0]
 
 
 def test_token_stats_compression_bounds(spark):
