@@ -375,28 +375,69 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 1) -> dict:
         """Drop all but the newest ``keep_last`` versions, then delete
-        data files referenced by NO kept manifest. Readers pinned to a
-        kept version are unaffected (their files stay); readers pinned
-        to a vacuumed version will fail on next action — the documented
-        retention contract every table format has."""
+        exactly the data files referenced by a DROPPED manifest and no
+        kept one. Readers pinned to a kept version are unaffected (their
+        files stay); readers pinned to a vacuumed version will fail on
+        next action — the documented retention contract every table
+        format has.
+
+        Deliberately NOT "delete everything unreferenced": a CONCURRENT
+        writer's freshly staged files are unreferenced until its commit
+        lands, so a sweep keyed on non-membership would race an active
+        commit and corrupt the winning version (the Delta VACUUM race;
+        its answer — a retention age — is ``gc_orphans``'s job here).
+        Manifest-referenced-by-dropped-only is race-free: a file in a
+        dropped manifest can never be claimed by a FUTURE commit
+        (commits stage fresh uuid names, never re-reference)."""
         vs = self.versions()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         drop, keep = vs[:-keep_last], vs[-keep_last:]
-        referenced = set()
+        kept_refs: set[str] = set()
         for v in keep:
-            referenced.update(
+            kept_refs.update(
+                e["name"] for e in self._read_manifest(v)["files"]
+            )
+        drop_refs: set[str] = set()
+        for v in drop:
+            drop_refs.update(
                 e["name"] for e in self._read_manifest(v)["files"]
             )
         removed_files = 0
         for v in drop:
             os.remove(self._manifest_path(v))
+        for name in sorted(drop_refs - kept_refs):
+            try:
+                os.remove(os.path.join(self._data, name))
+                removed_files += 1
+            except OSError:
+                pass
+        return {"dropped_versions": drop, "removed_files": removed_files}
+
+    def gc_orphans(self, older_than_seconds: float = 24 * 3600) -> dict:
+        """Reclaim data files referenced by NO manifest at all — crashed
+        stages and CAS losers whose cleanup failed. Age-gated (file
+        mtime) so a concurrent writer's in-flight stage is never swept:
+        pick ``older_than_seconds`` longer than any plausible
+        stage-to-commit window, exactly like Delta's vacuum retention."""
+        import time
+
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced.update(
+                e["name"] for e in self._read_manifest(v)["files"]
+            )
+        cutoff = time.time() - older_than_seconds
+        removed = 0
         if os.path.isdir(self._data):
             for name in os.listdir(self._data):
-                if name.endswith(".parquet") and name not in referenced:
-                    try:
-                        os.remove(os.path.join(self._data, name))
-                        removed_files += 1
-                    except OSError:
-                        pass
-        return {"dropped_versions": drop, "removed_files": removed_files}
+                if not name.endswith(".parquet") or name in referenced:
+                    continue
+                path = os.path.join(self._data, name)
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                        removed += 1
+                except OSError:
+                    pass
+        return {"removed_files": removed}

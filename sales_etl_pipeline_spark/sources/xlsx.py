@@ -49,11 +49,15 @@ _DATE_NUMFMT_IDS = set(range(14, 23)) | {45, 46, 47}
 _DATE_TOKEN_RE = re.compile(r"[ymdhs]", re.IGNORECASE)
 _FMT_NOISE_RE = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
 
-#: Excel serial-date epoch (the 1900 system, with its phantom-leap-day
-#: offset folded in: serial 1 = 1900-01-01, and serials > 59 are shifted
-#: by the nonexistent 1900-02-29 — anchoring at 1899-12-30 makes modern
-#: dates exact, which is all a data table contains)
-_EPOCH = datetime.datetime(1899, 12, 30)
+#: Excel serial-date epochs. Default is the 1900 system, with its
+#: phantom-leap-day offset folded in: serial 1 = 1900-01-01, and serials
+#: > 59 are shifted by the nonexistent 1900-02-29 — anchoring at
+#: 1899-12-30 makes modern dates exact, which is all a data table
+#: contains. Mac-authored workbooks may declare the 1904 system
+#: (workbookPr/@date1904) — dates there are 1462 days later; ignoring
+#: the flag would silently shift every date by 4 years.
+_EPOCH_1900 = datetime.datetime(1899, 12, 30)
+_EPOCH_1904 = datetime.datetime(1904, 1, 1)
 
 
 def _col_index(cell_ref: str) -> int:
@@ -101,6 +105,15 @@ def _date_styles(zf: zipfile.ZipFile) -> set[int]:
     return date_styles
 
 
+def _date_epoch(zf: zipfile.ZipFile) -> datetime.datetime:
+    """The workbook's serial-date epoch (1900 vs 1904 system)."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    pr = wb.find("m:workbookPr", _NS)
+    if pr is not None and pr.get("date1904", "false").lower() in ("1", "true"):
+        return _EPOCH_1904
+    return _EPOCH_1900
+
+
 def _sheet_part(zf: zipfile.ZipFile, sheet) -> str:
     """Resolve a sheet selector (index or name) to its XML part path."""
     wb = ET.fromstring(zf.read("xl/workbook.xml"))
@@ -125,7 +138,7 @@ def _sheet_part(zf: zipfile.ZipFile, sheet) -> str:
     return target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
 
 
-def _cell_value(c, shared: list[str], date_styles: set[int]):
+def _cell_value(c, shared: list[str], date_styles: set[int], epoch):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_node = c.find("m:is", _NS)
@@ -148,7 +161,7 @@ def _cell_value(c, shared: list[str], date_styles: set[int]):
         return None
     num = float(raw)
     if c.get("s") is not None and int(c.get("s")) in date_styles:
-        return _EPOCH + datetime.timedelta(days=num)
+        return epoch + datetime.timedelta(days=num)
     if num.is_integer() and "." not in raw and "e" not in raw.lower():
         return int(raw)
     return num
@@ -161,6 +174,7 @@ def read_xlsx_rows(path: str, sheet=0) -> list[list]:
     with zipfile.ZipFile(path) as zf:
         shared = _shared_strings(zf)
         date_styles = _date_styles(zf)
+        epoch = _date_epoch(zf)
         part = _sheet_part(zf, sheet)
         root = ET.fromstring(zf.read(part))
         rows = []
@@ -171,7 +185,7 @@ def read_xlsx_rows(path: str, sheet=0) -> list[list]:
                 idx = _col_index(ref) if ref else len(out)
                 while len(out) < idx:
                     out.append(None)
-                val = _cell_value(c, shared, date_styles)
+                val = _cell_value(c, shared, date_styles, epoch)
                 if len(out) == idx:
                     out.append(val)
                 else:

@@ -181,6 +181,10 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "t"))
     for i in range(4):
         t.commit_overwrite(_df(spark, [(i, f"v{i}")]))
+    # a concurrently STAGING writer's file: in data/, in no manifest yet
+    inflight = os.path.join(t._data, "aaaa0000inflight.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1")
     stats = t.vacuum(keep_last=2)
     assert stats["dropped_versions"] == [0, 1]
     assert stats["removed_files"] > 0
@@ -189,6 +193,14 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
     assert _rows(t.read()) == [(3, "v3")]
     with pytest.raises(FileNotFoundError):
         t.read(version=0)
+    # the in-flight stage survived vacuum (the Delta VACUUM race guard):
+    # only files referenced exclusively by dropped manifests are removed
+    assert os.path.exists(inflight)
+    # ...and the age-gated orphan GC reclaims it only past the retention
+    assert t.gc_orphans(older_than_seconds=3600)["removed_files"] == 0
+    assert os.path.exists(inflight)
+    assert t.gc_orphans(older_than_seconds=0)["removed_files"] == 1
+    assert not os.path.exists(inflight)
 
 
 def test_analytics_pipeline_versioned_publish(spark, tmp_path):

@@ -225,6 +225,35 @@ def test_reference_shaped_retail_workbook(spark, tmp_path):
     assert df.filter("CustomerID IS NOT NULL").count() == 2
 
 
+def test_date1904_system(spark, tmp_path):
+    """Mac-authored workbooks declare date1904 in workbookPr: the same
+    serial must land 1462 days later than under the 1900 system."""
+    p = str(tmp_path / "mac.xlsx")
+    body = (
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c></row>'
+        '<row r="2"><c r="A2" s="1"><v>100</v></c></row>'
+    )
+    _write_xlsx(p, [("S", body)])
+    # splice the date1904 flag into workbook.xml
+    import shutil
+
+    src = zipfile.ZipFile(p)
+    p2 = str(tmp_path / "mac1904.xlsx")
+    with zipfile.ZipFile(p2, "w") as out:
+        for item in src.infolist():
+            data = src.read(item.filename)
+            if item.filename == "xl/workbook.xml":
+                data = data.replace(
+                    b"<sheets>", b'<workbookPr date1904="1"/><sheets>'
+                )
+            out.writestr(item, data)
+    src.close()
+    d1900 = xlsx.read_xlsx_rows(p)[1][0]
+    d1904 = xlsx.read_xlsx_rows(p2)[1][0]
+    assert (d1904 - d1900).days == 1462
+    assert d1904 == datetime.datetime(1904, 1, 1) + datetime.timedelta(days=100)
+
+
 def test_headerless_and_empty(spark, tmp_path):
     from sales_etl_pipeline_spark.sources.xlsx import read_excel_native
 
