@@ -246,3 +246,18 @@ def test_dq_report_fk_rules_plan_left_anti(spark, sf_dir):
     )
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_plans_broadcast_vocab_and_stay_cartesian_free(spark):
+    """The BPE application joins look up a word-distinct relation that is
+    bounded by the corpus vocabulary — Catalyst must broadcast it
+    (BuildRight on the word key), and none of the three plans may
+    contain a cartesian product. The training loop itself is
+    driver-sequenced (one argmax collect per merge round) and never
+    appears in these plans: application consumes the memoized result."""
+    from sales_etl_pipeline_spark.plans import bpe
+
+    for fn in (bpe.bpe_token_stats, bpe.bpe_encoded_docs, bpe.bpe_packed_windows):
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
