@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also run the documents curation pipeline (dedup + filters)",
     )
+    parser.add_argument(
+        "--versioned",
+        action="store_true",
+        help="publish output tables as versioned-snapshot commits "
+        "(sources/table.py: time travel, consistent reads mid-publish) "
+        "instead of flat-file sinks; --formats is ignored",
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -47,7 +54,21 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="sales-etl-cli")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        summary = AnalyticsPipeline(spark, args.source, args.output).run(args.formats)
+        pipe = AnalyticsPipeline(spark, args.source, args.output)
+        if args.versioned:
+            import time
+
+            start = time.time()
+            pipe.extract()
+            pipe.transform()
+            written = pipe.load(versioned=True)
+            summary = {
+                "elapsed_seconds": round(time.time() - start, 2),
+                "written": written,
+                **pipe.get_summary(),
+            }
+        else:
+            summary = pipe.run(args.formats)
         if args.training_data:
             summary["training_data"] = TrainingDataPipeline(
                 spark, args.source, args.output

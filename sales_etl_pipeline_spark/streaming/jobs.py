@@ -635,7 +635,9 @@ def run_cdc_merge_stream_versioned(
     - **Replay idempotence is exact, not semantic**: each commit records
       (writer, epoch); a replayed foreachBatch epoch finds its prior
       commit in the log and SKIPS, rather than relying on latest-wins
-      re-merging to the same answer.
+      re-merging to the same answer. ``writer`` must therefore be UNIQUE
+      per logical stream — two different streams sharing a writer name
+      would mistake each other's epochs for their own replays.
     - **Time travel + audit**: every epoch's snapshot stays readable at
       its version until ``vacuum`` reclaims it.
 

@@ -98,18 +98,20 @@ def test_pipeline_stage_logging(spark, tmp_path, caplog):
 
 
 def test_excel_adapter_paths(spark, tmp_path):
+    """Error hygiene only — the WORKING ingestion paths (pandas when
+    openpyxl exists, the stdlib SpreadsheetML fallback otherwise) are
+    exercised in tests/test_xlsx.py since r9 closed the env gate."""
+    import zipfile
+
     from sales_etl_pipeline_spark.sources.readers import read_excel
 
     with pytest.raises(FileNotFoundError):
         read_excel(spark, str(tmp_path / "missing.xlsx"))
-    # without openpyxl the adapter must fail with a clear, actionable error
+    # a corrupt non-zip "workbook" must fail loudly on either path
     fake = tmp_path / "wb.xlsx"
     fake.write_bytes(b"PK\x03\x04notreallyxlsx")
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        with pytest.raises((NotImplementedError, Exception)):
-            read_excel(spark, str(fake))
+    with pytest.raises((zipfile.BadZipFile, Exception)):
+        read_excel(spark, str(fake))
 
 
 def test_cli_main(spark, tmp_path):
@@ -130,6 +132,14 @@ def test_cli_main(spark, tmp_path):
     )
     assert rc == 0
     assert os.path.exists(str(tmp_path / "cli" / "country_summary.parquet"))
+    # versioned publishing mode: outputs land as table commits
+    rc = cli.main(
+        ["--source", SF, "--output", str(tmp_path / "cliv"), "--versioned"]
+    )
+    assert rc == 0
+    assert os.path.exists(
+        str(tmp_path / "cliv" / "versioned" / "country_summary" / "_log")
+    )
 
 
 def test_semantic_dedup_bucketed_recall(spark):
