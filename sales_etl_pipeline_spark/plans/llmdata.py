@@ -3149,7 +3149,70 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM bits-per-token surprisal — the conditional upgrade of
+    ``doc_surprisal``'s unigram LM (the CCNet recipe actually uses an
+    n-gram model: a token is scored given its CONTEXT, so formulaic
+    boilerplate — predictable continuations — scores low even when its
+    tokens are individually rare). Trained on-corpus in the same plan:
+    every bigram scored was seen at training (count ≥ 1), so no backoff
+    is needed and the estimate C(w₁)/C(w₁w₂) is always defined.
+
+    Same log-free dyadic-bits trick as doc_surprisal for cross-engine
+    exactness: conditional surprisal −log2(C(w₁w₂)/C(w₁)) is computed as
+    ``length(bin(C(w₁) div C(w₁w₂))) − 1`` (pure integer/string ops);
+    each document's FIRST token has no context and takes its unigram
+    bits ``length(bin(N div C(w))) − 1``.
+
+    Scale shape: position matters for bigrams, so this works at TOKEN
+    grain (posexplode + a doc-partitioned lag window — doc-grain
+    partitions, never corpus-wide), then term-grain and bigram-grain
+    count aggregates (map-side partial), two join-backs at those grains,
+    and a doc-grain mean. Compare ``doc_surprisal``, which collapses to
+    tf grain because order is irrelevant there."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = tok.withColumn("prev", F.lag("term").over(w)).persist()
+    uni = seq.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").alias("n"))
+    big = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni_prev = uni.select(
+        F.col("term").alias("prev"), F.col("c1").alias("c1_prev")
+    )
+    scored = (
+        seq.join(uni, "term")
+        .crossJoin(F.broadcast(total))
+        .join(uni_prev, "prev", "left")
+        .join(big, ["prev", "term"], "left")
+        .withColumn(
+            "bits",
+            F.when(
+                F.col("prev").isNull(),
+                F.length(F.bin(F.expr("n div c1"))) - 1,
+            ).otherwise(F.length(F.bin(F.expr("c1_prev div c2"))) - 1),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("bits").cast("double") / F.count(F.lit(1))
+            ).alias("mean_bits_per_token"),
+        )
+        .select("doc_id", "n_tokens", "mean_bits_per_token")
+    )
+
+
 LIBRARY_QUERIES = {
+    "doc_bigram_surprisal": doc_bigram_surprisal,
     "hashed_token_features": hashed_token_features,
     "hashed_cosine_pairs": hashed_cosine_pairs,
     "hashed_linear_score": hashed_linear_score,
@@ -3243,6 +3306,41 @@ LIBRARY_ORACLE["hashed_linear_score"] = f"""
         GROUP BY 1
     )
     SELECT doc_id, margin, margin > 0 AS quality_pass FROM margins
+"""
+
+LIBRARY_ORACLE["doc_bigram_surprisal"] = """
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, i AS pos, t[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL unnest(generate_series(1, len(t))) AS g(i)
+    ),
+    seq AS MATERIALIZED (
+        SELECT doc_id, pos, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok
+    ),
+    uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    big AS (
+        SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT s.doc_id,
+               CASE WHEN s.prev IS NULL
+                    THEN length(bin(t.n // u.c1)) - 1
+                    ELSE length(bin(u2.c1 // b.c2)) - 1 END AS bits
+        FROM seq s
+        JOIN uni u ON u.term = s.term
+        CROSS JOIN tot t
+        LEFT JOIN uni u2 ON u2.term = s.prev
+        LEFT JOIN big b ON b.prev = s.prev AND b.term = s.term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits_per_token
+    FROM scored
+    GROUP BY 1
 """
 
 LIBRARY_ORACLE["doc_surprisal"] = """

@@ -158,3 +158,39 @@ def test_doc_surprisal_bits_bounds(spark):
     assert len(rows) == 500
     assert sum(r.n_tokens for r in rows) == n_total
     assert all(0.0 <= r.mean_bits_per_token <= max_bits for r in rows)
+
+def test_doc_bigram_surprisal_hand_computed(spark, tmp_path):
+    """Exact dyadic bigram surprisal on a hand-checkable corpus:
+    docs 'a b a b' and 'a b b' — N=7, C(a)=3, C(b)=4, C(ab)=3,
+    C(ba)=C(bb)=1. First tokens take unigram bits (7//3=2 → 1 bit);
+    (a,b) costs 3//3=1 → 0 bits; (b,a)/(b,b) cost 4//1=4 → 2 bits.
+    Also: n_tokens reconciles exactly with the unigram twin (identical
+    tokenization), and both scores stay within the corpus bit-width
+    bound. (No bigram ≤ unigram inequality is asserted: the synthetic
+    corpus is order-free word soup, so true conditional ≈ marginal
+    entropy and the dyadic floors' differing bias — large N//c vs small
+    C(prev)//c2 ratios — decides the comparison, not the model.)"""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    tiny = spark.createDataFrame(
+        [(1, "a b a b", "s", 7), (2, "a b b", "s", 5)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    tiny.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_bits_per_token)
+        for r in llmdata.doc_bigram_surprisal(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (4, 0.75), 2: (3, 1.0)}
+
+    sf = "/root/testdata/sf0.01"
+    uni = llmdata.doc_surprisal(spark, sf).collect()
+    bi = llmdata.doc_bigram_surprisal(spark, sf).collect()
+    assert {r.doc_id: r.n_tokens for r in uni} == {
+        r.doc_id: r.n_tokens for r in bi
+    }
+    n_total = sum(r.n_tokens for r in uni)
+    max_bits = n_total.bit_length() - 1
+    assert all(0.0 <= r.mean_bits_per_token <= max_bits for r in bi)
