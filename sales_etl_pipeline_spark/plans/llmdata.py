@@ -3164,24 +3164,33 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document's FIRST token has no context and takes its unigram
     bits ``length(bin(N div C(w))) − 1``.
 
-    Scale shape: position matters for bigrams, so this works at TOKEN
-    grain (posexplode + a doc-partitioned lag window — doc-grain
-    partitions, never corpus-wide), then term-grain and bigram-grain
-    count aggregates (map-side partial), two join-backs at those grains,
-    and a doc-grain mean. Compare ``doc_surprisal``, which collapses to
-    tf grain because order is irrelevant there."""
+    Scale shape: position matters for bigrams, so the LAG runs at token
+    grain (posexplode + a doc-partitioned window — doc-grain partitions,
+    never corpus-wide); everything downstream then collapses to
+    (doc, bigram)-tf grain BEFORE the LM joins — a document repeating a
+    bigram k times contributes one join row with weight k, the same
+    volume collapse ``doc_surprisal`` gets from tf grain — followed by
+    term-/bigram-grain count aggregates (map-side partial) and a
+    doc-grain weighted mean."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = tok.withColumn("prev", F.lag("term").over(w)).persist()
-    uni = seq.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    # (doc, prev, term) tf grain: the lag output collapsed per document
+    # (prev IS NULL marks each doc's single first token, tf = 1 there)
+    seq = (
+        tok.withColumn("prev", F.lag("term").over(w))
+        .groupBy("doc_id", "prev", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    uni = seq.groupBy("term").agg(F.sum("tf").alias("c1"))
     total = uni.agg(F.sum("c1").alias("n"))
     big = (
         seq.filter(F.col("prev").isNotNull())
         .groupBy("prev", "term")
-        .agg(F.count(F.lit(1)).alias("c2"))
+        .agg(F.sum("tf").alias("c2"))
     )
     uni_prev = uni.select(
         F.col("term").alias("prev"), F.col("c1").alias("c1_prev")
@@ -3202,9 +3211,10 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("n_tokens"),
             (
-                F.sum("bits").cast("double") / F.count(F.lit(1))
+                F.sum(F.col("tf") * F.col("bits")).cast("double")
+                / F.sum("tf")
             ).alias("mean_bits_per_token"),
         )
         .select("doc_id", "n_tokens", "mean_bits_per_token")
