@@ -3149,6 +3149,137 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: linear-probe training hyperparameters: full-batch GD steps and the
+#: DYADIC learning rate denominator (η = 1/2⁸ — a power of two, so the
+#: per-step scale is exact in binary and the whole training replays
+#: bit-for-bit in the SQL oracle). η was chosen by a measured sweep:
+#: GD on these un-normalized count features needs η < 2/λmax(XᵀX/n) —
+#: 1/8 visibly DIVERGES (loss 500 → 4.6e9 in 3 steps), 1/256 converges
+#: (500 → 94.5); the convergence itself is pinned in tests.
+PROBE_STEPS = 3
+PROBE_ETA_DEN = 256
+#: bias term rides the feature relation as bucket −1 with weight 1
+PROBE_BIAS_BUCKET = -1
+
+
+def _probe_features(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
+    """Hashed features + a constant bias feature per document."""
+    feats = hashed_token_features(spark, sf_dir, dim=dim).select(
+        "doc_id", "bucket", "weight"
+    )
+    bias = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit(PROBE_BIAS_BUCKET).cast("int").alias("bucket"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    return feats.unionByName(bias)
+
+
+def _probe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training target: 1.0 iff text_quality's composite
+    score clears the default keep threshold — the label a human-rated
+    quality set would supply; here it is derivable so training is
+    oracle-replayable end-to-end."""
+    return text_quality(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("quality_score") >= 0.5, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def _train_probe(
+    spark: SparkSession, sf_dir: str, dim: int, steps: int
+) -> dict[int, float]:
+    """DISTRIBUTED MODEL TRAINING as relational ops: least-squares linear
+    probe fit by full-batch gradient descent, each step two
+    aggregate-grain Spark jobs — per-doc predictions (feature⋈weight
+    join + xsum dot) and per-bucket gradients (feature⋈residual join +
+    xsum) — with only the (dim+1)-row gradient collected per step (the
+    k-grain driver-traffic pattern of _train_centroids).
+
+    Exactness engineering (what makes TRAINING oracle-checkable, which
+    gradient descent normally is not): every sum is ``xsum`` (the
+    rounding-free fixed-point accumulator — order-invariant AND
+    engine-invariant), the learning rate is dyadic (η = 1/2³, an exact
+    binary scale), and the update w − g/(η_den·n) is a single IEEE
+    division + subtraction with identical operand values on both
+    engines — so the DuckDB oracle's unrolled step chain reproduces the
+    weights bit-for-bit, the same way the k-means oracle replays Lloyd
+    iterations. Squared loss (not logistic) is deliberate: a sigmoid
+    would pull in libm exp(), whose rounding differs across engines."""
+    feats = _probe_features(spark, sf_dir, dim).persist()
+    labels = _probe_labels(spark, sf_dir).persist()
+    n = labels.count()
+    w = {b: 0.0 for b in [PROBE_BIAS_BUCKET, *range(dim)]}
+    for _ in range(steps):
+        wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
+        dots = (
+            feats.withColumn("wb", F.element_at(wmap, F.col("bucket")))
+            .groupBy("doc_id")
+            .agg(xsum(F.col("weight").cast("double") * F.col("wb")).alias("dot"))
+        )
+        resid = dots.join(labels, "doc_id").select(
+            "doc_id", (F.col("dot") - F.col("y")).alias("r")
+        )
+        grad = (
+            feats.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(xsum(F.col("weight").cast("double") * F.col("r")).alias("g"))
+            .collect()
+        )
+        gmap = {row.bucket: row.g for row in grad}
+        w = {
+            b: w[b] - gmap.get(b, 0.0) / (PROBE_ETA_DEN * n) for b in w
+        }
+    return w
+
+
+def linear_probe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dim: int = FEATURE_DIM,
+    steps: int = PROBE_STEPS,
+) -> DataFrame:
+    """The trained probe weights — ``(bucket, w)``, bucket −1 = bias.
+    See ``_train_probe`` for the training mechanics and the exactness
+    contract; the companion scoring plan is ``linear_probe_scores``
+    (and ``hashed_linear_score`` is the fixed-weight scoring twin this
+    upgrades with weights actually FIT to the corpus)."""
+    w = _train_probe(spark, sf_dir, dim, steps)
+    return spark.createDataFrame(
+        sorted(w.items()), "bucket int, w double"
+    )
+
+
+def linear_probe_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dim: int = FEATURE_DIM,
+    steps: int = PROBE_STEPS,
+) -> DataFrame:
+    """Per-document predictions under the trained probe: ``(doc_id, y,
+    score)`` — the regression target and the fitted linear output. The
+    evidence training WORKED (loss strictly below the w=0 baseline) is
+    pinned in tests/test_curation.py; this plan is the scoring pass a
+    quality-filter deployment runs."""
+    w = _train_probe(spark, sf_dir, dim, steps)
+    wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
+    feats = _probe_features(spark, sf_dir, dim)
+    dots = (
+        feats.withColumn("wb", F.element_at(wmap, F.col("bucket")))
+        .groupBy("doc_id")
+        .agg(xsum(F.col("weight").cast("double") * F.col("wb")).alias("score"))
+    )
+    return (
+        _probe_labels(spark, sf_dir)
+        .join(dots, "doc_id")
+        .select("doc_id", "y", "score")
+    )
+
+
 def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM bits-per-token surprisal — the conditional upgrade of
     ``doc_surprisal``'s unigram LM (the CCNet recipe actually uses an
@@ -3223,6 +3354,8 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LIBRARY_QUERIES = {
     "doc_bigram_surprisal": doc_bigram_surprisal,
+    "linear_probe_train": linear_probe_train,
+    "linear_probe_scores": linear_probe_scores,
     "hashed_token_features": hashed_token_features,
     "hashed_cosine_pairs": hashed_cosine_pairs,
     "hashed_linear_score": hashed_linear_score,
@@ -3316,6 +3449,82 @@ LIBRARY_ORACLE["hashed_linear_score"] = f"""
         GROUP BY 1
     )
     SELECT doc_id, margin, margin > 0 AS quality_pass FROM margins
+"""
+
+def _probe_chain_sql(dim: int, steps: int) -> str:
+    """Unrolled GD training chain (the k-means-oracle technique applied
+    to gradient descent): w{t} → dots{t} → resid{t} → grad{t} → w{t+1},
+    every aggregate through oracle_xsum, MATERIALIZED throughout (each
+    w{t} is referenced twice per step — inlining would grow the plan
+    exponentially, same hazard as the BPE chain)."""
+    feats = f"""
+        SELECT doc_id,
+               CAST({oracle_md5_long('tok')} % {dim} AS INTEGER) AS bucket,
+               CAST(SUM(CASE WHEN {oracle_md5_long("tok || '#s'")} % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, {PROBE_BIAS_BUCKET} AS bucket, CAST(1 AS BIGINT)
+        FROM documents
+    """
+    parts = [
+        f"feats AS MATERIALIZED ({feats})",
+        f"""labels AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN quality_score >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+        FROM ({ORACLE['text_quality']})
+    )""",
+        "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM labels)",
+        f"""w0 AS MATERIALIZED (
+        SELECT CAST(x AS INTEGER) AS bucket, 0.0 AS wt
+        FROM (SELECT range AS x FROM range({dim})
+              UNION ALL SELECT {PROBE_BIAS_BUCKET})
+    )""",
+    ]
+    for t in range(steps):
+        parts.append(
+            f"""dots{t} AS MATERIALIZED (
+        SELECT f.doc_id,
+               {oracle_xsum('CAST(f.weight AS DOUBLE) * w.wt')} AS dot
+        FROM feats f JOIN w{t} w USING (bucket)
+        GROUP BY 1
+    ),
+    resid{t} AS MATERIALIZED (
+        SELECT l.doc_id, d.dot - l.y AS r
+        FROM labels l JOIN dots{t} d USING (doc_id)
+    ),
+    grad{t} AS MATERIALIZED (
+        SELECT f.bucket,
+               {oracle_xsum('CAST(f.weight AS DOUBLE) * r.r')} AS g
+        FROM feats f JOIN resid{t} r USING (doc_id)
+        GROUP BY 1
+    ),
+    w{t + 1} AS MATERIALIZED (
+        SELECT w.bucket,
+               w.wt - COALESCE(g.g, 0.0) / ({PROBE_ETA_DEN} * n.n) AS wt
+        FROM w{t} w LEFT JOIN grad{t} g USING (bucket) CROSS JOIN nc n
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+LIBRARY_ORACLE["linear_probe_train"] = f"""
+    WITH {_probe_chain_sql(FEATURE_DIM, PROBE_STEPS)}
+    SELECT bucket, wt AS w FROM w{PROBE_STEPS}
+"""
+
+LIBRARY_ORACLE["linear_probe_scores"] = f"""
+    WITH {_probe_chain_sql(FEATURE_DIM, PROBE_STEPS)},
+    final_dots AS (
+        SELECT f.doc_id,
+               {oracle_xsum('CAST(f.weight AS DOUBLE) * w.wt')} AS score
+        FROM feats f JOIN w{PROBE_STEPS} w USING (bucket)
+        GROUP BY 1
+    )
+    SELECT l.doc_id, l.y, d.score
+    FROM labels l JOIN final_dots d USING (doc_id)
 """
 
 LIBRARY_ORACLE["doc_bigram_surprisal"] = """
