@@ -3188,8 +3188,23 @@ def _probe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_is_eval():
+    """The md5 train/eval split as a pure doc_id predicate (the same
+    backfill-stable rule as assembly.train_test_split — no join needed,
+    the split is a per-row function)."""
+    from .assembly import EVAL_PCT, SPLIT_BUCKETS
+
+    return (
+        md5_long(F.col("doc_id").cast("string")) % SPLIT_BUCKETS < EVAL_PCT
+    )
+
+
 def _train_probe(
-    spark: SparkSession, sf_dir: str, dim: int, steps: int
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int,
+    steps: int,
+    train_only: bool = False,
 ) -> dict[int, float]:
     """DISTRIBUTED MODEL TRAINING as relational ops: least-squares linear
     probe fit by full-batch gradient descent, each step two
@@ -3208,8 +3223,13 @@ def _train_probe(
     weights bit-for-bit, the same way the k-means oracle replays Lloyd
     iterations. Squared loss (not logistic) is deliberate: a sigmoid
     would pull in libm exp(), whose rounding differs across engines."""
-    feats = _probe_features(spark, sf_dir, dim).persist()
-    labels = _probe_labels(spark, sf_dir).persist()
+    feats = _probe_features(spark, sf_dir, dim)
+    labels = _probe_labels(spark, sf_dir)
+    if train_only:
+        feats = feats.filter(~_probe_is_eval())
+        labels = labels.filter(~_probe_is_eval())
+    feats = feats.persist()
+    labels = labels.persist()
     n = labels.count()
     w = {b: 0.0 for b in [PROBE_BIAS_BUCKET, *range(dim)]}
     for _ in range(steps):
@@ -3278,6 +3298,50 @@ def linear_probe_scores(
         .join(dots, "doc_id")
         .select("doc_id", "y", "score")
     )
+
+
+def linear_probe_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dim: int = FEATURE_DIM,
+    steps: int = PROBE_STEPS,
+) -> DataFrame:
+    """Held-out evaluation with proper train/test discipline: the probe
+    trains on the TRAIN split only (the md5 bucket rule of
+    assembly.train_test_split — a pure doc_id predicate, so no leakage
+    and no join), then scores the disjoint EVAL split and emits one
+    metrics row ``(n_eval, mse, accuracy)`` (accuracy at the 0.5
+    decision threshold). Exactness carries through the metrics: xsum
+    squared error, integer correct-counts, one IEEE division each — the
+    whole train→evaluate workflow stays bit-checkable against the SQL
+    replay."""
+    w = _train_probe(spark, sf_dir, dim, steps, train_only=True)
+    wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
+    feats = _probe_features(spark, sf_dir, dim).filter(_probe_is_eval())
+    labels = _probe_labels(spark, sf_dir).filter(_probe_is_eval())
+    dots = (
+        feats.withColumn("wb", F.element_at(wmap, F.col("bucket")))
+        .groupBy("doc_id")
+        .agg(xsum(F.col("weight").cast("double") * F.col("wb")).alias("score"))
+    )
+    scored = labels.join(dots, "doc_id")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        (
+            xsum((F.col("score") - F.col("y")) * (F.col("score") - F.col("y")))
+            / F.count(F.lit(1))
+        ).alias("mse"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("score") >= 0.5) == (F.col("y") == 1.0),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    ).select("n_eval", "mse", "accuracy")
 
 
 def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3356,6 +3420,7 @@ LIBRARY_QUERIES = {
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "linear_probe_train": linear_probe_train,
     "linear_probe_scores": linear_probe_scores,
+    "linear_probe_eval": linear_probe_eval,
     "hashed_token_features": hashed_token_features,
     "hashed_cosine_pairs": hashed_cosine_pairs,
     "hashed_linear_score": hashed_linear_score,
@@ -3451,30 +3516,44 @@ LIBRARY_ORACLE["hashed_linear_score"] = f"""
     SELECT doc_id, margin, margin > 0 AS quality_pass FROM margins
 """
 
-def _probe_chain_sql(dim: int, steps: int) -> str:
+def _probe_split_sql(which: str) -> str:
+    """The md5 split predicate in SQL: ``which`` ∈ ('train', 'eval')."""
+    from .assembly import EVAL_PCT, SPLIT_BUCKETS
+
+    op = "<" if which == "eval" else ">="
+    return (
+        f"{oracle_md5_long('CAST(doc_id AS VARCHAR)')} "
+        f"% {SPLIT_BUCKETS} {op} {EVAL_PCT}"
+    )
+
+
+def _probe_chain_sql(dim: int, steps: int, train_only: bool = False) -> str:
     """Unrolled GD training chain (the k-means-oracle technique applied
     to gradient descent): w{t} → dots{t} → resid{t} → grad{t} → w{t+1},
     every aggregate through oracle_xsum, MATERIALIZED throughout (each
     w{t} is referenced twice per step — inlining would grow the plan
-    exponentially, same hazard as the BPE chain)."""
+    exponentially, same hazard as the BPE chain). ``train_only``
+    restricts features and labels to the md5 train split (the held-out
+    evaluation oracle)."""
+    where = f"WHERE {_probe_split_sql('train')}" if train_only else ""
     feats = f"""
         SELECT doc_id,
                CAST({oracle_md5_long('tok')} % {dim} AS INTEGER) AS bucket,
                CAST(SUM(CASE WHEN {oracle_md5_long("tok || '#s'")} % 2 = 0
                              THEN 1 ELSE -1 END) AS BIGINT) AS weight
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents)
+              FROM documents {where})
         GROUP BY 1, 2
         UNION ALL
         SELECT doc_id, {PROBE_BIAS_BUCKET} AS bucket, CAST(1 AS BIGINT)
-        FROM documents
+        FROM documents {where}
     """
     parts = [
         f"feats AS MATERIALIZED ({feats})",
         f"""labels AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN quality_score >= 0.5 THEN 1.0 ELSE 0.0 END AS y
-        FROM ({ORACLE['text_quality']})
+        FROM ({ORACLE['text_quality']}) {where}
     )""",
         "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM labels)",
         f"""w0 AS MATERIALIZED (
@@ -3525,6 +3604,41 @@ LIBRARY_ORACLE["linear_probe_scores"] = f"""
     )
     SELECT l.doc_id, l.y, d.score
     FROM labels l JOIN final_dots d USING (doc_id)
+"""
+
+LIBRARY_ORACLE["linear_probe_eval"] = f"""
+    WITH {_probe_chain_sql(FEATURE_DIM, PROBE_STEPS, train_only=True)},
+    feats_eval AS MATERIALIZED (
+        SELECT doc_id,
+               CAST({oracle_md5_long('tok')} % {FEATURE_DIM} AS INTEGER) AS bucket,
+               CAST(SUM(CASE WHEN {oracle_md5_long("tok || '#s'")} % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE {_probe_split_sql('eval')})
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, {PROBE_BIAS_BUCKET} AS bucket, CAST(1 AS BIGINT)
+        FROM documents WHERE {_probe_split_sql('eval')}
+    ),
+    labels_eval AS (
+        SELECT doc_id,
+               CASE WHEN quality_score >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+        FROM ({ORACLE['text_quality']})
+        WHERE {_probe_split_sql('eval')}
+    ),
+    dots_eval AS (
+        SELECT f.doc_id,
+               {oracle_xsum('CAST(f.weight AS DOUBLE) * w.wt')} AS score
+        FROM feats_eval f JOIN w{PROBE_STEPS} w USING (bucket)
+        GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           {oracle_xsum('(d.score - l.y) * (d.score - l.y)')}
+               / COUNT(*) AS mse,
+           CAST(SUM(CASE WHEN (d.score >= 0.5) = (l.y = 1.0)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS accuracy
+    FROM labels_eval l JOIN dots_eval d USING (doc_id)
 """
 
 LIBRARY_ORACLE["doc_bigram_surprisal"] = """

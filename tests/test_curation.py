@@ -217,3 +217,28 @@ def test_linear_probe_training_converges(spark):
     w = llmdata.linear_probe_train(spark, SF).collect()
     assert len(w) == llmdata.FEATURE_DIM + 1
     assert any(r.bucket == llmdata.PROBE_BIAS_BUCKET for r in w)
+
+def test_linear_probe_heldout_eval_discipline(spark):
+    """linear_probe_eval trains on the md5 TRAIN split only and scores
+    the disjoint EVAL split: metrics row sane (counts match the split
+    rule, accuracy in [0,1], mse ≥ 0), and the train-split weights
+    differ from the full-corpus weights (the eval docs really were
+    withheld from training)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+    from sales_etl_pipeline_spark.plans.assembly import train_test_split
+
+    row = llmdata.linear_probe_eval(spark, SF).first()
+    n_eval_expected = (
+        train_test_split(spark, SF).filter(F.col("split") == "eval").count()
+    )
+    assert row.n_eval == n_eval_expected > 0
+    assert 0.0 <= row.accuracy <= 1.0 and row.mse >= 0.0
+    w_full = {
+        r.bucket: r.w for r in llmdata.linear_probe_train(spark, SF).collect()
+    }
+    w_train = llmdata._train_probe(
+        spark, SF, llmdata.FEATURE_DIM, llmdata.PROBE_STEPS, train_only=True
+    )
+    assert w_full != w_train  # withholding the eval docs changed the fit
