@@ -99,6 +99,11 @@ HEADLINE = (
     # cleared per run — the ann_ivf_topk / ann_ivf_train pattern).
     "bpe_token_stats",
     "bpe_train",
+    # round 9: in-engine model training — 3 full-batch GD steps over the
+    # hashed features (2 aggregate jobs + one (dim+1)-row collect per
+    # step); the cost is step-count × corpus-scan bound, the relational
+    # analog of an ML-lib fit() call (~5.9 s at sf0.1)
+    "linear_probe_train",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
