@@ -401,6 +401,26 @@ def user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_bpe_tokenize(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize a DOCUMENT STREAM with a trained BPE merge list — the
+    streaming half of the tokenizer story: train offline
+    (plans/bpe.train_bpe — bounded driver-sequenced rounds, not a
+    streaming shape), then apply on the ingest stream. ``bpe_apply`` is
+    a pure per-row projection (chained replaces inside a transform
+    lambda — no state, no shuffle, no watermark needed), so it is
+    streaming-safe by construction and every arriving document leaves
+    with its ``bpe_tokens`` and ``n_bpe_tokens`` attached in the same
+    microbatch. tests/test_streaming.py pins stream ≡ the identical
+    batch application."""
+    from ..plans.bpe import bpe_apply
+
+    return bpe_apply(docs, "text", merges).withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens")
+    )
+
+
 def stream_enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream against a static (or
     slowly-refreshed) dimension — the third join mode Structured

@@ -805,3 +805,48 @@ def test_cdc_merge_recovers_from_crash_between_swap_renames(spark, tmp_path):
     ]
     assert leftovers == []
     shutil.rmtree(snap_dir)
+
+
+def test_stream_bpe_tokenize_equals_batch(spark, tmp_path):
+    """The trained tokenizer on the ingest stream: documents arrive in 3
+    chunked microbatches, each leaves with its BPE segmentation attached
+    — the union must equal the batch bpe_apply over the whole corpus
+    exactly (pure projection ⇒ no state, no watermark, no reordering
+    concerns)."""
+    from sales_etl_pipeline_spark.plans import bpe
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    merges, _ = bpe.train_bpe(spark, SF, 12)
+    docs = load_table(spark, SF, "documents")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "docchunks"
+    src.mkdir()
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "tok")
+    q = (
+        jobs.stream_bpe_tokenize(stream, merges)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (list(r.bpe_tokens), len(r.bpe_tokens))
+        for r in bpe.bpe_apply(docs, "text", merges).collect()
+    }
+    assert got == want
