@@ -35,11 +35,19 @@ skips — exactly-once-effect without relying on latest-wins semantics),
 than the retention window, then delete data files no kept manifest
 references — unreferenced-only, so every kept version stays readable).
 
-Deliberately out of scope (documented, not hidden): schema evolution
-(manifests pin a schema string; mismatched appends raise), partition
-pruning metadata (file-level min/max could ride the manifest — the
-z-order writer in sources/writers.py covers data skipping), and
-multi-TABLE transactions.
+Also in the log's gift basket: **append commits** (``commit_append``
+carries the parent's immutable files forward and adds new ones),
+**compaction** (``compact`` rewrites the latest version's small files
+into right-sized ones as an ``operation="compact"`` commit — same rows,
+readers unaffected, old versions still time-travelable), and **additive
+schema evolution** (a commit may add new NULLABLE columns; the manifest
+records the evolved schema and readers fill nulls for files from older
+versions — drops/renames/type changes still raise).
+
+Deliberately out of scope (documented, not hidden): non-additive schema
+evolution, and multi-TABLE transactions. Partition-pruning metadata IS
+covered: per-file min/max for ``stat_columns`` ride the manifest
+(``read(where=...)`` skips files).
 """
 
 from __future__ import annotations
@@ -74,6 +82,48 @@ class CommitConflict(RuntimeError):
         )
 
 
+def _check_additive_evolution(prev_schema: str, new_schema: str) -> None:
+    """Raise unless ``new_schema`` is an ADDITIVE evolution of
+    ``prev_schema``: every existing field keeps its name and type
+    (a nullable field may not become non-nullable — old rows hold
+    nulls), and every new field is nullable (old files have no values
+    for it; readers fill null). Anything else — drops, renames, type
+    changes — still raises, the honest boundary of by-name parquet
+    resolution."""
+    from pyspark.sql.types import StructType
+
+    prev = StructType.fromJson(json.loads(prev_schema))
+    new = StructType.fromJson(json.loads(new_schema))
+    new_by_name = {f.name: f for f in new.fields}
+    for f in prev.fields:
+        nf = new_by_name.get(f.name)
+        if nf is None:
+            raise ValueError(
+                f"schema evolution: column {f.name!r} dropped — only "
+                "additive (new nullable column) evolution is supported"
+            )
+        if nf.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution: column {f.name!r} changed type "
+                f"{f.dataType.simpleString()} -> "
+                f"{nf.dataType.simpleString()} — type changes are not "
+                "supported"
+            )
+        if f.nullable and not nf.nullable:
+            raise ValueError(
+                f"schema evolution: column {f.name!r} tightened to "
+                "non-nullable — existing rows may hold nulls"
+            )
+    prev_names = {f.name for f in prev.fields}
+    for f in new.fields:
+        if f.name not in prev_names and not f.nullable:
+            raise ValueError(
+                f"schema evolution: new column {f.name!r} must be "
+                "nullable — files from older versions have no values "
+                "for it"
+            )
+
+
 class VersionedTable:
     """Handle to a versioned table rooted at ``root`` (created lazily on
     first commit). All methods are safe under concurrent readers and
@@ -92,7 +142,15 @@ class VersionedTable:
         return os.path.join(self._log, f"{version:012d}.json")
 
     def versions(self) -> list[int]:
-        """Committed versions, ascending. Empty for a not-yet-created table."""
+        """Committed versions, ascending. Empty for a not-yet-created table.
+
+        Tolerates a TORN trailing manifest (a writer killed mid-publish
+        under the pre-link commit protocol left a 0-byte/partial newest
+        file): if the newest manifest does not parse it is treated as
+        never committed and excluded, so reads/commits/vacuum keep
+        working against the last good version. A torn NON-trailing
+        manifest is real corruption (versions commit in order) and still
+        raises at read time."""
         if not os.path.isdir(self._log):
             return []
         out = []
@@ -100,7 +158,14 @@ class VersionedTable:
             m = _VERSION_RE.match(name)
             if m:
                 out.append(int(m.group(1)))
-        return sorted(out)
+        out.sort()
+        while out:
+            try:
+                self._read_manifest(out[-1])
+                break
+            except (json.JSONDecodeError, OSError):
+                out.pop()
+        return out
 
     def latest_version(self) -> int | None:
         vs = self.versions()
@@ -199,6 +264,17 @@ class VersionedTable:
     #: (set per table before committing; numeric/string/date columns)
     stat_columns: tuple[str, ...] = ()
 
+    #: row-identity key for the CHANGE DATA FEED (Delta-CDF shape). When
+    #: set, every commit also records row-level changes vs its parent:
+    #: overwrite/merge commits write a change parquet (one distributed
+    #: full-outer diff on the key — the price of row-level CDF on
+    #: full-snapshot commits; Delta pays it inside MERGE execution),
+    #: append commits synthesize inserts from their added data files at
+    #: read time (zero extra write, the Delta pure-append trick), and
+    #: compact commits record "no row changes". Keys must uniquely
+    #: identify rows (the same contract as any MERGE key).
+    key_columns: tuple[str, ...] = ()
+
     def _file_stats(self, path: str) -> dict:
         """Per-file min/max for ``stat_columns``, read from the parquet
         FOOTER the writer already produced (pyarrow metadata — no data
@@ -254,6 +330,111 @@ class VersionedTable:
         shutil.rmtree(staging, ignore_errors=True)
         return entries, json.dumps(df.schema.jsonValue()), obs.get["n"]
 
+    def _compute_changes(self, base: DataFrame | None, new: DataFrame) -> DataFrame:
+        """Row-level diff of ``new`` vs ``base`` keyed on
+        ``key_columns``, in Delta-CDF shape: one output row per insert/
+        delete, two per update (``update_preimage`` + ``update_postimage``),
+        unchanged rows omitted. One distributed full-outer join on the
+        key — no driver materialization, no per-row Python. Null-safe
+        throughout (null keys match null keys; struct ``eqNullSafe``
+        compares payloads)."""
+        from pyspark.sql import functions as F
+
+        keys = list(self.key_columns)
+        cols = [f.name for f in new.schema.fields]
+        nonkey = [c for c in cols if c not in keys]
+        if base is None:
+            return new.withColumn("_change_type", F.lit("insert"))
+        # align an older-schema base to the new schema (additive evolution)
+        base_cols = {f.name for f in base.schema.fields}
+        for f in new.schema.fields:
+            if f.name not in base_cols:
+                base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+        # the literal __present field makes a PRESENT row's struct never
+        # NULL, so side-presence is just struct.isNotNull() even when
+        # every payload column is null
+        payload = lambda: F.struct(
+            F.lit(True).alias("__present"), *[F.col(c) for c in nonkey]
+        )
+        b = base.select(
+            *[F.col(k).alias(f"__bk_{k}") for k in keys],
+            payload().alias("__pre"),
+        )
+        n = new.select(
+            *[F.col(k).alias(f"__nk_{k}") for k in keys],
+            payload().alias("__post"),
+        )
+        cond = None
+        for k in keys:
+            c = F.col(f"__nk_{k}").eqNullSafe(F.col(f"__bk_{k}"))
+            cond = c if cond is None else cond & c
+        j = n.join(b, on=cond, how="full_outer")
+        pre, post = F.col("__pre"), F.col("__post")
+        keyed = j.select(
+            *[
+                F.when(post.isNotNull(), F.col(f"__nk_{k}"))
+                .otherwise(F.col(f"__bk_{k}"))
+                .alias(k)
+                for k in keys
+            ],
+            pre.alias("__pre"),
+            post.alias("__post"),
+        ).filter(
+            pre.isNull() | post.isNull() | ~pre.eqNullSafe(post)
+        )
+        elem = lambda p, t: F.struct(p.alias("p"), F.lit(t).alias("t"))
+        arr = (
+            F.when(pre.isNull(), F.array(elem(post, "insert")))
+            .when(post.isNull(), F.array(elem(pre, "delete")))
+            .otherwise(
+                F.array(
+                    elem(pre, "update_preimage"),
+                    elem(post, "update_postimage"),
+                )
+            )
+        )
+        out = keyed.select(*keys, F.explode(arr).alias("__chg")).select(
+            *keys,
+            *[F.col(f"__chg.p.{c}").alias(c) for c in nonkey],
+            F.col("__chg.t").alias("_change_type"),
+        )
+        return out.select(*cols, "_change_type")
+
+    def _stage_changes(
+        self, parent: int | None, files: list[dict], schema: str,
+        operation: str,
+    ) -> dict | None:
+        """CDF bookkeeping for a full-version commit: returns the
+        manifest ``cdf`` entry (and stages a change parquet for the diff
+        case). The diff reads back the freshly STAGED files — change
+        rows are guaranteed ≡ committed rows even if the caller's plan
+        is nondeterministic."""
+        if not self.key_columns:
+            return None
+        if operation == "compact":
+            return {"mode": "none"}  # same rows by construction
+        if parent is None:
+            return {"mode": "insert_all"}
+        from pyspark.sql.types import StructType
+
+        new = self.spark.read.schema(
+            StructType.fromJson(json.loads(schema))
+        ).parquet(*[os.path.join(self._data, e["name"]) for e in files])
+        changes = self._compute_changes(self.read(parent), new)
+        change_files, _, _ = self._stage(changes)
+        return {"mode": "diff", "files": [e["name"] for e in change_files]}
+
+    @staticmethod
+    def _manifest_refs(m: dict) -> set[str]:
+        """Every data-dir file a manifest references: its data files plus
+        its CDF change files (both live under data/ and must survive
+        vacuum/gc exactly as long as the manifest does)."""
+        refs = {e["name"] for e in m["files"]}
+        cdf = m.get("cdf")
+        if cdf and cdf.get("mode") == "diff":
+            refs.update(cdf["files"])
+        return refs
+
     def _try_commit(
         self,
         version: int,
@@ -264,6 +445,7 @@ class VersionedTable:
         epoch: int | None,
         rows: int | None,
         parent: int | None,
+        cdf: dict | None = None,
     ) -> None:
         os.makedirs(self._log, exist_ok=True)
         payload = json.dumps(
@@ -275,17 +457,56 @@ class VersionedTable:
                 "epoch": epoch,
                 "rows": rows,
                 "parent": parent,
+                "cdf": cdf,
             }
         )
         path = self._manifest_path(version)
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise CommitConflict(version)
-        with os.fdopen(fd, "w") as f:
+        # Publish atomically: a manifest must never be visible before its
+        # payload is durable. Write + fsync a uniquely named temp file in
+        # _log, then os.link() it to the version name — link is atomic AND
+        # fails with EEXIST, so the CAS survives; a reader can never open
+        # a 0-byte/partial manifest and a crash mid-commit leaves only an
+        # invisible temp (reclaimed below / by the next committer).
+        tmp = os.path.join(self._log, f".tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
             f.write(payload)
             f.flush()
             os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            # Either a real losing race (existing manifest parses →
+            # CommitConflict, the normal CAS outcome) or a TORN manifest
+            # left by a writer killed mid-publish under the pre-link
+            # protocol. A torn file was never visible as committed
+            # (versions() skips it), so recovering it by replacement is
+            # safe — guarded by an O_EXCL lock so two recoverers cannot
+            # both claim the version.
+            try:
+                with open(path) as f:
+                    json.load(f)
+                torn = False
+            except (json.JSONDecodeError, OSError):
+                torn = True
+            if not torn:
+                raise CommitConflict(version)
+            lock = path + ".recover"
+            try:
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                raise CommitConflict(version)
+            try:
+                os.replace(tmp, path)
+            finally:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def commit_overwrite(
         self,
@@ -310,6 +531,7 @@ class VersionedTable:
             self._read_manifest(parent)["schema"] if parent is not None else None
         )
         files, schema, rows = self._stage(df)
+        extra: list[str] = []
 
         def _unstage():
             for e in files:  # nothing references them — reclaim now
@@ -317,24 +539,132 @@ class VersionedTable:
                     os.remove(os.path.join(self._data, e["name"]))
                 except OSError:
                     pass
+            for name in extra:
+                try:
+                    os.remove(os.path.join(self._data, name))
+                except OSError:
+                    pass
 
         if prev_schema is not None and schema != prev_schema:
-            _unstage()
-            raise ValueError(
-                f"schema mismatch vs version {parent}: {schema!r} != "
-                f"{prev_schema!r} (schema evolution is out of scope — "
-                "create a new table)"
-            )
+            try:
+                _check_additive_evolution(prev_schema, schema)
+            except ValueError:
+                _unstage()
+                raise
+        cdf = self._stage_changes(parent, files, schema, operation)
+        if cdf and cdf.get("mode") == "diff":
+            extra = cdf["files"]
         version = (parent if parent is not None else -1) + 1
         try:
             self._try_commit(
                 version, files, schema,
-                operation, writer, epoch, rows, parent,
+                operation, writer, epoch, rows, parent, cdf,
             )
         except CommitConflict:
             _unstage()
             raise
         return version
+
+    def commit_append(
+        self,
+        df: DataFrame,
+        operation: str = "append",
+        writer: str | None = None,
+        epoch: int | None = None,
+        expected_parent=_UNSET,
+    ) -> int:
+        """Commit ``df``'s rows IN ADDITION to the parent version's: the
+        new manifest lists the parent's files plus the freshly staged
+        ones (files are immutable, so carrying them forward is free).
+        The manifest records the (possibly additively evolved) schema;
+        old files simply lack the new columns and readers fill nulls.
+        Same optimistic-concurrency contract as ``commit_overwrite``."""
+        parent = self.latest_version()
+        if expected_parent is not _UNSET and parent != expected_parent:
+            raise CommitConflict(
+                ((expected_parent if expected_parent is not None else -1)) + 1
+            )
+        files, schema, rows = self._stage(df)
+
+        def _unstage():
+            for e in files:
+                try:
+                    os.remove(os.path.join(self._data, e["name"]))
+                except OSError:
+                    pass
+
+        parent_files: list[dict] = []
+        parent_rows = 0
+        if parent is not None:
+            pm = self._read_manifest(parent)
+            parent_files = pm["files"]
+            parent_rows = pm.get("rows") or 0
+            if schema != pm["schema"]:
+                try:
+                    _check_additive_evolution(pm["schema"], schema)
+                except ValueError:
+                    _unstage()
+                    raise
+        version = (parent if parent is not None else -1) + 1
+        cdf = (
+            {"mode": "insert_files", "files": [e["name"] for e in files]}
+            if self.key_columns
+            else None
+        )
+        try:
+            self._try_commit(
+                version, parent_files + files, schema,
+                operation, writer, epoch, parent_rows + rows, parent, cdf,
+            )
+        except CommitConflict:
+            _unstage()
+            raise
+        return version
+
+    def compact(
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        max_retries: int = 5,
+    ) -> dict:
+        """OPTIMIZE: rewrite the latest version's data files into
+        ``ceil(total_bytes / target_bytes)`` right-sized files and commit
+        the SAME rows as the next version with ``operation="compact"`` —
+        the maintenance commit every streaming/append table needs once
+        per-epoch small files accumulate. Readers are unaffected (same
+        rows, new file list); time travel to pre-compaction versions
+        still works (their files stay until ``vacuum``); manifest stats
+        are regenerated on the rewritten files by ``_stage``. Sizing
+        reuses ``compact_parquet``'s rule: actual on-disk bytes decide
+        the output count, no data scan. Retries through concurrent
+        commits like ``merge_commit``. Returns {version, files_in,
+        files_out, bytes}."""
+        last_err: CommitConflict | None = None
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            if parent is None:
+                raise FileNotFoundError(
+                    f"no committed version under {self.root}"
+                )
+            names = self.files_for(parent)
+            total = sum(
+                os.path.getsize(os.path.join(self._data, n)) for n in names
+            )
+            n_out = max(1, -(-total // target_bytes))
+            df = self.read(parent).repartition(n_out)
+            try:
+                version = self.commit_overwrite(
+                    df, operation="compact", expected_parent=parent
+                )
+                return {
+                    "version": version,
+                    "files_in": len(names),
+                    "files_out": len(self.files_for(version)),
+                    "bytes": total,
+                }
+            except CommitConflict as e:
+                last_err = e
+                continue
+        raise last_err or CommitConflict((self.latest_version() or 0) + 1)
 
     def merge_commit(
         self,
@@ -395,14 +725,10 @@ class VersionedTable:
         drop, keep = vs[:-keep_last], vs[-keep_last:]
         kept_refs: set[str] = set()
         for v in keep:
-            kept_refs.update(
-                e["name"] for e in self._read_manifest(v)["files"]
-            )
+            kept_refs.update(self._manifest_refs(self._read_manifest(v)))
         drop_refs: set[str] = set()
         for v in drop:
-            drop_refs.update(
-                e["name"] for e in self._read_manifest(v)["files"]
-            )
+            drop_refs.update(self._manifest_refs(self._read_manifest(v)))
         removed_files = 0
         for v in drop:
             os.remove(self._manifest_path(v))
@@ -424,9 +750,7 @@ class VersionedTable:
 
         referenced: set[str] = set()
         for v in self.versions():
-            referenced.update(
-                e["name"] for e in self._read_manifest(v)["files"]
-            )
+            referenced.update(self._manifest_refs(self._read_manifest(v)))
         cutoff = time.time() - older_than_seconds
         removed = 0
         if os.path.isdir(self._data):

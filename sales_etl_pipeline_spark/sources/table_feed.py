@@ -25,12 +25,26 @@ format).
   ``_operation`` (the manifest's operation tag) — consumers distinguish
   merges from overwrites and can latest-wins across versions.
 
-Semantics note: versions are FULL snapshots (the table format commits
-whole versions), so the feed is a snapshot-per-commit stream, not a
-row-level diff; a consumer wanting deltas anti-joins consecutive
-versions (both remain readable until vacuum). The common pattern —
-"process each new state of the table once" (refresh a downstream
-aggregate, re-export, validate) — needs exactly this.
+Two modes:
+
+- **snapshot mode** (default): versions are FULL snapshots (the table
+  format commits whole versions), so each version's rows are delivered
+  whole — "process each new state of the table once" (refresh a
+  downstream aggregate, re-export, validate).
+- **CDF mode** (``option("cdf", "true")``): ROW-LEVEL deltas in the
+  Delta-CDF shape — each row carries ``_change_type`` ∈ insert /
+  update_preimage / update_postimage / delete. Requires the table to
+  have been committed with ``VersionedTable.key_columns`` set: diff
+  commits ship their change parquet (read file-parallel, exactly like
+  data files); append commits and version 0 synthesize ``insert`` rows
+  straight from the data files added by that commit (zero extra read
+  amplification); compact commits contribute no rows (no row changed).
+  A version committed WITHOUT CDF bookkeeping raises rather than
+  silently dropping its changes.
+
+Both modes tolerate additive schema evolution mid-stream: files from
+pre-evolution versions are read against the feed's declared schema and
+missing columns come back null (pyarrow schema-fill, still columnar).
 
 Typical run mode is periodic ``trigger(availableNow=True)`` jobs
 sharing a checkpoint: each run drains the versions committed since the
@@ -53,12 +67,21 @@ from pyspark.sql.datasource import (
 
 FORMAT_NAME = "versioned_table_feed"
 
+#: feed-added columns (everything else is the table's own schema)
+_META_SNAPSHOT = ("_version", "_operation")
+_META_CDF = ("_change_type", "_version", "_operation")
+
 
 @dataclass
 class _FilePartition(InputPartition):
     path: str
     version: int
     operation: str
+    #: None = the file already carries _change_type (a diff change
+    #: parquet); a string = synthesize that change type for every row
+    #: (append / insert_all data files); "" in snapshot mode = no
+    #: _change_type column at all
+    synth_change: str | None = ""
 
 
 def _log_versions(root: str) -> list[int]:
@@ -72,7 +95,15 @@ def _log_versions(root: str) -> list[int]:
         m = re.match(r"^(\d{12})\.json$", name)
         if m:
             out.append(int(m.group(1)))
-    return sorted(out)
+    out.sort()
+    # tolerate a torn trailing manifest exactly like VersionedTable.versions()
+    while out:
+        try:
+            _manifest(root, out[-1])
+            break
+        except (json.JSONDecodeError, OSError):
+            out.pop()
+    return out
 
 
 def _manifest(root: str, version: int) -> dict:
@@ -81,10 +112,15 @@ def _manifest(root: str, version: int) -> dict:
 
 
 class VersionedTableFeedReader(DataSourceStreamReader):
-    def __init__(self, options) -> None:
+    def __init__(self, options, schema) -> None:
         self.root = options.get("root")
         if not self.root:
             raise ValueError("versioned_table_feed requires a 'root' option")
+        self.cdf = str(options.get("cdf", "false")).lower() == "true"
+        # the TABLE part of the declared feed schema — what every file
+        # read is aligned to (fills nulls for pre-evolution files)
+        meta = _META_CDF if self.cdf else _META_SNAPSHOT
+        self.table_fields = [f for f in schema.fields if f.name not in meta]
 
     def initialOffset(self) -> dict:
         # start BEFORE the first version: a fresh query delivers the
@@ -99,23 +135,76 @@ class VersionedTableFeedReader(DataSourceStreamReader):
         lo, hi = start["v"], end["v"]
         parts = []
         for v in _log_versions(self.root):
-            if lo < v <= hi:
-                m = _manifest(self.root, v)
-                op = m.get("operation") or ""
+            if not (lo < v <= hi):
+                continue
+            m = _manifest(self.root, v)
+            op = m.get("operation") or ""
+            if not self.cdf:
                 for e in m["files"]:
                     parts.append(
                         _FilePartition(
-                            os.path.join(self.root, "data", e["name"]), v, op
+                            os.path.join(self.root, "data", e["name"]),
+                            v, op, "",
                         )
                     )
+                continue
+            cdf = m.get("cdf")
+            if cdf is None:
+                raise ValueError(
+                    f"version {v} of {self.root} was committed without "
+                    "CDF bookkeeping (VersionedTable.key_columns unset) — "
+                    "its row-level changes are unrecoverable; use the "
+                    "snapshot feed or recommit with key_columns"
+                )
+            mode = cdf.get("mode")
+            if mode == "none":
+                continue  # compact: no row changed
+            if mode == "diff":
+                names, synth = cdf["files"], None
+            elif mode == "insert_all":
+                names, synth = [e["name"] for e in m["files"]], "insert"
+            elif mode == "insert_files":
+                names, synth = cdf["files"], "insert"
+            else:
+                raise ValueError(f"unknown cdf mode {mode!r} at version {v}")
+            for name in names:
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self.root, "data", name), v, op, synth
+                    )
+                )
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
 
-        table = pq.read_table(partition.path)
-        n = table.num_rows
+        # Project onto the declared table schema: selects the feed's
+        # columns in order and NULL-fills any the file predates
+        # (additive evolution) — columnar, no row-at-a-time work.
+        want = StructType(self.table_fields)
+        target = to_arrow_schema(want)
+        raw = pq.read_table(partition.path)
+        have = {f.name: i for i, f in enumerate(raw.schema)}
+        n = raw.num_rows
+        arrays = []
+        for field in target:
+            if field.name in have:
+                arrays.append(
+                    raw.column(have[field.name]).cast(field.type)
+                )
+            else:
+                arrays.append(pa.nulls(n, field.type))
+        table = pa.table(arrays, schema=target)
+        if partition.synth_change != "":
+            ct = (
+                pa.array([partition.synth_change] * n, pa.string())
+                if partition.synth_change is not None
+                else raw.column(have["_change_type"]).cast(pa.string())
+            )
+            table = table.append_column("_change_type", ct)
         table = table.append_column(
             "_version", pa.array([partition.version] * n, pa.int64())
         ).append_column(
@@ -137,7 +226,8 @@ class VersionedTableFeedDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> str:
-        """Table schema (from the newest manifest) + the feed columns."""
+        """Table schema (from the newest manifest) + the feed columns
+        (+ ``_change_type`` in CDF mode)."""
         from pyspark.sql.types import StructType
 
         root = self.options.get("root")
@@ -154,17 +244,26 @@ class VersionedTableFeedDataSource(DataSource):
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            cols += ", _change_type string"
         return f"{cols}, _version bigint, _operation string"
 
     def streamReader(self, schema) -> VersionedTableFeedReader:
-        return VersionedTableFeedReader(self.options)
+        return VersionedTableFeedReader(self.options, schema)
 
 
 def register(spark) -> None:
     spark.dataSource.register(VersionedTableFeedDataSource)
 
 
-def read_feed(spark, root: str):
-    """The change-feed stream over a versioned table root."""
+def read_feed(spark, root: str, cdf: bool = False):
+    """The change-feed stream over a versioned table root. With
+    ``cdf=True``, row-level Delta-CDF deltas instead of full snapshots
+    (requires the table's commits to carry ``key_columns`` bookkeeping)."""
     register(spark)
-    return spark.readStream.format(FORMAT_NAME).option("root", root).load()
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("root", root)
+        .option("cdf", "true" if cdf else "false")
+        .load()
+    )

@@ -184,7 +184,7 @@ def test_merge_commit_epoch_replay_skips(spark, tmp_path):
 def test_schema_mismatch_rejected(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.commit_overwrite(_df(spark, [(1, "a")]))
-    with pytest.raises(ValueError, match="schema mismatch"):
+    with pytest.raises(ValueError, match="schema evolution"):
         t.commit_overwrite(
             spark.createDataFrame([(1.5,)], "x double")
         )
@@ -341,3 +341,127 @@ def test_versioned_cdc_merge_stream_equals_batch(spark, tmp_path):
     )
     assert len(t.versions()) == 4
     assert _rows(t.read().select(cols)) == want
+
+
+def test_torn_trailing_manifest_tolerated_and_recovered(spark, tmp_path):
+    """A writer killed mid-publish under the pre-link protocol left a
+    0-byte/partial newest manifest. Readers must treat it as never
+    committed (last good version stays readable), and the NEXT commit
+    must recover the version slot instead of conflicting forever."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a")]))
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    # fabricate the torn manifest the OLD protocol could leave
+    with open(t._manifest_path(2), "w") as f:
+        f.write('{"files": [')  # partial payload
+    assert t.versions() == [0, 1]  # torn tail invisible
+    assert t.latest_version() == 1
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]  # reads keep working
+    assert [h["version"] for h in t.history()] == [0, 1]
+    # the next commit claims version 2 by recovering the torn slot
+    v = t.commit_overwrite(_df(spark, [(3, "c")]))
+    assert v == 2
+    assert t.versions() == [0, 1, 2]
+    assert _rows(t.read()) == [(3, "c")]
+    assert t._read_manifest(2)["operation"] == "overwrite"  # parses now
+
+
+def test_manifest_publish_leaves_no_temp_files(spark, tmp_path):
+    """The link-publish protocol: after any commit, _log holds only
+    fully written manifests — no temp files, every manifest parses."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.commit_overwrite(_df(spark, [(i, f"v{i}")]))
+    names = sorted(os.listdir(t._log))
+    assert all(n.endswith(".json") and not n.startswith(".") for n in names)
+    for v in t.versions():
+        assert isinstance(t._read_manifest(v), dict)
+
+
+def test_commit_append_carries_parent_files_forward(spark, tmp_path):
+    """commit_append: the new manifest = parent files + staged files, so
+    reads see the union without rewriting a byte of old data; rows
+    accumulate in history; time travel still sees the pre-append state."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    n_files_v0 = len(t.files_for(0))
+    v = t.commit_append(_df(spark, [(3, "c")]))
+    assert v == 1
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(t.read(version=0)) == [(1, "a"), (2, "b")]
+    # parent's files are referenced by BOTH manifests (immutable reuse)
+    v0 = {e["name"] for e in t._read_manifest(0)["files"]}
+    v1 = {e["name"] for e in t._read_manifest(1)["files"]}
+    assert v0 < v1 and len(v1) > n_files_v0
+    assert t.history()[1]["rows"] == 3  # cumulative row count
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """A commit may ADD nullable columns: the manifest records the
+    evolved schema, files from older versions are read with nulls for
+    the new column (old + new files in ONE read via commit_append), and
+    pre-evolution versions time-travel with their own schema. Drops,
+    type changes, and non-nullable additions still raise."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    evolved = spark.createDataFrame(
+        [(3, "c", "X")], "k long, v string, extra string"
+    )
+    v = t.commit_append(evolved)
+    assert v == 1
+    got = sorted(
+        (r.k, r.v, r.extra) for r in t.read().collect()
+    )  # one read spanning old-schema and new-schema files
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", "X")]
+    # time travel: version 0 keeps its own (narrower) schema
+    assert t.read(version=0).columns == ["k", "v"]
+    # overwrite path evolves too
+    t.commit_overwrite(
+        spark.createDataFrame([(9, "z", None)], "k long, v string, extra string")
+    )
+    assert [r.extra for r in t.read().collect()] == [None]
+    # non-additive changes raise (and commit nothing)
+    latest = t.latest_version()
+    with pytest.raises(ValueError, match="dropped"):
+        t.commit_append(_df(spark, [(4, "d")]))  # missing 'extra'
+    with pytest.raises(ValueError, match="changed type"):
+        t.commit_overwrite(
+            spark.createDataFrame(
+                [(1.0, "a", "x")], "k double, v string, extra string"
+            )
+        )
+    assert t.latest_version() == latest
+
+
+def test_compact_commit_same_rows_new_files(spark, tmp_path):
+    """OPTIMIZE: compact() rewrites the latest version's small files into
+    size-derived right-sized ones as an operation="compact" commit —
+    identical rows, fewer files, pre-compaction versions still
+    time-travelable, manifest stats regenerated for pruning."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.stat_columns = ("k",)
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    t.commit_overwrite(df.repartition(16))  # 16 tiny files
+    assert len(t.files_for(0)) == 16
+    before = _rows(t.read())
+    stats = t.compact(target_bytes=1 << 30)  # everything fits in 1 file
+    assert stats == {
+        "version": 1,
+        "files_in": 16,
+        "files_out": 1,
+        "bytes": stats["bytes"],
+    }
+    assert stats["bytes"] > 0
+    assert _rows(t.read()) == before  # row identity across compaction
+    assert t.history()[1]["operation"] == "compact"
+    assert len(t.files_for(0)) == 16  # time travel intact pre-compaction
+    assert _rows(t.read(version=0)) == before
+    # stats were regenerated on the rewritten file (pruning still works)
+    m = t._read_manifest(1)
+    assert m["files"][0]["stats"]["k"] == [0, 4999]
+    # vacuum drops the 16 small files once version 0 ages out
+    t.vacuum(keep_last=1)
+    on_disk = {f for f in os.listdir(t._data) if f.endswith(".parquet")}
+    assert on_disk == {e["name"] for e in m["files"]}

@@ -101,3 +101,156 @@ def test_feed_matches_cdc_merge_sink_versions(spark, tmp_path):
         )
         tt_rows = sorted(map(tuple, t.read(version=v).collect()))
         assert feed_rows == tt_rows
+
+
+def _drain_cdf(spark, root, out, ckpt):
+    q = (
+        table_feed.read_feed(spark, root, cdf=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def _expected_cdf(t, lo, hi):
+    """Independent oracle: the row-level diff of consecutive time-travel
+    reads, computed driver-side on collected snapshots (test data is
+    tiny). Returns the same (k, v, ..., _change_type, _version) tuples
+    the CDF feed must deliver for versions in (lo, hi]."""
+    want = set()
+    for v in t.versions():
+        if not (lo < v <= hi):
+            continue
+        if t._read_manifest(v).get("operation") == "compact":
+            continue
+        cur = {r[0]: tuple(r) for r in t.read(version=v).collect()}
+        prev = (
+            {r[0]: tuple(r) for r in t.read(version=v - 1).collect()}
+            if v > 0
+            else {}
+        )
+        # align widths across additive evolution (old snapshot lacks cols)
+        width = max(len(r) for r in cur.values()) if cur else 0
+        pad = lambda r: r + (None,) * (width - len(r))
+        for k, row in cur.items():
+            if k not in prev:
+                want.add(pad(row) + ("insert", v))
+            elif pad(prev[k]) != pad(row):
+                want.add(pad(prev[k]) + ("update_preimage", v))
+                want.add(pad(row) + ("update_postimage", v))
+        for k, row in prev.items():
+            if k not in cur:
+                want.add(pad(row) + ("delete", v))
+    return want
+
+
+def test_cdf_feed_matches_antijoin_diff(spark, tmp_path):
+    """Row-level CDF mode ≡ the key-wise diff of consecutive time-travel
+    reads, across every commit kind: overwrite v0 (insert_all), diff
+    overwrite (insert/update pre+post/delete), append (insert_files),
+    compact (no rows)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # v1: update k=1, delete k=3, insert k=4, keep k=2 untouched
+    t.commit_overwrite(_df(spark, [(1, "a2"), (2, "b"), (4, "d")]))
+    t.commit_append(_df(spark, [(5, "e")]))           # v2: pure inserts
+    t.compact(target_bytes=1 << 30)                   # v3: no row changes
+    got = _drain_cdf(spark, t.root, str(tmp_path / "o"), str(tmp_path / "c"))
+    rows = {
+        (r.k, r.v, r._change_type, r._version) for r in got.collect()
+    }
+    assert rows == _expected_cdf(t, -1, 3)
+    assert not {r for r in rows if r[3] == 3}  # compact contributed 0 rows
+    # k=2 never changed after v0 → appears exactly once (its v0 insert)
+    assert {r for r in rows if r[0] == 2} == {(2, "b", "insert", 0)}
+
+
+def test_cdf_feed_restart_and_vacuum(spark, tmp_path):
+    """Incremental continuation: a second run over the same checkpoint
+    delivers only the changes of versions committed since — even after
+    the consumed versions (and their change parquets) are vacuumed."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    t.commit_overwrite(_df(spark, [(1, "a2"), (2, "b")]))
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    got = _drain_cdf(spark, t.root, out, ckpt)
+    assert got.count() == 4  # 2 inserts + update pre/post
+    t.vacuum(keep_last=1)  # drops v0 and its files
+    t.commit_overwrite(_df(spark, [(2, "b9")]))  # v2: delete k=1, update k=2
+    got = _drain_cdf(spark, t.root, out, ckpt)
+    new = {
+        (r.k, r.v, r._change_type)
+        for r in got.filter(F.col("_version") == 2).collect()
+    }
+    assert new == {
+        (1, "a2", "delete"),
+        (2, "b", "update_preimage"),
+        (2, "b9", "update_postimage"),
+    }
+    assert got.count() == 7
+
+
+def test_cdf_change_files_survive_vacuum_of_unconsumed(spark, tmp_path):
+    """vacuum/gc_orphans must treat CDF change parquets as referenced:
+    vacuuming OLDER versions may not delete the change files of kept
+    versions, so a feed that has not yet consumed them still drains."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.commit_overwrite(_df(spark, [(1, "a")]))
+    t.commit_overwrite(_df(spark, [(1, "a2")]))  # diff commit w/ change file
+    t.vacuum(keep_last=1)  # v0 gone; v1 (and its change parquet) kept
+    t.gc_orphans(older_than_seconds=0)
+    got = _drain_cdf(spark, t.root, str(tmp_path / "o"), str(tmp_path / "c"))
+    # v1's diff was computed against v0 before the vacuum — its change
+    # parquet still delivers the update pair
+    assert {
+        (r.k, r.v, r._change_type, r._version) for r in got.collect()
+    } == {(1, "a", "update_preimage", 1), (1, "a2", "update_postimage", 1)}
+
+
+def test_cdf_requires_key_columns(spark, tmp_path):
+    """A version committed without CDF bookkeeping must raise in CDF
+    mode (silently dropping its changes would corrupt downstream state);
+    the snapshot feed over the same table still works."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a")]))  # key_columns unset
+    q = (
+        table_feed.read_feed(spark, t.root, cdf=True)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="without CDF bookkeeping"):
+        q.awaitTermination()
+    got = _drain(spark, t.root, str(tmp_path / "o2"), str(tmp_path / "c2"))
+    assert got.count() == 1
+
+
+def test_cdf_feed_across_additive_evolution(spark, tmp_path):
+    """CDF rows from pre-evolution versions are delivered against the
+    feed's (latest) schema with nulls for the added column."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.commit_overwrite(_df(spark, [(1, "a")]))
+    t.commit_append(
+        spark.createDataFrame([(2, "b", "X")], "k long, v string, extra string")
+    )
+    got = _drain_cdf(spark, t.root, str(tmp_path / "o"), str(tmp_path / "c"))
+    rows = {
+        (r.k, r.v, r.extra, r._change_type, r._version)
+        for r in got.collect()
+    }
+    assert rows == {
+        (1, "a", None, "insert", 0),
+        (2, "b", "X", "insert", 1),
+    }
