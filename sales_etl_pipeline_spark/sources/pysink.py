@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -46,6 +47,12 @@ from pyspark.sql.datasource import (
 
 FORMAT_NAME = "jsonl_commit"
 SUCCESS_FILE = "_SUCCESS"
+
+#: A swept orphan must be OLD: files younger than this may belong to a
+#: concurrent publisher that has renamed them in but not yet written its
+#: manifest. 10 minutes comfortably exceeds any commit's rename→manifest
+#: window while still reclaiming crash debris on the next day's run.
+_ORPHAN_RETENTION_SECONDS = 600.0
 
 
 @dataclass
@@ -110,14 +117,25 @@ def _publish(
     # fresh uuid-named files, so the half-published ones would accumulate
     # as unreclaimable garbage (invisible to read_back, but real disk).
     # The manifest is the source of truth, so any part file it doesn't
-    # list is dead and reclaimed on the next successful commit.
+    # list is dead and reclaimed on the next successful commit. The sweep
+    # is AGE-GATED (like table.py's gc_orphans): if two jobs ever publish
+    # to the same final_dir concurrently, publisher A must not delete the
+    # seconds-old files publisher B just renamed in but has not yet
+    # manifested — only files older than the retention window are dead
+    # with confidence.
     keep = set(published)
+    cutoff = time.time() - _ORPHAN_RETENTION_SECONDS
     for name in os.listdir(final_dir):
         if (
             name.startswith("part-")
             and name.endswith(".jsonl")
             and name not in keep
         ):
+            try:
+                if os.path.getmtime(os.path.join(final_dir, name)) > cutoff:
+                    continue  # too fresh — may belong to a racing publisher
+            except OSError:
+                continue
             try:
                 os.remove(os.path.join(final_dir, name))
             except OSError:

@@ -134,8 +134,12 @@ def _sheet_part(zf: zipfile.ZipFile, sheet) -> str:
                 f"sheet {sheet!r} not found; workbook has {sorted(by_name)}"
             )
         node = by_name[sheet]
-    target = target_by_rid[node.get(_RID_ATTR)]
-    return target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+    # OOXML rel targets are normally relative to xl/ ("worksheets/
+    # sheet1.xml") but ECMA-376 also allows absolute-from-package-root
+    # ("/xl/worksheets/sheet1.xml") — strip the leading '/' FIRST, then
+    # prefix xl/ only when it's still missing.
+    target = target_by_rid[node.get(_RID_ATTR)].lstrip("/")
+    return target if target.startswith("xl/") else f"xl/{target}"
 
 
 def _cell_value(c, shared: list[str], date_styles: set[int], epoch):

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -72,12 +73,36 @@ def test_commit_sweeps_unmanifested_orphans(spark, tmp_path):
     with open(orphan, "w") as f:
         f.write(json.dumps({"event_id": 1, "user_id": 0, "event_type": "view",
                             "value": 0.0, "ts_sec": 0}) + "\n")
+    # age it past the sweep's retention window (crash debris is old by
+    # the time the next commit runs)
+    past = time.time() - pysink._ORPHAN_RETENTION_SECONDS - 60
+    os.utime(orphan, (past, past))
     _sample(spark, rows=50).write.format(pysink.FORMAT_NAME).option(
         "path", out
     ).mode("append").save()
     assert not os.path.exists(orphan)  # reclaimed by the commit sweep
     back = pysink.read_back(spark, out, SCHEMA)
     assert back.count() == 150  # both commits intact, orphan rows absent
+
+
+def test_commit_sweep_spares_fresh_unmanifested_files(spark, tmp_path):
+    """The sweep is age-gated: a part file renamed in SECONDS ago by a
+    concurrently publishing job (manifest not yet written) must survive
+    another publisher's commit — deleting it would make the racing job's
+    manifest reference a missing file and break its read_back."""
+    pysink.register(spark)
+    out = str(tmp_path / "sink")
+    _sample(spark, rows=100).write.format(pysink.FORMAT_NAME).option(
+        "path", out
+    ).mode("append").save()
+    racer = os.path.join(out, "data", "part-racer.jsonl")
+    with open(racer, "w") as f:  # fresh mtime = racing publisher's file
+        f.write(json.dumps({"event_id": 2, "user_id": 0, "event_type": "view",
+                            "value": 0.0, "ts_sec": 0}) + "\n")
+    _sample(spark, rows=50).write.format(pysink.FORMAT_NAME).option(
+        "path", out
+    ).mode("append").save()
+    assert os.path.exists(racer)  # too fresh to be declared dead
 
 
 def test_overwrite_replaces_previous_commit(spark, tmp_path):

@@ -268,3 +268,28 @@ def test_headerless_and_empty(spark, tmp_path):
     p2 = str(tmp_path / "empty.xlsx")
     _write_xlsx(p2, [("S", "")])
     assert read_excel_native(spark, p2).count() == 0
+
+
+def test_absolute_rel_target(spark, tmp_path):
+    """ECMA-376 allows ABSOLUTE rel targets ('/xl/worksheets/sheet1.xml',
+    emitted by some writers) alongside the usual xl/-relative form; the
+    parser must not double-prefix them into 'xl/xl/...'."""
+    p = str(tmp_path / "abs.xlsx")
+    _write_xlsx(
+        p,
+        [("Sheet1", '<row r="1"><c r="A1"><v>7</v></c></row>')],
+    )
+    # rewrite the workbook rels to use an absolute target
+    p2 = str(tmp_path / "abs2.xlsx")
+    src = zipfile.ZipFile(p)
+    with zipfile.ZipFile(p2, "w") as out:
+        for item in src.namelist():
+            data = src.read(item)
+            if item == "xl/_rels/workbook.xml.rels":
+                data = data.replace(
+                    b'Target="worksheets/sheet1.xml"',
+                    b'Target="/xl/worksheets/sheet1.xml"',
+                )
+            out.writestr(item, data)
+    rows = xlsx.read_xlsx_rows(p2)
+    assert rows == [[7.0]]
