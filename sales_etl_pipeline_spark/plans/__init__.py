@@ -67,20 +67,28 @@ _MODULES = (
 )
 
 # ---------------------------------------------------------------------------
-# Registry rotation (round 9): the driver independently oracle-checks at
+# Registry rotation (rounds 9+): the driver independently oracle-checks at
 # most 50 plans per round, so plans that only ever lived in the library
 # tier would never earn a driver CORRECTNESS row. This policy layer swaps
-# membership WITHOUT moving code between modules: 20 long-stable plans
-# (green in every driver CORRECTNESS file since they landed) rotate OUT to
-# the library tier, and 20 library plans rotate IN. Both tiers run the
+# membership WITHOUT moving code between modules. Both tiers run the
 # exact same DuckDB compare harness (driver at sf0.01 per round; pytest in
 # tests/test_library_parity.py every run), so nothing loses its exact
 # check — the rotation only changes WHICH harness confirms it this round.
+#
+# Round-10 cohort: the ENTIRE remaining never-driver-confirmed set — the
+# r9 additions (bpe_vocab/encoded_docs/packed_windows, linear_probe_*,
+# doc_bigram_surprisal), the analytics/assembly/curation holdovers, and
+# the four rows-only approximate plans (which get the driver's weaker
+# rows-only row; their exact/recall gates stay in pytest). After this
+# round every oracle-checkable plan in the engine has earned at least one
+# independent driver CORRECTNESS row. Outgoing: the r9 cohort (confirmed
+# by the driver last round — see CORRECTNESS_r09.json), the three
+# rows-only ANN plans that held driver slots since r5 (their exact twins
+# remain), and two long-stable dedup plans (driver-green since r4).
 
-#: long-stable driver plans rotated out to the library tier (two extra —
-#: doc_chunks, embedding_centroids — make room for the new-in-r9 BPE
-#: plans, which enter the driver tier directly via bpe.QUERIES)
+#: driver plans rotated out to the library tier this round
 ROTATED_OUT = frozenset({
+    # pre-r9 rotation (still out; library-oracle-checked every pytest run)
     "doc_chunks",
     "embedding_centroids",
     "daily_sales",
@@ -103,30 +111,48 @@ ROTATED_OUT = frozenset({
     "tfidf_top_terms",
     "mm_image_features",
     "mm_frame_sample",
+    # r10: rows-only ANN trio makes room for the never-confirmed set
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "approx_distinct_stats",
+    # r10: long-stable (driver-green r4–r9)
+    "simhash_near_dup",
+    "semantic_dedup_bucketed",
 })
 
-#: library plans promoted into the driver registry for this round
+#: library plans promoted into the driver registry for this round —
+#: every plan that had never earned a driver CORRECTNESS row before r10
 ROTATED_IN = frozenset({
-    "cdc_latest_snapshot",
-    "cdc_incremental_merge",
-    "scd2_intervals",
-    "scd2_compacted",
-    "dq_report",
-    "incremental_customer_summary",
-    "incremental_product_summary",
-    "revenue_cube",
-    "revenue_grouping_sets",
-    "dedup_spans",
-    "dup_ngram_fraction",
-    "contamination_bloom",
-    "hashed_token_features",
-    "hashed_cosine_pairs",
-    "hashed_linear_score",
-    "doc_surprisal",
-    "cohort_retention",
-    "event_props_variant",
-    "event_user_unpivot",
-    "synthetic_source_events",
+    # r9 additions, pytest-only until now
+    "bpe_vocab",
+    "bpe_encoded_docs",
+    "bpe_packed_windows",
+    "linear_probe_train",
+    "linear_probe_scores",
+    "linear_probe_eval",
+    "doc_bigram_surprisal",
+    # analytics holdovers
+    "above_avg_balance",
+    "lateral_topk_per_nation",
+    "order_value_histogram",
+    "shipping_priority",
+    "returned_item_report",
+    "event_attribution",
+    "doc_chunks_udtf",
+    # assembly / curation holdovers
+    "pii_redact",
+    "text_normalize",
+    "train_test_split",
+    "source_length_mad",
+    "source_length_ranks",
+    "source_mix_sample",
+    "rare_token_stats",
+    # rows-only approximate plans: driver rows-only row this round;
+    # exact-twin/recall/error-band gates stay in pytest
+    "ann_ivfpq_topk",
+    "approx_heavy_hitters",
+    "ivf_cluster_stats",
+    "near_dup_components",
 })
 
 
