@@ -117,56 +117,105 @@ def clear_bpe_cache() -> None:
     _BPE_CACHE.clear()
 
 
+def _admit_batch(top) -> list[tuple[str, str]]:
+    """Maximal NON-INTERACTING PREFIX of the count-sorted pair rows —
+    the admission rule of batched merge selection.
+
+    A candidate interacts with the already-admitted set when it shares a
+    token with an admitted pair, or touches a token an admitted merge
+    CREATES (its concatenation) — either would let an earlier merge in
+    the batch change the candidate's occurrence set between selection
+    and application. Admission stops at the FIRST interacting candidate
+    (prefix, not subset): skipping it and admitting later pairs could
+    admit a pair that sequential training would never have ranked next.
+
+    Disjointness also makes the batch's ``replace`` applications commute
+    (patterns ``_a__b_`` over pairwise-distinct tokens can neither
+    overlap nor create each other's occurrences), so applying the batch
+    as one chained projection is order-safe."""
+    admitted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for row in top:
+        if admitted and (
+            row.lhs in used or row.rhs in used or (row.lhs + row.rhs) in used
+        ):
+            break
+        admitted.append((row.lhs, row.rhs))
+        used.update((row.lhs, row.rhs, row.lhs + row.rhs))
+    return admitted
+
+
 def train_bpe(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    batch_size: int = 1,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``n_merges`` BPE merge rules on the documents corpus.
 
     Returns ``(merges, seqs)``: the ordered merge list and the
     distinct-word relation with each word's final token sequence (the
     trained tokenizer's segmentation of the training vocabulary).
-    Memoized per (data fingerprint, n_merges) — see ``_BPE_CACHE``;
-    ``clear_bpe_cache()`` forces a cold retrain.
+    Memoized per (data fingerprint, n_merges, batch_size) — see
+    ``_BPE_CACHE``; ``clear_bpe_cache()`` forces a cold retrain.
+
+    ``batch_size=1`` (default) is classic sequential BPE — one driver
+    round-trip per merge, bit-matched by the unrolled-CTE DuckDB oracle.
+    ``batch_size=m`` is BATCHED merge selection, the standard scalable-
+    BPE device that lifts the sequential path's merge-count ceiling
+    (~10⁵ driver round-trips for a real 32k-vocab): per round, admit the
+    maximal non-interacting PREFIX of the count-sorted pairs (see
+    ``_admit_batch``) and apply them as ONE chained-replace projection +
+    checkpoint, cutting driver rounds to ~``n_merges / m``. Admitted
+    pairs' counts are provably unchanged by their batch predecessors
+    (disjointness), so the only divergence from sequential training is
+    when a pair CREATED mid-batch would have outranked a later batch
+    member — rare on natural corpora (pinned batched ≡ sequential on the
+    test corpora in tests/test_bpe.py) but real on degenerate ones
+    (``abab…`` — the deviation-regime test constructs one); the batched
+    path is therefore its own documented semantics with a pure-Python
+    replay oracle, not a claim of sequential equivalence.
 
     Raises if the corpus exhausts mergeable pairs before ``n_merges``
     rounds — silently returning fewer rules would diverge from the
     fixed-depth SQL oracle, and a caller asking for more merges than the
     corpus supports should find out loudly.
     """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     docs = load_table(spark, sf_dir, "documents")
     fp_row = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("doc_id").alias("hi"),
         F.sum(F.length("text")).alias("chars"),
     ).first()
-    key = ((fp_row.n, fp_row.hi, fp_row.chars), n_merges)
+    key = ((fp_row.n, fp_row.hi, fp_row.chars), n_merges, batch_size)
     hit = _BPE_CACHE.get(key)
     if hit is not None:
         return hit
     seqs = _init_seqs(_word_freq(spark, sf_dir)).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for r in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
+        top = (
             _pair_counts(seqs)
             .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
+            .limit(want)
             .collect()
         )
-        if not best:
+        if not top:
             raise ValueError(
-                f"corpus exhausted mergeable pairs after {r} merges "
-                f"(requested {n_merges}); lower n_merges"
+                f"corpus exhausted mergeable pairs after {len(merges)} "
+                f"merges (requested {n_merges}); lower n_merges"
             )
-        lhs, rhs = best[0].lhs, best[0].rhs
-        merges.append((lhs, rhs))
-        seqs = seqs.withColumn(
-            "seq",
-            F.replace(
-                "seq",
-                F.lit(f"_{lhs}__{rhs}_"),
-                F.lit(f"_{lhs}{rhs}_"),
-            ),
-        ).localCheckpoint(eager=True)
+        batch = _admit_batch(top)
+        col = F.col("seq")
+        for lhs, rhs in batch:
+            col = F.replace(
+                col, F.lit(f"_{lhs}__{rhs}_"), F.lit(f"_{lhs}{rhs}_")
+            )
+        seqs = seqs.withColumn("seq", col).localCheckpoint(eager=True)
+        merges.extend(batch)
     _BPE_CACHE[key] = (merges, seqs)
     return merges, seqs
 
