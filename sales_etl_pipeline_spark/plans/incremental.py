@@ -299,6 +299,120 @@ def incremental_product_summary(
     return finalize_product_summary(merge_product_state(base, delta), part)
 
 
+# ---------------------------------------------------------------------------
+# Bounded-state distinct maintenance (VERDICT r9 item 7)
+#
+# The exact pair-set state above is ~fact-grain: every distinct
+# (part, customer) pair lives in the state forever, so at 100 TB the
+# distinct-maintenance state becomes a second fact table (measured
+# honestly in BASELINE.md: 28.6 s / 14× at the 100× corpus). Exactness
+# is required for oracle parity — but the regime where exact distinct
+# maintenance is the scale-killer needs the BOUNDED-STATE alternative:
+# a DataSketches HLL sketch per part (Spark's hll_sketch_agg — a
+# fixed-size register array regardless of cardinality) whose merge
+# (hll_union_agg = register-wise max) is associative, commutative and
+# batching-invariant, the same mergeable-state contract as the decimal
+# partials. State size: parts × 2^lg_k bytes, CONSTANT in fact count.
+# Approximate by construction → library tier rows-only, with the
+# error-band + batching-invariance gates pinned in
+# tests/test_operators.py (the approx_heavy_hitters pattern).
+
+#: HLL precision: 2^12 registers ≈ 1.6 % relative standard error —
+#: and DataSketches keeps an exact coupon list below ~0.75·2^lg_k
+#: distinct items, so small per-key cardinalities estimate EXACTLY
+HLL_LG_K = 12
+
+
+def product_state_hll(
+    batch: DataFrame, lg_k: int = HLL_LG_K
+) -> tuple[DataFrame, DataFrame]:
+    """Reduce one lineitem-grain batch to (exact per-part partials,
+    per-part HLL customer sketches) — the bounded-state twin of
+    ``product_state``: identical sums relation, but the unbounded
+    distinct-pair set is replaced by a fixed-size sketch per part."""
+    sums, _ = product_state(batch)
+    hll = (
+        batch.filter(F.col("o_custkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(lg_k)).alias("cust_hll"))
+    )
+    return sums, hll
+
+
+def merge_product_state_hll(
+    *states: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Fold bounded product states: sums merge exactly as before; the
+    sketches merge by ``hll_union_agg`` at part grain — register-wise
+    max, so the merged sketch is IDENTICAL whatever the batching (the
+    batching-invariance the exact path gets from set union, kept)."""
+    sums = states[0][0]
+    hll = states[0][1]
+    for s, h in states[1:]:
+        sums = sums.unionByName(s)
+        hll = hll.unionByName(h)
+    merged_sums = sums.groupBy("l_partkey").agg(
+        F.sum("qty_dec").alias("qty_dec"),
+        F.sum("rev_dec").alias("rev_dec"),
+        F.sum("price_dec").alias("price_dec"),
+        F.sum("n_price").alias("n_price"),
+        F.sum("order_count").alias("order_count"),
+    )
+    merged_hll = hll.groupBy("l_partkey").agg(
+        F.hll_union_agg("cust_hll").alias("cust_hll")
+    )
+    return merged_sums, merged_hll
+
+
+def finalize_product_summary_hll(
+    state: tuple[DataFrame, DataFrame], part: DataFrame
+) -> DataFrame:
+    """Finalize the bounded state: ``hll_sketch_estimate`` surfaces the
+    sketch as ``unique_customers`` (approximate; exact below the coupon
+    threshold); every other column is the exact twin's value."""
+    sums, hll = state
+    uniq = hll.select(
+        "l_partkey",
+        F.hll_sketch_estimate("cust_hll").alias("unique_customers"),
+    )
+    return (
+        sums.join(uniq, "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("qty_dec").cast("double").alias("total_quantity"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+            "order_count",
+            "unique_customers",
+            (F.col("price_dec").cast("double") / F.col("n_price")).alias(
+                "avg_unit_price"
+            ),
+        )
+    )
+
+
+def incremental_product_summary_hll(
+    spark: SparkSession, sf_dir: str, *, cutoff: str = ORDER_CUTOFF
+) -> DataFrame:
+    """Bounded-state incremental product summary: the base/delta fold of
+    ``incremental_product_summary`` with HLL distinct state. Opt-in —
+    the exact path stays the default and the oracle-parity surface;
+    this is the variant a 100-TB deployment runs when the exact pair
+    state itself is the bottleneck."""
+    grain = _line_grain(spark, sf_dir)
+    cutoff_ts = F.to_timestamp(F.lit(cutoff))
+    base = product_state_hll(grain.filter(F.col("o_orderdate") < cutoff_ts))
+    delta = product_state_hll(grain.filter(F.col("o_orderdate") >= cutoff_ts))
+    part = load_table(spark, sf_dir, "part")
+    return finalize_product_summary_hll(
+        merge_product_state_hll(base, delta), part
+    )
+
+
 #: No driver-registry entries (50-cap, COVERAGE.md) — library tier,
 #: oracle-checked every pytest run by tests/test_library_parity.py.
 QUERIES: dict = {}
@@ -307,6 +421,9 @@ ORACLE: dict = {}
 LIBRARY_QUERIES = {
     "incremental_customer_summary": incremental_customer_summary,
     "incremental_product_summary": incremental_product_summary,
+    # rows-only (approximate by construction): error-band + fold-
+    # invariance gates in tests/test_operators.py
+    "incremental_product_summary_hll": incremental_product_summary_hll,
 }
 
 #: the oracle for each incremental path is deliberately the SAME

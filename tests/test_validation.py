@@ -194,3 +194,98 @@ def test_incremental_state_survives_parquet_round_trip(spark, tmp_path):
         incremental.merge_customer_state(restored, delta_state)
     )
     assert _summaries_equal(folded, parity.customer_summary(spark, SF))
+
+
+def test_incremental_hll_fold_is_batching_invariant(spark):
+    """Bounded-state variant (VERDICT r9 item 7): the HLL sketch merge
+    (hll_union_agg = register-wise max) must be BATCHING-INVARIANT —
+    1-way vs 3-way order-partitioned folds produce the identical summary
+    row set, estimates included. This is the fold ≡ sketch-merge gate:
+    whatever the ingest batching, the maintained state converges to the
+    same registers."""
+    grain = incremental._line_grain(spark, SF).persist()
+    part = spark.read.parquet(f"{SF}/part.parquet")
+
+    def folded(nb):
+        states = [
+            incremental.product_state_hll(
+                grain.filter(F.pmod(F.col("l_orderkey"), F.lit(nb)) == i)
+            )
+            for i in range(nb)
+        ]
+        return incremental.finalize_product_summary_hll(
+            incremental.merge_product_state_hll(*states), part
+        )
+
+    assert _summaries_equal(folded(1), folded(3))
+    grain.unpersist()
+
+
+def test_incremental_hll_error_band_vs_exact_twin(spark):
+    """Error-band gate (the approx_heavy_hitters pattern): every column
+    except unique_customers is bit-identical to the exact twin, and the
+    sketched unique_customers is within 5 % relative error per part —
+    in fact EXACT here, because per-part customer cardinalities sit
+    below the DataSketches coupon threshold (~0.75·2^lg_k), where the
+    sketch stores raw hashes. The genuine estimation regime is pinned
+    by the high-cardinality test below."""
+    exact = {
+        r.p_partkey: r
+        for r in incremental.incremental_product_summary(spark, SF).collect()
+    }
+    approx = incremental.incremental_product_summary_hll(spark, SF).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[r.p_partkey]
+        assert (
+            r.p_name,
+            r.total_quantity,
+            r.total_revenue,
+            r.order_count,
+            r.avg_unit_price,
+        ) == (
+            e.p_name,
+            e.total_quantity,
+            e.total_revenue,
+            e.order_count,
+            e.avg_unit_price,
+        )
+        assert (
+            abs(r.unique_customers - e.unique_customers)
+            <= 0.05 * e.unique_customers
+        )
+
+
+def test_hll_state_bounded_at_high_cardinality(spark):
+    """The regime the bounded state exists for: 50k distinct customers
+    on one part. The exact pair state would hold 50k rows; the sketch
+    is one fixed-size row whose estimate lands within the published
+    ~1.6 % standard error band (gated at 3σ ≈ 5 %), and a 2-way fold
+    still matches the single-batch sketch exactly."""
+    batch = spark.range(50_000).select(
+        F.lit(1).cast("long").alias("l_partkey"),
+        F.col("id").alias("o_custkey"),
+        F.lit(1).cast("long").alias("l_orderkey"),
+        F.lit(1.0).cast("double").alias("l_quantity"),
+        F.lit(1.0).cast("double").alias("l_extendedprice"),
+        F.lit(0.0).cast("double").alias("l_discount"),
+    )
+    _, hll = incremental.product_state_hll(batch)
+    est = hll.select(
+        F.hll_sketch_estimate("cust_hll").alias("est")
+    ).first().est
+    assert abs(est - 50_000) <= 0.05 * 50_000, est
+    # state is ONE row per part regardless of cardinality
+    assert hll.count() == 1
+    # 2-way fold reproduces the single-batch registers exactly
+    halves = [
+        incremental.product_state_hll(
+            batch.filter(F.pmod(F.col("o_custkey"), F.lit(2)) == i)
+        )
+        for i in range(2)
+    ]
+    _, merged = incremental.merge_product_state_hll(*halves)
+    est2 = merged.select(
+        F.hll_sketch_estimate("cust_hll").alias("est")
+    ).first().est
+    assert est2 == est
