@@ -213,9 +213,30 @@ EXTRA_QUERIES = {
     "minhash_near_dup_skew": _minhash_near_dup_skew,
 }
 
+def _latest_prior_bench() -> str:
+    """Default prior artifact = the highest-numbered BENCH_r*.json in the
+    repo (r8's hardcoded default went stale the moment r9 landed)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = "BENCH_r08.json", -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), os.path.basename(p)
+    return best
+
+
 #: prior-round bench results for per-query regression flagging
-PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", "BENCH_r08.json")
+PRIOR_BENCH = os.environ.get("SPARK_GRAFT_PRIOR_BENCH", _latest_prior_bench())
 REGRESSION_RATIO = 1.3
+
+#: builder-recorded clean solo run (see scripts note in BASELINE.md):
+#: when this file exists next to bench.py, its contents are embedded in
+#: the output artifact so a contended driver-scheduled run carries its
+#: own adjudication data (VERDICT r9 item 2)
+SOLO_BENCH = os.environ.get("SPARK_GRAFT_SOLO_BENCH", "BENCH_SOLO.json")
 
 #: query re-timed at the END of the run for the same-session stability
 #: pair (identical bytes, same JVM — any ratio ≠ 1 is host/GC noise, the
@@ -329,8 +350,64 @@ def main() -> None:
             if regressions:
                 out["regressions_vs_prior"] = regressions
                 print(f"REGRESSIONS vs {PRIOR_BENCH}: {regressions}", file=sys.stderr)
+            # ADVICE r9: median-ratio normalization can MASK a uniform
+            # code regression (a change slowing every query ~equally is
+            # absorbed into drift). Disambiguate with the in-run
+            # stability pair: if the host was steady DURING this run
+            # (pair ratio ~1) yet everything is uniformly slower than
+            # the prior artifact, the slowdown is more likely code (or a
+            # session/config-level change) than host — flag it instead
+            # of silently dividing it out.
+            pair = out.get("stability_pair", {}).get("ratio")
+            if (
+                drift > REGRESSION_RATIO
+                and pair is not None
+                and 0.8 <= pair <= 1.2
+            ):
+                out["uniform_slowdown_flag"] = {
+                    "drift_factor": round(drift, 3),
+                    "stability_pair_ratio": pair,
+                    "note": (
+                        "host steady in-run but ALL queries uniformly "
+                        "slower than prior artifact — suspect a code/"
+                        "session-level change, not host drift; "
+                        "code-isolate vs the prior commit"
+                    ),
+                }
+                print(
+                    f"UNIFORM SLOWDOWN: drift {drift:.2f} with steady "
+                    f"in-run host (pair {pair}) — possible code-level "
+                    "regression masked by drift normalization",
+                    file=sys.stderr,
+                )
         except Exception as exc:
             print(f"prior-bench compare skipped: {exc!r}", file=sys.stderr)
+    solo_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), SOLO_BENCH)
+    if os.path.exists(solo_path):
+        try:
+            with open(solo_path) as f:
+                solo = json.load(f)
+            out["solo_run"] = solo
+            sq = solo.get("queries") or {}
+            shared = [
+                timings[n] / sq[n]
+                for n in timings
+                if n in sq and sq[n] > 0
+            ]
+            if shared:
+                srt = sorted(shared)
+                mid = len(srt) // 2
+                med = (
+                    srt[mid]
+                    if len(srt) % 2
+                    else (srt[mid - 1] + srt[mid]) / 2
+                )
+                # >1 means THIS run is slower than the builder's clean
+                # solo capture of the same code — i.e. contention in
+                # this run, quantified inside the artifact itself
+                out["contention_vs_solo"] = round(med, 3)
+        except Exception as exc:
+            print(f"solo-bench embed skipped: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 
