@@ -508,6 +508,100 @@ class VersionedTable:
             except OSError:
                 pass
 
+    def prepare_commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        operation: str | None = None,
+        writer: str | None = None,
+        epoch: int | None = None,
+        expected_parent=_UNSET,
+    ) -> dict:
+        """Stage everything for the table's next version — data files,
+        schema-evolution check, CDF bookkeeping — WITHOUT publishing the
+        manifest. Returns the prepared-commit dict that
+        ``publish_prepared`` turns into a visible version (or
+        ``discard_prepared`` reclaims). The staged files are invisible
+        to every reader until published — this prepare/publish split is
+        what lets ``TableCatalog`` make one transaction span several
+        tables: prepare all, then publish all under a single txn-log
+        CAS. ``mode`` ∈ {"overwrite", "append"}."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        operation = operation or mode
+        parent = self.latest_version()
+        if expected_parent is not _UNSET and parent != expected_parent:
+            raise CommitConflict(
+                ((expected_parent if expected_parent is not None else -1)) + 1
+            )
+        prev = self._read_manifest(parent) if parent is not None else None
+        files, schema, rows = self._stage(df)
+        prepared = {
+            "table_root": self.root,
+            "version": (parent if parent is not None else -1) + 1,
+            "parent": parent,
+            "schema": schema,
+            "operation": operation,
+            "writer": writer,
+            "epoch": epoch,
+            "staged": [e["name"] for e in files],
+        }
+        if prev is not None and schema != prev["schema"]:
+            try:
+                _check_additive_evolution(prev["schema"], schema)
+            except ValueError:
+                self.discard_prepared(prepared)
+                raise
+        if mode == "append":
+            parent_files = prev["files"] if prev is not None else []
+            parent_rows = (prev.get("rows") or 0) if prev is not None else 0
+            prepared["files"] = parent_files + files
+            prepared["rows"] = parent_rows + rows
+            prepared["cdf"] = (
+                {"mode": "insert_files", "files": [e["name"] for e in files]}
+                if self.key_columns
+                else None
+            )
+        else:
+            prepared["files"] = files
+            prepared["rows"] = rows
+            try:
+                cdf = self._stage_changes(parent, files, schema, operation)
+            except Exception:
+                self.discard_prepared(prepared)
+                raise
+            prepared["cdf"] = cdf
+            if cdf and cdf.get("mode") == "diff":
+                prepared["staged"] = prepared["staged"] + cdf["files"]
+        return prepared
+
+    def publish_prepared(self, prepared: dict) -> int:
+        """Publish a prepared commit as its version's manifest (the
+        atomic tmp+link CAS). Raises ``CommitConflict`` if the version
+        was taken — the caller decides whether to discard (solo commit)
+        or verify-as-applied (catalog roll-forward)."""
+        self._try_commit(
+            prepared["version"],
+            prepared["files"],
+            prepared["schema"],
+            prepared["operation"],
+            prepared["writer"],
+            prepared["epoch"],
+            prepared["rows"],
+            prepared["parent"],
+            prepared["cdf"],
+        )
+        return prepared["version"]
+
+    def discard_prepared(self, prepared: dict) -> None:
+        """Reclaim a prepared commit's staged files (nothing references
+        them — safe immediately)."""
+        for name in prepared.get("staged", ()):
+            try:
+                os.remove(os.path.join(self._data, name))
+            except OSError:
+                pass
+
     def commit_overwrite(
         self,
         df: DataFrame,
@@ -522,48 +616,19 @@ class VersionedTable:
         conditional: if anyone committed on top of that parent first,
         raise ``CommitConflict`` WITHOUT committing — the
         optimistic-concurrency write path. Returns the new version."""
-        parent = self.latest_version()
-        if expected_parent is not _UNSET and parent != expected_parent:
-            raise CommitConflict(
-                ((expected_parent if expected_parent is not None else -1)) + 1
-            )
-        prev_schema = (
-            self._read_manifest(parent)["schema"] if parent is not None else None
+        prepared = self.prepare_commit(
+            df,
+            mode="overwrite",
+            operation=operation,
+            writer=writer,
+            epoch=epoch,
+            expected_parent=expected_parent,
         )
-        files, schema, rows = self._stage(df)
-        extra: list[str] = []
-
-        def _unstage():
-            for e in files:  # nothing references them — reclaim now
-                try:
-                    os.remove(os.path.join(self._data, e["name"]))
-                except OSError:
-                    pass
-            for name in extra:
-                try:
-                    os.remove(os.path.join(self._data, name))
-                except OSError:
-                    pass
-
-        if prev_schema is not None and schema != prev_schema:
-            try:
-                _check_additive_evolution(prev_schema, schema)
-            except ValueError:
-                _unstage()
-                raise
-        cdf = self._stage_changes(parent, files, schema, operation)
-        if cdf and cdf.get("mode") == "diff":
-            extra = cdf["files"]
-        version = (parent if parent is not None else -1) + 1
         try:
-            self._try_commit(
-                version, files, schema,
-                operation, writer, epoch, rows, parent, cdf,
-            )
+            return self.publish_prepared(prepared)
         except CommitConflict:
-            _unstage()
+            self.discard_prepared(prepared)
             raise
-        return version
 
     def commit_append(
         self,
@@ -579,47 +644,19 @@ class VersionedTable:
         The manifest records the (possibly additively evolved) schema;
         old files simply lack the new columns and readers fill nulls.
         Same optimistic-concurrency contract as ``commit_overwrite``."""
-        parent = self.latest_version()
-        if expected_parent is not _UNSET and parent != expected_parent:
-            raise CommitConflict(
-                ((expected_parent if expected_parent is not None else -1)) + 1
-            )
-        files, schema, rows = self._stage(df)
-
-        def _unstage():
-            for e in files:
-                try:
-                    os.remove(os.path.join(self._data, e["name"]))
-                except OSError:
-                    pass
-
-        parent_files: list[dict] = []
-        parent_rows = 0
-        if parent is not None:
-            pm = self._read_manifest(parent)
-            parent_files = pm["files"]
-            parent_rows = pm.get("rows") or 0
-            if schema != pm["schema"]:
-                try:
-                    _check_additive_evolution(pm["schema"], schema)
-                except ValueError:
-                    _unstage()
-                    raise
-        version = (parent if parent is not None else -1) + 1
-        cdf = (
-            {"mode": "insert_files", "files": [e["name"] for e in files]}
-            if self.key_columns
-            else None
+        prepared = self.prepare_commit(
+            df,
+            mode="append",
+            operation=operation,
+            writer=writer,
+            epoch=epoch,
+            expected_parent=expected_parent,
         )
         try:
-            self._try_commit(
-                version, parent_files + files, schema,
-                operation, writer, epoch, parent_rows + rows, parent, cdf,
-            )
+            return self.publish_prepared(prepared)
         except CommitConflict:
-            _unstage()
+            self.discard_prepared(prepared)
             raise
-        return version
 
     def compact(
         self,

@@ -1,0 +1,300 @@
+"""Multi-table ACID transactions (sources/catalog.py): atomic cross-
+table commit, all-or-nothing failure, crash-window roll-forward,
+epoch idempotence, genuinely concurrent writers, CDF-through-catalog,
+and out-of-band-write detection."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from sales_etl_pipeline_spark.sources.catalog import (  # noqa: E402
+    CatalogCorruption,
+    TableCatalog,
+)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string")
+
+
+def test_txn_commits_tables_atomically_and_snapshots_align(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    seq0 = cat.commit(
+        overwrites={
+            "snap": _df(spark, [(1, "a"), (2, "b")]),
+            "summary": spark.createDataFrame([(2,)], "n long"),
+        }
+    )
+    seq1 = cat.commit(
+        overwrites={
+            "snap": _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+            "summary": spark.createDataFrame([(3,)], "n long"),
+        }
+    )
+    assert (seq0, seq1) == (0, 1)
+    # each catalog snapshot pins a mutually-consistent version pair
+    assert cat.snapshot(seq0) == {"snap": 0, "summary": 0}
+    assert cat.snapshot(seq1) == {"snap": 1, "summary": 1}
+    assert cat.read("summary", seq0).first().n == 2
+    assert cat.read("snap", seq0).count() == 2
+    assert cat.read("summary", seq1).first().n == 3
+    assert cat.read("snap", seq1).count() == 3
+    # txn history carries the audit trail
+    assert [h["tables"] for h in cat.history()] == [
+        {"snap": 0, "summary": 0},
+        {"snap": 1, "summary": 1},
+    ]
+
+
+def test_txn_failure_is_all_or_nothing(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.commit(
+        overwrites={
+            "a": _df(spark, [(1, "x")]),
+            "b": spark.createDataFrame([(1,)], "n long"),
+        }
+    )
+    # second txn: table "a" is fine, table "b" attempts a TYPE CHANGE
+    # (non-additive evolution) — the whole transaction must fail with
+    # NEITHER table advancing
+    with pytest.raises(ValueError, match="type"):
+        cat.commit(
+            overwrites={
+                "a": _df(spark, [(2, "y")]),
+                "b": spark.createDataFrame([("oops",)], "n string"),
+            }
+        )
+    assert cat.snapshot() == {"a": 0, "b": 0}
+    assert cat.table("a").latest_version() == 0
+    assert cat.table("b").latest_version() == 0
+    assert [r.v for r in cat.read("a").collect()] == ["x"]
+    # the failed txn's staged files were discarded: nothing unreferenced
+    for name in ("a", "b"):
+        t = cat.table(name)
+        referenced = set()
+        for v in t.versions():
+            referenced.update(t._manifest_refs(t._read_manifest(v)))
+        on_disk = {
+            f for f in os.listdir(t._data) if f.endswith(".parquet")
+        }
+        assert on_disk == referenced
+
+
+def test_crash_between_txn_commit_and_publish_rolls_forward(spark, tmp_path):
+    """The atomicity crash window: the txn record is durable but the
+    per-table manifests were never published (writer died). Any later
+    catalog operation publishes them from the record — both tables
+    surface together, never one without the other."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.commit(
+        overwrites={
+            "a": _df(spark, [(1, "x")]),
+            "b": _df(spark, [(1, "y")]),
+        }
+    )
+    # simulate the crash: prepare + txn-CAS by hand, skip publish
+    pa = cat.table("a").prepare_commit(_df(spark, [(2, "xx")]))
+    pb = cat.table("b").prepare_commit(_df(spark, [(2, "yy")]))
+    record = {
+        "seq": 1,
+        "writer": None,
+        "epoch": None,
+        "tables": {
+            n: {
+                "version": p["version"],
+                "manifest": {
+                    k: p[k]
+                    for k in (
+                        "files", "schema", "operation", "writer",
+                        "epoch", "rows", "parent", "cdf",
+                    )
+                },
+            }
+            for n, p in (("a", pa), ("b", pb))
+        },
+        "table_versions": {"a": 1, "b": 1},
+    }
+    cat._try_commit_txn(1, record)
+    # manifests not yet published — direct table reads still see v0
+    assert cat.table("a").latest_version() == 0
+    # a FRESH catalog (new process) rolls forward on first read
+    cat2 = TableCatalog(spark, str(tmp_path / "cat"))
+    assert cat2.snapshot() == {"a": 1, "b": 1}
+    assert [r.v for r in cat2.read("a").collect()] == ["xx"]
+    assert [r.v for r in cat2.read("b").collect()] == ["yy"]
+    # roll-forward is idempotent
+    cat2.roll_forward()
+    assert cat2.table("a").versions() == [0, 1]
+
+
+def test_epoch_replay_returns_original_seq(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    s1 = cat.commit(
+        overwrites={"a": _df(spark, [(1, "x")])}, writer="job", epoch=7
+    )
+    s2 = cat.commit(
+        overwrites={"a": _df(spark, [(9, "SHOULD NOT LAND")])},
+        writer="job",
+        epoch=7,
+    )
+    assert s1 == s2
+    assert cat.latest_seq() == s1
+    assert [r.v for r in cat.read("a").collect()] == ["x"]
+
+
+def test_mixed_overwrite_append_txn(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.commit(
+        overwrites={"snap": _df(spark, [(1, "a")])},
+        appends={"log": _df(spark, [(1, "evt1")])},
+    )
+    cat.commit(
+        overwrites={"snap": _df(spark, [(1, "a2")])},
+        appends={"log": _df(spark, [(2, "evt2")])},
+    )
+    assert sorted(r.v for r in cat.read("log").collect()) == [
+        "evt1", "evt2"
+    ]
+    assert [r.v for r in cat.read("snap").collect()] == ["a2"]
+    # append carried the old file forward: log has 2 versions
+    assert cat.table("log").versions() == [0, 1]
+    with pytest.raises(ValueError, match="both"):
+        cat.commit(
+            overwrites={"x": _df(spark, [(1, "a")])},
+            appends={"x": _df(spark, [(1, "b")])},
+        )
+
+
+def test_cdf_flows_through_catalog_commits(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.configure("snap", key_columns=("k",))
+    cat.commit(overwrites={"snap": _df(spark, [(1, "a"), (2, "b")])})
+    cat.commit(overwrites={"snap": _df(spark, [(1, "a"), (2, "B"), (3, "c")])})
+    m = cat.table("snap")._read_manifest(1)
+    assert m["cdf"]["mode"] == "diff"
+    from sales_etl_pipeline_spark.sources import table_feed
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        table_feed.read_feed(spark, cat.table("snap").root, cdf=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r._change_type)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (3, "insert") in got
+    assert (2, "update_postimage") in got
+
+
+def test_out_of_band_write_detected(spark, tmp_path):
+    """A direct VersionedTable write stealing a version the txn log has
+    promised is the managed-table-contract violation — roll-forward
+    must surface CatalogCorruption, never silently re-point."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.commit(overwrites={"a": _df(spark, [(1, "x")])})
+    p = cat.table("a").prepare_commit(_df(spark, [(2, "txn")]))
+    record = {
+        "seq": 1,
+        "writer": None,
+        "epoch": None,
+        "tables": {
+            "a": {
+                "version": p["version"],
+                "manifest": {
+                    k: p[k]
+                    for k in (
+                        "files", "schema", "operation", "writer",
+                        "epoch", "rows", "parent", "cdf",
+                    )
+                },
+            }
+        },
+        "table_versions": {"a": 1},
+    }
+    cat._try_commit_txn(1, record)
+    # rogue direct writer takes version 1 first
+    cat.table("a").commit_overwrite(_df(spark, [(9, "rogue")]))
+    with pytest.raises(CatalogCorruption, match="outside the catalog"):
+        cat.roll_forward()
+
+
+def test_concurrent_catalog_writers_serialize(spark, tmp_path):
+    """4 threads × 3 txns each against overlapping tables: every commit
+    lands (retry loop absorbs conflicts), seqs are contiguous and
+    unique, and the final snapshot equals the data of whichever txn
+    committed last — verified via the txn log, not assumptions."""
+    import threading
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.commit(
+        overwrites={
+            "t": _df(spark, [(0, "init")]),
+            "audit": spark.createDataFrame([("init", 0)], "who string, i long"),
+        }
+    )
+    errors: list = []
+    seqs: list[int] = []
+    lock = threading.Lock()
+
+    def writer(wid: int):
+        c = TableCatalog(spark, str(tmp_path / "cat"))
+        for i in range(3):
+            try:
+                s = c.commit(
+                    overwrites={
+                        "t": _df(spark, [(wid, f"w{wid}i{i}")]),
+                        "audit": spark.createDataFrame(
+                            [(f"w{wid}", i)], "who string, i long"
+                        ),
+                    },
+                    max_retries=50,
+                )
+                with lock:
+                    seqs.append(s)
+            except Exception as e:  # pragma: no cover
+                with lock:
+                    errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(seqs) == list(range(1, 13))  # 12 txns, contiguous
+    # final snapshot is exactly the last txn's write, tables aligned
+    last = cat._read_txn(cat.latest_seq())
+    who = cat.read("audit").first()
+    tv = cat.read("t").first().v
+    assert last["tables"]["audit"]["version"] == cat.snapshot()["audit"]
+    assert tv.startswith(who.who.replace("w", "w"))  # same writer id
+    assert tv == f"{who.who}i{who.i}"
+
+
+def test_snapshot_time_travel_spans_vacuum(spark, tmp_path):
+    """Vacuuming a member table drops old versions; catalog snapshots
+    at kept seqs still read, and the catalog never resurrects a
+    vacuumed version during roll-forward."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    for i in range(3):
+        cat.commit(overwrites={"a": _df(spark, [(i, f"v{i}")])})
+    cat.table("a").vacuum(keep_last=1)
+    cat.roll_forward()  # must not re-create dropped manifests
+    assert cat.table("a").versions() == [2]
+    assert [r.v for r in cat.read("a", seq=2).collect()] == ["v2"]
+    with pytest.raises(Exception):
+        cat.read("a", seq=0).collect()
