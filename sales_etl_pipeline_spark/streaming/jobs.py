@@ -690,6 +690,78 @@ def run_cdc_merge_stream_versioned(
     query.awaitTermination()
 
 
+def run_cdc_merge_stream_catalog(
+    events: DataFrame,
+    catalog_root: str,
+    checkpoint_dir: str,
+    writer: str = "cdc_merge_cat",
+    max_retries: int = 5,
+) -> None:
+    """The CDC merge sink as a MULTI-TABLE transaction
+    (``sources/catalog.TableCatalog``): each microbatch merges the
+    changelog into the snapshot AND refreshes the derived per-event-type
+    summary, committing BOTH as one txn — a reader resolving any txn seq
+    sees the snapshot and the summary from the same epoch, never a
+    snapshot with last epoch's summary (the cross-table alignment the
+    single-table sink cannot promise). Replay idempotence is
+    catalog-wide: a replayed epoch finds its (writer, epoch) txn and
+    skips both tables together.
+
+    The read-modify-write retry lives HERE (re-derive from the new
+    snapshot on ``TxnConflict``), not in ``TableCatalog.commit`` — the
+    catalog's internal retries would re-stage the SAME DataFrames,
+    which is wrong for state derived from the read base (the same
+    reason ``VersionedTable.merge_commit`` re-runs its merge_fn)."""
+    from ..plans.cdc import _latest_wins, merge_snapshot
+    from ..sources.catalog import TableCatalog, TxnConflict
+
+    spark = events.sparkSession
+    cat = TableCatalog(spark, catalog_root)
+
+    def _summarize(snapshot: DataFrame) -> DataFrame:
+        return snapshot.groupBy("last_event_type").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.max("last_ts").alias("latest_ts"),
+        )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        last: TxnConflict | None = None
+        for _ in range(max_retries):
+            cat.roll_forward()
+            try:
+                base = cat.read("snapshot")
+            except FileNotFoundError:
+                base = None
+            merged = (
+                _latest_wins(batch_df)
+                if base is None
+                else merge_snapshot(base, batch_df)
+            )
+            try:
+                cat.commit(
+                    overwrites={
+                        "snapshot": merged,
+                        "summary": _summarize(merged),
+                    },
+                    writer=writer,
+                    epoch=epoch_id,
+                    max_retries=1,
+                )
+                return
+            except TxnConflict as e:
+                last = e
+                continue
+        raise last or TxnConflict(0)
+
+    query = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

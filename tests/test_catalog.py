@@ -298,3 +298,74 @@ def test_snapshot_time_travel_spans_vacuum(spark, tmp_path):
     assert [r.v for r in cat.read("a", seq=2).collect()] == ["v2"]
     with pytest.raises(Exception):
         cat.read("a", seq=0).collect()
+
+
+def test_catalog_cdc_stream_atomic_snapshot_plus_summary(spark, tmp_path):
+    """The multi-table CDC sink (streaming/jobs.run_cdc_merge_stream_
+    catalog): final snapshot ≡ batch cdc_latest_snapshot, and at EVERY
+    txn seq the summary table equals a recompute from the snapshot at
+    the SAME seq — the cross-table alignment the catalog exists for.
+    A full replay with a fresh checkpoint commits nothing new."""
+    from sales_etl_pipeline_spark.plans.cdc import cdc_latest_snapshot
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+    from sales_etl_pipeline_spark.streaming import jobs
+
+    SF = "/root/testdata/sf0.001"
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "chunks"
+    src.mkdir()
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    root = str(tmp_path / "cat")
+    jobs.run_cdc_merge_stream_catalog(
+        normalize_event_ts(
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        ),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    cat = TableCatalog(spark, root)
+    assert cat.latest_seq() == 2  # one txn per epoch
+    cols = ["user_id", "last_event_id", "last_ts", "last_event_type", "last_value"]
+    got = sorted(map(tuple, cat.read("snapshot").select(cols).collect()))
+    want = sorted(
+        map(tuple, cdc_latest_snapshot(spark, SF).select(cols).collect())
+    )
+    assert got == want
+    # seq-aligned consistency: summary(seq) ≡ recompute(snapshot(seq))
+    for s in cat.txns():
+        snap = cat.read("snapshot", seq=s)
+        expect = sorted(
+            map(
+                tuple,
+                snap.groupBy("last_event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_users"),
+                    F.max("last_ts").alias("latest_ts"),
+                )
+                .collect(),
+            )
+        )
+        assert (
+            sorted(map(tuple, cat.read("summary", seq=s).collect())) == expect
+        ), f"summary misaligned at seq {s}"
+    # replay: every epoch already committed catalog-wide -> no new txns
+    jobs.run_cdc_merge_stream_catalog(
+        normalize_event_ts(
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        ),
+        root,
+        str(tmp_path / "ckpt2"),
+    )
+    assert cat.latest_seq() == 2
