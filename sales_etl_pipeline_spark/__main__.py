@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
         "(sources/table.py: time travel, consistent reads mid-publish) "
         "instead of flat-file sinks; --formats is ignored",
     )
+    parser.add_argument(
+        "--catalog",
+        action="store_true",
+        help="publish ALL output tables in one multi-table ACID "
+        "transaction (sources/catalog.py) — cross-table-consistent "
+        "snapshots, catalog-wide time travel; --formats is ignored",
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,13 +62,13 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         pipe = AnalyticsPipeline(spark, args.source, args.output)
-        if args.versioned:
+        if args.versioned or args.catalog:
             import time
 
             start = time.time()
             pipe.extract()
             pipe.transform()
-            written = pipe.load(versioned=True)
+            written = pipe.load(versioned=args.versioned, catalog=args.catalog)
             summary = {
                 "elapsed_seconds": round(time.time() - start, 2),
                 "written": written,

@@ -138,7 +138,10 @@ class AnalyticsPipeline:
         return report
 
     def load(
-        self, formats: list[str] | None = None, versioned: bool = False
+        self,
+        formats: list[str] | None = None,
+        versioned: bool = False,
+        catalog: bool = False,
     ) -> dict[str, list[str]]:
         """Fan the catalog out to sinks (reference etl.py:364-386).
 
@@ -149,9 +152,38 @@ class AnalyticsPipeline:
         vacuumed, and a crashed publish is invisible (no manifest) — the
         upgrade over the reference's in-place file overwrite
         (etl.py:364-386), where a reader racing the rewrite sees a torn
-        table."""
+        table.
+
+        ``catalog=True`` goes one further: ALL output tables land in a
+        single multi-table transaction (``sources/catalog.TableCatalog``)
+        — a reader can never observe this run's customer summary next
+        to last run's product summary, the cross-table torn read the
+        per-table publish (and the reference's sequential file
+        overwrites, etl.py:364-386) both allow."""
         if self.transformed_data is None:
             raise RuntimeError("No data to load. Run transform() first.")
+        if catalog:
+            from ..sources.catalog import TableCatalog
+
+            cat = TableCatalog(
+                self.spark, os.path.join(self.output_dir, "catalog")
+            )
+            seq = cat.commit(
+                overwrites=dict(self.transformed_data),
+                writer="analytics_pipeline",
+            )
+            self._loaded = True
+            logger.info(
+                "load: catalog txn %d → %d tables",
+                seq,
+                len(self.transformed_data),
+            )
+            return {
+                "catalog": [
+                    f"{name}@v{v}" for name, v in cat.snapshot(seq).items()
+                ],
+                "txn_seq": seq,
+            }
         if versioned:
             from ..sources.table import VersionedTable
 

@@ -369,3 +369,39 @@ def test_catalog_cdc_stream_atomic_snapshot_plus_summary(spark, tmp_path):
         str(tmp_path / "ckpt2"),
     )
     assert cat.latest_seq() == 2
+
+
+def test_analytics_pipeline_catalog_publish(spark, tmp_path):
+    """AnalyticsPipeline.load(catalog=True): all five reference outputs
+    land in ONE txn — snapshot(seq) pins a mutually-consistent set, and
+    a second run is txn 1 with catalog-wide time travel back to run 0."""
+    from sales_etl_pipeline_spark.operators.pipeline import AnalyticsPipeline
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "out")
+    pipe = AnalyticsPipeline(spark, SF, out)
+    pipe.extract()
+    pipe.transform()
+    written = pipe.load(catalog=True)
+    assert written["txn_seq"] == 0
+    names = {p.split("@")[0] for p in written["catalog"]}
+    assert names == set(pipe.transformed_data)
+    cat = TableCatalog(spark, os.path.join(out, "catalog"))
+    assert set(cat.snapshot(0)) == names
+    want = sorted(
+        map(tuple, pipe.transformed_data["country_summary"].collect())
+    )
+    assert (
+        sorted(map(tuple, cat.read("country_summary", seq=0).collect()))
+        == want
+    )
+    # second run: one more txn, run-0 snapshot intact catalog-wide
+    pipe2 = AnalyticsPipeline(spark, SF, out)
+    pipe2.extract()
+    pipe2.transform()
+    assert pipe2.load(catalog=True)["txn_seq"] == 1
+    assert cat.snapshot(1) == {n: 1 for n in names}
+    assert (
+        sorted(map(tuple, cat.read("country_summary", seq=0).collect()))
+        == want
+    )
