@@ -40,6 +40,7 @@ from . import (
     parity,
     temporal,
     validation,
+    webtext,
 )
 from ..operators import multimodal
 from ..sources import pysource
@@ -63,6 +64,7 @@ _MODULES = (
     cdc,
     validation,
     incremental,
+    webtext,
     pysource,
 )
 
