@@ -1,0 +1,146 @@
+"""WARC source (sources/warc.py): record parsing, HTTP payload split,
+gzip members, per-file partitions, truncated-tail tolerance, and the
+crawl→text composition with plans/webtext."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from sales_etl_pipeline_spark.sources import warc  # noqa: E402
+
+
+def _record(wtype: str, uri: str | None, payload: bytes, rid: str) -> bytes:
+    h = [
+        b"WARC/1.0",
+        f"WARC-Type: {wtype}".encode(),
+        f"WARC-Record-ID: <urn:uuid:{rid}>".encode(),
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+    ]
+    if uri:
+        h.append(f"WARC-Target-URI: {uri}".encode())
+    if wtype == "response":
+        h.append(b"Content-Type: application/http; msgtype=response")
+    h.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+HTML1 = b"<html><body><p>Hello crawl world.</p><script>x()</script></body></html>"
+HTML2 = b"<html><body><h1>Second &amp; page</h1></body></html>"
+
+
+def _write_warc(path, records: list[bytes], gz: bool = False) -> None:
+    data = b"".join(records)
+    if gz:
+        with gzip.open(path, "wb") as f:
+            f.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+def _corpus(tmp_path) -> str:
+    d = tmp_path / "crawl"
+    d.mkdir()
+    _write_warc(
+        str(d / "a.warc"),
+        [
+            _record("warcinfo", None, b"software: test\r\n", "info1"),
+            _record("request", "https://x.com/1", b"GET /1 HTTP/1.1\r\n\r\n", "req1"),
+            _record("response", "https://x.com/1", _http(HTML1), "resp1"),
+        ],
+    )
+    _write_warc(
+        str(d / "b.warc.gz"),
+        [
+            _record(
+                "response",
+                "https://y.com/2",
+                _http(HTML2, status=404, ctype="text/html; charset=utf-8"),
+                "resp2",
+            )
+        ],
+        gz=True,
+    )
+    return str(d)
+
+
+def test_warc_parses_records_and_http_layer(spark, tmp_path):
+    df = warc.read_warc(spark, _corpus(tmp_path))
+    rows = {r.record_id: r for r in df.collect()}
+    assert len(rows) == 4
+    info = rows["<urn:uuid:info1>"]
+    assert info.warc_type == "warcinfo" and info.http_status is None
+    resp1 = rows["<urn:uuid:resp1>"]
+    assert resp1.warc_type == "response"
+    assert resp1.target_uri == "https://x.com/1"
+    assert resp1.http_status == 200
+    assert resp1.http_content_type == "text/html"
+    assert bytes(resp1.body) == HTML1
+    assert resp1.content_length == len(_http(HTML1))
+    # gzip member parses identically; per-file provenance recorded
+    resp2 = rows["<urn:uuid:resp2>"]
+    assert resp2.http_status == 404
+    assert bytes(resp2.body) == HTML2
+    assert resp2.warc_file == "b.warc.gz"
+    # request payload is NOT split as http (not a response)
+    assert rows["<urn:uuid:req1>"].body is None
+
+
+def test_warc_one_partition_per_file(spark, tmp_path):
+    df = warc.read_warc(spark, _corpus(tmp_path))
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_warc_truncated_tail_keeps_good_records(spark, tmp_path):
+    d = tmp_path / "trunc"
+    d.mkdir()
+    good = _record("response", "https://x.com/1", _http(HTML1), "ok")
+    bad = _record("response", "https://x.com/2", _http(HTML2), "cut")[:-40]
+    _write_warc(str(d / "t.warc"), [good, bad])
+    rows = warc.read_warc(spark, str(d)).collect()
+    assert [r.record_id for r in rows] == ["<urn:uuid:ok>"]
+
+
+def test_warc_missing_path_raises(spark, tmp_path):
+    warc.register(spark)
+    with pytest.raises(Exception):
+        spark.read.format("warc").option(
+            "path", str(tmp_path / "nope")
+        ).load().collect()
+
+
+def test_crawl_to_text_composition(spark, tmp_path):
+    """The full ingestion path: WARC responses → filter html 200s →
+    decode → html_to_text → clean text ready for the quality/dedup
+    plans. Extraction semantics match the webtext operator exactly."""
+    from sales_etl_pipeline_spark.functions.web import html_to_text
+
+    df = warc.read_warc(spark, _corpus(tmp_path))
+    texts = (
+        df.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            "target_uri",
+            html_to_text(F.col("body").cast("string")).alias("text"),
+        )
+        .collect()
+    )
+    assert len(texts) == 1
+    assert texts[0].text == "Hello crawl world."
