@@ -34,7 +34,12 @@ import gzip
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 FORMAT_NAME = "warc"
 
@@ -160,6 +165,54 @@ class WarcReader(DataSourceReader):
             yield from parse_warc(fh, os.path.basename(partition.path))
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Tail a crawl directory: each microbatch processes exactly the
+    WARC files that appeared since the last committed offset. The
+    offset is the explicit SET of consumed file names (not a count or a
+    name high-watermark — both silently skip a file that lands with an
+    earlier-sorting name), so replay after restart re-reads precisely
+    the files a failed batch covered and nothing else. Files must be
+    complete when they appear (crawlers write elsewhere and rename in —
+    the same contract every file-based Spark source has); consumed
+    files may be deleted afterwards without disturbing the stream."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires option 'path'")
+
+    def _list(self) -> list[str]:
+        return sorted(
+            os.path.basename(p)
+            for pat in ("*.warc", "*.warc.gz")
+            for p in glob.glob(os.path.join(self.path, pat))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"names": []}
+
+    def latestOffset(self) -> dict:
+        return {"names": self._list()}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["names"]) - set(start["names"]))
+        return [
+            _FilePartition(os.path.join(self.path, n)) for n in new
+        ] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        with _open_warc(partition.path) as fh:
+            yield from parse_warc(fh, os.path.basename(partition.path))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
 class WarcDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -170,6 +223,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -144,3 +144,52 @@ def test_crawl_to_text_composition(spark, tmp_path):
     )
     assert len(texts) == 1
     assert texts[0].text == "Hello crawl world."
+
+
+def test_warc_stream_tails_directory(spark, tmp_path):
+    """Streaming tail: drain 1 — only the existing file; a new file
+    lands; drain 2 with the SAME checkpoint picks up exactly the new
+    one (exactly-once across runs), and stream ≡ batch on the union."""
+    d = tmp_path / "tail"
+    d.mkdir()
+    _write_warc(
+        str(d / "a.warc"),
+        [_record("response", "https://x.com/1", _http(HTML1), "r1")],
+    )
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .option("path", str(d))
+            .load()
+            .selectExpr("warc_file", "record_id", "target_uri")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.warc_file, r.record_id)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    warc.register(spark)
+    assert drain() == [("a.warc", "<urn:uuid:r1>")]
+    _write_warc(
+        str(d / "b.warc.gz"),
+        [_record("response", "https://x.com/2", _http(HTML2), "r2")],
+        gz=True,
+    )
+    assert drain() == [
+        ("a.warc", "<urn:uuid:r1>"),
+        ("b.warc.gz", "<urn:uuid:r2>"),
+    ]
+    # a third drain with nothing new adds nothing (no re-reads)
+    assert drain() == [
+        ("a.warc", "<urn:uuid:r1>"),
+        ("b.warc.gz", "<urn:uuid:r2>"),
+    ]
