@@ -374,6 +374,40 @@ class TableCatalog:
             raise KeyError(f"table {name!r} not in catalog snapshot")
         return self.table(name).read(version=versions[name])
 
+    # ------------------------------------------------------------------
+    # maintenance
+
+    def vacuum(self, keep_last_txns: int = 1) -> dict:
+        """Catalog-coherent retention: drop all but the newest
+        ``keep_last_txns`` txn records, then vacuum every member table
+        down to exactly the versions the KEPT txns reference — so every
+        kept catalog snapshot stays fully readable and everything older
+        is reclaimed TOGETHER (vacuuming tables independently of the
+        txn log would leave records pointing at deleted versions, or
+        versions no record can ever resolve again)."""
+        if keep_last_txns < 1:
+            raise ValueError("keep_last_txns must be >= 1")
+        self.roll_forward()
+        ts = self.txns()
+        drop, keep = ts[:-keep_last_txns], ts[-keep_last_txns:]
+        result: dict = {"dropped_txns": drop, "tables": {}}
+        if not keep:
+            return result
+        # oldest kept record's cumulative map = the floor version each
+        # table must keep for every kept snapshot to resolve
+        floor = self._read_txn(keep[0])["table_versions"]
+        for name in self._read_txn(keep[-1])["table_versions"]:
+            t = self.table(name)
+            versions = t.versions()
+            keep_count = len(
+                [v for v in versions if v >= floor.get(name, versions[0])]
+            )
+            if 0 < keep_count < len(versions):
+                result["tables"][name] = t.vacuum(keep_last=keep_count)
+        for s in drop:
+            os.remove(self._txn_path(s))
+        return result
+
     def history(self) -> list[dict]:
         """Txn audit trail: seq, writer/epoch, tables touched."""
         out = []

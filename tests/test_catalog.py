@@ -405,3 +405,43 @@ def test_analytics_pipeline_catalog_publish(spark, tmp_path):
         sorted(map(tuple, cat.read("country_summary", seq=0).collect()))
         == want
     )
+
+
+def test_catalog_vacuum_coherent_retention(spark, tmp_path):
+    """catalog.vacuum(keep_last_txns=2) drops txn 0 and each table's
+    pre-floor versions together: kept snapshots fully readable, dropped
+    seq unresolvable, reclaimed data files actually gone, and
+    roll-forward stays clean afterwards."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    for i in range(3):
+        cat.commit(
+            overwrites={
+                "a": _df(spark, [(i, f"a{i}")]),
+                "b": _df(spark, [(i, f"b{i}")]),
+            }
+        )
+    res = cat.vacuum(keep_last_txns=2)
+    assert res["dropped_txns"] == [0]
+    assert cat.txns() == [1, 2]
+    assert cat.table("a").versions() == [1, 2]
+    for s in (1, 2):
+        assert [r.v for r in cat.read("a", seq=s).collect()] == [f"a{s}"]
+        assert [r.v for r in cat.read("b", seq=s).collect()] == [f"b{s}"]
+    with pytest.raises(Exception):
+        cat.snapshot(0)
+    # version-0 data files are gone from both tables
+    for name in ("a", "b"):
+        t = cat.table(name)
+        referenced = set()
+        for v in t.versions():
+            referenced.update(t._manifest_refs(t._read_manifest(v)))
+        on_disk = {
+            f for f in os.listdir(t._data) if f.endswith(".parquet")
+        }
+        assert on_disk == referenced
+    cat.roll_forward()  # no resurrection, no corruption raise
+    assert cat.table("a").versions() == [1, 2]
+    # writes continue on top after vacuum
+    cat.commit(overwrites={"a": _df(spark, [(9, "a9")])})
+    assert cat.latest_seq() == 3
+    assert cat.snapshot() == {"a": 3, "b": 2}
