@@ -104,6 +104,11 @@ HEADLINE = (
     # step); the cost is step-count × corpus-scan bound, the relational
     # analog of an ML-lib fit() call (~5.9 s at sf0.1)
     "linear_probe_train",
+    # round 10: the crawl-ingestion hot pass — HTML→text extraction as
+    # a pure regexp-chain projection (plans/webtext.py); byte-linear,
+    # zero Python, the single heaviest scan of a real crawl pipeline
+    # (scaling measured 2.5× wall for 100× bytes, BASELINE.md)
+    "html_text_extract",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
