@@ -164,6 +164,43 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_documents(spark: SparkSession, warc_path: str) -> DataFrame:
+    """The crawl→corpus adapter: WARC archive(s) → the engine's
+    documents shape (doc_id, source, text), ready for every downstream
+    plan (quality_filter, exact/near dedup, curation funnel, BPE…).
+
+    Selection: HTTP 200 ``response`` records with a text/html
+    content-type. doc_id = md5_long of the WARC record id (stable
+    across re-reads, collision odds ~n²/2⁶³); source = the target
+    URI's registrable domain (the per-site mixing grain); text =
+    ``html_to_text`` of the headerless body. Non-UTF-8 bytes survive
+    via Spark's replacement-decoding cast — a crawl always contains
+    mojibake and the pipeline must not die on it.
+
+    Not an oracle plan (its input is a WARC directory, not the driver's
+    parquet star schema) — composition correctness is pinned in
+    tests/test_warc.py against constructed archives."""
+    from ..functions.core import md5_long
+    from ..sources.warc import read_warc
+
+    recs = read_warc(spark, warc_path)
+    html = F.col("body").cast("string")
+    return (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+            & F.col("body").isNotNull()
+        )
+        .select(
+            md5_long(F.col("record_id")).alias("doc_id"),
+            registrable_domain(F.col("target_uri")).alias("source"),
+            html_to_text(html).alias("text"),
+        )
+        .filter(F.length("text") > 0)
+    )
+
+
 LIBRARY_QUERIES = {
     "html_text_extract": html_text_extract,
     "boilerplate_link_density": boilerplate_link_density,

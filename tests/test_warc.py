@@ -193,3 +193,47 @@ def test_warc_stream_tails_directory(spark, tmp_path):
         ("a.warc", "<urn:uuid:r1>"),
         ("b.warc.gz", "<urn:uuid:r2>"),
     ]
+
+
+def test_crawl_documents_adapter_feeds_downstream_plans(spark, tmp_path):
+    """crawl_documents yields the engine's documents shape from a WARC
+    dir — distinct stable ids, domain-grain sources, extracted text —
+    and composes with a downstream exact-dedup pass unchanged."""
+    from sales_etl_pipeline_spark.plans.webtext import crawl_documents
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = [
+        _record("response", "https://www.x-site.com/1", _http(HTML1), "r1"),
+        # exact duplicate CONTENT under a different record id / URI
+        _record("response", "https://mirror.x-site.com/1", _http(HTML1), "r1dup"),
+        _record("response", "https://www.y-site.org/2", _http(HTML2), "r2"),
+        # non-200 and non-html records must be dropped
+        _record("response", "https://www.x-site.com/404", _http(b"gone", 404), "r404"),
+        _record(
+            "response",
+            "https://www.x-site.com/j",
+            _http(b"{}", ctype="application/json"),
+            "rj",
+        ),
+    ]
+    _write_warc(str(d / "c.warc"), recs)
+    docs = crawl_documents(spark, str(d))
+    rows = docs.collect()
+    assert len(rows) == 3
+    assert len({r.doc_id for r in rows}) == 3  # stable distinct ids
+    assert {r.source for r in rows} == {"x-site.com", "y-site.org"}
+    texts = {r.text for r in rows}
+    assert "Hello crawl world." in texts
+    assert "Second & page" in texts
+    # downstream composition: hash-grain exact dedup collapses the
+    # mirrored content to one survivor per distinct text
+    survivors = (
+        docs.withColumn("h", F.md5(F.col("text")))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep"))
+    )
+    assert survivors.count() == 2
+    # deterministic across re-reads
+    again = {r.doc_id for r in crawl_documents(spark, str(d)).collect()}
+    assert again == {r.doc_id for r in rows}
