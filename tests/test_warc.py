@@ -237,3 +237,47 @@ def test_crawl_documents_adapter_feeds_downstream_plans(spark, tmp_path):
     # deterministic across re-reads
     again = {r.doc_id for r in crawl_documents(spark, str(d)).collect()}
     assert again == {r.doc_id for r in rows}
+
+
+def test_warc_parser_roundtrip_property():
+    """Property: for ANY payload bytes (including embedded CRLFs,
+    'WARC/' prefixes, and fake record separators) and any record count,
+    Content-Length framing recovers every record exactly; truncating
+    the serialized stream anywhere yields a strict PREFIX of the
+    records, never garbage. Pure-Python — exercises parse_warc on
+    BytesIO without Spark."""
+    import io
+
+    from hypothesis import given, settings, strategies as st
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=200).map(
+            # adversarial: prepend bytes that look like framing
+            lambda b: b"\r\n\r\nWARC/1.0\r\n" + b
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(payloads, st.integers(min_value=0, max_value=2000))
+    def check(bodies, cut):
+        recs = [
+            _record("resource", f"https://p.com/{i}", body, f"id{i}")
+            for i, body in enumerate(bodies)
+        ]
+        blob = b"".join(recs)
+        got = list(warc.parse_warc(io.BytesIO(blob), "f.warc"))
+        assert [r[1] for r in got] == [
+            f"<urn:uuid:id{i}>" for i in range(len(bodies))
+        ]
+        assert [bytes(r[7]) for r in got] == bodies
+        # arbitrary truncation -> prefix of records, no exception
+        cut_got = list(
+            warc.parse_warc(io.BytesIO(blob[: max(0, len(blob) - cut)]), "f")
+        )
+        assert len(cut_got) <= len(got)
+        for a, b in zip(cut_got, got):
+            assert a[1] == b[1] and bytes(a[7]) == bytes(b[7])
+
+    check()
