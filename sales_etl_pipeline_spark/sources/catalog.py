@@ -374,6 +374,21 @@ class TableCatalog:
             raise KeyError(f"table {name!r} not in catalog snapshot")
         return self.table(name).read(version=versions[name])
 
+    def create_views(
+        self, seq: int | None = None, prefix: str = ""
+    ) -> dict[str, int]:
+        """Register every member table as a temp view pinned to ONE
+        catalog snapshot, so plain ``spark.sql`` joins across them are
+        cross-table consistent (and stay so — the views hold the
+        snapshot's immutable file lists even as new txns commit).
+        Returns the {table: version} map that was pinned."""
+        versions = self.snapshot(seq)
+        for name, v in versions.items():
+            self.table(name).read(version=v).createOrReplaceTempView(
+                f"{prefix}{name}"
+            )
+        return versions
+
     # ------------------------------------------------------------------
     # maintenance
 

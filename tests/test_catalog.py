@@ -445,3 +445,35 @@ def test_catalog_vacuum_coherent_retention(spark, tmp_path):
     cat.commit(overwrites={"a": _df(spark, [(9, "a9")])})
     assert cat.latest_seq() == 3
     assert cat.snapshot() == {"a": 3, "b": 2}
+
+
+def test_create_views_pins_consistent_sql_surface(spark, tmp_path):
+    """create_views registers snapshot-pinned temp views: a spark.sql
+    join across them reads one txn's state, and the views survive a
+    LATER commit unchanged (immutable file lists, not live pointers)."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.commit(
+        overwrites={
+            "orders2": _df(spark, [(1, "a"), (2, "b")]),
+            "totals": spark.createDataFrame([(2,)], "n long"),
+        }
+    )
+    pinned = cat.create_views(prefix="cat_")
+    assert pinned == {"orders2": 0, "totals": 0}
+    joined = spark.sql(
+        "SELECT t.n, COUNT(*) AS c FROM cat_orders2 o "
+        "CROSS JOIN cat_totals t GROUP BY t.n"
+    ).first()
+    assert (joined.n, joined.c) == (2, 2)
+    # a new txn does NOT move the already-registered views
+    cat.commit(
+        overwrites={
+            "orders2": _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+            "totals": spark.createDataFrame([(3,)], "n long"),
+        }
+    )
+    assert spark.sql("SELECT COUNT(*) AS c FROM cat_orders2").first().c == 2
+    assert spark.sql("SELECT n FROM cat_totals").first().n == 2
+    # re-pinning at the new snapshot picks up txn 1
+    cat.create_views(prefix="cat_")
+    assert spark.sql("SELECT COUNT(*) AS c FROM cat_orders2").first().c == 3
