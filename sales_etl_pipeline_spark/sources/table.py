@@ -662,6 +662,7 @@ class VersionedTable:
         self,
         target_bytes: int = 128 * 1024 * 1024,
         max_retries: int = 5,
+        zorder_by: tuple[str, ...] = (),
     ) -> dict:
         """OPTIMIZE: rewrite the latest version's data files into
         ``ceil(total_bytes / target_bytes)`` right-sized files and commit
@@ -674,7 +675,16 @@ class VersionedTable:
         reuses ``compact_parquet``'s rule: actual on-disk bytes decide
         the output count, no data scan. Retries through concurrent
         commits like ``merge_commit``. Returns {version, files_in,
-        files_out, bytes}."""
+        files_out, bytes}.
+
+        ``zorder_by=(cols...)`` is OPTIMIZE ZORDER BY: instead of a
+        hash repartition, range-partition + sort on the Morton key of
+        the given columns (``sources/writers.zorder_column``), so each
+        rewritten file spans a narrow range in EVERY clustered
+        dimension and the regenerated manifest stats make
+        ``read(where=...)`` prune files on all of them — epoch-ordered
+        streaming commits cluster terribly on query columns, and this
+        is the maintenance pass that fixes it."""
         last_err: CommitConflict | None = None
         for _ in range(max_retries):
             parent = self.latest_version()
@@ -687,7 +697,20 @@ class VersionedTable:
                 os.path.getsize(os.path.join(self._data, n)) for n in names
             )
             n_out = max(1, -(-total // target_bytes))
-            df = self.read(parent).repartition(n_out)
+            if zorder_by:
+                from .writers import zorder_column
+
+                base = self.read(parent)
+                df = (
+                    base.withColumn(
+                        "_z", zorder_column(base, list(zorder_by))
+                    )
+                    .repartitionByRange(n_out, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
+            else:
+                df = self.read(parent).repartition(n_out)
             try:
                 version = self.commit_overwrite(
                     df, operation="compact", expected_parent=parent

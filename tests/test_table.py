@@ -465,3 +465,49 @@ def test_compact_commit_same_rows_new_files(spark, tmp_path):
     t.vacuum(keep_last=1)
     on_disk = {f for f in os.listdir(t._data) if f.endswith(".parquet")}
     assert on_disk == {e["name"] for e in m["files"]}
+
+
+def test_compact_zorder_restores_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: epoch-ordered appends cluster on nothing, so
+    range reads open every file; compact(zorder_by=(k, j)) rewrites the
+    same rows clustered on the Morton key and the regenerated manifest
+    stats prune file reads on BOTH columns. Row identity across the
+    compaction commit is exact."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.stat_columns = ("k", "j")
+    # 4 append epochs, each spanning the FULL k/j range (worst case for
+    # pruning: every file overlaps every range predicate)
+    base = spark.range(4000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 100).cast("long").alias("k"),
+        ((F.col("id") * 7) % 100).cast("long").alias("j"),
+    )
+    for e in range(4):
+        t.commit_append(
+            base.filter(F.col("rid") % 4 == e).repartition(2), epoch=e,
+            writer="load",
+        )
+    pre = t.latest_version()
+    n_files_pre = len(t.files_for(pre))
+    pruned_pre = len(t.files_for(pre, where=("k", 10, 12)))
+    assert pruned_pre == n_files_pre  # nothing prunable before
+    res = t.compact(target_bytes=5_000, zorder_by=("k", "j"))
+    post = res["version"]
+    n_files_post = len(t.files_for(post))
+    assert n_files_post > 1  # multiple files, else pruning is vacuous
+    # both clustered columns now prune files (z-order trades perfect
+    # single-column pruning for partial pruning on EVERY clustered
+    # column; pre-compaction skipped zero)
+    assert len(t.files_for(post, where=("k", 10, 12))) <= n_files_post - 2
+    assert len(t.files_for(post, where=("j", 10, 12))) <= n_files_post - 2
+    # same rows, exactly
+    want = sorted(map(tuple, t.read(pre).collect()))
+    got = sorted(map(tuple, t.read(post).collect()))
+    assert got == want
+    # pruned read returns every matching row (pruning is never a filter)
+    assert (
+        t.read(post, where=("k", 10, 12)).filter("k between 10 and 12").count()
+        == base.filter("k between 10 and 12").count()
+    )
