@@ -252,8 +252,10 @@ class TableCatalog:
 
     def epoch_committed(self, writer: str, epoch: int) -> int | None:
         """The txn seq carrying this (writer, epoch), or None — the
-        streaming replay-idempotence check, catalog-wide."""
-        for s in self.txns():
+        streaming replay-idempotence check, catalog-wide. Scans
+        newest-first: a replayed epoch is almost always recent, so the
+        common hit costs O(1) record reads."""
+        for s in reversed(self.txns()):
             r = self._read_txn(s)
             if r.get("writer") == writer and r.get("epoch") == epoch:
                 return s

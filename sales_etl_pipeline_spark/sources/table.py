@@ -195,8 +195,10 @@ class VersionedTable:
 
     def epoch_committed(self, writer: str, epoch: int) -> bool:
         """True if some committed version carries this (writer, epoch) —
-        the streaming replay-idempotence check."""
-        for v in self.versions():
+        the streaming replay-idempotence check. Scans newest-first: a
+        replayed epoch is almost always among the most recent commits,
+        so the common hit costs O(1) manifest reads."""
+        for v in reversed(self.versions()):
             m = self._read_manifest(v)
             if m.get("writer") == writer and m.get("epoch") == epoch:
                 return True
