@@ -398,3 +398,94 @@ def test_hashed_cosine_regime_dispatch_both_ways(spark, skew_dir, tmp_path):
         )
     )
     assert inv == pl and inv
+
+
+def _exact_topk_filtered(vecs, mask, n_queries, k):
+    """Brute-force filtered ground truth: top-k among mask-true vectors
+    only, same tie-break as the plans."""
+    norms = np.linalg.norm(vecs, axis=1)
+    idx = np.where(mask)[0]
+    out = set()
+    for q in range(n_queries):
+        cand = idx[idx != q]
+        cos = (vecs[cand] @ vecs[q]) / (norms[cand] * norms[q])
+        order = np.lexsort((cand, -cos))[:k]
+        out.update((q, int(cand[i])) for i in order)
+    return out
+
+
+def test_filtered_ivf_recall_by_regime(spark, skew_dir):
+    """Filtered ANN (llmdata.ann_ivf_topk_filtered) vs the brute-force
+    FILTERED twin, gated per regime (the operator's documented
+    contract):
+
+    1. RARE label (subset below the coverage target): the coverage
+       rule scans every matching cell — brute-force asymptote,
+       recall ≥ 0.9 for ALL queries, far ones included.
+    2. DENSE label, default probes: bounded candidates at the measured
+       moderate recall (≥ 0.6 gate; ~0.75 observed in-partition — the
+       near-tie geometry of a tight cluster spreads true neighbors
+       across most of its cells, the known-hard filtered-ANN regime).
+    3. DENSE label, nprobe raised to ~⅔ of the matching cells: recall
+       climbs ≥ 0.9 — the knob buys recall monotonically.
+    4. exhaustive=True: exact equality with ground truth for EVERY
+       query (subset brute force) — the far-query escape hatch.
+
+    Plus: every returned neighbor satisfies the predicate."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{skew_dir}/embeddings.parquet")
+    vecs = np.vstack(tbl["embedding"].to_numpy()).astype(np.float64)
+    labels = tbl["label"].to_numpy()
+    counts = {int(l): int((labels == l).sum()) for l in set(labels.tolist())}
+    common = max(counts, key=counts.get)
+    rare = min(
+        (l for l in counts if counts[l] >= 2 * llmdata.IVF_TOP_K),
+        key=counts.get,
+    )
+    llmdata.clear_centroid_cache()
+
+    def run(lab, **kw):
+        got = llmdata.ann_ivf_topk_filtered(
+            spark, skew_dir, label=lab, **kw
+        ).collect()
+        assert all(labels[r.neighbor_id] == lab for r in got)
+        return {(r.query_id, r.neighbor_id) for r in got}
+
+    def recall(approx, exact):
+        return len(approx & exact) / len(exact)
+
+    # regime 1: rare label — brute-force asymptote for ALL queries
+    exact_r = _exact_topk_filtered(
+        vecs, labels == rare, llmdata.IVF_N_QUERIES, llmdata.IVF_TOP_K
+    )
+    r1 = recall(run(rare), exact_r)
+    assert r1 >= 0.9, (
+        f"rare-label recall {r1:.3f} "
+        f"(selectivity {counts[rare] / len(labels):.4f})"
+    )
+
+    # dense-label ground truth, in-partition query subset
+    exact_c = _exact_topk_filtered(
+        vecs, labels == common, llmdata.IVF_N_QUERIES, llmdata.IVF_TOP_K
+    )
+    inp = {q for q in range(llmdata.IVF_N_QUERIES) if labels[q] == common}
+    assert len(inp) >= 5
+
+    def in_partition(pairs):
+        return {(q, n) for q, n in pairs if q in inp}
+
+    # regime 2: default bounded probing — moderate recall, candidates
+    # bounded (the honest default)
+    r2 = recall(in_partition(run(common)), in_partition(exact_c))
+    assert r2 >= 0.6, f"default-probe in-partition recall {r2:.3f}"
+
+    # regime 3: probes ≈ 2/3 of matching cells — recall climbs past 0.9
+    r3 = recall(
+        in_partition(run(common, nprobe=30)), in_partition(exact_c)
+    )
+    assert r3 >= 0.9, f"nprobe=30 in-partition recall {r3:.3f}"
+    assert r3 > r2  # the knob is monotone on this corpus
+
+    # regime 4: exhaustive — exact for every query, far ones included
+    assert run(common, exhaustive=True) == exact_c
