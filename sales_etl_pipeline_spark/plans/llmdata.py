@@ -3838,6 +3838,98 @@ LIBRARY_ORACLE["linear_probe_eval"] = f"""
     FROM labels_eval l JOIN dots_eval d USING (doc_id)
 """
 
+def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT language-model evaluation — the discipline
+    ``doc_bigram_surprisal`` lacks (there, train = test, so memorized
+    boilerplate scores artificially low): a bigram LM is trained on the
+    md5 TRAIN split only (the backfill-stable doc_id rule of
+    assembly.train_test_split — a pure predicate, no leakage) and
+    scores the DISJOINT eval split, per eval doc: token count, OOV
+    count, mean bits/token. This is the quality-signal shape a real
+    CCNet-style pipeline ships: score NEW crawl batches under a model
+    fit on curated history.
+
+    Backoff ladder (stupid-backoff shape, penalty-free — documented
+    simplification, every branch integer-exact): bigram seen in train →
+    conditional bits ``len(bin(C(w₁) div C(w₁w₂)))−1``; else unigram
+    seen → ``len(bin(N div C(w)))−1``; else OOV → the max-surprisal
+    floor ``len(bin(N))−1``. First tokens have null context and take
+    the unigram/OOV branches. Same log-free dyadic-bits device as
+    doc_surprisal — cross-engine bit-exact, no libm.
+
+    Scale shape: train and eval streams both collapse to
+    (doc, prev, term)-tf grain before any join (the
+    doc_bigram_surprisal volume trick); LM counts are term-/bigram-
+    grain aggregates with map-side partials; scoring is two/three
+    LEFT joins at tf grain + a doc-grain weighted mean. Doc-grain
+    LAG windows only — never corpus-wide."""
+    from .assembly import EVAL_PCT, SPLIT_BUCKETS
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        md5_long(F.col("doc_id").cast("string")) % SPLIT_BUCKETS < EVAL_PCT
+    )
+
+    def seq_rel(d: DataFrame) -> DataFrame:
+        tok = d.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return (
+            tok.withColumn("prev", F.lag("term").over(w))
+            .groupBy("doc_id", "prev", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    seq_t = seq_rel(docs.filter(~is_eval))
+    uni = seq_t.groupBy("term").agg(F.sum("tf").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("n"))
+    big = (
+        seq_t.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.sum("tf").alias("c2"))
+    )
+    uni_prev = uni.select(
+        F.col("term").alias("prev"), F.col("c1").alias("c1_prev")
+    )
+    seq_e = seq_rel(docs.filter(is_eval))
+    scored = (
+        seq_e.join(uni, "term", "left")
+        .crossJoin(F.broadcast(total))
+        .join(uni_prev, "prev", "left")
+        .join(big, ["prev", "term"], "left")
+        .withColumn(
+            "bits",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.length(F.bin(F.expr("c1_prev div c2"))) - 1,
+            )
+            .when(
+                F.col("c1").isNotNull(),
+                F.length(F.bin(F.expr("n div c1"))) - 1,
+            )
+            .otherwise(F.length(F.bin(F.col("n"))) - 1),
+        )
+        .withColumn("oov", F.col("c1").isNull())
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("oov"), F.col("tf")).otherwise(F.lit(0))
+            ).alias("oov_tokens"),
+            (
+                F.sum(F.col("tf") * F.col("bits")).cast("double")
+                / F.sum("tf")
+            ).alias("mean_bits_per_token"),
+        )
+        .select("doc_id", "n_tokens", "oov_tokens", "mean_bits_per_token")
+    )
+
+
+LIBRARY_QUERIES["lm_heldout_perplexity"] = lm_heldout_perplexity
+
 LIBRARY_ORACLE["doc_bigram_surprisal"] = """
     WITH tok AS MATERIALIZED (
         SELECT doc_id, i AS pos, t[i] AS term
@@ -3868,6 +3960,62 @@ LIBRARY_ORACLE["doc_bigram_surprisal"] = """
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits_per_token
+    FROM scored
+    GROUP BY 1
+"""
+
+
+LIBRARY_ORACLE["lm_heldout_perplexity"] = """
+    WITH tr AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE NOT (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 5)
+    ),
+    ev AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 5
+    ),
+    tok_t AS MATERIALIZED (
+        SELECT doc_id, i AS pos, t[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM tr),
+             LATERAL unnest(generate_series(1, len(t))) AS g(i)
+    ),
+    seq_t AS MATERIALIZED (
+        SELECT doc_id, pos, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok_t
+    ),
+    uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok_t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    big AS (
+        SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM seq_t WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    tok_e AS MATERIALIZED (
+        SELECT doc_id, i AS pos, t[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ev),
+             LATERAL unnest(generate_series(1, len(t))) AS g(i)
+    ),
+    seq_e AS MATERIALIZED (
+        SELECT doc_id, pos, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok_e
+    ),
+    scored AS (
+        SELECT s.doc_id,
+               u.c1 IS NULL AS oov,
+               CASE WHEN b.c2 IS NOT NULL
+                    THEN length(bin(u2.c1 // b.c2)) - 1
+                    WHEN u.c1 IS NOT NULL
+                    THEN length(bin(t.n // u.c1)) - 1
+                    ELSE length(bin(t.n)) - 1 END AS bits
+        FROM seq_e s
+        LEFT JOIN uni u ON u.term = s.term
+        CROSS JOIN tot t
+        LEFT JOIN uni u2 ON u2.term = s.prev
+        LEFT JOIN big b ON b.prev = s.prev AND b.term = s.term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
            CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits_per_token
     FROM scored
     GROUP BY 1

@@ -263,3 +263,46 @@ def test_linear_probe_plan_size_is_dim_independent(spark):
     assert big < 2 * small, (small, big)
     rows = llmdata.linear_probe_scores(spark, SF, dim=4096, steps=1).collect()
     assert len(rows) > 0 and all(r.score == r.score for r in rows)  # no NaN
+
+def test_lm_heldout_backoff_ladder(spark, tmp_path):
+    """lm_heldout_perplexity on a constructed corpus exercising every
+    backoff branch: doc_id=40 lands in the md5 EVAL split (verified via
+    the same rule) and contains a train bigram ('a b' — cheap), a
+    train-unigram-only transition ('b z' where z is seen but never
+    after b), and an OOV token ('qq'). Bits must follow the ladder and
+    oov_tokens counts exactly the unseen tokens."""
+    from sales_etl_pipeline_spark.functions.core import md5_long
+    from sales_etl_pipeline_spark.plans import llmdata
+    from sales_etl_pipeline_spark.plans.assembly import (
+        EVAL_PCT,
+        SPLIT_BUCKETS,
+    )
+    from pyspark.sql import functions as F
+
+    # find a small doc_id in the eval split deterministically
+    ids = spark.range(200).select(
+        "id",
+        (md5_long(F.col("id").cast("string")) % SPLIT_BUCKETS < EVAL_PCT).alias(
+            "ev"
+        ),
+    )
+    eval_id = ids.filter("ev").first().id
+    train_id = ids.filter("NOT ev").first().id
+    docs = spark.createDataFrame(
+        [
+            (int(train_id), "a b a b z a"),   # train LM corpus
+            (int(eval_id), "z a z qq"),        # eval: uni, bigram, backoff, OOV
+        ],
+        "doc_id long, text string",
+    ).withColumn("source", F.lit("s"))
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = llmdata.lm_heldout_perplexity(spark, str(tmp_path)).first()
+    assert row.doc_id == eval_id
+    assert row.n_tokens == 4
+    assert row.oov_tokens == 1  # only 'qq' unseen in train
+    # ladder bits over train counts N=6, C(a)=3, C(z)=1, C(za)=1:
+    # 'z' first token -> unigram len(bin(6//1))-1 = 2;
+    # 'a' after 'z': train bigram -> len(bin(1//1))-1 = 0;
+    # 'z' after 'a': (a,z) unseen -> unigram backoff len(bin(6//1))-1 = 2;
+    # 'qq': OOV -> len(bin(6))-1 = 2.  mean = 6/4
+    assert row.mean_bits_per_token == 6 / 4
