@@ -762,6 +762,91 @@ def run_cdc_merge_stream_catalog(
     query.awaitTermination()
 
 
+def run_crawl_ingest_stream(
+    spark,
+    warc_dir: str,
+    catalog_root: str,
+    checkpoint_dir: str,
+    writer: str = "crawl_ingest",
+) -> None:
+    """The crawl-to-corpus ingestion loop, end to end: TAIL a directory
+    of WARC archives (``sources/warc.py`` streaming source — each
+    microbatch is exactly the newly landed files), extract documents
+    in-stream (HTTP-200 text/html responses → ``html_to_text``, stable
+    md5 doc ids, registrable-domain sources — all stateless column
+    ops, so they run inside the stream with no state store), and land
+    each epoch as ONE catalog transaction: the documents APPEND plus
+    the refreshed per-source stats OVERWRITE (counts/chars fold
+    mergeably — old stats + batch stats, never re-reading the corpus).
+    A reader at any txn seq sees documents and stats from the same
+    epoch; a replayed epoch (restart mid-publish, checkpoint loss)
+    hits the catalog's (writer, epoch) idempotence and commits
+    NOTHING twice. Single-writer per catalog by contract (the
+    ``writer`` name is the stream's identity, as in the CDC sinks)."""
+    from ..functions.core import md5_long
+    from ..functions.web import html_to_text, registrable_domain
+    from ..sources import warc as warc_source
+    from ..sources.catalog import TableCatalog
+
+    warc_source.register(spark)
+    recs = (
+        spark.readStream.format(warc_source.FORMAT_NAME)
+        .option("path", warc_dir)
+        .load()
+    )
+    docs = (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+            & F.col("body").isNotNull()
+        )
+        .select(
+            md5_long(F.col("record_id")).alias("doc_id"),
+            registrable_domain(F.col("target_uri")).alias("source"),
+            html_to_text(F.col("body").cast("string")).alias("text"),
+        )
+        .filter(F.length("text") > 0)
+    )
+    cat = TableCatalog(spark, catalog_root)
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no new files this trigger: no empty txn
+        batch_stats = batch_df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        try:
+            old = cat.read("source_stats")
+        except (FileNotFoundError, KeyError):
+            old = None
+        merged = (
+            batch_stats
+            if old is None
+            else old.unionByName(batch_stats)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_chars").alias("n_chars"),
+            )
+        )
+        cat.commit(
+            appends={"documents": batch_df},
+            overwrites={"source_stats": merged},
+            writer=writer,
+            epoch=epoch_id,
+        )
+
+    query = (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -281,3 +281,63 @@ def test_warc_parser_roundtrip_property():
             assert a[1] == b[1] and bytes(a[7]) == bytes(b[7])
 
     check()
+
+
+def test_crawl_ingest_stream_end_to_end(spark, tmp_path):
+    """The full ingestion loop (streaming/jobs.run_crawl_ingest_stream):
+    drain 1 lands file A's documents + stats as txn 0; file B arrives,
+    drain 2 appends only B's docs and refreshes stats in the SAME txn;
+    at every seq the stats table ≡ a recompute from the documents table
+    at that seq; a full replay with a fresh checkpoint commits nothing."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.sources.catalog import TableCatalog
+    from sales_etl_pipeline_spark.streaming import jobs
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    _write_warc(
+        str(d / "a.warc"),
+        [
+            _record("response", "https://www.x-site.com/1", _http(HTML1), "r1"),
+            _record("response", "https://www.y-site.org/2", _http(HTML2), "r2"),
+        ],
+    )
+    root = str(tmp_path / "cat")
+
+    jobs.run_crawl_ingest_stream(spark, str(d), root, str(tmp_path / "ck"))
+    cat = TableCatalog(spark, root)
+    assert cat.latest_seq() == 0
+    assert cat.read("documents").count() == 2
+    _write_warc(
+        str(d / "b.warc.gz"),
+        [_record("response", "https://www.x-site.com/3", _http(HTML1), "r3")],
+        gz=True,
+    )
+    jobs.run_crawl_ingest_stream(spark, str(d), root, str(tmp_path / "ck"))
+    assert cat.latest_seq() == 1
+    docs = cat.read("documents")
+    assert docs.count() == 3
+    assert docs.select("doc_id").distinct().count() == 3
+    # appended, not rewritten: documents table has 2 versions
+    assert cat.table("documents").versions() == [0, 1]
+    # seq-aligned stats ≡ recompute at every seq
+    for s in cat.txns():
+        want = sorted(
+            map(
+                tuple,
+                cat.read("documents", seq=s)
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.length("text")).alias("n_chars"),
+                )
+                .collect(),
+            )
+        )
+        got = sorted(map(tuple, cat.read("source_stats", seq=s).collect()))
+        assert got == want, f"stats misaligned at seq {s}"
+    # replay from scratch: both epochs already committed -> no-op
+    jobs.run_crawl_ingest_stream(spark, str(d), root, str(tmp_path / "ck2"))
+    assert cat.latest_seq() == 1
+    assert cat.read("documents").count() == 3
