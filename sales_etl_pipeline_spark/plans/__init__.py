@@ -39,6 +39,7 @@ from . import (
     llmdata,
     parity,
     temporal,
+    tpch,
     validation,
     webtext,
 )
@@ -65,6 +66,7 @@ _MODULES = (
     validation,
     incremental,
     webtext,
+    tpch,
     pysource,
 )
 
