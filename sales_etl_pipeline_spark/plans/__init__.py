@@ -39,6 +39,7 @@ from . import (
     llmdata,
     parity,
     temporal,
+    timeseries,
     tpch,
     validation,
     webtext,
@@ -67,6 +68,7 @@ _MODULES = (
     incremental,
     webtext,
     tpch,
+    timeseries,
     pysource,
 )
 

@@ -1,0 +1,238 @@
+"""Time-series regularization: calendar-spine gap-fill, forward-fill,
+linear interpolation, and OHLC downsampling (reference README.md:131-154
+frames daily-revenue trend analysis as a downstream consumer; a real
+revenue/metrics feed needs a dense, regular time axis before charting or
+model input, which the raw event/order tables don't have — at sf0.001
+over half the calendar days have no orders at all).
+
+Scale design (§4.3 grain discipline): every window in this family runs on
+an *aggregated* relation (daily or hourly grain — thousands of rows at
+any data scale), never on raw facts. The spine is generated from a 1-row
+min/max aggregate via ``sequence()`` + ``explode`` — date/hour grain, so
+its size is bounded by the time span, not the data volume. The only
+fact-grain operations are the initial groupBy aggregations, which shuffle
+once on the bucket key and partial-aggregate map-side.
+
+Exactness: bucket sums stay DECIMAL(38,10) through fills and window
+carries (cast to double only at the output edge — the
+daily_sales_moving_avg discipline, plans/parity.py:231); interpolation
+weights are ratios of integer second-diffs cast to double, the identical
+op tree on both engines, so the interpolated doubles are bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.core import DEC, oracle_davg, davg
+from ..sources.readers import load_events, load_table
+
+
+def daily_sales_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily revenue series: a calendar spine over [min, max]
+    order date, left-joined to the daily aggregate; missing days carry
+    revenue 0.0 / orders 0 plus a forward-filled last-known revenue and
+    an ``is_gap`` flag. The ffill window is unpartitioned but runs on
+    the date-grain relation (≤ a few thousand rows per decade)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("order_date")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    spine = (
+        daily.agg(
+            F.min("order_date").alias("mn"), F.max("order_date").alias("mx")
+        )
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 day"))
+            ).alias("order_date")
+        )
+    )
+    joined = spine.join(daily, "order_date", "left")
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "order_date",
+        F.coalesce(F.col("rev_dec").cast("double"), F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("rev_dec").isNull().alias("is_gap"),
+        F.last("rev_dec", ignorenulls=True).over(w).cast("double").alias(
+            "revenue_ffill"
+        ),
+    ).orderBy("order_date")
+
+
+def hourly_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly mean event value per type on a dense hour spine, with
+    linear interpolation across empty buckets (ffill/bfill at the series
+    edges). The spine is (distinct types) × (hour sequence from a 1-row
+    bounds aggregate) — agg-grain on both sides, broadcast cross join.
+
+    Interpolation: for a gap bucket at time t between the nearest
+    observed buckets (t0,v0) and (t1,v1), value = v0 + (v1−v0)·(t−t0)/
+    (t1−t0) with the weight a ratio of integer second-diffs — identical
+    double arithmetic on both engines."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(davg("value").alias("v_avg"))
+    bounds = hourly.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
+            "bucket"
+        )
+    )
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    joined = spine.join(hourly, ["event_type", "bucket"], "left")
+
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v_avg").isNotNull(), F.col("bucket"))
+    prev_v = F.last("v_avg", ignorenulls=True).over(back)
+    prev_t = F.last(obs_t, ignorenulls=True).over(back)
+    next_v = F.first("v_avg", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_t, ignorenulls=True).over(fwd)
+    sec = F.unix_timestamp
+    weight = (sec(F.col("bucket")) - sec(prev_t)).cast("double") / (
+        sec(next_t) - sec(prev_t)
+    ).cast("double")
+    interp = (
+        F.when(F.col("v_avg").isNotNull(), F.col("v_avg"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), prev_v + (next_v - prev_v) * weight)
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.col("v_avg").isNull().alias("is_gap"),
+        interp.alias("value_interp"),
+    ).orderBy("event_type", "bucket")
+
+
+def weekly_revenue_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsample of the daily revenue series to Monday-anchored
+    weeks: open/close are the first/last day's revenue (``min_by``/
+    ``max_by`` on the unique date key — deterministic), high/low the
+    extremes. Two aggregations, both agg-grain after the first."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("order_date")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    return (
+        daily.groupBy(
+            F.date_trunc("week", "order_date").cast("date").alias("week_start")
+        )
+        .agg(
+            F.min_by("rev_dec", "order_date").cast("double").alias("open"),
+            F.max("rev_dec").cast("double").alias("high"),
+            F.min("rev_dec").cast("double").alias("low"),
+            F.max_by("rev_dec", "order_date").cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("week_start")
+    )
+
+
+LIBRARY_QUERIES = {
+    "daily_sales_gapfill": daily_sales_gapfill,
+    "hourly_value_interp": hourly_value_interp,
+    "weekly_revenue_ohlc": weekly_revenue_ohlc,
+}
+
+LIBRARY_ORACLE = {
+    "daily_sales_gapfill": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_date,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev_dec,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(
+                       (SELECT CAST(MIN(order_date) AS TIMESTAMP) FROM daily),
+                       (SELECT CAST(MAX(order_date) AS TIMESTAMP) FROM daily),
+                       INTERVAL 1 DAY)) AS DATE) AS order_date
+        )
+        SELECT s.order_date,
+               COALESCE(CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE), 0.0) AS revenue,
+               COALESCE(n_orders, 0) AS n_orders,
+               rev_dec IS NULL AS is_gap,
+               CAST(CAST(LAST_VALUE(rev_dec IGNORE NULLS) OVER (
+                   ORDER BY s.order_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS DOUBLE) AS revenue_ffill
+        FROM spine s LEFT JOIN daily d USING (order_date)
+        ORDER BY s.order_date
+    """,
+    "hourly_value_interp": f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   {oracle_davg('value')} AS v_avg
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT t.event_type, u.bucket
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    (SELECT MIN(bucket) FROM hourly),
+                    (SELECT MAX(bucket) FROM hourly),
+                    INTERVAL 1 HOUR)) AS bucket
+            ) u
+        ),
+        j AS (
+            SELECT s.event_type, s.bucket, h.v_avg,
+                   LAST_VALUE(h.v_avg IGNORE NULLS) OVER w_back AS prev_v,
+                   LAST_VALUE(CASE WHEN h.v_avg IS NOT NULL THEN s.bucket END
+                              IGNORE NULLS) OVER w_back AS prev_t,
+                   FIRST_VALUE(h.v_avg IGNORE NULLS) OVER w_fwd AS next_v,
+                   FIRST_VALUE(CASE WHEN h.v_avg IS NOT NULL THEN s.bucket END
+                               IGNORE NULLS) OVER w_fwd AS next_t
+            FROM spine s LEFT JOIN hourly h USING (event_type, bucket)
+            WINDOW
+              w_back AS (PARTITION BY s.event_type ORDER BY s.bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              w_fwd AS (PARTITION BY s.event_type ORDER BY s.bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket,
+               v_avg IS NULL AS is_gap,
+               CASE WHEN v_avg IS NOT NULL THEN v_avg
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                        prev_v + (next_v - prev_v) *
+                        (CAST(date_diff('second', prev_t, bucket) AS DOUBLE)
+                         / CAST(date_diff('second', prev_t, next_t) AS DOUBLE))
+                    WHEN prev_v IS NOT NULL THEN prev_v
+                    ELSE next_v END AS value_interp
+        FROM j
+        ORDER BY event_type, bucket
+    """,
+    "weekly_revenue_ohlc": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_date,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev_dec
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(date_trunc('week', order_date) AS DATE) AS week_start,
+               CAST(CAST(arg_min(rev_dec, order_date) AS VARCHAR) AS DOUBLE) AS open,
+               CAST(CAST(MAX(rev_dec) AS VARCHAR) AS DOUBLE) AS high,
+               CAST(CAST(MIN(rev_dec) AS VARCHAR) AS DOUBLE) AS low,
+               CAST(CAST(arg_max(rev_dec, order_date) AS VARCHAR) AS DOUBLE) AS close,
+               COUNT(*) AS n_days
+        FROM daily
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}

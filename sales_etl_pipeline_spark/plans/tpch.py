@@ -15,6 +15,9 @@ shape exercising a distinct Catalyst path at 100-TB-relevant grain:
 - Q14 promo_revenue_share      global conditional-revenue ratio
 - Q17 small_quantity_revenue   correlated scalar subquery, decorrelated
                                to a broadcast per-part aggregate
+- Q15 top_supplier_revenue     argmax-with-ties via window max over an
+                               aggregate (the view + subquery in the
+                               original), all ties returned
 - Q18 large_volume_customers   HAVING on a fact-grain agg, joined back
 - Q19 disjunctive_part_revenue OR-of-conjunctions predicate pushdown
 - Q21 waiting_suppliers        multi-level agg + unique-max qualify
@@ -212,6 +215,37 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum shipped revenue in
+    the first quarter of 1995 — the original's revenue view + scalar
+    max subquery collapsed to one window max over the supplier-grain
+    aggregate (one fact scan, one agg shuffle, one 1-row broadcast scalar
+    max joined back — NOT an unpartitioned window, which would collapse
+    the supplier-grain relation to a single partition). Revenue stays
+    DECIMAL through the comparison so the max test is exact on both
+    engines and every tie survives identically."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1995-03-31")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.sum(_rev().cast("decimal(38,10)")).alias("rev_dec")
+    )
+    max_rev = per_supp.agg(F.max("rev_dec").alias("max_rev"))
+    best = per_supp.join(F.broadcast(max_rev)).filter(
+        F.col("rev_dec") == F.col("max_rev")
+    )
+    return (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds 150, with the
     customer — HAVING on a fact-grain aggregate, joined back to orders and
@@ -319,6 +353,7 @@ LIBRARY_QUERIES = {
     "ship_lag_priority": ship_lag_priority,
     "promo_revenue_share": promo_revenue_share,
     "small_quantity_revenue": small_quantity_revenue,
+    "top_supplier_revenue": top_supplier_revenue,
     "large_volume_customers": large_volume_customers,
     "disjunctive_part_revenue": disjunctive_part_revenue,
     "waiting_suppliers": waiting_suppliers,
@@ -401,6 +436,21 @@ LIBRARY_ORACLE = {
         JOIN part_avg USING (l_partkey)
         WHERE p_brand = 'Brand#2' AND p_type = 'SMALL'
           AND l_quantity < 0.2 * avg_qty
+    """,
+    "top_supplier_revenue": f"""
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   SUM(CAST({_REVENUE} AS DECIMAL(38,10))) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-03-31'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+        FROM per_supp
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
+        ORDER BY s_suppkey
     """,
     "large_volume_customers": f"""
         WITH big AS (
