@@ -4,15 +4,29 @@ these ad-hoc analytics as the pipeline's downstream query surface).
 
 Each plan is the standard TPC-H query pattern adapted to the driver's
 star schema (TESTDATA.md — no partsupp table, so Q9's supply cost is a
-retail-price proxy and the partsupp-only queries Q2/Q11/Q16/Q20 are out
-of scope). The point of the family is optimizer/physical breadth, each
-shape exercising a distinct Catalyst path at 100-TB-relevant grain:
+retail-price proxy and the partsupp queries Q2/Q11/Q16/Q20 read their
+supply facts from lineitem instead). With this module every one of the
+22 TPC-H query SHAPES has an implementation in the engine (Q1/Q3/Q4/Q5/
+Q10/Q13 + the correlated-Q22 form live in plans/analytics.py &
+plans/parity.py). The point of the family is optimizer/physical
+breadth, each shape exercising a distinct Catalyst path at
+100-TB-relevant grain:
 
+- Q2  min_cost_supplier        correlated MIN over a 4-dim join,
+                               decorrelated to a per-part min joined
+                               back on cost equality; top-100
+- Q6  forecast_revenue         pure pushdown: one filtered scan, one
+                               global exact sum
 - Q7  nation_trade_volume      self-joined dimension (nation ×2 aliases)
 - Q8  nation_market_share      conditional-aggregate ratio over a region
 - Q9  product_type_profit      5-table join + per-row profit expression
+- Q11 important_part_value     part-grain agg HAVING > fraction × a
+                               1-row global scalar (broadcast, no
+                               second fact scan)
 - Q12 ship_lag_priority        CASE bucketing + conditional counts
 - Q14 promo_revenue_share      global conditional-revenue ratio
+- Q16 supplier_part_variety    negated predicates + NOT-IN broadcast
+                               anti join + per-group distinct count
 - Q17 small_quantity_revenue   correlated scalar subquery, decorrelated
                                to a broadcast per-part aggregate
 - Q15 top_supplier_revenue     argmax-with-ties via window max over an
@@ -20,7 +34,12 @@ shape exercising a distinct Catalyst path at 100-TB-relevant grain:
                                original), all ties returned
 - Q18 large_volume_customers   HAVING on a fact-grain agg, joined back
 - Q19 disjunctive_part_revenue OR-of-conjunctions predicate pushdown
+- Q20 excess_share_suppliers   nested two-level agg over one fact scan
+                               + share filter + semi join
 - Q21 waiting_suppliers        multi-level agg + unique-max qualify
+- Q22 dormant_customer_balance 1-row scalar broadcast + anti join +
+                               group agg (global variant; correlated
+                               variant = analytics.above_avg_balance)
 
 Scale notes: every join's small side (part at 1/30 of lineitem, nation,
 supplier) is broadcast; the only fact-grain shuffles are the group-bys
@@ -42,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.core import dsum, davg, oracle_dsum, oracle_davg
 from ..sources.readers import load_table
+from .llmdata import _pin, release_plan_caches
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -344,6 +364,245 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small STANDARD part, the AMERICA
+    supplier(s) offering the minimum unit price (no partsupp table in
+    this schema, so supply cost = the supplier's lowest observed
+    l_extendedprice / l_quantity for the part — reference README.md's
+    ad-hoc supplier-sourcing analytics). The original's correlated MIN
+    subquery is decorrelated the canonical way: a (part)-grain minimum
+    aggregate joined back on cost equality — never a per-row re-scan.
+    Ties all survive; the unique (acctbal desc, partkey, suppkey) sort +
+    LIMIT 100 pins TakeOrderedAndProject.
+
+    Exactness: unit price is the identical double division on both
+    engines; MIN over doubles is exact; the equality join-back compares
+    the same bits."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    region_supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    offers = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(region_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("unit_cost")
+        )
+    )
+    per_part_min = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(per_part_min),
+            (offers.p_partkey == F.col("mk"))
+            & (offers.unit_cost == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if discount-revenue scalar — one filtered
+    scan, one global exact sum, every predicate (date range, discount
+    band, quantity bound) pushable into the parquet scan. The simplest
+    query in the family and the purest pushdown test: at 100 TB this
+    must read only row groups whose min/max stats survive the filters."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "forecast_revenue"
+            )
+        )
+    )
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value through EUROPE
+    suppliers exceeds a fixed fraction of that region's total — a
+    part-grain aggregate filtered against a 1-row global scalar
+    (broadcast cross join). The part-grain relation feeds BOTH the
+    output rows and the global-total re-aggregate, so it is pinned
+    (persist + release_plan_caches discipline, plans/llmdata.py:286) —
+    one fact scan total, not one per consumer; the total itself is a
+    tree-aggregate over the (small) pinned relation, never an
+    unpartitioned window over it. The threshold compares doubles
+    derived from exact DECIMAL sums via the identical
+    ``value > 0.0005 * total`` op tree on both engines."""
+    release_plan_caches()
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    scoped_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    scoped = lineitem.join(
+        F.broadcast(scoped_supp), lineitem.l_suppkey == F.col("s_suppkey")
+    )
+    per_part = _pin(
+        scoped.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).alias(
+                "val_dec"
+            )
+        )
+    )
+    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("val_dec").cast("double")
+            > F.lit(0.0005) * F.col("total_dec").cast("double")
+        )
+        .select(
+            "l_partkey", F.col("val_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can source each
+    (brand, type, size) bucket — negated predicates on the part side,
+    an anti-join exclusion list on the supplier side (no comment column,
+    so 'customer complaints' = s_acctbal < 1000), and a distinct count
+    per group. The exclusion list is supplier-grain → broadcast anti
+    join; the distinct count shuffles once on the 3-part group key."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 50))
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            lineitem.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_3 suppliers who dominated supply of some
+    'large *' part in 1996 (no partsupp availqty, so 'excess stock' =
+    shipped more than 40% of the part's total 1996 volume). Two nested
+    aggregations over ONE fact scan — the (part, supplier)-grain
+    relation is pinned because it feeds both the share filter and the
+    part-grain re-aggregate — a share filter between them, and a semi
+    join up to supplier names. The naive form is a correlated subquery
+    per (supplier, part); this is its decorrelation."""
+    release_plan_caches()
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("large")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    per_ps = _pin(
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("qty_dec")
+        )
+    )
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_dec").alias("total_dec")
+    )
+    dominant = per_ps.join(
+        per_part, per_ps.l_partkey == F.col("pk")
+    ).filter(
+        F.col("qty_dec").cast("double")
+        > F.lit(0.4) * F.col("total_dec").cast("double")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            dominant.select("l_suppkey").distinct(),
+            supplier.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global variant — plans/analytics.py's
+    ``above_avg_balance`` covers the per-group correlated form): market
+    segments' count + total balance of customers richer than the global
+    positive-balance average with no order since 1999 (the pure
+    never-ordered form is empty beyond toy scale — every rich customer
+    has SOME order). Three Catalyst paths in one plan: a 1-row scalar
+    aggregate broadcast back, an anti join against the date-filtered
+    fact table (filter pushed below the anti join), and a group
+    aggregate. The threshold is davg-exact so no boundary customer
+    flips engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 _DSUM_REV = oracle_dsum(_REVENUE)
 
 LIBRARY_QUERIES = {
@@ -357,6 +616,12 @@ LIBRARY_QUERIES = {
     "large_volume_customers": large_volume_customers,
     "disjunctive_part_revenue": disjunctive_part_revenue,
     "waiting_suppliers": waiting_suppliers,
+    "min_cost_supplier": min_cost_supplier,
+    "forecast_revenue": forecast_revenue,
+    "important_part_value": important_part_value,
+    "supplier_part_variety": supplier_part_variety,
+    "excess_share_suppliers": excess_share_suppliers,
+    "dormant_customer_balance": dormant_customer_balance,
 }
 
 LIBRARY_ORACLE = {
@@ -500,5 +765,109 @@ LIBRARY_ORACLE = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """,
+    "min_cost_supplier": """
+        WITH offers AS MATERIALIZED (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_type = 'STANDARD' AND p_size <= 10 AND r_name = 'AMERICA'
+            GROUP BY 1, 2, 3, 4, 5, 6
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM offers o
+        WHERE unit_cost = (
+            SELECT MIN(unit_cost) FROM offers i
+            WHERE i.p_partkey = o.p_partkey
+        )
+        ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+        LIMIT 100
+    """,
+    "forecast_revenue": f"""
+        SELECT {oracle_dsum('l_extendedprice * l_discount')}
+                   AS forecast_revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """,
+    "important_part_value": """
+        WITH per_part AS MATERIALIZED (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS val_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY 1
+        )
+        SELECT l_partkey,
+               CAST(CAST(val_dec AS VARCHAR) AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE CAST(CAST(val_dec AS VARCHAR) AS DOUBLE) >
+              0.0005 * (SELECT CAST(CAST(SUM(val_dec) AS VARCHAR) AS DOUBLE)
+                        FROM per_part)
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "supplier_part_variety": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 7, 14, 23, 36, 45, 49, 50)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+          )
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "excess_share_suppliers": """
+        WITH per_ps AS MATERIALIZED (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(38,10))) AS qty_dec
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'large%'
+              AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY 1, 2
+        ),
+        per_part AS (
+            SELECT l_partkey AS pk, SUM(qty_dec) AS total_dec
+            FROM per_ps GROUP BY 1
+        ),
+        dominant AS (
+            SELECT DISTINCT l_suppkey
+            FROM per_ps JOIN per_part ON l_partkey = pk
+            WHERE CAST(CAST(qty_dec AS VARCHAR) AS DOUBLE) >
+                  0.4 * CAST(CAST(total_dec AS VARCHAR) AS DOUBLE)
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        ORDER BY s_name
+    """,
+    "dormant_customer_balance": f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS numcust,
+               {oracle_dsum('c_acctbal')} AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT {oracle_davg('c_acctbal')}
+            FROM customer WHERE c_acctbal > 0
+        )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01'
+          )
+        GROUP BY 1
+        ORDER BY 1
     """,
 }

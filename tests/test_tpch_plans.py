@@ -61,6 +61,61 @@ def test_q21_single_fact_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q2_min_cost_joinback_broadcast_topk(spark):
+    # decorrelated per-part min joins back broadcast; the unique-keyed
+    # sort + LIMIT compiles to TakeOrderedAndProject, not a global sort
+    plan = _plan(tpch.min_cost_supplier(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    # date range, discount band and quantity bound must ALL be pushed
+    # into the parquet scan — at 100 TB this is the whole query
+    plan = _plan(tpch.forecast_revenue(spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(
+        "l_shipdate" in l and "l_discount" in l and "l_quantity" in l
+        for l in pushed
+    )
+
+
+def test_q11_global_scalar_is_broadcast_no_second_scan(spark):
+    # the part-grain relation is pinned and feeds BOTH consumers as
+    # InMemoryTableScan (one fact scan at execution, not one per
+    # consumer); the global total joins back as a 1-row broadcast
+    plan = _plan(tpch.important_part_value(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    plan = _plan(tpch.supplier_part_variety(spark, SF))
+    assert "BroadcastHashJoin LeftAnti" in plan.replace(
+        "BroadcastHashJoin [l_suppkey", "BroadcastHashJoin LeftAnti [l_suppkey"
+    ) or "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_single_fact_scan_semi_join(spark):
+    # (part,supplier) grain is pinned — both its consumers (share filter
+    # + part-grain re-agg) read the cache, ONE lineitem scan at
+    # execution; the supplier qualification is a semi join
+    plan = _plan(tpch.excess_share_suppliers(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_with_pushed_date_filter(spark):
+    # the 1999 dormancy cutoff must sit below the anti join, pushed into
+    # the orders scan — anti-joining the full fact then filtering is wrong
+    plan = _plan(tpch.dormant_customer_balance(spark, SF))
+    assert "LeftAnti" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed)
+
+
 def test_q15_scalar_max_is_broadcast_not_window(spark):
     # argmax-with-ties via a 1-row broadcast aggregate; an unpartitioned
     # window here would collapse the supplier grain to one partition
