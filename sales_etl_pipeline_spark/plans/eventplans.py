@@ -526,6 +526,106 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort_week", "week_offset")
     )
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over the event stream: for every ordered
+    pair of event types, how often one follows the other within a
+    session, and the conditional probability P(next | current). The
+    'within a session' rule matches ``event_sessionization``'s contract
+    (new session iff the gap is >= 30 min), applied as native interval
+    arithmetic on the TIMESTAMP_NTZ column — exact microsecond
+    semantics on both engines, no timezone involved.
+
+    Scale shape: one user-partitioned window (lag) over the fact stream
+    — the same single shuffle every per-user plan here pays — then a
+    groupBy on the (from, to) pair, which is TYPE²-grain (25 rows for 5
+    event types at any data scale); the per-from normalising total is a
+    window over that tiny relation, never over facts. The conditional
+    probability is a double division of two exact counts."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap"),
+    ).filter(
+        F.col("gap").isNotNull()
+        & (F.col("gap") < F.expr("INTERVAL 30 MINUTES"))
+    )
+    edges = marked.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_from = Window.partitionBy("from_type")
+    return edges.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_from).cast("double")
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common session paths — each session rendered as the
+    '>'-joined sequence of its first 8 event types (the truncation
+    bounds the path string at any session length; real clickstreams
+    have unbounded sessions). The path is materialised with
+    collect_list over the FULL ordered frame of the per-session window
+    (deterministic: the frame order is the window's (ts, event_id)
+    sort), never a groupBy collect_list whose order is partition
+    dependent. Session ids are the lag + cumulative-sum form (the
+    ``_SESSION_SQL`` oracle contract), via exact interval arithmetic.
+
+    Scale shape: two user-partitioned windows and one session-grain
+    aggregate; the final top-k is TakeOrderedAndProject, not a global
+    sort."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    sess = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap >= F.expr("INTERVAL 30 MINUTES")), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts", "event_id"
+    )
+    first8 = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 8
+    )
+    paths = (
+        first8.withColumn(
+            "path",
+            F.array_join(
+                F.collect_list("event_type").over(
+                    ws.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+                ">",
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
 #: Library tier (50-entry driver cap, COVERAGE.md): oracle-checked every
 #: pytest run by tests/test_library_parity.py; the streaming twin in
 #: streaming/jobs.py is additionally pinned stream ≡ batch.
@@ -534,9 +634,72 @@ LIBRARY_QUERIES = {
     "event_attribution": event_attribution,
     "event_user_unpivot": event_user_unpivot,
     "event_props_variant": event_props_variant,
+    "event_transitions": event_transitions,
+    "session_paths_topk": session_paths_topk,
 }
 
 LIBRARY_ORACLE: dict[str, str] = {
+    "event_transitions": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_type,
+                   lag(ts) OVER w AS prev_ts,
+                   lag(event_type) OVER w AS from_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        edges AS (
+            SELECT from_type, event_type AS to_type,
+                   COUNT(*) AS n_transitions
+            FROM ordered
+            WHERE prev_ts IS NOT NULL
+              AND ts - prev_ts < INTERVAL '30 minutes'
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n_transitions,
+               CAST(n_transitions AS DOUBLE) /
+               CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE) AS prob
+        FROM edges
+        ORDER BY 1, 2
+    """,
+    "session_paths_topk": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessioned AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_idx
+            FROM ordered
+        ),
+        first8 AS (
+            SELECT user_id, session_idx, ts, event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, session_idx
+                       ORDER BY ts, event_id
+                   ) AS rn
+            FROM sessioned
+            QUALIFY rn <= 8
+        ),
+        paths AS (
+            SELECT string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+            FROM first8
+            GROUP BY user_id, session_idx
+        )
+        SELECT path, COUNT(*) AS n_sessions
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+    """,
     "cohort_retention": """
         WITH user_weeks AS (
             SELECT DISTINCT user_id,

@@ -158,6 +158,28 @@ def test_event_attribution_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_event_transitions_windows_are_user_partitioned(spark):
+    """The lag window must be partitioned by user_id (the fact-grain
+    shuffle), and the per-from normalising total must be a window over
+    the TYPE²-grain aggregate — no unpartitioned window may ever touch
+    the raw event stream."""
+    from sales_etl_pipeline_spark.plans import eventplans
+
+    plan = _plan(eventplans.event_transitions(spark, SF))
+    # exactly one fact-grain exchange: the user_id hash partitioning for
+    # the lag window (the from_type window runs on the 25-row aggregate)
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan.split("HashAggregate")[0]
+
+
+def test_session_paths_topk_is_take_ordered(spark):
+    from sales_etl_pipeline_spark.plans import eventplans
+
+    plan = _plan(eventplans.session_paths_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_incremental_minhash_candidate_join_is_equi(spark):
     """Delta×index candidate generation must be a (band, key) equi-join;
     a nested-loop fallback would defeat the whole incremental design."""
