@@ -145,10 +145,63 @@ def weekly_revenue_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily revenue series:
+    each day scored against the TRAILING 30 days (frame excludes the
+    current row — the day under test must not contaminate its own
+    baseline), flagged when |z| > 2 with at least 10 days of history.
+
+    Exactness via INTEGER CENTS: money is 2-dp, so every Σx and Σx²
+    the variance needs is computed on exact integer decimals (cents and
+    cents², DECIMAL(19,0)/(38,0)) — unlike the dsum path, nothing is
+    ever quantized to a decimal scale (squaring a double then rounding
+    it to 10 dp is where engines disagree by one quantum; squaring an
+    exact integer cannot). The only double arithmetic is the final
+    mean/var/sqrt/z tree over correctly-rounded conversions of those
+    exact integers — identical on both engines ⇒ bit-identical flags,
+    no boundary day can flip. The window is unpartitioned but runs on
+    the date-grain aggregate (calendar-bounded, never facts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents_row = (F.col("o_totalprice") * 100).cast("decimal(19,0)")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(cents_row).alias("cents_wide"))
+        .select(
+            "order_date",
+            F.col("cents_wide").cast("decimal(19,0)").alias("cents"),
+        )
+    )
+    series = daily.select(
+        "order_date",
+        "cents",
+        (F.col("cents") * F.col("cents")).alias("cents_sq"),
+    )
+    frame = Window.orderBy("order_date").rowsBetween(-30, -1)
+    n = F.count(F.lit(1)).over(frame).cast("double")
+    sc = F.sum("cents").over(frame).cast("double")
+    scc = F.sum("cents_sq").over(frame).cast("double")
+    c = F.col("cents").cast("double")
+    mean_c = sc / n
+    var_c = F.greatest(scc / n - mean_c * mean_c, F.lit(0.0))
+    std_c = F.sqrt(var_c)
+    z = (c - mean_c) / std_c
+    return series.select(
+        "order_date",
+        (c / 100.0).alias("revenue"),
+        F.when(n >= 10, mean_c / 100.0).alias("roll_mean"),
+        F.when(n >= 10, std_c / 100.0).alias("roll_std"),
+        F.when((n >= 10) & (std_c > 0), z).alias("z_score"),
+        F.coalesce(
+            (n >= 10) & (std_c > 0) & (F.abs(z) > 2.0), F.lit(False)
+        ).alias("is_anomaly"),
+    ).orderBy("order_date")
+
+
 LIBRARY_QUERIES = {
     "daily_sales_gapfill": daily_sales_gapfill,
     "hourly_value_interp": hourly_value_interp,
     "weekly_revenue_ohlc": weekly_revenue_ohlc,
+    "daily_anomaly_flags": daily_anomaly_flags,
 }
 
 LIBRARY_ORACLE = {
@@ -218,6 +271,48 @@ LIBRARY_ORACLE = {
                     ELSE next_v END AS value_interp
         FROM j
         ORDER BY event_type, bucket
+    """,
+    "daily_anomaly_flags": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_date,
+                   CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(19,0)))
+                        AS DECIMAL(19,0)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        series AS (
+            SELECT order_date, cents, cents * cents AS cents_sq
+            FROM daily
+        ),
+        stats AS (
+            SELECT order_date,
+                   CAST(CAST(cents AS VARCHAR) AS DOUBLE) AS c,
+                   CAST(COUNT(*) OVER f AS DOUBLE) AS n,
+                   CAST(CAST(SUM(cents) OVER f AS VARCHAR) AS DOUBLE) AS sc,
+                   CAST(CAST(SUM(cents_sq) OVER f AS VARCHAR) AS DOUBLE)
+                       AS scc
+            FROM series
+            WINDOW f AS (ORDER BY order_date
+                         ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT order_date, c / 100.0 AS revenue,
+               CASE WHEN n >= 10 THEN (sc / n) / 100.0 END AS roll_mean,
+               CASE WHEN n >= 10 THEN
+                   sqrt(GREATEST(scc / n - (sc / n) * (sc / n), 0.0)) / 100.0
+               END AS roll_std,
+               CASE WHEN n >= 10
+                     AND sqrt(GREATEST(scc / n - (sc / n) * (sc / n), 0.0)) > 0
+                    THEN (c - sc / n)
+                         / sqrt(GREATEST(scc / n - (sc / n) * (sc / n), 0.0))
+               END AS z_score,
+               COALESCE(
+                   n >= 10
+                   AND sqrt(GREATEST(scc / n - (sc / n) * (sc / n), 0.0)) > 0
+                   AND abs((c - sc / n)
+                           / sqrt(GREATEST(scc / n - (sc / n) * (sc / n), 0.0)))
+                       > 2.0,
+                   FALSE) AS is_anomaly
+        FROM stats
+        ORDER BY order_date
     """,
     "weekly_revenue_ohlc": """
         WITH daily AS (
