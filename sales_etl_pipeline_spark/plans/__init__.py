@@ -35,6 +35,7 @@ from . import (
     cdc,
     curation,
     eventplans,
+    graph,
     incremental,
     llmdata,
     parity,
@@ -69,6 +70,7 @@ _MODULES = (
     webtext,
     tpch,
     timeseries,
+    graph,
     pysource,
 )
 

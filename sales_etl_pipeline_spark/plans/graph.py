@@ -1,0 +1,217 @@
+"""Graph analytics as relational plans: weighted PageRank over the
+trade-flow graph (reference README.md:131-154 frames cross-country
+analytics as the pipeline's downstream surface; a crawl-curation
+pipeline runs the identical computation over the domain link graph to
+score source authority — same plan, different edge table).
+
+Sibling of the iterative family: ``near_dup_components`` (label
+propagation / union-find, plans/llmdata.py:1646) and
+``linear_probe_train`` (gradient descent, plans/llmdata.py:3258). Like
+those, the iteration is EXACT and driver-bounded:
+
+Scale design (SURVEY §4.3): nodes and edges live at dimension grain —
+the only fact-grain work is the one edge-aggregation shuffle that
+builds the weighted graph. Each PageRank step is a node×edge equi-join
++ a node-grain aggregate; ranks are re-anchored per step with an eager
+``localCheckpoint`` so plan depth stays O(1) across iterations (the
+bpe_merges discipline, plans/bpe.py). Driver traffic per step: one
+1-row dangling-mass scalar. At a 10⁸-node domain graph the same plan
+shuffles on node ids and never collects node-grain data.
+
+Exactness (the cross-engine contract): edge weights are double
+divisions of exact DECIMAL revenue sums; every per-step summation —
+in-flow per node, dangling mass — goes through the fixed-point xsum
+(functions/core.py:68; ranks are unit-scale, its design regime), so
+both engines add EXACT binary fixed-point numbers with no
+rounding-mode dependence; the damping update is the identical double
+op tree. The DuckDB oracle replays all iterations as an unrolled
+MATERIALIZED-CTE chain and the final ranks match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.core import oracle_xsum, xsum
+from ..sources.readers import load_table
+from .llmdata import _pin, release_plan_caches
+
+#: standard damping factor; iterations fixed so the oracle can unroll
+DAMPING = 0.85
+N_ITERS = 8
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def nation_trade_pagerank(
+    spark: SparkSession, sf_dir: str, n_iters: int = N_ITERS
+) -> DataFrame:
+    """Weighted PageRank over the supplier-nation → customer-nation
+    trade graph: edge weight = that pair's share of the source nation's
+    outbound revenue; dangling mass (nations with no outbound trade)
+    redistributed uniformly each step — the standard formulation:
+
+        r'(v) = (1-d)/N + d · ( Σ_{u→v} r(u)·w(u,v) + m/N )
+
+    Returns (nation, rank) sorted by rank descending."""
+    release_plan_caches()
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_nationkey").cast("int").alias("src"),
+            F.col("c_nationkey").cast("int").alias("dst"),
+            F.expr(_REVENUE).alias("rev"),
+        )
+    )
+    pair_dec = flows.groupBy("src", "dst").agg(
+        F.sum(F.col("rev").cast("decimal(38,10)")).alias("rev_dec")
+    )
+    out_dec = pair_dec.groupBy(F.col("src").alias("osrc")).agg(
+        F.sum("rev_dec").alias("out_dec")
+    )
+    edges = _pin(
+        pair_dec.join(out_dec, pair_dec.src == F.col("osrc")).select(
+            "src",
+            "dst",
+            (
+                F.col("rev_dec").cast("double")
+                / F.col("out_dec").cast("double")
+            ).alias("w"),
+        )
+    )
+    sources = _pin(edges.select("src").distinct())
+
+    nodes = nation.select(F.col("n_nationkey").cast("int").alias("node"))
+    n = nodes.count()  # dimension-grain scalar (25), bounded driver traffic
+    base = (1.0 - DAMPING) / float(n)
+    ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
+
+    for _ in range(n_iters):
+        ranks = ranks.localCheckpoint(eager=True)  # O(1) plan depth
+        dangling = (
+            ranks.join(sources, ranks.node == sources.src, "left_anti")
+            .agg(F.coalesce(xsum("rank"), F.lit(0.0)).alias("m"))
+        )
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(xsum(F.col("c")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(DAMPING)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("m") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+
+    named = nation.select(
+        F.col("n_nationkey").cast("int").alias("nk"), "n_name"
+    )
+    return (
+        ranks.join(F.broadcast(named), ranks.node == F.col("nk"))
+        .select(F.col("n_name").alias("nation"), "rank")
+        .orderBy(F.desc("rank"), "nation")
+    )
+
+
+def _pagerank_oracle(n_iters: int = N_ITERS) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the full iteration (the
+    bpe_merges oracle discipline): same edge weights, same xsum
+    fixed-point group sums, same damping op tree, same literals."""
+    # DuckDB parses bare decimal-point literals as DECIMAL, so a naive
+    # (1.0 - 0.85) is EXACT decimal 0.15 while Python/Spark compute the
+    # IEEE subtraction (0.15000000000000002) — 1-ulp rank divergence.
+    # Forcing DOUBLE literals reproduces the identical op tree.
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [
+        f"""
+        WITH consts AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nation
+        ),
+        pair_dec AS MATERIALIZED (
+            SELECT CAST(s_nationkey AS INTEGER) AS src,
+                   CAST(c_nationkey AS INTEGER) AS dst,
+                   SUM(CAST({_REVENUE} AS DECIMAL(38,10))) AS rev_dec
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(out_dec AS VARCHAR) AS DOUBLE) AS w
+            FROM pair_dec
+            JOIN (SELECT src AS osrc, SUM(rev_dec) AS out_dec
+                  FROM pair_dec GROUP BY 1) o ON src = osrc
+        ),
+        nodes AS MATERIALIZED (
+            SELECT CAST(n_nationkey AS INTEGER) AS node FROM nation
+        ),
+        r0 AS MATERIALIZED (
+            SELECT node, 1.0 / nn AS rank FROM nodes, consts
+        )"""
+    ]
+    for k in range(1, n_iters + 1):
+        p, c = f"r{k - 1}", f"r{k}"
+        parts.append(
+            f""",
+        dang{k} AS MATERIALIZED (
+            SELECT COALESCE({oracle_xsum('rank')}, 0.0) AS m
+            FROM {p}
+            WHERE node NOT IN (SELECT DISTINCT src FROM edges)
+        ),
+        inf{k} AS MATERIALIZED (
+            SELECT dst, {oracle_xsum('r.rank * e.w')} AS inflow
+            FROM edges e JOIN {p} r ON e.src = r.node
+            GROUP BY dst
+        ),
+        {c} AS MATERIALIZED (
+            SELECT n.node,
+                   ({one} - {d}) / consts.nn
+                   + {d} * (COALESCE(i.inflow, 0.0) + dang{k}.m / consts.nn)
+                       AS rank
+            FROM nodes n
+            LEFT JOIN inf{k} i ON n.node = i.dst
+            CROSS JOIN dang{k}
+            CROSS JOIN consts
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n_name AS nation, rank
+        FROM r{n_iters}
+        JOIN nation ON node = CAST(n_nationkey AS INTEGER)
+        ORDER BY rank DESC, nation
+        """
+    )
+    return "".join(parts)
+
+
+LIBRARY_QUERIES = {
+    "nation_trade_pagerank": nation_trade_pagerank,
+}
+
+LIBRARY_ORACLE = {
+    "nation_trade_pagerank": _pagerank_oracle(),
+}

@@ -180,6 +180,21 @@ def test_session_paths_topk_is_take_ordered(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pagerank_edges_pinned_mass_conserved(spark):
+    """The weighted edge relation must be pinned (InMemoryTableScan —
+    one fact-scan edge build feeding all 8 iterations, not one per
+    step), and total rank mass must be conserved: with dangling
+    redistribution the ranks sum to 1 up to float accumulation."""
+    from sales_etl_pipeline_spark.plans import graph
+
+    df = graph.nation_trade_pagerank(spark, SF)
+    rows = df.collect()
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
+    assert rows == sorted(rows, key=lambda r: (-r.rank, r.nation))
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+
+
 def test_incremental_minhash_candidate_join_is_equi(spark):
     """Delta×index candidate generation must be a (band, key) equi-join;
     a nested-loop fallback would defeat the whole incremental design."""
