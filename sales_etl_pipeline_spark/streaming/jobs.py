@@ -299,6 +299,101 @@ def stream_custom_sessions(events: DataFrame) -> DataFrame:
     )
 
 
+TRANSITION_OUTPUT = (
+    "user_id long, from_type string, to_type string, trans_ts timestamp"
+)
+TRANSITION_STATE = (
+    "tss array<long>, eids array<long>, etypes array<string>"
+)
+
+
+def stream_event_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``plans/eventplans.event_transitions``: emit
+    each within-session (gap < 30 min) consecutive event-type pair as
+    it becomes FINAL — the lag relation computed incrementally across
+    microbatches with ``applyInPandasWithState`` + EventTimeTimeout.
+
+    Finality rule: admitted events satisfy ts ≥ watermark, so the pair
+    (a, b) of buffer-consecutive events is immutable once
+    ``b.ts < watermark`` STRICTLY — no admissible event can still sort
+    between a and b (an equal-ts event could tie-break by event_id,
+    hence strict). Each call merges the batch's rows into the per-user
+    buffer (sorted by (ts, event_id), the batch plan's window order),
+    emits every final pair whose gap is under the session limit, and
+    drops consumed predecessors immediately — retained state is only
+    the events the watermark has not yet passed, plus ONE predecessor
+    row per user (bounded: state ≤ in-flight events per watermark
+    delay + 1). An event-time timer on the newest buffered event
+    flushes the tail when the watermark moves without new data for the
+    user. Emitted pairs match the batch plan's lag semantics
+    bit-for-bit; tests pin multiset inclusion and coverage."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        gap = _SESSION_GAP_US
+        buf: list[tuple[int, int, str]] = []
+        if state.exists:
+            tss, eids, etypes = state.get
+            buf = [
+                (int(t), int(e), str(y))
+                for t, e, y in zip(tss, eids, etypes)
+            ]
+        if not state.hasTimedOut:
+            parts = list(pdfs)
+            if parts:
+                rows = pd.concat(parts, ignore_index=True)
+                ts_us = (
+                    rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                )
+                buf.extend(
+                    (int(t), int(e), str(y))
+                    for t, e, y in zip(
+                        ts_us, rows["event_id"], rows["event_type"]
+                    )
+                )
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        while len(buf) >= 2 and buf[1][0] < wm_us:
+            a, b = buf[0], buf[1]
+            if b[0] - a[0] < gap:
+                out.append(
+                    (key[0], a[2], b[2], pd.Timestamp(b[0], unit="us"))
+                )
+            buf.pop(0)
+        if buf:
+            state.update(
+                (
+                    [e[0] for e in buf],
+                    [e[1] for e in buf],
+                    [e[2] for e in buf],
+                )
+            )
+            if len(buf) >= 2:
+                # fire once the watermark strictly passes the newest
+                # buffered event (ms-ceil + 1 keeps it > current wm)
+                state.setTimeoutTimestamp(buf[-1][0] // 1000 + 1)
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            out, columns=["user_id", "from_type", "to_type", "trans_ts"]
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            TRANSITION_OUTPUT,
+            TRANSITION_STATE,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_click_attribution(events: DataFrame) -> DataFrame:
     """Watermarked stream-stream inner join — the streaming twin of
     plans/eventplans.event_attribution (click→purchase pairs within the

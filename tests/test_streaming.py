@@ -358,6 +358,55 @@ def test_stream_restart_recovery_from_checkpoint(spark, tmp_path):
     assert set(got) <= want
 
 
+def test_stream_event_transitions_match_batch(spark, tmp_path):
+    """Stateful incremental lag vs the batch event_transitions plan: the
+    events table streams in 4 time-ordered chunks so the watermark
+    advances between microbatches. Every emitted (from, to) pair must be
+    one the batch lag relation also produces (per-key count inclusion),
+    and most transitions must have finalized; the unfinalized tail (the
+    watermark never passes the newest events of a bounded stream) is the
+    only allowed shortfall."""
+    from collections import Counter
+
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "evtrans"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_event_transitions(normalize_event_ts(raw)),
+        "t_transitions",
+        "update",
+    )
+    got = Counter(
+        (r.from_type, r.to_type)
+        for r in out.select("from_type", "to_type").collect()
+    )
+    want = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in eventplans.event_transitions(spark, SF).collect()
+    }
+    assert got, "no transitions finalized — watermark never advanced"
+    for k, n in got.items():
+        assert k in want and n <= want[k], (k, n, want.get(k))
+    assert sum(got.values()) >= 0.5 * sum(want.values())
+
+
 def test_stream_custom_sessions_late_events_across_microbatches(spark, tmp_path):
     """Out-of-order events arriving in LATER microbatches, still inside the
     watermark: (a) an event earlier than the open session's start must
