@@ -109,6 +109,15 @@ HEADLINE = (
     # zero Python, the single heaviest scan of a real crawl pipeline
     # (scaling measured 2.5× wall for 100× bytes, BASELINE.md)
     "html_text_extract",
+    # round 10 late additions: one representative per new family — the
+    # Markov transition matrix (one user-partitioned lag window over the
+    # full event stream, the family's only fact-grain pass), the Q2
+    # decorrelated min-cost join-back (densest of the six new TPC-H
+    # shapes), and the 8-iteration weighted PageRank (edge build is the
+    # fact-grain cost; iterations are node-grain and corpus-independent)
+    "event_transitions",
+    "min_cost_supplier",
+    "nation_trade_pagerank",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
