@@ -377,7 +377,9 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: unit price is the identical double division on both
     engines; MIN over doubles is exact; the equality join-back compares
-    the same bits."""
+    the same bits. The offers relation feeds BOTH the per-part minimum
+    and the join-back, so it is pinned — one fact scan, not two."""
+    release_plan_caches()
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
@@ -390,7 +392,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region_supp = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    offers = (
+    offers = _pin(
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .join(
             F.broadcast(region_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")),

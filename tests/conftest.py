@@ -13,6 +13,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
+def executed_plan(df) -> str:
+    """Executed-plan text for physical pin assertions (shared by
+    tests/test_plans.py and tests/test_tpch_plans.py)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="tests", master=f"local[{os.environ.get('TEST_CPUS', '8')}]", shuffle_partitions=8)

@@ -17,8 +17,7 @@ from sales_etl_pipeline_spark.plans import analytics, llmdata, parity  # noqa: E
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.conftest import executed_plan as _plan  # noqa: E402
 
 
 def _full_plan(df) -> str:

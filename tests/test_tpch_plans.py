@@ -15,8 +15,7 @@ from sales_etl_pipeline_spark.plans import tpch  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.conftest import executed_plan as _plan  # noqa: E402
 
 
 def test_q7_broadcasts_both_nation_aliases(spark):
@@ -63,10 +62,13 @@ def test_q21_single_fact_scan(spark):
 
 def test_q2_min_cost_joinback_broadcast_topk(spark):
     # decorrelated per-part min joins back broadcast; the unique-keyed
-    # sort + LIMIT compiles to TakeOrderedAndProject, not a global sort
+    # sort + LIMIT compiles to TakeOrderedAndProject, not a global sort;
+    # the offers relation feeds two consumers and must be pinned (one
+    # fact scan at execution, not one per consumer)
     plan = _plan(tpch.min_cost_supplier(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "TakeOrderedAndProject" in plan
+    assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
 
 
@@ -91,10 +93,12 @@ def test_q11_global_scalar_is_broadcast_no_second_scan(spark):
 
 
 def test_q16_exclusion_is_broadcast_anti_join(spark):
+    # the supplier exclusion list must anti-join BROADCAST — a sort-merge
+    # LeftAnti here means the supplier-grain side shuffled the fact table
+    import re
+
     plan = _plan(tpch.supplier_part_variety(spark, SF))
-    assert "BroadcastHashJoin LeftAnti" in plan.replace(
-        "BroadcastHashJoin [l_suppkey", "BroadcastHashJoin LeftAnti [l_suppkey"
-    ) or "LeftAnti" in plan
+    assert re.search(r"BroadcastHashJoin \[l_suppkey[^\n]*LeftAnti", plan)
     assert "CartesianProduct" not in plan
 
 
