@@ -457,3 +457,40 @@ def test_skew_split_join_accepts_precomputed_hot_keys(spark):
     assert sorted(map(tuple, hybrid.select(cols).collect())) == sorted(
         map(tuple, plain.select(cols).collect())
     )
+
+
+def test_new_families_partition_invariant(spark):
+    """The round-10 plan families' exactness claims (integer-cents
+    variance, xsum PageRank in-flows, count-ratio transition
+    probabilities, decimal-share thresholds, interpolation weights) must
+    hold under ANY parallelism: the same plan must produce bit-identical
+    rows at shuffle_partitions=3 and =32 — the local stand-in for the
+    1000-executor determinism story."""
+    from sales_etl_pipeline_spark.plans import (
+        eventplans,
+        graph,
+        timeseries,
+        tpch,
+    )
+
+    plans_under_test = [
+        timeseries.daily_anomaly_flags,
+        timeseries.hourly_value_interp,
+        eventplans.event_transitions,
+        tpch.important_part_value,
+        graph.nation_trade_pagerank,
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for fn in plans_under_test:
+            results = []
+            for n in ("3", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                spark.catalog.clearCache()
+                results.append(
+                    sorted(tuple(r) for r in fn(spark, SF).collect())
+                )
+            assert results[0] == results[1], fn.__name__
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
