@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..sources.readers import load_events
+from ..sources.readers import load_events, load_table
 
 #: event_type interpreted as a DELETE op in the changelog reading
 TOMBSTONE_TYPE = "error"
@@ -194,6 +194,104 @@ def scd2_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: columns the diff compares (everything but the key)
+_DIFF_COLS = ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic keyed data diff between two table snapshots — the batch
+    twin of the versioned table's row-level change feed
+    (sources/table_feed.py), for ANY pair of snapshots: each key is
+    classified insert / delete / update with the exact set of changed
+    columns (NULL-SAFE comparison, the scd2_compacted discipline —
+    a plain ``<>`` would silently drop transitions to/from NULL).
+    Unchanged rows are excluded.
+
+    The two snapshots are derived deterministically from the customer
+    table (old = keys not divisible by 7; new = keys not divisible by
+    5, with every third key's balance shifted) so the diff provably
+    contains all three change types at any SF.
+
+    Scale shape: ONE full-outer sort-merge join on the key — both
+    sides shuffle once on the diff key (exchange-free when the
+    snapshots are bucket-stored on it); the change mask is a per-row
+    projection. This is how you diff two 100-TB snapshots."""
+    customer = load_table(spark, sf_dir, "customer")
+    old = customer.filter(F.col("c_custkey") % 7 != 0)
+    new = customer.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
+    nw = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
+    j = o.join(nw, o.o_c_custkey == nw.n_c_custkey, "full_outer")
+    changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}")), F.lit(c)
+                )
+                for c in _DIFF_COLS
+            ]
+        )
+    )
+    both = F.col("o_c_custkey").isNotNull() & F.col("n_c_custkey").isNotNull()
+    change_type = (
+        F.when(F.col("o_c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("n_c_custkey").isNull(), F.lit("delete"))
+        .when(F.size(changed) > 0, F.lit("update"))
+    )
+    return (
+        j.select(
+            F.coalesce("o_c_custkey", "n_c_custkey").alias("c_custkey"),
+            change_type.alias("change_type"),
+            F.when(both, changed).otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .orderBy("c_custkey")
+    )
+
+
+def _diff_neq(col: str) -> str:
+    return f"NOT (o.{col} IS NOT DISTINCT FROM n.{col})"
+
+
+_DIFF_SQL = f"""
+    WITH old AS (
+        SELECT * FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    new AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    j AS (
+        SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                    WHEN n.c_custkey IS NULL THEN 'delete'
+                    WHEN {' OR '.join(_diff_neq(c) for c in _DIFF_COLS)}
+                        THEN 'update'
+               END AS change_type,
+               CASE WHEN o.c_custkey IS NOT NULL
+                         AND n.c_custkey IS NOT NULL THEN
+                   list_filter(ARRAY[{', '.join(
+                       f"CASE WHEN {_diff_neq(c)} THEN '{c}' END"
+                       for c in _DIFF_COLS)}],
+                       x -> x IS NOT NULL)
+               ELSE [] END AS changed_cols
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey, change_type, changed_cols
+    FROM j WHERE change_type IS NOT NULL
+    ORDER BY c_custkey
+"""
+
+
 _SNAPSHOT_SQL = f"""
     SELECT user_id,
            event_id AS last_event_id,
@@ -214,6 +312,7 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 
 LIBRARY_QUERIES = {
+    "snapshot_diff": snapshot_diff,
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "cdc_incremental_merge": cdc_incremental_merge,
     "scd2_intervals": scd2_intervals,
@@ -221,6 +320,7 @@ LIBRARY_QUERIES = {
 }
 
 LIBRARY_ORACLE: dict[str, str] = {
+    "snapshot_diff": _DIFF_SQL,
     "cdc_latest_snapshot": _SNAPSHOT_SQL,
     # The merged snapshot must equal the full recompute — the oracle for
     # the incremental path is deliberately the SAME full-recompute SQL.

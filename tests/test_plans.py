@@ -297,3 +297,19 @@ def test_bpe_plans_broadcast_vocab_and_stay_cartesian_free(spark):
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """The data diff must be ONE full-outer join on the key (both sides
+    shuffle once) with the change mask as a projection — no second join,
+    no cartesian."""
+    from sales_etl_pipeline_spark.plans import cdc
+
+    plan = _plan(cdc.snapshot_diff(spark, SF))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    rows = cdc.snapshot_diff(spark, SF).collect()
+    kinds = {r.change_type for r in rows}
+    assert kinds == {"insert", "delete", "update"}
+    for r in rows:
+        assert (r.change_type == "update") == (len(r.changed_cols) > 0)
