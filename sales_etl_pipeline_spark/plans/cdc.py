@@ -198,24 +198,59 @@ def scd2_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIFF_COLS = ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
 
-def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generic keyed data diff between two table snapshots — the batch
-    twin of the versioned table's row-level change feed
-    (sources/table_feed.py), for ANY pair of snapshots: each key is
-    classified insert / delete / update with the exact set of changed
-    columns (NULL-SAFE comparison, the scd2_compacted discipline —
-    a plain ``<>`` would silently drop transitions to/from NULL).
-    Unchanged rows are excluded.
-
-    The two snapshots are derived deterministically from the customer
-    table (old = keys not divisible by 7; new = keys not divisible by
-    5, with every third key's balance shifted) so the diff provably
-    contains all three change types at any SF.
+def diff_snapshots(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: tuple[str, ...]
+) -> DataFrame:
+    """Generic keyed data diff between two table snapshots — the
+    reusable API (the batch twin of the versioned table's row-level
+    change feed, sources/table_feed.py, for ANY pair of snapshots):
+    each key is classified insert / delete / update with the exact set
+    of changed columns (NULL-SAFE comparison, the scd2_compacted
+    discipline — a plain ``<>`` would silently drop transitions to/from
+    NULL). Unchanged rows are excluded.
 
     Scale shape: ONE full-outer sort-merge join on the key — both
     sides shuffle once on the diff key (exchange-free when the
     snapshots are bucket-stored on it); the change mask is a per-row
     projection. This is how you diff two 100-TB snapshots."""
+    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
+    nw = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
+    j = o.join(nw, F.col(f"o_{key}") == F.col(f"n_{key}"), "full_outer")
+    changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    both = (
+        F.col(f"o_{key}").isNotNull() & F.col(f"n_{key}").isNotNull()
+    )
+    change_type = (
+        F.when(F.col(f"o_{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"n_{key}").isNull(), F.lit("delete"))
+        .when(F.size(changed) > 0, F.lit("update"))
+    )
+    return (
+        j.select(
+            F.coalesce(f"o_{key}", f"n_{key}").alias(key),
+            change_type.alias("change_type"),
+            F.when(both, changed).otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .orderBy(key)
+    )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``diff_snapshots`` API instantiated on two deterministic
+    customer-table snapshots (old = keys not divisible by 7; new = keys
+    not divisible by 5, every third key's balance shifted) so the diff
+    provably contains all three change types at any SF."""
     customer = load_table(spark, sf_dir, "customer")
     old = customer.filter(F.col("c_custkey") % 7 != 0)
     new = customer.filter(F.col("c_custkey") % 5 != 0).withColumn(
@@ -224,35 +259,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10.0
         ).otherwise(F.col("c_acctbal")),
     )
-    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
-    nw = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
-    j = o.join(nw, o.o_c_custkey == nw.n_c_custkey, "full_outer")
-    changed = F.array_compact(
-        F.array(
-            *[
-                F.when(
-                    ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}")), F.lit(c)
-                )
-                for c in _DIFF_COLS
-            ]
-        )
-    )
-    both = F.col("o_c_custkey").isNotNull() & F.col("n_c_custkey").isNotNull()
-    change_type = (
-        F.when(F.col("o_c_custkey").isNull(), F.lit("insert"))
-        .when(F.col("n_c_custkey").isNull(), F.lit("delete"))
-        .when(F.size(changed) > 0, F.lit("update"))
-    )
-    return (
-        j.select(
-            F.coalesce("o_c_custkey", "n_c_custkey").alias("c_custkey"),
-            change_type.alias("change_type"),
-            F.when(both, changed).otherwise(F.array().cast("array<string>"))
-            .alias("changed_cols"),
-        )
-        .filter(F.col("change_type").isNotNull())
-        .orderBy("c_custkey")
-    )
+    return diff_snapshots(old, new, "c_custkey", _DIFF_COLS)
 
 
 def _diff_neq(col: str) -> str:

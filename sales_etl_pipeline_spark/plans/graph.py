@@ -43,17 +43,67 @@ N_ITERS = 8
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    n_iters: int = N_ITERS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Weighted PageRank over an arbitrary graph — the reusable API the
+    plan below instantiates (point it at a domain link graph for crawl
+    source-authority scoring; the plan surface stays identical).
+
+        r'(v) = (1-d)/N + d · ( Σ_{u→v} r(u)·w(u,v) + m/N )
+
+    ``nodes``: one column ``node``. ``edges``: ``src``, ``dst``, ``w``
+    with Σ_dst w(src, dst) = 1 per src (out-normalized). Dangling mass
+    (nodes with no out-edges) is redistributed uniformly each step.
+    Returns (node, rank). The caller owns edge caching — pass a pinned/
+    persisted edges relation when it feeds all iterations (every plan
+    here does)."""
+    sources = _pin(edges.select("src").distinct())
+    n = nodes.count()  # node-grain scalar, bounded driver traffic
+    base = (1.0 - damping) / float(n)
+    ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
+
+    for _ in range(n_iters):
+        ranks = ranks.localCheckpoint(eager=True)  # O(1) plan depth
+        dangling = (
+            ranks.join(sources, ranks.node == sources.src, "left_anti")
+            .agg(F.coalesce(xsum("rank"), F.lit(0.0)).alias("m"))
+        )
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(xsum(F.col("c")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("m") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
 def nation_trade_pagerank(
     spark: SparkSession, sf_dir: str, n_iters: int = N_ITERS
 ) -> DataFrame:
     """Weighted PageRank over the supplier-nation → customer-nation
     trade graph: edge weight = that pair's share of the source nation's
-    outbound revenue; dangling mass (nations with no outbound trade)
-    redistributed uniformly each step — the standard formulation:
-
-        r'(v) = (1-d)/N + d · ( Σ_{u→v} r(u)·w(u,v) + m/N )
-
-    Returns (nation, rank) sorted by rank descending."""
+    outbound revenue — the ``pagerank()`` API instantiated on the trade
+    edge table. Returns (nation, rank) sorted by rank descending."""
     release_plan_caches()
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -87,40 +137,8 @@ def nation_trade_pagerank(
             ).alias("w"),
         )
     )
-    sources = _pin(edges.select("src").distinct())
-
     nodes = nation.select(F.col("n_nationkey").cast("int").alias("node"))
-    n = nodes.count()  # dimension-grain scalar (25), bounded driver traffic
-    base = (1.0 - DAMPING) / float(n)
-    ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
-
-    for _ in range(n_iters):
-        ranks = ranks.localCheckpoint(eager=True)  # O(1) plan depth
-        dangling = (
-            ranks.join(sources, ranks.node == sources.src, "left_anti")
-            .agg(F.coalesce(xsum("rank"), F.lit(0.0)).alias("m"))
-        )
-        inflow = (
-            edges.join(ranks, edges.src == ranks.node)
-            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
-            .groupBy("dst")
-            .agg(xsum(F.col("c")).alias("inflow"))
-        )
-        ranks = (
-            nodes.join(inflow, nodes.node == inflow.dst, "left")
-            .join(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(DAMPING)
-                    * (
-                        F.coalesce("inflow", F.lit(0.0))
-                        + F.col("m") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
-        )
+    ranks = pagerank(nodes, edges, n_iters=n_iters)
 
     named = nation.select(
         F.col("n_nationkey").cast("int").alias("nk"), "n_name"

@@ -313,3 +313,59 @@ def test_snapshot_diff_single_full_outer_join(spark):
     assert kinds == {"insert", "delete", "update"}
     for r in rows:
         assert (r.change_type == "update") == (len(r.changed_cols) > 0)
+
+
+def test_pagerank_api_on_custom_graph(spark):
+    """The reusable pagerank(nodes, edges) API on a hand-built 4-node
+    graph with a dangling node — ranks verified against the closed-form
+    fixed point computed in plain Python with the identical op order."""
+    from sales_etl_pipeline_spark.plans.graph import pagerank
+
+    # 0→1 (1.0), 1→2 (1.0), 2→0 (0.5), 2→1 (0.5); 3 dangling
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node int")
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 0.5), (2, 1, 0.5)],
+        "src int, dst int, w double",
+    )
+    got = {r.node: r.rank for r in pagerank(nodes, edges, n_iters=8).collect()}
+
+    # replicate the exact iteration in python (same double op order)
+    d, n = 0.85, 4
+    base = (1.0 - d) / float(n)
+    r = {i: 1.0 / float(n) for i in range(4)}
+    w = {(0, 1): 1.0, (1, 2): 1.0, (2, 0): 0.5, (2, 1): 0.5}
+    for _ in range(8):
+        m = r[3]  # node 3 is dangling
+        inflow = {}
+        for (s, t), wt in w.items():
+            inflow[t] = inflow.get(t, 0.0) + r[s] * wt
+        r = {
+            i: base + d * (inflow.get(i, 0.0) + m / float(n))
+            for i in range(4)
+        }
+    for i in range(4):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_diff_snapshots_api_on_custom_frames(spark):
+    """The reusable diff_snapshots API on hand-built frames, including a
+    NULL transition (the case a plain <> comparison would drop)."""
+    from sales_etl_pipeline_spark.plans.cdc import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    rows = {
+        r.k: (r.change_type, tuple(r.changed_cols))
+        for r in diff_snapshots(old, new, "k", ("s", "v")).collect()
+    }
+    assert rows == {
+        2: ("update", ("v",)),  # NULL → 20.0 must be detected
+        3: ("delete", ()),
+        4: ("insert", ()),
+    }
