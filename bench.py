@@ -118,6 +118,11 @@ HEADLINE = (
     "event_transitions",
     "min_cost_supplier",
     "nation_trade_pagerank",
+    # round 10: BM25 ranked retrieval — the inverted-index plan (one
+    # tokenize shuffle builds the postings/tf relation; queries are a
+    # broadcast postings lookup + per-query top-k window). Tracks the
+    # engine's full-text-search cost per query batch.
+    "bm25_topk",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch

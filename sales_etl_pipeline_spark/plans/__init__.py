@@ -39,6 +39,7 @@ from . import (
     incremental,
     llmdata,
     parity,
+    search,
     temporal,
     timeseries,
     tpch,
@@ -71,6 +72,7 @@ _MODULES = (
     tpch,
     timeseries,
     graph,
+    search,
     pysource,
 )
 

@@ -226,10 +226,124 @@ def _pagerank_oracle(n_iters: int = N_ITERS) -> str:
     return "".join(parts)
 
 
+#: BFS source for the hops plan and its oracle — nation key 0.
+BFS_SOURCE = 0
+#: hop bound: > any possible diameter of a 25-node graph; bounds BOTH the
+#: Spark loop (hard stop) and the oracle's recursive CTE.
+MAX_HOPS = 25
+
+
+def shortest_hops(nodes: DataFrame, edges: DataFrame, source) -> DataFrame:
+    """Single-source shortest hop counts (unweighted BFS) over an
+    arbitrary directed graph — frontier-expansion as relational ops,
+    the reachability twin of ``pagerank()`` (a crawl pipeline runs this
+    on the domain link graph for crawl-depth / orphan-page audits).
+
+    ``nodes``: one column ``node``; ``edges``: ``src``, ``dst``.
+    Returns (node, hops) for REACHABLE nodes only — integer-exact, so
+    the oracle needs no float contract at all.
+
+    Scale design: each round shuffles only the CURRENT frontier against
+    the edge table (equi-join on src) and anti-joins the visited set —
+    never all-pairs, never whole-graph state per round beyond the
+    visited relation (node grain). Rounds = graph diameter, each
+    re-anchored with an eager localCheckpoint (O(1) plan depth, the
+    pagerank/bpe_merges discipline). Driver traffic per round: one
+    1-row emptiness probe.
+    """
+    e = edges.select("src", "dst").distinct()
+    dist = nodes.select("node").where(
+        F.col("node") == F.lit(source)
+    ).select("node", F.lit(0).alias("hops"))
+    frontier = dist
+    for hop in range(1, MAX_HOPS + 1):
+        dist = dist.localCheckpoint(eager=True)
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():  # 1-row driver probe, bounded by the diameter
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
+def nation_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-reachability BFS: fewest trade hops from nation
+    ``BFS_SOURCE`` to every reachable nation, where an edge is any
+    supplier-nation → customer-nation pair with at least one shipped
+    line. Returns (nation, hops) ordered by hops then name."""
+    release_plan_caches()
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = _pin(
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_nationkey").cast("int").alias("src"),
+            F.col("c_nationkey").cast("int").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = nation.select(F.col("n_nationkey").cast("int").alias("node"))
+    dist = shortest_hops(nodes, edges, BFS_SOURCE)
+    named = nation.select(
+        F.col("n_nationkey").cast("int").alias("nk"), "n_name"
+    )
+    return (
+        dist.join(F.broadcast(named), dist.node == F.col("nk"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+        .orderBy("hops", "nation")
+    )
+
+
+def _hops_oracle() -> str:
+    """DuckDB twin via WITH RECURSIVE: UNION (set semantics) keeps the
+    walk table at (node × hop-count) grain — no path explosion — and
+    MIN(hops) per node is exactly BFS distance. Integer-exact."""
+    return f"""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS src,
+                            CAST(c_nationkey AS INTEGER) AS dst
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+        ),
+        walk(node, hops) AS (
+            SELECT CAST(n_nationkey AS INTEGER), 0
+            FROM nation WHERE n_nationkey = {BFS_SOURCE}
+            UNION
+            SELECT e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hops < {MAX_HOPS}
+        )
+        SELECT n_name AS nation, CAST(MIN(hops) AS INTEGER) AS hops
+        FROM walk JOIN nation ON node = CAST(n_nationkey AS INTEGER)
+        GROUP BY n_name
+        ORDER BY hops, nation
+    """
+
+
 LIBRARY_QUERIES = {
     "nation_trade_pagerank": nation_trade_pagerank,
+    "nation_trade_hops": nation_trade_hops,
 }
 
 LIBRARY_ORACLE = {
     "nation_trade_pagerank": _pagerank_oracle(),
+    "nation_trade_hops": _hops_oracle(),
 }

@@ -194,6 +194,47 @@ def test_pagerank_edges_pinned_mass_conserved(spark):
     assert "InMemoryTableScan" in plan
 
 
+def test_shortest_hops_api_on_custom_graph(spark):
+    """BFS hop counts on a hand-built graph with an unreachable node, a
+    cycle, and a diamond (two paths of different lengths — MIN wins)."""
+    from sales_etl_pipeline_spark.plans.graph import shortest_hops
+
+    # 0→1, 0→2, 1→3, 2→3 (diamond), 3→0 (cycle), 4 unreachable, 3→5, 5→5
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node int")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0), (3, 5), (5, 5)],
+        "src int, dst int",
+    )
+    got = {r.node: r.hops for r in shortest_hops(nodes, edges, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 5: 3}  # 4 absent: unreachable
+
+
+def test_shortest_hops_source_without_edges(spark):
+    """Early-stop path: a source with no out-edges returns just itself."""
+    from sales_etl_pipeline_spark.plans.graph import shortest_hops
+
+    nodes = spark.createDataFrame([(0,), (1,)], "node int")
+    edges = spark.createDataFrame([(1, 0)], "src int, dst int")
+    got = {r.node: r.hops for r in shortest_hops(nodes, edges, 0).collect()}
+    assert got == {0: 0}
+
+
+def test_nation_trade_hops_plan_anchored(spark):
+    """BFS rounds are re-anchored with eager localCheckpoints, so the
+    RETURNED plan must sit on checkpoint anchors (Scan ExistingRDD) —
+    O(1) depth regardless of round count — and never re-derive the
+    fact-grain edge build (no lineitem scan in the final plan)."""
+    from sales_etl_pipeline_spark.plans import graph
+
+    df = graph.nation_trade_hops(spark, SF)
+    rows = df.collect()
+    assert rows and rows[0].hops == 0  # the source itself
+    assert rows == sorted(rows, key=lambda r: (r.hops, r.nation))
+    plan = _plan(df)
+    assert "ExistingRDD" in plan
+    assert "lineitem" not in plan
+
+
 def test_incremental_minhash_candidate_join_is_equi(spark):
     """Delta×index candidate generation must be a (band, key) equi-join;
     a nested-loop fallback would defeat the whole incremental design."""

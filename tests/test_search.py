@@ -1,0 +1,147 @@
+"""Full-text retrieval plans (plans/search.py): oracle parity is covered
+by tests/test_library_parity.py; here we pin the physical plan shapes the
+scale story depends on, the retrieval semantics the oracle can't see
+(log-idf production ranking), and the API contracts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sales_etl_pipeline_spark.plans import search  # noqa: E402
+from sales_etl_pipeline_spark.sources.readers import load_table  # noqa: E402
+from tests.conftest import SF_SMOKE, executed_plan  # noqa: E402
+
+
+def _queries_df(spark):
+    return spark.createDataFrame(
+        [(qid, t) for qid, q in search.SEARCH_QUERIES for t in q.split(" ")],
+        "query_id int, term string",
+    )
+
+
+def test_bm25_plan_shape(spark):
+    """The query-term and stats relations must broadcast (postings-lookup
+    join, never a shuffle of the tf relation against a 12-row table), and
+    tokenization must stay in whole-stage codegen (no Python UDF)."""
+    df = search.bm25_topk(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # queries, dfreq, consts
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bm25_topk_bounds_and_order(spark):
+    rows = search.bm25_topk(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= search.TOP_K
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_oov_term_does_not_null_query(spark):
+    """q5 = 'spark warehouse': 'warehouse' has zero postings; the query
+    must still rank documents by its in-vocabulary term."""
+    rows = search.bm25_topk(spark, SF_SMOKE).where(F.col("query_id") == 5)
+    assert rows.count() == search.TOP_K
+
+
+def test_bm25_rare_term_dominates(spark):
+    """q4 = 'dup' (df ≈ 5% of docs): every retrieved doc must actually
+    contain the term — retrieval is postings-driven, not corpus-wide."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hits = {
+        r.doc_id
+        for r in search.bm25_topk(spark, SF_SMOKE)
+        .where(F.col("query_id") == 4)
+        .collect()
+    }
+    with_term = {
+        r.doc_id
+        for r in docs.where(F.col("text").rlike(r"(^| )dup( |$)")).collect()
+    }
+    assert hits <= with_term and hits
+
+
+def test_log_idf_preserves_ranking_on_single_term(spark):
+    """For a single-term query the ln(1+x) idf is a positive monotone
+    rescale of the odds-ratio idf, so the ranked doc order is identical.
+    (Multi-term rankings may legitimately differ — the sum reweights.)"""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    q = spark.createDataFrame([(4, "dup")], "query_id int, term string")
+
+    def ranked(log_idf):
+        return [
+            r.doc_id
+            for r in search.bm25_score(docs, q, log_idf=log_idf)
+            .orderBy(F.desc("score"), "doc_id")
+            .collect()
+        ]
+
+    assert ranked(False) == ranked(True)
+
+
+def test_bm25_duplicate_query_terms_double_score(spark):
+    """Bag-of-words contract: a repeated query term scores twice."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    q1 = spark.createDataFrame([(1, "dup")], "query_id int, term string")
+    q2 = spark.createDataFrame(
+        [(1, "dup"), (1, "dup")], "query_id int, term string"
+    )
+    s1 = {r.doc_id: r.score for r in search.bm25_score(docs, q1).collect()}
+    s2 = {r.doc_id: r.score for r in search.bm25_score(docs, q2).collect()}
+    assert set(s1) == set(s2)
+    for d, v in s1.items():
+        assert s2[d] == pytest.approx(2 * v, rel=1e-12)
+
+
+def test_phrase_search_counts_match_python(spark):
+    """Exact twin: count adjacent bigram occurrences in plain Python over
+    the same corpus and compare the full result."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    expected = {}
+    for pid, w1, w2 in search.PHRASE_QUERIES:
+        for d in docs:
+            toks = d.text.split(" ")
+            n = sum(
+                1
+                for i in range(len(toks) - 1)
+                if toks[i] == w1 and toks[i + 1] == w2
+            )
+            if n:
+                expected[(pid, d.doc_id)] = n
+    got = {
+        (r.phrase_id, r.doc_id): r.n_occurrences
+        for r in search.phrase_search(spark, SF_SMOKE).collect()
+    }
+    assert got == expected and expected
+
+
+def test_phrase_search_plan_shape(spark):
+    """The phrase literal broadcasts; the positional self-join keys on
+    doc_id (co-partitioned intersection), and no Python evaluator."""
+    plan = executed_plan(search.phrase_search(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_score_api_on_custom_frames(spark):
+    """bm25_score is corpus-agnostic: works on any (doc_id, text) frame."""
+    docs = spark.createDataFrame(
+        [(1, "red fox"), (2, "red red fox"), (3, "blue sky")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "red")], "query_id int, term string")
+    rows = search.bm25_score(docs, q).orderBy(F.desc("score")).collect()
+    assert [r.doc_id for r in rows] == [2, 1]  # higher tf wins; 3 absent
