@@ -39,10 +39,13 @@ Also in the log's gift basket: **append commits** (``commit_append``
 carries the parent's immutable files forward and adds new ones),
 **compaction** (``compact`` rewrites the latest version's small files
 into right-sized ones as an ``operation="compact"`` commit — same rows,
-readers unaffected, old versions still time-travelable), and **additive
-schema evolution** (a commit may add new NULLABLE columns; the manifest
-records the evolved schema and readers fill nulls for files from older
-versions — drops/renames/type changes still raise).
+readers unaffected, old versions still time-travelable), **row-level
+DELETE** (``delete_where`` — copy-on-write at file grain: only files
+containing a matching row are rewritten, the rest carry forward by
+reference with their stats), and **additive schema evolution** (a
+commit may add new NULLABLE columns; the manifest records the evolved
+schema and readers fill nulls for files from older versions —
+drops/renames/type changes still raise).
 
 Deliberately out of scope (documented, not hidden): non-additive schema
 evolution, and multi-TABLE transactions. Partition-pruning metadata IS
@@ -724,6 +727,151 @@ class VersionedTable:
                     "bytes": total,
                 }
             except CommitConflict as e:
+                last_err = e
+                continue
+        raise last_err or CommitConflict((self.latest_version() or 0) + 1)
+
+    def delete_where(
+        self,
+        predicate: str,
+        writer: str | None = None,
+        epoch: int | None = None,
+        max_retries: int = 5,
+        prune: tuple | None = None,
+    ) -> dict:
+        """Row-level DELETE as a copy-on-write commit: remove every row
+        where ``predicate`` (a SQL boolean expression over the table's
+        columns) is TRUE, rewriting ONLY the data files that contain a
+        matching row — untouched files (and their manifest stats) carry
+        forward by reference, which at 100 TB is the whole point: a
+        key-scoped delete rewrites a handful of files, not the table.
+
+        Mechanism (the Delta/Iceberg copy-on-write DELETE):
+        1. one scan of the candidate files tags matches with their
+           source file (``input_file_name`` grouped to FILE grain — the
+           only driver traffic is one row per touched file);
+        2. touched files are re-read and rewritten WITHOUT the matching
+           rows (NULL-predicate rows are kept — SQL DELETE semantics:
+           only WHERE=TRUE deletes);
+        3. the next version's manifest = untouched entries (stats
+           preserved, no rewrite) + the rewritten files, committed with
+           ``operation="delete"`` under the same optimistic CAS as
+           every other commit (conflict → re-derive from the new latest
+           and retry).
+
+        ``prune=(col, lo, hi)``: manifest-stat pre-pruning — files whose
+        recorded [min, max] cannot contain a matching row skip even the
+        match scan. The caller asserts the predicate cannot match
+        outside the range (same contract as ``read(where=...)``).
+
+        With ``key_columns`` set, the deleted rows are recorded as
+        ``_change_type="delete"`` CDF rows — known exactly here, no
+        diff join needed. With (writer, epoch) set, a replayed epoch is
+        skipped idempotently. No-match deletes commit nothing and
+        return the current version.
+
+        Returns {version, deleted, files_rewritten, files_kept}.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if writer is not None and epoch is not None and self.epoch_committed(
+            writer, epoch
+        ):
+            return {
+                "version": self.latest_version(),
+                "deleted": 0,
+                "files_rewritten": 0,
+                "files_kept": None,
+                "replayed": True,
+            }
+        last_err: CommitConflict | None = None
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            if parent is None:
+                raise FileNotFoundError(
+                    f"no committed version under {self.root}"
+                )
+            m = self._read_manifest(parent)
+            entries = {e["name"]: e for e in m["files"]}
+            candidates = self.files_for(parent, prune)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            touched: set[str] = set()
+            n_deleted = 0
+            if candidates:
+                cand = self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self._data, n) for n in candidates]
+                )
+                per_file = (
+                    cand.filter(F.expr(predicate))
+                    .select(
+                        F.element_at(
+                            F.split(F.input_file_name(), "/"), -1
+                        ).alias("f")
+                    )
+                    .groupBy("f")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()  # file-grain: one row per touched file
+                )
+                touched = {r["f"] for r in per_file}
+                n_deleted = sum(r["n"] for r in per_file)
+            if not touched:
+                return {
+                    "version": parent,
+                    "deleted": 0,
+                    "files_rewritten": 0,
+                    "files_kept": len(entries),
+                }
+            tdf = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self._data, n) for n in touched]
+            )
+            # keep NULL-predicate rows: DELETE removes only WHERE=TRUE
+            kept = tdf.filter(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            new_files, _, _ = self._stage(kept)
+            staged = [e["name"] for e in new_files]
+            cdf = None
+            if self.key_columns:
+                deleted_rows = tdf.filter(F.expr(predicate)).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                change_files, _, _ = self._stage(deleted_rows)
+                staged += [e["name"] for e in change_files]
+                cdf = {
+                    "mode": "diff",
+                    "files": [e["name"] for e in change_files],
+                }
+            files = [
+                e for n, e in entries.items() if n not in touched
+            ] + new_files
+            rows = (
+                m["rows"] - n_deleted if m.get("rows") is not None else None
+            )
+            try:
+                self._try_commit(
+                    parent + 1,
+                    files,
+                    m["schema"],
+                    "delete",
+                    writer,
+                    epoch,
+                    rows,
+                    parent,
+                    cdf,
+                )
+                return {
+                    "version": parent + 1,
+                    "deleted": n_deleted,
+                    "files_rewritten": len(touched),
+                    "files_kept": len(entries) - len(touched),
+                }
+            except CommitConflict as e:
+                for name in staged:  # reclaim: nothing references them
+                    try:
+                        os.remove(os.path.join(self._data, name))
+                    except OSError:
+                        pass
                 last_err = e
                 continue
         raise last_err or CommitConflict((self.latest_version() or 0) + 1)

@@ -511,3 +511,98 @@ def test_compact_zorder_restores_pruning(spark, tmp_path):
         t.read(post, where=("k", 10, 12)).filter("k between 10 and 12").count()
         == base.filter("k between 10 and 12").count()
     )
+
+
+def test_delete_where_copy_on_write_file_grain(spark, tmp_path):
+    """DELETE rewrites ONLY files containing a matching row: with 8
+    range-partitioned files, a single-range predicate leaves the other
+    files' manifest entries byte-identical (same names, same stats),
+    removes exactly the matching rows, keeps time travel, and records
+    operation='delete' with the updated row count."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.stat_columns = ("k",)
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t.commit_overwrite(df.repartitionByRange(8, "k"))
+    before = {e["name"]: e for e in t._read_manifest(0)["files"]}
+
+    res = t.delete_where("k >= 1000 AND k < 2000")
+    assert res["version"] == 1
+    assert res["deleted"] == 1000
+    # range partitioner boundaries are approximate: the range spans 1-2
+    # files, never all 8
+    assert 1 <= res["files_rewritten"] <= 2
+    assert res["files_kept"] == 8 - res["files_rewritten"]
+
+    after = {e["name"]: e for e in t._read_manifest(1)["files"]}
+    carried = set(before) & set(after)
+    assert len(carried) == res["files_kept"]
+    for n in carried:  # stats carried forward untouched, no rewrite
+        assert before[n] == after[n]
+
+    assert t.read().filter("k >= 1000 AND k < 2000").count() == 0
+    assert t.read().count() == 7_000
+    assert t.read(version=0).count() == 8_000  # time travel intact
+    h = t.history()[-1]
+    assert h["operation"] == "delete" and h["rows"] == 7_000
+
+    # prune hint: same result, fewer files even scanned for matches
+    res2 = t.delete_where("k < 500", prune=("k", None, 499))
+    assert res2["deleted"] == 500
+    assert t.read().count() == 6_500
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are NOT deleted (only WHERE=TRUE rows go)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "k long, v string"
+        )
+    )
+    res = t.delete_where("v = 'a'")  # NULL = 'a' is NULL, not TRUE
+    assert res["deleted"] == 1
+    assert _rows(t.read()) == [(2, None), (3, "b")]
+
+
+def test_delete_where_no_match_commits_nothing(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a")]))
+    res = t.delete_where("k = 999")
+    assert (res["version"], res["deleted"], res["files_rewritten"]) == (
+        0,
+        0,
+        0,
+    )
+    assert res["files_kept"] == len(t.files_for(0))
+    assert t.versions() == [0]
+
+
+def test_delete_where_whole_file_and_cdf_rows(spark, tmp_path):
+    """Deleting every row of a file drops it from the manifest; with
+    key_columns set the deleted rows ride the manifest as
+    _change_type='delete' CDF rows, exactly the rows removed."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    res = t.delete_where("k <= 2")
+    assert res["deleted"] == 2
+    assert _rows(t.read()) == [(3, "c")]
+    cdf = t._read_manifest(res["version"])["cdf"]
+    assert cdf["mode"] == "diff"
+    chg = spark.read.parquet(
+        *[os.path.join(t._data, n) for n in cdf["files"]]
+    )
+    got = sorted((r.k, r.v, r._change_type) for r in chg.collect())
+    assert got == [(1, "a", "delete"), (2, "b", "delete")]
+
+
+def test_delete_where_epoch_replay_skips(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    r1 = t.delete_where("k = 1", writer="job", epoch=7)
+    assert r1["deleted"] == 1 and t.read().count() == 1
+    r2 = t.delete_where("k = 2", writer="job", epoch=7)  # replayed epoch
+    assert r2.get("replayed") and t.read().count() == 1  # no second delete

@@ -254,3 +254,22 @@ def test_cdf_feed_across_additive_evolution(spark, tmp_path):
         (1, "a", None, "insert", 0),
         (2, "b", "X", "insert", 1),
     }
+
+
+def test_cdf_feed_delivers_delete_where_changes(spark, tmp_path):
+    """A delete_where commit's CDF rows arrive through the feed exactly
+    as _change_type='delete' rows for the removed keys — and match the
+    anti-join diff of the surrounding time-travel reads."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.delete_where("k <= 2")  # v1
+    got = _drain_cdf(spark, t.root, str(tmp_path / "o"), str(tmp_path / "c"))
+    v1 = {
+        (r.k, r.v, r._change_type)
+        for r in got.filter(F.col("_version") == 1).collect()
+    }
+    assert v1 == {(1, "a", "delete"), (2, "b", "delete")}
+    assert {
+        (r.k, r.v, r._change_type, r._version) for r in got.collect()
+    } == _expected_cdf(t, -1, 1)
