@@ -785,6 +785,86 @@ def run_cdc_merge_stream_versioned(
     query.awaitTermination()
 
 
+def _sql_key_literal(v) -> str:
+    """A deletion key as a safe SQL literal: numbers verbatim, strings
+    single-quoted with '' escaping (the only escape SQL strings need)."""
+    if isinstance(v, bool) or v is None:
+        raise ValueError(f"unsupported deletion-key literal: {v!r}")
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def run_retention_delete_stream(
+    requests: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    key_col: str,
+    writer: str = "retention_delete",
+    key_columns: tuple[str, ...] = (),
+    stat_columns: tuple[str, ...] = (),
+) -> None:
+    """Streaming retention/erasure applier: a stream of deletion
+    REQUESTS (one column ``key_col`` naming rows to erase — the GDPR
+    right-to-be-forgotten queue shape) is applied to a
+    ``VersionedTable`` as one copy-on-write ``delete_where`` commit per
+    microbatch.
+
+    Scale contract: the erasure queue is REQUEST-grain (humans and
+    regulators generate it), orders of magnitude smaller than the table
+    it erases from — so collecting one epoch's distinct keys to build
+    the IN-list predicate is bounded driver traffic by construction,
+    while the deletion itself stays file-grain copy-on-write (only
+    files containing a requested key are rewritten; the batch's
+    [min, max] key range pre-prunes via manifest stats). What must NOT
+    happen at 100 TB — rewriting the whole table per epoch — is
+    structurally impossible here: untouched files carry forward by
+    reference.
+
+    Exactly-once effect: ``delete_where`` records (writer, epoch) in
+    the commit, so a replayed epoch (restart mid-stream, fresh
+    checkpoint over the same queue) skips idempotently. Empty/no-match
+    epochs commit nothing. With ``key_columns`` set on the table, every
+    erased row rides the change feed as a ``_change_type='delete'`` CDF
+    row — the downstream-propagation hook an erasure pipeline needs.
+    ``key_columns`` / ``stat_columns`` configure the table handle this
+    job commits through (they are handle attributes, not table state):
+    pass the same values the table's primary writer uses so erasure
+    commits keep recording CDF rows and file stats.
+    """
+    from ..sources.table import VersionedTable
+
+    spark = requests.sparkSession
+    table = VersionedTable(spark, table_root)
+    table.key_columns = tuple(key_columns)
+    table.stat_columns = tuple(stat_columns)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        keys = [
+            r[0]
+            for r in batch_df.select(key_col).distinct().collect()
+            if r[0] is not None
+        ]
+        if not keys:
+            return
+        pred = f"{key_col} IN ({', '.join(_sql_key_literal(k) for k in keys)})"
+        table.delete_where(
+            pred,
+            writer=writer,
+            epoch=epoch_id,
+            prune=(key_col, min(keys), max(keys)),
+        )
+
+    query = (
+        requests.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_cdc_merge_stream_catalog(
     events: DataFrame,
     catalog_root: str,

@@ -606,3 +606,76 @@ def test_delete_where_epoch_replay_skips(spark, tmp_path):
     assert r1["deleted"] == 1 and t.read().count() == 1
     r2 = t.delete_where("k = 2", writer="job", epoch=7)  # replayed epoch
     assert r2.get("replayed") and t.read().count() == 1  # no second delete
+
+
+def test_retention_delete_stream(spark, tmp_path):
+    """Streaming erasure queue → per-epoch copy-on-write deletes: final
+    table ≡ base minus all requested keys, each epoch left an
+    operation='delete' version, erased rows rode the CDF as deletes,
+    and a full queue REPLAY (fresh checkpoint) commits nothing new."""
+    from sales_etl_pipeline_spark.streaming import jobs
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.stat_columns = ("k",)
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    t.commit_overwrite(base.repartitionByRange(4, "k"))
+
+    # 2-chunk erasure queue: keys 10..19, then 500..509 (+ a no-op dup)
+    src = tmp_path / "queue"
+    src.mkdir()
+    spark.createDataFrame([(int(k),) for k in range(10, 20)], "k long") \
+        .coalesce(1).write.parquet(str(src / "c0"))
+    spark.createDataFrame(
+        [(int(k),) for k in list(range(500, 510)) + [10]], "k long"
+    ).coalesce(1).write.parquet(str(src / "c1"))
+
+    def queue_stream():
+        return (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/c*")
+        )
+
+    jobs.run_retention_delete_stream(
+        queue_stream(),
+        t.root,
+        str(tmp_path / "ckpt"),
+        key_col="k",
+        key_columns=("k",),
+        stat_columns=("k",),
+    )
+    erased = set(range(10, 20)) | set(range(500, 510))
+    assert {r.k for r in t.read().collect()} == set(range(1000)) - erased
+    dels = [h for h in t.history() if h["operation"] == "delete"]
+    assert len(dels) == 2
+    assert all(h["writer"] == "retention_delete" for h in dels)
+    # CDF carried every erased row exactly once as a delete
+    chg = []
+    for h in dels:
+        cdf = t._read_manifest(h["version"])["cdf"]
+        assert cdf["mode"] == "diff"
+        chg += spark.read.parquet(
+            *[os.path.join(t._data, n) for n in cdf["files"]]
+        ).collect()
+    assert {r.k for r in chg} == erased
+    assert all(r._change_type == "delete" for r in chg)
+    # replay with a fresh checkpoint: epochs already committed -> no-op
+    n_versions = len(t.versions())
+    jobs.run_retention_delete_stream(
+        queue_stream(), t.root, str(tmp_path / "ckpt2"), key_col="k"
+    )
+    assert len(t.versions()) == n_versions
+
+
+def test_sql_key_literal_escaping(spark):
+    from sales_etl_pipeline_spark.streaming.jobs import _sql_key_literal
+
+    assert _sql_key_literal(7) == "7"
+    assert _sql_key_literal("a'b") == "'a''b'"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _sql_key_literal(None)
