@@ -50,7 +50,9 @@ drops/renames/type changes still raise).
 Deliberately out of scope (documented, not hidden): non-additive schema
 evolution, and multi-TABLE transactions. Partition-pruning metadata IS
 covered: per-file min/max for ``stat_columns`` ride the manifest
-(``read(where=...)`` skips files).
+(``read(where=...)`` skips files), and per-file bloom filters for
+``bloom_columns`` give the equality twin (``read(where_eq=...)`` —
+point lookups on keys min/max cannot prune).
 """
 
 from __future__ import annotations
@@ -211,13 +213,20 @@ class VersionedTable:
     # read path
 
     def files_for(
-        self, version: int, where: tuple | None = None
+        self,
+        version: int,
+        where: tuple | None = None,
+        where_eq: tuple | None = None,
     ) -> list[str]:
-        """The version's file names, optionally pruned by manifest stats:
-        ``where=(col, lo, hi)`` drops every file whose recorded
-        [min, max] for ``col`` cannot intersect [lo, hi] (None bound =
-        unbounded). Files without stats for the column are always kept —
-        pruning is an optimization, never a filter."""
+        """The version's file names, optionally pruned by manifest
+        metadata: ``where=(col, lo, hi)`` drops every file whose
+        recorded [min, max] for ``col`` cannot intersect [lo, hi]
+        (None bound = unbounded); ``where_eq=(col, value)`` drops every
+        file whose bloom filter proves ``col = value`` matches nothing
+        (requires the table to commit with ``bloom_columns`` set; the
+        value must be the same type the writer stored). Files without
+        stats/blooms for the column are always kept — pruning is an
+        optimization, never a filter."""
         m = self._read_manifest(version)
         out = []
         for e in m["files"]:
@@ -230,11 +239,19 @@ class VersionedTable:
                         lo is not None and fmax < lo
                     ):
                         continue
+            if where_eq is not None:
+                col, val = where_eq
+                bl = (e.get("blooms") or {}).get(col)
+                if bl is not None and not self._bloom_may_contain(bl, val):
+                    continue
             out.append(e["name"])
         return out
 
     def read(
-        self, version: int | None = None, where: tuple | None = None
+        self,
+        version: int | None = None,
+        where: tuple | None = None,
+        where_eq: tuple | None = None,
     ) -> DataFrame:
         """The table at ``version`` (default: latest committed). The
         returned DataFrame is pinned to that version's exact file list —
@@ -243,9 +260,12 @@ class VersionedTable:
         ``where=(col, lo, hi)`` enables MANIFEST-level data skipping:
         files whose recorded min/max exclude the range are never opened
         (the Iceberg/Delta mechanism; requires the table to have been
-        committed with ``stat_columns`` set). The predicate itself is
-        NOT applied to the surviving rows — callers ``.filter(...)`` as
-        usual; the manifest only shrinks the scan."""
+        committed with ``stat_columns`` set). ``where_eq=(col, value)``
+        is the equality twin via per-file bloom filters
+        (``bloom_columns``) — the point-lookup path min/max cannot
+        prune. The predicate itself is NOT applied to the surviving
+        rows — callers ``.filter(...)`` as usual; the manifest only
+        shrinks the scan."""
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -256,7 +276,7 @@ class VersionedTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         files = [
             os.path.join(self._data, name)
-            for name in self.files_for(version, where)
+            for name in self.files_for(version, where, where_eq)
         ]
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -268,6 +288,80 @@ class VersionedTable:
     #: columns whose per-file min/max ride the manifest for data skipping
     #: (set per table before committing; numeric/string/date columns)
     stat_columns: tuple[str, ...] = ()
+
+    #: columns whose per-file BLOOM FILTER rides the manifest for
+    #: EQUALITY data skipping — the case min/max stats cannot help:
+    #: high-cardinality unordered keys (uuids, user ids) where every
+    #: file's [min, max] spans the whole domain. Sized adaptively at
+    #: ~8 bits/distinct value (k=5, ≈2% false-positive rate), capped at
+    #: 2^20 bits per column per file; a production format would move
+    #: bitsets this size to sidecar files (Iceberg puffin) — inline in
+    #: the manifest is honest at this format's scale and keeps the
+    #: commit a single atomic object. False positives only ever cost a
+    #: wasted file read; a file without a bloom is always kept.
+    bloom_columns: tuple[str, ...] = ()
+    #: hard cap on bloom size (bits, power of two)
+    bloom_max_bits: int = 1 << 20
+
+    @staticmethod
+    def _bloom_hashes(value, m: int) -> list[int]:
+        """k=5 double-hashed bit positions for a value. Canonicalization
+        is str(value) — lookups must pass the same-typed value the
+        writer stored (the manifest is engine-shared, so the hash must
+        be engine-neutral: crc32 over the utf-8 of str(v), no salted
+        Python hash())."""
+        import zlib
+
+        b = str(value).encode("utf-8")
+        h1 = zlib.crc32(b)
+        h2 = zlib.crc32(b, 0x9E3779B9) | 1  # odd: full-period stepping
+        return [(h1 + i * h2) % m for i in range(5)]
+
+    def _file_blooms(self, path: str) -> dict:
+        """Per-file bloom bitsets for ``bloom_columns``, built from one
+        pyarrow column read of the file just staged (file-local work on
+        the writer — the same moment Delta/Iceberg collect their file
+        metrics)."""
+        if not self.bloom_columns:
+            return {}
+        import base64
+
+        import pyarrow.parquet as pq
+
+        out = {}
+        pf = pq.ParquetFile(path)
+        names = set(pf.schema_arrow.names)
+        for col in self.bloom_columns:
+            if col not in names:
+                continue
+            vals = {
+                v
+                for v in pf.read(columns=[col]).column(0).to_pylist()
+                if v is not None
+            }
+            if not vals:
+                out[col] = {"m": 8, "b64": base64.b64encode(b"\0").decode()}
+                continue
+            m = 8
+            while m < 8 * len(vals) and m < self.bloom_max_bits:
+                m *= 2
+            bits = bytearray(m // 8)
+            for v in vals:
+                for pos in self._bloom_hashes(v, m):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            out[col] = {"m": m, "b64": base64.b64encode(bytes(bits)).decode()}
+        return out
+
+    @staticmethod
+    def _bloom_may_contain(bloom: dict, value) -> bool:
+        import base64
+
+        m = bloom["m"]
+        bits = base64.b64decode(bloom["b64"])
+        return all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in VersionedTable._bloom_hashes(value, m)
+        )
 
     #: row-identity key for the CHANGE DATA FEED (Delta-CDF shape). When
     #: set, every commit also records row-level changes vs its parent:
@@ -331,7 +425,11 @@ class VersionedTable:
             name = f"{uuid.uuid4().hex}.parquet"
             final = os.path.join(self._data, name)
             os.rename(os.path.join(staging, part), final)
-            entries.append({"name": name, "stats": self._file_stats(final)})
+            entry = {"name": name, "stats": self._file_stats(final)}
+            blooms = self._file_blooms(final)
+            if blooms:
+                entry["blooms"] = blooms
+            entries.append(entry)
         shutil.rmtree(staging, ignore_errors=True)
         return entries, json.dumps(df.schema.jsonValue()), obs.get["n"]
 
@@ -738,6 +836,7 @@ class VersionedTable:
         epoch: int | None = None,
         max_retries: int = 5,
         prune: tuple | None = None,
+        prune_eq: tuple | None = None,
     ) -> dict:
         """Row-level DELETE as a copy-on-write commit: remove every row
         where ``predicate`` (a SQL boolean expression over the table's
@@ -761,8 +860,11 @@ class VersionedTable:
 
         ``prune=(col, lo, hi)``: manifest-stat pre-pruning — files whose
         recorded [min, max] cannot contain a matching row skip even the
-        match scan. The caller asserts the predicate cannot match
-        outside the range (same contract as ``read(where=...)``).
+        match scan. ``prune_eq=(col, value)`` is the bloom-filter twin
+        for single-key deletes on high-cardinality unordered keys (the
+        GDPR erasure shape). The caller asserts the predicate cannot
+        match outside the range/value (same contract as
+        ``read(where=...)``).
 
         With ``key_columns`` set, the deleted rows are recorded as
         ``_change_type="delete"`` CDF rows — known exactly here, no
@@ -794,7 +896,7 @@ class VersionedTable:
                 )
             m = self._read_manifest(parent)
             entries = {e["name"]: e for e in m["files"]}
-            candidates = self.files_for(parent, prune)
+            candidates = self.files_for(parent, prune, prune_eq)
             schema = StructType.fromJson(json.loads(m["schema"]))
             touched: set[str] = set()
             n_deleted = 0
