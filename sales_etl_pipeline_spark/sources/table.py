@@ -334,9 +334,14 @@ class VersionedTable:
         for col in self.bloom_columns:
             if col not in names:
                 continue
+            import pyarrow.compute as pc
+
+            # distinct Arrow-side: only unique values cross into Python
             vals = {
                 v
-                for v in pf.read(columns=[col]).column(0).to_pylist()
+                for v in pc.unique(
+                    pf.read(columns=[col]).column(0).combine_chunks()
+                ).to_pylist()
                 if v is not None
             }
             if not vals:
