@@ -1042,3 +1042,69 @@ LIBRARY_ORACLE["source_length_ranks"] = """
     FROM documents
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size deterministic corpus sampling: bottom-k by hash.
+
+#: sample size for the bottomk_sample plan (the API takes any k)
+BOTTOMK_K = 64
+
+
+def bottomk_state(docs: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
+    """The k documents with the smallest md5(doc_id) — a deterministic
+    fixed-size uniform sample with a MERGEABLE state, the bottom-k
+    sketch: bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)), so a
+    100-TB corpus's sample is maintainable under append-only ingest by
+    folding each batch's k-row state (``merge_bottomk``) — no rescan,
+    ever. Unlike ``df.sample`` the result is independent of partition
+    layout, engine, and run (the stratified_sample argument, with a
+    fixed SIZE instead of a fixed RATE). Physical shape:
+    TakeOrderedAndProject — per-partition top-k, k·partitions rows to
+    the driver side of the exchange, never a full sort."""
+    h = md5_long(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(k)
+    )
+
+
+def merge_bottomk(*states: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
+    """Fold bottom-k states: union (≤ k·len(states) rows — state grain,
+    not corpus grain) and re-take the k smallest."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.orderBy("h", "doc_id").limit(k)
+
+
+def bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry plan: the k=64 bottom-k sample of the documents corpus
+    with its sample rank. Oracle: the identical ORDER BY md5 LIMIT k in
+    DuckDB (md5_long is bit-shared across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("h", "doc_id")
+    return (
+        bottomk_state(docs)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "h", "sample_rank")
+        .orderBy("sample_rank")
+    )
+
+
+LIBRARY_QUERIES["bottomk_sample"] = bottomk_sample
+
+LIBRARY_ORACLE["bottomk_sample"] = f"""
+    SELECT doc_id, h,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS INTEGER)
+               AS sample_rank
+    FROM (
+        SELECT doc_id,
+               {oracle_md5_long("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+        ORDER BY h, doc_id
+        LIMIT {BOTTOMK_K}
+    )
+    ORDER BY sample_rank
+"""

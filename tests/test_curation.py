@@ -306,3 +306,43 @@ def test_lm_heldout_backoff_ladder(spark, tmp_path):
     # 'z' after 'a': (a,z) unseen -> unigram backoff len(bin(6//1))-1 = 2;
     # 'qq': OOV -> len(bin(6))-1 = 2.  mean = 6/4
     assert row.mean_bits_per_token == 6 / 4
+
+
+def test_bottomk_fold_invariance(spark):
+    """bottomk(A ∪ B) ≡ bottomk(bottomk(A) ∪ bottomk(B)) for 1/3/5-way
+    corpus splits — the mergeable-sketch property that makes the sample
+    maintainable under append-only ingest without rescans."""
+    from sales_etl_pipeline_spark.plans import curation
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    want = sorted(
+        (r.doc_id, r.h) for r in curation.bottomk_state(docs).collect()
+    )
+    for nb in (3, 5):
+        states = [
+            curation.bottomk_state(docs.filter(F.col("doc_id") % nb == i))
+            for i in range(nb)
+        ]
+        got = sorted(
+            (r.doc_id, r.h)
+            for r in curation.merge_bottomk(*states).collect()
+        )
+        assert got == want, f"fold mismatch at {nb} batches"
+
+
+def test_bottomk_plan_is_take_ordered(spark):
+    """Fixed-size sampling must be TakeOrderedAndProject (per-partition
+    top-k), never a global sort of the corpus."""
+    from sales_etl_pipeline_spark.plans import curation
+
+    plan = (
+        curation.bottomk_sample(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # below the top-k: scan + hash projection only — the corpus is never
+    # globally sorted (the only Sort sits above, over the k sampled rows)
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[1]
