@@ -200,14 +200,15 @@ class TableCatalog:
                 t.publish_prepared(prepared)
             except CommitConflict:
                 existing = t._read_manifest(entry["version"])
-                want = {
-                    k: prepared[k]
-                    for k in (
-                        "files", "schema", "operation", "writer",
-                        "epoch", "rows", "parent", "cdf",
-                    )
-                }
-                if existing != want:
+                # compare the COMMIT-DEFINING keys only: committed_at is
+                # wall-clock metadata — two publishes of the same txn at
+                # different times are the same commit
+                cmp_keys = (
+                    "files", "schema", "operation", "writer",
+                    "epoch", "rows", "parent", "cdf",
+                )
+                want = {k: prepared[k] for k in cmp_keys}
+                if {k: existing.get(k) for k in cmp_keys} != want:
                     raise CatalogCorruption(
                         f"table {name!r} version {entry['version']} was "
                         "committed outside the catalog — manifest does "

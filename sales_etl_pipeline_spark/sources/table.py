@@ -194,6 +194,7 @@ class VersionedTable:
                     "epoch": m.get("epoch"),
                     "n_files": len(m["files"]),
                     "rows": m.get("rows"),
+                    "committed_at": m.get("committed_at"),
                 }
             )
         return out
@@ -281,6 +282,78 @@ class VersionedTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    def version_as_of(self, ts: float) -> int:
+        """The newest version whose ``committed_at`` is ≤ ``ts`` (epoch
+        seconds) — AS OF TIMESTAMP resolution. Pre-timestamp manifests
+        (written before this field existed) are treated as infinitely
+        old, i.e. always eligible. Raises if the table has no version
+        that early."""
+        best = None
+        for v in self.versions():
+            m = self._read_manifest(v)
+            at = m.get("committed_at")
+            if at is None or at <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version of {self.root} committed at or before {ts}"
+            )
+        return best
+
+    def read_as_of(self, ts: float, **kwargs) -> DataFrame:
+        """``read()`` pinned to the snapshot that was current at wall
+        time ``ts`` — SELECT ... AS OF TIMESTAMP. Keyword args pass
+        through to ``read`` (where/where_eq pruning)."""
+        return self.read(version=self.version_as_of(ts), **kwargs)
+
+    def verify(self, version: int | None = None) -> dict:
+        """Integrity audit of one version against its manifest: every
+        referenced file (data + CDF) must exist, per-file footer
+        metadata must agree with the manifest (recorded min/max stats,
+        and the summed parquet row counts vs the commit's observed row
+        count). Detects bitrot, manual tampering, and lost files while
+        they are still recoverable from upstream — the periodic check a
+        production table runs alongside vacuum. Returns
+        {ok, missing_files, stat_mismatches, rows_expected, rows_found}.
+        """
+        import pyarrow.parquet as pq
+
+        if version is None:
+            version = self.latest_version()
+        m = self._read_manifest(version)
+        missing, stat_mismatches = [], []
+        rows_found = 0
+        for e in m["files"]:
+            path = os.path.join(self._data, e["name"])
+            if not os.path.exists(path):
+                missing.append(e["name"])
+                continue
+            rows_found += pq.ParquetFile(path).metadata.num_rows
+            if e.get("stats"):
+                fresh = self._file_stats(path, tuple(e["stats"]))
+                for col, lohi in e["stats"].items():
+                    if fresh.get(col) != lohi:
+                        stat_mismatches.append(
+                            {"file": e["name"], "column": col}
+                        )
+        cdf = m.get("cdf") or {}
+        for name in cdf.get("files", []) if cdf.get("mode") == "diff" else []:
+            if not os.path.exists(os.path.join(self._data, name)):
+                missing.append(name)
+        rows_expected = m.get("rows")
+        ok = (
+            not missing
+            and not stat_mismatches
+            and (rows_expected is None or rows_found == rows_expected)
+        )
+        return {
+            "ok": ok,
+            "missing_files": missing,
+            "stat_mismatches": stat_mismatches,
+            "rows_expected": rows_expected,
+            "rows_found": rows_found,
+        }
 
     # ------------------------------------------------------------------
     # write path
@@ -379,21 +452,24 @@ class VersionedTable:
     #: identify rows (the same contract as any MERGE key).
     key_columns: tuple[str, ...] = ()
 
-    def _file_stats(self, path: str) -> dict:
+    def _file_stats(self, path: str, columns: tuple | None = None) -> dict:
         """Per-file min/max for ``stat_columns``, read from the parquet
         FOOTER the writer already produced (pyarrow metadata — no data
         scan). The manifest carries them so ``read(where=...)`` can drop
         whole files without opening them — the Iceberg/Delta
         manifest-level skipping mechanism, one directory level above the
-        row-group pruning Spark already does inside each file."""
-        if not self.stat_columns:
+        row-group pruning Spark already does inside each file.
+        ``columns`` overrides the handle's ``stat_columns`` (verify()
+        audits against the columns the COMMITTING writer recorded)."""
+        columns = self.stat_columns if columns is None else columns
+        if not columns:
             return {}
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(path).metadata
         idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         out = {}
-        for col in self.stat_columns:
+        for col in columns:
             if col not in idx:
                 continue
             lo, hi = None, None
@@ -555,6 +631,8 @@ class VersionedTable:
         parent: int | None,
         cdf: dict | None = None,
     ) -> None:
+        import time
+
         os.makedirs(self._log, exist_ok=True)
         payload = json.dumps(
             {
@@ -566,6 +644,11 @@ class VersionedTable:
                 "rows": rows,
                 "parent": parent,
                 "cdf": cdf,
+                # wall-clock commit time for AS-OF-timestamp time travel.
+                # Trustworthy to the extent the committing hosts' clocks
+                # are (the same caveat Delta documents); version numbers
+                # remain the authoritative order.
+                "committed_at": time.time(),
             }
         )
         path = self._manifest_path(version)

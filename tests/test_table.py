@@ -739,3 +739,52 @@ def test_bloom_prunes_delete_where(spark, tmp_path):
     assert res["files_rewritten"] <= 2  # bloom-positive files only
     assert t.read().filter(F.col("uid") == target).count() == 0
     assert t.read().count() == 4_999
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """AS OF TIMESTAMP: reads resolve to the newest version committed
+    at or before the given wall time; earlier-than-v0 raises."""
+    import time
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    before_any = time.time()
+    t.commit_overwrite(_df(spark, [(1, "v0")]))
+    between = time.time()
+    time.sleep(0.01)
+    t.commit_overwrite(_df(spark, [(1, "v1")]))
+    after_all = time.time()
+    assert t.version_as_of(between) == 0
+    assert _rows(t.read_as_of(between)) == [(1, "v0")]
+    assert t.version_as_of(after_all) == 1
+    assert _rows(t.read_as_of(after_all)) == [(1, "v1")]
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of(before_any - 60)
+    assert all(h["committed_at"] is not None for h in t.history())
+
+
+def test_verify_detects_loss_and_tamper(spark, tmp_path):
+    """verify(): clean table passes; a deleted data file and a swapped
+    (tampered) file are both detected against the manifest."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.stat_columns = ("k",)
+    t.commit_overwrite(
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    res = t.verify()
+    assert res["ok"] and res["rows_found"] == res["rows_expected"] == 1000
+
+    names = t.files_for(0)
+    # tamper: overwrite one referenced file with a different one's bytes
+    import shutil as _sh
+
+    a, b = (os.path.join(t._data, n) for n in names[:2])
+    _sh.copyfile(b, a)
+    res = t.verify(0)
+    assert not res["ok"]
+    assert {m["column"] for m in res["stat_mismatches"]} == {"k"}
+    # loss: remove a referenced file outright
+    os.remove(os.path.join(t._data, names[3]))
+    res = t.verify(0)
+    assert names[3] in res["missing_files"]
