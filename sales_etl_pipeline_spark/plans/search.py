@@ -93,6 +93,64 @@ def _odds_idf(n_docs: Column, df_: Column) -> Column:
     )
 
 
+def bm25_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Corpus statistics for frozen-index scoring: the (term, df)
+    relation and the 1-row (n_docs, avgdl) constants. Persist these two
+    tiny relations once and ``bm25_score_with_index`` scores any later
+    document batch/stream against them — how a production ranker scores
+    NEW documents without re-reading the reference corpus."""
+    tf = _tf(docs)
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    consts = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return dfreq, consts
+
+
+def bm25_score_with_index(
+    docs: DataFrame,
+    queries: DataFrame,
+    dfreq: DataFrame,
+    consts: DataFrame,
+    *,
+    k1: float = K1,
+    b: float = B,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Score documents against FROZEN index statistics: tf and document
+    length come from ``docs`` (each doc is self-contained), idf and
+    avgdl from the index relations — identical op tree to
+    ``bm25_score``, so self-indexed scoring is the special case
+    ``bm25_score_with_index(docs, q, *bm25_index(docs))``. Terms absent
+    from the index drop out (no df → no idf), the standard frozen-
+    vocabulary behavior. Streaming: every input is per-doc-local or a
+    broadcast static relation, so the same expression runs unchanged in
+    a foreachBatch microbatch (streaming/jobs.run_stream_bm25_score)."""
+    tf = _tf(docs)
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    idf = _odds_idf(F.col("n_docs"), F.col("df"))
+    if log_idf:
+        idf = F.log(F.lit(1.0) + idf)
+    cand = (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(consts))
+        .join(doclen, "doc_id")
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    term_score = idf * (tfd * F.lit(k1 + 1.0) / (tfd + norm))
+    return (
+        cand.select("query_id", "doc_id", term_score.alias("ts"))
+        .groupBy("query_id", "doc_id")
+        .agg(xsum(F.col("ts")).alias("score"))
+    )
+
+
 def bm25_score(
     docs: DataFrame,
     queries: DataFrame,

@@ -865,6 +865,48 @@ def run_retention_delete_stream(
     query.awaitTermination()
 
 
+def run_stream_bm25_score(
+    docs_stream: DataFrame,
+    reference_docs: DataFrame,
+    queries: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming BM25 ranker: score an incoming document stream against
+    a FROZEN index built once from ``reference_docs`` (df/avgdl stats —
+    ``plans.search.bm25_index``), appending (query_id, doc_id, score)
+    parquet per microbatch.
+
+    Exactness: BM25 of a document depends only on the document's own
+    term frequencies/length plus the frozen index stats, so per-batch
+    scoring ≡ batch scoring of the union — no cross-batch state, no
+    watermark needed; each epoch is one stream-static broadcast join.
+    The index relations are term-grain and 1-row — pinned once on the
+    driver side and broadcast into every epoch. Stream ≡ batch pinned
+    in tests/test_search.py."""
+    from ..plans.search import bm25_index, bm25_score_with_index
+
+    dfreq, consts = bm25_index(reference_docs)
+    dfreq = dfreq.persist()
+    consts = consts.persist()
+    dfreq.count(), consts.count()  # materialize the frozen index once
+
+    def _score(batch_df: DataFrame, epoch_id: int) -> None:
+        bm25_score_with_index(batch_df, queries, dfreq, consts).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    query = (
+        docs_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    dfreq.unpersist()
+    consts.unpersist()
+
+
 def run_cdc_merge_stream_catalog(
     events: DataFrame,
     catalog_root: str,

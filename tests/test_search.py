@@ -145,3 +145,74 @@ def test_bm25_score_api_on_custom_frames(spark):
     q = spark.createDataFrame([(1, "red")], "query_id int, term string")
     rows = search.bm25_score(docs, q).orderBy(F.desc("score")).collect()
     assert [r.doc_id for r in rows] == [2, 1]  # higher tf wins; 3 absent
+
+
+def test_bm25_self_index_equals_with_index(spark):
+    """bm25_score ≡ bm25_score_with_index(docs, q, *bm25_index(docs)) —
+    the frozen-index scorer's op tree is the same expression."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    q = _queries_df(spark)
+    a = {(r.query_id, r.doc_id): r.score for r in search.bm25_score(docs, q).collect()}
+    dfreq, consts = search.bm25_index(docs)
+    b = {
+        (r.query_id, r.doc_id): r.score
+        for r in search.bm25_score_with_index(docs, q, dfreq, consts).collect()
+    }
+    assert a == b  # bit-identical, not approx
+
+
+def test_bm25_frozen_index_scores_new_docs(spark):
+    """Docs NOT in the reference corpus score against the frozen stats;
+    index-absent terms drop out (frozen-vocabulary semantics)."""
+    ref = spark.createDataFrame(
+        [(1, "red fox red"), (2, "blue sky")], "doc_id long, text string"
+    )
+    dfreq, consts = search.bm25_index(ref)
+    new = spark.createDataFrame(
+        [(10, "red red novelterm")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(1, "red"), (1, "novelterm")], "query_id int, term string"
+    )
+    rows = search.bm25_score_with_index(new, q, dfreq, consts).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 10
+    # score reflects ONLY 'red' (novelterm has no df in the index):
+    # idf = (2 - 1 + 0.5)/(1 + 0.5) = 1.0; tf=2, dl=3, avgdl=2.5
+    k1, b = search.K1, search.B
+    norm = k1 * ((1 - b) + b * (3.0 / 2.5))
+    want = 1.0 * (2.0 * (k1 + 1.0) / (2.0 + norm))
+    assert rows[0].score == pytest.approx(want, rel=1e-12)
+
+
+def test_stream_bm25_equals_batch(spark, tmp_path):
+    """The streaming ranker over a 3-chunk document stream ≡ one batch
+    scoring of the whole corpus against the same frozen index."""
+    from sales_etl_pipeline_spark.streaming import jobs
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = tmp_path / "chunks"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"c{i}")
+        )
+    q = _queries_df(spark)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/c*")
+    )
+    out = str(tmp_path / "scored")
+    jobs.run_stream_bm25_score(
+        stream, docs, q, out, str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in spark.read.parquet(out).collect()
+    }
+    dfreq, consts = search.bm25_index(docs)
+    want = {
+        (r.query_id, r.doc_id): r.score
+        for r in search.bm25_score_with_index(docs, q, dfreq, consts).collect()
+    }
+    assert got == want  # bit-identical across the batch split
