@@ -228,12 +228,20 @@ def _pagerank_oracle(n_iters: int = N_ITERS) -> str:
 
 #: BFS source for the hops plan and its oracle — nation key 0.
 BFS_SOURCE = 0
-#: hop bound: > any possible diameter of a 25-node graph; bounds BOTH the
-#: Spark loop (hard stop) and the oracle's recursive CTE.
+#: recursion bound for the ORACLE's recursive CTE only: with UNION
+#: (set) semantics the walk terminates at the diameter anyway, and any
+#: bound ≥ |V|-1 (24 for the 25-nation graph) cannot truncate a true
+#: distance. The Spark loop needs no cap — the visited-set anti-join
+#: empties the frontier after at most |V| rounds.
 MAX_HOPS = 25
 
 
-def shortest_hops(nodes: DataFrame, edges: DataFrame, source) -> DataFrame:
+def shortest_hops(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source,
+    max_hops: int | None = None,
+) -> DataFrame:
     """Single-source shortest hop counts (unweighted BFS) over an
     arbitrary directed graph — frontier-expansion as relational ops,
     the reachability twin of ``pagerank()`` (a crawl pipeline runs this
@@ -246,17 +254,26 @@ def shortest_hops(nodes: DataFrame, edges: DataFrame, source) -> DataFrame:
     Scale design: each round shuffles only the CURRENT frontier against
     the edge table (equi-join on src) and anti-joins the visited set —
     never all-pairs, never whole-graph state per round beyond the
-    visited relation (node grain). Rounds = graph diameter, each
-    re-anchored with an eager localCheckpoint (O(1) plan depth, the
+    visited relation (node grain). Rounds = graph diameter — the loop
+    runs until the frontier empties, which BFS guarantees after at most
+    |V| rounds (each node enters the frontier once); ``max_hops`` is an
+    OPTIONAL early-stop for bounded-depth audits ("everything within k
+    clicks"), not a termination requirement. Each round is re-anchored
+    with an eager localCheckpoint (O(1) plan depth, the
     pagerank/bpe_merges discipline). Driver traffic per round: one
     1-row emptiness probe.
     """
+    import itertools
+
     e = edges.select("src", "dst").distinct()
     dist = nodes.select("node").where(
         F.col("node") == F.lit(source)
     ).select("node", F.lit(0).alias("hops"))
     frontier = dist
-    for hop in range(1, MAX_HOPS + 1):
+    hops_iter = (
+        range(1, max_hops + 1) if max_hops is not None else itertools.count(1)
+    )
+    for hop in hops_iter:
         dist = dist.localCheckpoint(eager=True)
         nxt = (
             frontier.join(e, frontier.node == e.src)

@@ -168,39 +168,15 @@ def bm25_score(
     (query_id, doc_id, score). ``log_idf=True`` switches to the Lucene
     idf ``ln(1 + (N-df+0.5)/(df+0.5))`` — production ranking, not
     cross-engine exact (module docstring).
+
+    One scoring implementation exists (``bm25_score_with_index`` — the
+    oracle-pinned op tree lives there alone); this is the self-indexed
+    special case. Catalyst's ReuseExchange dedups the doubled tf
+    shuffle.
     """
-    tf = _tf(docs)
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # two scalars: corpus size and average doc length. Broadcast-joined
-    # everywhere below — 1-row driver-free relation, never a collect.
-    consts = doclen.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-
-    idf = _odds_idf(F.col("n_docs"), F.col("df"))
-    if log_idf:
-        idf = F.log(F.lit(1.0) + idf)
-
-    # postings lookup: broadcast the (tiny) query-term relation into the
-    # tf table; only documents containing a query term survive.
-    cand = (
-        tf.join(F.broadcast(queries), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(consts))
-        .join(doclen, "doc_id")
-    )
-    # identical op tree in the oracle: norm = k1*((1-b) + b*(dl/avgdl))
-    tfd = F.col("tf").cast("double")
-    norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    term_score = idf * (tfd * F.lit(k1 + 1.0) / (tfd + norm))
-    return (
-        cand.select("query_id", "doc_id", term_score.alias("ts"))
-        .groupBy("query_id", "doc_id")
-        .agg(xsum(F.col("ts")).alias("score"))
+    dfreq, consts = bm25_index(docs)
+    return bm25_score_with_index(
+        docs, queries, dfreq, consts, k1=k1, b=b, log_idf=log_idf
     )
 
 

@@ -321,6 +321,10 @@ class VersionedTable:
 
         if version is None:
             version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(
+                    f"no committed version under {self.root}"
+                )
         m = self._read_manifest(version)
         missing, stat_mismatches = [], []
         rows_found = 0

@@ -786,13 +786,18 @@ def run_cdc_merge_stream_versioned(
 
 
 def _sql_key_literal(v) -> str:
-    """A deletion key as a safe SQL literal: numbers verbatim, strings
-    single-quoted with '' escaping (the only escape SQL strings need)."""
+    """A deletion key as a safe Spark-SQL literal: numbers verbatim,
+    strings single-quoted with BOTH backslash and quote escaped —
+    Spark's default parser (escapedStringLiterals=false) treats ``\\``
+    as an escape inside string literals, so '' doubling alone would let
+    a key like ``a\\') OR (1=1) --`` break out of the literal (SQL
+    injection via the deletion queue) and a trailing backslash would
+    produce an unterminated literal."""
     if isinstance(v, bool) or v is None:
         raise ValueError(f"unsupported deletion-key literal: {v!r}")
     if isinstance(v, (int, float)):
         return repr(v)
-    s = str(v).replace("'", "''")
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
     return f"'{s}'"
 
 
@@ -804,6 +809,7 @@ def run_retention_delete_stream(
     writer: str = "retention_delete",
     key_columns: tuple[str, ...] = (),
     stat_columns: tuple[str, ...] = (),
+    bloom_columns: tuple[str, ...] = (),
 ) -> None:
     """Streaming retention/erasure applier: a stream of deletion
     REQUESTS (one column ``key_col`` naming rows to erase — the GDPR
@@ -828,10 +834,12 @@ def run_retention_delete_stream(
     epochs commit nothing. With ``key_columns`` set on the table, every
     erased row rides the change feed as a ``_change_type='delete'`` CDF
     row — the downstream-propagation hook an erasure pipeline needs.
-    ``key_columns`` / ``stat_columns`` configure the table handle this
-    job commits through (they are handle attributes, not table state):
-    pass the same values the table's primary writer uses so erasure
-    commits keep recording CDF rows and file stats.
+    ``key_columns`` / ``stat_columns`` / ``bloom_columns`` configure the
+    table handle this job commits through (they are handle attributes,
+    not table state): pass the same values the table's primary writer
+    uses so erasure commits keep recording CDF rows, file stats, and
+    bloom filters — otherwise every rewritten file silently loses its
+    skipping metadata and point-lookup pruning degrades per epoch.
     """
     from ..sources.table import VersionedTable
 
@@ -839,6 +847,7 @@ def run_retention_delete_stream(
     table = VersionedTable(spark, table_root)
     table.key_columns = tuple(key_columns)
     table.stat_columns = tuple(stat_columns)
+    table.bloom_columns = tuple(bloom_columns)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         keys = [
@@ -882,8 +891,13 @@ def run_stream_bm25_score(
     scoring ≡ batch scoring of the union — no cross-batch state, no
     watermark needed; each epoch is one stream-static broadcast join.
     The index relations are term-grain and 1-row — pinned once on the
-    driver side and broadcast into every epoch. Stream ≡ batch pinned
-    in tests/test_search.py."""
+    driver side and broadcast into every epoch. Output is keyed on
+    epoch (``epoch=N/`` subdir, overwritten on replay) so a microbatch
+    re-run after a crash-before-checkpoint is idempotent — the repo's
+    foreachBatch sink contract. Stream ≡ batch pinned in
+    tests/test_search.py."""
+    import os as _os
+
     from ..plans.search import bm25_index, bm25_score_with_index
 
     dfreq, consts = bm25_index(reference_docs)
@@ -893,8 +907,8 @@ def run_stream_bm25_score(
 
     def _score(batch_df: DataFrame, epoch_id: int) -> None:
         bm25_score_with_index(batch_df, queries, dfreq, consts).write.mode(
-            "append"
-        ).parquet(out_dir)
+            "overwrite"
+        ).parquet(_os.path.join(out_dir, f"epoch={epoch_id}"))
 
     query = (
         docs_stream.writeStream.foreachBatch(_score)

@@ -209,6 +209,26 @@ def test_shortest_hops_api_on_custom_graph(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 2, 5: 3}  # 4 absent: unreachable
 
 
+def test_shortest_hops_beyond_25_and_depth_cap(spark):
+    """The loop runs to frontier exhaustion — a 30-node path graph gets
+    full distances (no silent 25-hop truncation); max_hops is an
+    explicit bounded-depth audit knob."""
+    from sales_etl_pipeline_spark.plans.graph import shortest_hops
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node int")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src int, dst int"
+    )
+    got = {r.node: r.hops for r in shortest_hops(nodes, edges, 0).collect()}
+    assert got == {i: i for i in range(n)}
+    capped = {
+        r.node: r.hops
+        for r in shortest_hops(nodes, edges, 0, max_hops=5).collect()
+    }
+    assert capped == {i: i for i in range(6)}
+
+
 def test_shortest_hops_source_without_edges(spark):
     """Early-stop path: a source with no out-edges returns just itself."""
     from sales_etl_pipeline_spark.plans.graph import shortest_hops

@@ -208,7 +208,9 @@ def test_stream_bm25_equals_batch(spark, tmp_path):
     )
     got = {
         (r.query_id, r.doc_id): r.score
-        for r in spark.read.parquet(out).collect()
+        for r in spark.read.parquet(out)
+        .select("query_id", "doc_id", "score")  # epoch= partition dirs
+        .collect()
     }
     dfreq, consts = search.bm25_index(docs)
     want = {

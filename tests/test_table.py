@@ -671,14 +671,25 @@ def test_retention_delete_stream(spark, tmp_path):
 
 
 def test_sql_key_literal_escaping(spark):
+    """Spark's parser treats backslash as an escape inside string
+    literals, so BOTH must be escaped — and a hostile deletion key must
+    parse as a plain value, not break out of the IN-list (verified by
+    evaluating the generated predicate)."""
     from sales_etl_pipeline_spark.streaming.jobs import _sql_key_literal
 
     assert _sql_key_literal(7) == "7"
-    assert _sql_key_literal("a'b") == "'a''b'"
+    assert _sql_key_literal("a'b") == "'a\\'b'"
+    assert _sql_key_literal("a\\b") == "'a\\\\b'"
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         _sql_key_literal(None)
+
+    hostile = ["a\\') OR (1=1) --", "a\\", "plain", "q'q"]
+    df = spark.createDataFrame([(k,) for k in hostile + ["safe"]], "k string")
+    pred = f"k IN ({', '.join(_sql_key_literal(k) for k in hostile)})"
+    kept = {r.k for r in df.filter(pred).collect()}
+    assert kept == set(hostile)  # exactly the listed keys — no breakout
 
 
 def test_bloom_equality_skipping(spark, tmp_path):
