@@ -269,12 +269,19 @@ class TableCatalog:
         writer: str | None = None,
         epoch: int | None = None,
         max_retries: int = 5,
+        deletes: dict[str, str] | None = None,
     ) -> int:
         """Atomically commit writes to SEVERAL tables as one
         transaction: either every table advances to its recorded
         version, or none does. ``overwrites`` replace each table's
-        content; ``appends`` add rows (a table may appear in only one
-        of the two). Optimistic concurrency: racing catalog writers are
+        content; ``appends`` add rows; ``deletes`` maps table →
+        SQL predicate and runs a copy-on-write DELETE (the multi-table
+        erasure shape — user data spans tables, and the right to be
+        forgotten is atomic or it is a liability). A table may appear
+        in only one of the three; a delete matching no rows drops out
+        of the txn (its table does not advance — and if every write
+        degenerates this way, no txn commits and the current seq is
+        returned). Optimistic concurrency: racing catalog writers are
         serialized by the txn CAS; the loser discards its staged files
         and retries against the new state. With (writer, epoch) set, a
         replayed epoch returns its original seq without re-committing —
@@ -283,13 +290,18 @@ class TableCatalog:
         Returns the committed txn seq."""
         overwrites = overwrites or {}
         appends = appends or {}
-        if not overwrites and not appends:
+        deletes = deletes or {}
+        if not overwrites and not appends and not deletes:
             raise ValueError("transaction has no writes")
-        both = set(overwrites) & set(appends)
-        if both:
-            raise ValueError(
-                f"tables in both overwrites and appends: {sorted(both)}"
-            )
+        groups = [set(overwrites), set(appends), set(deletes)]
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                both = groups[i] & groups[j]
+                if both:
+                    raise ValueError(
+                        "tables in more than one write group: "
+                        f"{sorted(both)}"
+                    )
         if writer is not None and epoch is not None:
             seen = self.epoch_committed(writer, epoch)
             if seen is not None:
@@ -313,6 +325,15 @@ class TableCatalog:
                     prepared[name] = self.table(name).prepare_commit(
                         df, mode="append", writer=writer, epoch=epoch
                     )
+                for name, predicate in deletes.items():
+                    p = self.table(name).prepare_delete_where(
+                        predicate, writer=writer, epoch=epoch
+                    )
+                    if p is not None:  # no-match delete: table skips txn
+                        prepared[name] = p
+                if not prepared:
+                    # every write degenerated to a no-op delete
+                    return parent_seq if parent_seq is not None else -1
                 seq = (parent_seq if parent_seq is not None else -1) + 1
                 table_versions = dict(prev_versions)
                 tables = {}

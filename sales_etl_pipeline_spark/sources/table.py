@@ -966,9 +966,6 @@ class VersionedTable:
 
         Returns {version, deleted, files_rewritten, files_kept}.
         """
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
-
         if writer is not None and epoch is not None and self.epoch_committed(
             writer, epoch
         ):
@@ -981,94 +978,122 @@ class VersionedTable:
             }
         last_err: CommitConflict | None = None
         for _ in range(max_retries):
-            parent = self.latest_version()
-            if parent is None:
-                raise FileNotFoundError(
-                    f"no committed version under {self.root}"
-                )
-            m = self._read_manifest(parent)
-            entries = {e["name"]: e for e in m["files"]}
-            candidates = self.files_for(parent, prune, prune_eq)
-            schema = StructType.fromJson(json.loads(m["schema"]))
-            touched: set[str] = set()
-            n_deleted = 0
-            if candidates:
-                cand = self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self._data, n) for n in candidates]
-                )
-                per_file = (
-                    cand.filter(F.expr(predicate))
-                    .select(
-                        F.element_at(
-                            F.split(F.input_file_name(), "/"), -1
-                        ).alias("f")
-                    )
-                    .groupBy("f")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()  # file-grain: one row per touched file
-                )
-                touched = {r["f"] for r in per_file}
-                n_deleted = sum(r["n"] for r in per_file)
-            if not touched:
+            prepared = self.prepare_delete_where(
+                predicate,
+                prune=prune,
+                prune_eq=prune_eq,
+                writer=writer,
+                epoch=epoch,
+            )
+            if prepared is None:  # no matching row anywhere
+                parent = self.latest_version()
                 return {
                     "version": parent,
                     "deleted": 0,
                     "files_rewritten": 0,
-                    "files_kept": len(entries),
+                    "files_kept": len(self.files_for(parent)),
                 }
-            tdf = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self._data, n) for n in touched]
-            )
-            # keep NULL-predicate rows: DELETE removes only WHERE=TRUE
-            kept = tdf.filter(
-                ~F.coalesce(F.expr(predicate), F.lit(False))
-            )
-            new_files, _, _ = self._stage(kept)
-            staged = [e["name"] for e in new_files]
-            cdf = None
-            if self.key_columns:
-                deleted_rows = tdf.filter(F.expr(predicate)).withColumn(
-                    "_change_type", F.lit("delete")
-                )
-                change_files, _, _ = self._stage(deleted_rows)
-                staged += [e["name"] for e in change_files]
-                cdf = {
-                    "mode": "diff",
-                    "files": [e["name"] for e in change_files],
-                }
-            files = [
-                e for n, e in entries.items() if n not in touched
-            ] + new_files
-            rows = (
-                m["rows"] - n_deleted if m.get("rows") is not None else None
-            )
             try:
-                self._try_commit(
-                    parent + 1,
-                    files,
-                    m["schema"],
-                    "delete",
-                    writer,
-                    epoch,
-                    rows,
-                    parent,
-                    cdf,
-                )
+                self.publish_prepared(prepared)
                 return {
-                    "version": parent + 1,
-                    "deleted": n_deleted,
-                    "files_rewritten": len(touched),
-                    "files_kept": len(entries) - len(touched),
+                    "version": prepared["version"],
+                    "deleted": prepared["deleted"],
+                    "files_rewritten": prepared["files_rewritten"],
+                    "files_kept": prepared["files_kept"],
                 }
             except CommitConflict as e:
-                for name in staged:  # reclaim: nothing references them
-                    try:
-                        os.remove(os.path.join(self._data, name))
-                    except OSError:
-                        pass
+                self.discard_prepared(prepared)
                 last_err = e
                 continue
         raise last_err or CommitConflict((self.latest_version() or 0) + 1)
+
+    def prepare_delete_where(
+        self,
+        predicate: str,
+        prune: tuple | None = None,
+        prune_eq: tuple | None = None,
+        writer: str | None = None,
+        epoch: int | None = None,
+    ) -> dict | None:
+        """Stage a copy-on-write DELETE against the current latest
+        version WITHOUT publishing — the delete twin of
+        ``prepare_commit``, so ``TableCatalog.commit(deletes=...)`` can
+        make one transaction erase from several tables atomically
+        (the GDPR shape: user data spans tables). Returns None when no
+        row matches (no version should advance), else a prepared dict
+        for ``publish_prepared``/``discard_prepared`` carrying the
+        delete stats (deleted, files_rewritten, files_kept)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(
+                f"no committed version under {self.root}"
+            )
+        m = self._read_manifest(parent)
+        entries = {e["name"]: e for e in m["files"]}
+        candidates = self.files_for(parent, prune, prune_eq)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        touched: set[str] = set()
+        n_deleted = 0
+        if candidates:
+            cand = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self._data, n) for n in candidates]
+            )
+            per_file = (
+                cand.filter(F.expr(predicate))
+                .select(
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("f")
+                )
+                .groupBy("f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # file-grain: one row per touched file
+            )
+            touched = {r["f"] for r in per_file}
+            n_deleted = sum(r["n"] for r in per_file)
+        if not touched:
+            return None
+        tdf = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self._data, n) for n in touched]
+        )
+        # keep NULL-predicate rows: DELETE removes only WHERE=TRUE
+        kept = tdf.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        new_files, _, _ = self._stage(kept)
+        staged = [e["name"] for e in new_files]
+        cdf = None
+        if self.key_columns:
+            deleted_rows = tdf.filter(F.expr(predicate)).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            change_files, _, _ = self._stage(deleted_rows)
+            staged += [e["name"] for e in change_files]
+            cdf = {
+                "mode": "diff",
+                "files": [e["name"] for e in change_files],
+            }
+        return {
+            "table_root": self.root,
+            "version": parent + 1,
+            "parent": parent,
+            "schema": m["schema"],
+            "operation": "delete",
+            "writer": writer,
+            "epoch": epoch,
+            "files": [
+                e for n, e in entries.items() if n not in touched
+            ] + new_files,
+            "rows": (
+                m["rows"] - n_deleted if m.get("rows") is not None else None
+            ),
+            "cdf": cdf,
+            "staged": staged,
+            "deleted": n_deleted,
+            "files_rewritten": len(touched),
+            "files_kept": len(entries) - len(touched),
+        }
 
     def merge_commit(
         self,

@@ -874,6 +874,59 @@ def run_retention_delete_stream(
     query.awaitTermination()
 
 
+def run_retention_delete_stream_catalog(
+    requests: DataFrame,
+    catalog_root: str,
+    checkpoint_dir: str,
+    key_col: str,
+    table_key_cols: dict[str, str],
+    writer: str = "retention_delete",
+) -> None:
+    """Multi-table erasure stream: each epoch of deletion requests is
+    applied to EVERY listed catalog table as ONE atomic transaction —
+    either the key disappears from all of them or from none (the
+    actual right-to-be-forgotten contract when user data spans a
+    document store, an events table, and derived summaries; per-table
+    deletes can crash between tables and leave the user half-erased).
+
+    ``table_key_cols`` maps catalog table name → the column holding the
+    erasure key in that table. Same request-grain driver-traffic
+    contract as ``run_retention_delete_stream``; per-epoch idempotence
+    is CATALOG-wide ((writer, epoch) on the txn record), so a replayed
+    epoch re-commits nothing on any table. Tables where an epoch's keys
+    match nothing simply don't advance (no empty delete commits)."""
+    from ..sources.catalog import TableCatalog
+
+    spark = requests.sparkSession
+    cat = TableCatalog(spark, catalog_root)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        keys = [
+            r[0]
+            for r in batch_df.select(key_col).distinct().collect()
+            if r[0] is not None
+        ]
+        if not keys:
+            return
+        in_list = ", ".join(_sql_key_literal(k) for k in keys)
+        cat.commit(
+            deletes={
+                name: f"{col} IN ({in_list})"
+                for name, col in table_key_cols.items()
+            },
+            writer=writer,
+            epoch=epoch_id,
+        )
+
+    query = (
+        requests.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_stream_bm25_score(
     docs_stream: DataFrame,
     reference_docs: DataFrame,

@@ -165,7 +165,7 @@ def test_mixed_overwrite_append_txn(spark, tmp_path):
     assert [r.v for r in cat.read("snap").collect()] == ["a2"]
     # append carried the old file forward: log has 2 versions
     assert cat.table("log").versions() == [0, 1]
-    with pytest.raises(ValueError, match="both"):
+    with pytest.raises(ValueError, match="more than one write group"):
         cat.commit(
             overwrites={"x": _df(spark, [(1, "a")])},
             appends={"x": _df(spark, [(1, "b")])},
@@ -477,3 +477,101 @@ def test_create_views_pins_consistent_sql_surface(spark, tmp_path):
     # re-pinning at the new snapshot picks up txn 1
     cat.create_views(prefix="cat_")
     assert spark.sql("SELECT COUNT(*) AS c FROM cat_orders2").first().c == 3
+
+
+def test_txn_delete_atomic_with_overwrite(spark, tmp_path):
+    """A txn can mix a copy-on-write DELETE with an overwrite: both
+    tables advance under ONE seq, the erased keys are gone, and the
+    delete recorded operation='delete' in the member table's history."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.commit(
+        overwrites={
+            "docs": _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+            "stats": spark.createDataFrame([(3,)], "n long"),
+        }
+    )
+    seq = cat.commit(
+        deletes={"docs": "k <= 2"},
+        overwrites={"stats": spark.createDataFrame([(1,)], "n long")},
+    )
+    snap = cat.snapshot(seq)
+    assert snap["docs"] == 1 and snap["stats"] == 1  # both advanced
+    assert sorted(
+        (r.k, r.v) for r in cat.read("docs", seq).collect()
+    ) == [(3, "c")]
+    assert [r.n for r in cat.read("stats", seq).collect()] == [1]
+    hist = cat.table("docs").history()
+    assert hist[-1]["operation"] == "delete"
+    # pre-delete snapshot still reads the erased rows (time travel)
+    assert cat.read("docs", seq - 1).count() == 3
+
+
+def test_txn_no_match_delete_skips_table(spark, tmp_path):
+    """A delete matching nothing must NOT advance its table — and if
+    the whole txn degenerates, no txn commits at all."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    s0 = cat.commit(overwrites={"docs": _df(spark, [(1, "a")])})
+    s1 = cat.commit(
+        deletes={"docs": "k = 999"},
+        appends={"extra": _df(spark, [(7, "x")])},
+    )
+    assert s1 == s0 + 1
+    assert cat.snapshot(s1)["docs"] == 0  # docs did not advance
+    assert cat.commit(deletes={"docs": "k = 999"}) == s1  # pure no-op
+    assert cat.latest_seq() == s1
+
+
+def test_retention_delete_stream_catalog(spark, tmp_path):
+    """Multi-table erasure stream: each epoch's keys vanish from BOTH
+    tables in one txn; replay with a fresh checkpoint commits nothing."""
+    from sales_etl_pipeline_spark.streaming import jobs
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("uid"), F.lit("t").alias("text")
+    )
+    events = spark.range(0, 300).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("ev")
+    )
+    cat.commit(overwrites={"docs": docs, "events": events})
+
+    src = tmp_path / "queue"
+    src.mkdir()
+    spark.createDataFrame([(5,), (6,)], "uid long").coalesce(1).write.parquet(
+        str(src / "c0")
+    )
+    spark.createDataFrame([(70,)], "uid long").coalesce(1).write.parquet(
+        str(src / "c1")
+    )
+
+    def queue():
+        return (
+            spark.readStream.schema("uid long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/c*")
+        )
+
+    jobs.run_retention_delete_stream_catalog(
+        queue(),
+        cat.root,
+        str(tmp_path / "ckpt"),
+        key_col="uid",
+        table_key_cols={"docs": "uid", "events": "user_id"},
+    )
+    erased = {5, 6, 70}
+    assert {r.uid for r in cat.read("docs").collect()} == (
+        set(range(100)) - erased
+    )
+    assert not cat.read("events").filter(
+        F.col("user_id").isin(*erased)
+    ).count()
+    assert cat.read("events").count() == 300 - 3 * len(erased)
+    n_txns = len(cat.txns())
+    jobs.run_retention_delete_stream_catalog(
+        queue(),
+        cat.root,
+        str(tmp_path / "ckpt2"),
+        key_col="uid",
+        table_key_cols={"docs": "uid", "events": "user_id"},
+    )
+    assert len(cat.txns()) == n_txns  # catalog-wide replay no-op
