@@ -103,15 +103,17 @@ class TableCatalog:
         name: str,
         key_columns: tuple[str, ...] = (),
         stat_columns: tuple[str, ...] = (),
+        bloom_columns: tuple[str, ...] = (),
     ) -> None:
-        """Set a member table's CDF key / data-skipping stat columns —
-        applied to every handle the catalog creates (including the ones
-        ``commit`` uses internally), so CDF and manifest-stat pruning
-        work through catalog transactions exactly as they do on a
-        standalone ``VersionedTable``."""
+        """Set a member table's CDF key / data-skipping stat + bloom
+        columns — applied to every handle the catalog creates
+        (including the ones ``commit`` uses internally), so CDF and
+        manifest-stat/bloom pruning work through catalog transactions
+        exactly as they do on a standalone ``VersionedTable``."""
         self._table_configs[name] = {
             "key_columns": tuple(key_columns),
             "stat_columns": tuple(stat_columns),
+            "bloom_columns": tuple(bloom_columns),
         }
 
     # ------------------------------------------------------------------
@@ -130,6 +132,7 @@ class TableCatalog:
         if cfg:
             t.key_columns = cfg["key_columns"]
             t.stat_columns = cfg["stat_columns"]
+            t.bloom_columns = cfg.get("bloom_columns", ())
         return t
 
     def _txn_path(self, seq: int) -> str:
@@ -274,14 +277,22 @@ class TableCatalog:
         """Atomically commit writes to SEVERAL tables as one
         transaction: either every table advances to its recorded
         version, or none does. ``overwrites`` replace each table's
-        content; ``appends`` add rows; ``deletes`` maps table →
-        SQL predicate and runs a copy-on-write DELETE (the multi-table
-        erasure shape — user data spans tables, and the right to be
-        forgotten is atomic or it is a liability). A table may appear
-        in only one of the three; a delete matching no rows drops out
-        of the txn (its table does not advance — and if every write
-        degenerates this way, no txn commits and the current seq is
-        returned). Optimistic concurrency: racing catalog writers are
+        content; ``appends`` add rows; ``deletes`` maps table → either
+        a SQL predicate string or ``{"predicate": str, "prune":
+        (col, lo, hi), "prune_eq": (col, value)}`` (the manifest-stat /
+        bloom pre-prune hints ``delete_where`` takes) and runs a
+        copy-on-write DELETE (the multi-table erasure shape — user
+        data spans tables, and the right to be forgotten is atomic or
+        it is a liability). A table may appear in only one of the
+        three; a delete matching no rows drops out of the txn (its
+        table does not advance). If EVERY write degenerates this way,
+        data-wise nothing commits — but with (writer, epoch) set an
+        empty MARKER txn is still recorded so a replayed epoch stays a
+        no-op (idempotence must survive the degenerate case: without
+        the marker, a replay after new appends would re-run the
+        deletes against data that arrived later); without writer/epoch
+        the current seq is returned (-1 when the txn log is empty).
+        Optimistic concurrency: racing catalog writers are
         serialized by the txn CAS; the loser discards its staged files
         and retries against the new state. With (writer, epoch) set, a
         replayed epoch returns its original seq without re-committing —
@@ -325,15 +336,24 @@ class TableCatalog:
                     prepared[name] = self.table(name).prepare_commit(
                         df, mode="append", writer=writer, epoch=epoch
                     )
-                for name, predicate in deletes.items():
+                for name, spec in deletes.items():
+                    if isinstance(spec, str):
+                        spec = {"predicate": spec}
                     p = self.table(name).prepare_delete_where(
-                        predicate, writer=writer, epoch=epoch
+                        spec["predicate"],
+                        prune=spec.get("prune"),
+                        prune_eq=spec.get("prune_eq"),
+                        writer=writer,
+                        epoch=epoch,
                     )
-                    if p is not None:  # no-match delete: table skips txn
+                    if not p.get("no_match"):  # no-match: table skips txn
                         prepared[name] = p
-                if not prepared:
-                    # every write degenerated to a no-op delete
+                if not prepared and writer is None and epoch is None:
+                    # every write degenerated to a no-op delete and there
+                    # is no epoch to mark: nothing to record
                     return parent_seq if parent_seq is not None else -1
+                # fully-degenerate EPOCH: commit an empty marker txn so
+                # the (writer, epoch) replay check stays authoritative
                 seq = (parent_seq if parent_seq is not None else -1) + 1
                 table_versions = dict(prev_versions)
                 tables = {}

@@ -985,13 +985,15 @@ class VersionedTable:
                 writer=writer,
                 epoch=epoch,
             )
-            if prepared is None:  # no matching row anywhere
-                parent = self.latest_version()
+            if prepared.get("no_match"):
+                # report the version the predicate was actually
+                # evaluated against (never re-read latest — a
+                # concurrent commit may already contain matches)
                 return {
-                    "version": parent,
+                    "version": prepared["parent"],
                     "deleted": 0,
                     "files_rewritten": 0,
-                    "files_kept": len(self.files_for(parent)),
+                    "files_kept": prepared["files_kept"],
                 }
             try:
                 self.publish_prepared(prepared)
@@ -1019,10 +1021,14 @@ class VersionedTable:
         version WITHOUT publishing — the delete twin of
         ``prepare_commit``, so ``TableCatalog.commit(deletes=...)`` can
         make one transaction erase from several tables atomically
-        (the GDPR shape: user data spans tables). Returns None when no
-        row matches (no version should advance), else a prepared dict
-        for ``publish_prepared``/``discard_prepared`` carrying the
-        delete stats (deleted, files_rewritten, files_kept)."""
+        (the GDPR shape: user data spans tables). When no row matches
+        (no version should advance) returns ``{"no_match": True,
+        "parent": <the version the predicate was evaluated against>,
+        "files_kept": n}`` — callers must report THAT version, not
+        re-read latest (a concurrent commit may already contain
+        matching rows). Otherwise returns a prepared dict for
+        ``publish_prepared``/``discard_prepared`` carrying the delete
+        stats (deleted, files_rewritten, files_kept)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
@@ -1055,7 +1061,11 @@ class VersionedTable:
             touched = {r["f"] for r in per_file}
             n_deleted = sum(r["n"] for r in per_file)
         if not touched:
-            return None
+            return {
+                "no_match": True,
+                "parent": parent,
+                "files_kept": len(entries),
+            }
         tdf = self.spark.read.schema(schema).parquet(
             *[os.path.join(self._data, n) for n in touched]
         )
@@ -1065,10 +1075,20 @@ class VersionedTable:
         staged = [e["name"] for e in new_files]
         cdf = None
         if self.key_columns:
-            deleted_rows = tdf.filter(F.expr(predicate)).withColumn(
-                "_change_type", F.lit("delete")
-            )
-            change_files, _, _ = self._stage(deleted_rows)
+            try:
+                deleted_rows = tdf.filter(F.expr(predicate)).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                change_files, _, _ = self._stage(deleted_rows)
+            except BaseException:
+                # don't orphan the kept-rows stage (prepare_commit's
+                # _stage_changes failure discipline)
+                for name in staged:
+                    try:
+                        os.remove(os.path.join(self._data, name))
+                    except OSError:
+                        pass
+                raise
             staged += [e["name"] for e in change_files]
             cdf = {
                 "mode": "diff",

@@ -801,6 +801,17 @@ def _sql_key_literal(v) -> str:
     return f"'{s}'"
 
 
+def _collect_epoch_keys(batch_df: DataFrame, key_col: str) -> list:
+    """One epoch's distinct non-null deletion keys — request-grain
+    driver traffic by the erasure-queue contract (humans and
+    regulators generate deletion requests, not pipelines)."""
+    return [
+        r[0]
+        for r in batch_df.select(key_col).distinct().collect()
+        if r[0] is not None
+    ]
+
+
 def run_retention_delete_stream(
     requests: DataFrame,
     table_root: str,
@@ -850,11 +861,7 @@ def run_retention_delete_stream(
     table.bloom_columns = tuple(bloom_columns)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        keys = [
-            r[0]
-            for r in batch_df.select(key_col).distinct().collect()
-            if r[0] is not None
-        ]
+        keys = _collect_epoch_keys(batch_df, key_col)
         if not keys:
             return
         pred = f"{key_col} IN ({', '.join(_sql_key_literal(k) for k in keys)})"
@@ -880,7 +887,8 @@ def run_retention_delete_stream_catalog(
     checkpoint_dir: str,
     key_col: str,
     table_key_cols: dict[str, str],
-    writer: str = "retention_delete",
+    writer: str,
+    table_configs: dict[str, dict] | None = None,
 ) -> None:
     """Multi-table erasure stream: each epoch of deletion requests is
     applied to EVERY listed catalog table as ONE atomic transaction —
@@ -890,28 +898,44 @@ def run_retention_delete_stream_catalog(
     deletes can crash between tables and leave the user half-erased).
 
     ``table_key_cols`` maps catalog table name → the column holding the
-    erasure key in that table. Same request-grain driver-traffic
-    contract as ``run_retention_delete_stream``; per-epoch idempotence
-    is CATALOG-wide ((writer, epoch) on the txn record), so a replayed
-    epoch re-commits nothing on any table. Tables where an epoch's keys
-    match nothing simply don't advance (no empty delete commits)."""
+    erasure key in that table. ``table_configs`` maps table name →
+    ``configure()`` kwargs (key_columns / stat_columns / bloom_columns)
+    and MUST mirror what the tables' primary writers use, or erasure
+    commits stop emitting CDF delete rows and rewritten files lose
+    their skipping metadata (the catalog's table config lives on the
+    handle, not in the table).
+
+    ``writer`` is REQUIRED and must be unique per logical erasure
+    stream: the (writer, epoch) replay check is CATALOG-wide, so two
+    streams sharing a writer name would mistake each other's epoch 0/1/…
+    for their own replays and silently skip real deletions. Epoch
+    numbering is only stable for an identical source + checkpoint —
+    starting over with a fresh checkpoint after the queue grew regroups
+    requests into different epochs, so also change ``writer`` when
+    deliberately reprocessing a grown queue. Per-epoch idempotence:
+    a replayed epoch re-commits nothing on any table (including
+    no-match epochs — the catalog records an empty marker txn). Same
+    request-grain driver-traffic contract as
+    ``run_retention_delete_stream``; each table's delete is pre-pruned
+    by the batch's [min, max] key range."""
     from ..sources.catalog import TableCatalog
 
     spark = requests.sparkSession
     cat = TableCatalog(spark, catalog_root)
+    for name, cfg in (table_configs or {}).items():
+        cat.configure(name, **cfg)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        keys = [
-            r[0]
-            for r in batch_df.select(key_col).distinct().collect()
-            if r[0] is not None
-        ]
+        keys = _collect_epoch_keys(batch_df, key_col)
         if not keys:
             return
         in_list = ", ".join(_sql_key_literal(k) for k in keys)
         cat.commit(
             deletes={
-                name: f"{col} IN ({in_list})"
+                name: {
+                    "predicate": f"{col} IN ({in_list})",
+                    "prune": (col, min(keys), max(keys)),
+                }
                 for name, col in table_key_cols.items()
             },
             writer=writer,

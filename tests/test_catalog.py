@@ -551,12 +551,18 @@ def test_retention_delete_stream_catalog(spark, tmp_path):
             .parquet(str(src) + "/c*")
         )
 
+    cfgs = {
+        "docs": {"key_columns": ("uid",), "stat_columns": ("uid",)},
+        "events": {"key_columns": ("user_id", "ev")},
+    }
     jobs.run_retention_delete_stream_catalog(
         queue(),
         cat.root,
         str(tmp_path / "ckpt"),
         key_col="uid",
         table_key_cols={"docs": "uid", "events": "user_id"},
+        writer="erasure_main",
+        table_configs=cfgs,
     )
     erased = {5, 6, 70}
     assert {r.uid for r in cat.read("docs").collect()} == (
@@ -566,6 +572,24 @@ def test_retention_delete_stream_catalog(spark, tmp_path):
         F.col("user_id").isin(*erased)
     ).count()
     assert cat.read("events").count() == 300 - 3 * len(erased)
+    # with key_columns configured, every erased row rode the CDF
+    for name, col in (("docs", "uid"), ("events", "user_id")):
+        t = cat.table(name)
+        dels = [
+            h["version"]
+            for h in t.history()
+            if h["operation"] == "delete"
+        ]
+        assert len(dels) == 2
+        chg = []
+        for v in dels:
+            cdf = t._read_manifest(v)["cdf"]
+            assert cdf["mode"] == "diff"
+            chg += spark.read.parquet(
+                *[os.path.join(t._data, n) for n in cdf["files"]]
+            ).collect()
+        assert {getattr(r, col) for r in chg} == erased
+        assert all(r._change_type == "delete" for r in chg)
     n_txns = len(cat.txns())
     jobs.run_retention_delete_stream_catalog(
         queue(),
@@ -573,5 +597,24 @@ def test_retention_delete_stream_catalog(spark, tmp_path):
         str(tmp_path / "ckpt2"),
         key_col="uid",
         table_key_cols={"docs": "uid", "events": "user_id"},
+        writer="erasure_main",  # SAME writer: this is a replay
+        table_configs=cfgs,
     )
     assert len(cat.txns()) == n_txns  # catalog-wide replay no-op
+
+
+def test_degenerate_delete_epoch_records_marker_txn(spark, tmp_path):
+    """A (writer, epoch) delete txn whose every delete matches nothing
+    still records an empty marker txn — so a replay of that epoch stays
+    a no-op even after new data arrives for the same keys."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.commit(overwrites={"docs": _df(spark, [(1, "a")])})
+    s = cat.commit(deletes={"docs": "k = 99"}, writer="w", epoch=5)
+    assert s == cat.latest_seq()  # marker txn committed
+    assert cat.snapshot(s)["docs"] == 0  # table did not advance
+    # the key now APPEARS (user re-registers after erasure)
+    cat.commit(appends={"docs": _df(spark, [(99, "new")])})
+    # replayed epoch 5: must be a no-op, NOT a re-executed delete
+    s2 = cat.commit(deletes={"docs": "k = 99"}, writer="w", epoch=5)
+    assert s2 == s
+    assert sorted(r.k for r in cat.read("docs").collect()) == [1, 99]
