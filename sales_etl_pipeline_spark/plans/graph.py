@@ -355,12 +355,107 @@ def _hops_oracle() -> str:
     """
 
 
+def _undirected_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected trade edges (a < b): one fact-grain shuffle,
+    then distinct at pair grain."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.least("s_nationkey", "c_nationkey").cast("int").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").cast("int").alias("b"),
+        )
+    )
+    return pairs.where(F.col("a") < F.col("b")).distinct()
+
+
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per nation over the undirected trade
+    graph — the clustering/cohesion primitive (a crawl pipeline runs it
+    on the domain graph to find link farms). Classic relational
+    triangle enumeration: canonical a<b edges self-joined twice, each
+    triangle (a<b<c) counted exactly once; integer-exact, so the oracle
+    needs no float contract. Output (nation, n_triangles) for nations
+    in ≥1 triangle.
+
+    Scale: the join grain is edge×edge restricted by the canonical
+    ordering (the standard worst-case-optimal-ish enumeration on a
+    dimension-grain graph here; on a 10⁸-edge graph the same plan
+    shuffles edges on their endpoints — add degree-ordering to bound
+    skew, which the a<b canonicalization already approximates)."""
+    release_plan_caches()
+    e = _pin(_undirected_trade_edges(spark, sf_dir))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tris = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    named = nation.select(
+        F.col("n_nationkey").cast("int").alias("node"), "n_name"
+    )
+    return (
+        per_node.join(F.broadcast(named), "node")
+        .select(F.col("n_name").alias("nation"), "n_triangles")
+        .orderBy("nation")
+    )
+
+
+_TRIANGLES_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT
+               LEAST(CAST(s_nationkey AS INTEGER),
+                     CAST(c_nationkey AS INTEGER)) AS a,
+               GREATEST(CAST(s_nationkey AS INTEGER),
+                        CAST(c_nationkey AS INTEGER)) AS b
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey <> c_nationkey
+    ),
+    tris AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+    )
+    SELECT n_name AS nation, COUNT(*) AS n_triangles
+    FROM nodes JOIN nation ON node = CAST(n_nationkey AS INTEGER)
+    GROUP BY n_name
+    ORDER BY nation
+"""
+
+
 LIBRARY_QUERIES = {
     "nation_trade_pagerank": nation_trade_pagerank,
     "nation_trade_hops": nation_trade_hops,
+    "nation_trade_triangles": nation_trade_triangles,
 }
 
 LIBRARY_ORACLE = {
     "nation_trade_pagerank": _pagerank_oracle(),
     "nation_trade_hops": _hops_oracle(),
+    "nation_trade_triangles": _TRIANGLES_ORACLE,
 }

@@ -1152,6 +1152,81 @@ class VersionedTable:
     # ------------------------------------------------------------------
     # maintenance
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: tuple[str, ...],
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+        writer: str | None = None,
+        epoch: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Declarative MERGE INTO — the DML triad's third leg next to
+        ``commit_append`` (INSERT) and ``delete_where`` (DELETE):
+        upsert ``source`` into the table keyed on ``on``.
+
+        - ``when_matched="update"``: a target row whose key appears in
+          source is REPLACED by the source row (whole-row update);
+          ``"delete"``: it is removed; ``None``: left untouched.
+        - ``when_not_matched="insert"``: source rows with no target
+          match are appended; ``None``: dropped.
+
+        Duplicate keys in ``source`` are an error in SQL MERGE (the
+        multiple-matched-rows condition); here the caller owns
+        pre-deduplication — the join would multiply matched rows, so
+        ``source`` must be key-unique (use plans/cdc._latest_wins for
+        changelog inputs).
+
+        Runs under ``merge_commit``'s optimistic-concurrency loop (a
+        racing writer re-derives and retries) with its (writer, epoch)
+        replay idempotence; with ``key_columns`` set the CDF records
+        the row-level effect (updates as pre+post images) via the
+        standard commit diff. Creates the table (all-insert) when no
+        version exists. Returns the committed version.
+
+        Scale: one shuffle join of target × source on the key — the
+        same cost MERGE pays anywhere; at 100 TB pre-bucket the table
+        on the key or scope the rewrite with ``delete_where``-style
+        file pruning upstream.
+        """
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        keys = list(on)
+
+        def _merge(base: DataFrame | None) -> DataFrame:
+            if base is None:
+                return (
+                    source
+                    if when_not_matched == "insert"
+                    else source.limit(0)
+                )
+            cols = base.columns
+            src = source.select(*cols)
+            if when_matched == "update":
+                kept = base.join(src.select(*keys), keys, "left_anti")
+                matched = src.join(base.select(*keys), keys, "left_semi")
+            elif when_matched == "delete":
+                kept = base.join(src.select(*keys), keys, "left_anti")
+                matched = src.limit(0)
+            else:
+                kept = base
+                matched = src.limit(0)
+            out = kept.unionByName(matched)
+            if when_not_matched == "insert":
+                out = out.unionByName(
+                    src.join(base.select(*keys), keys, "left_anti")
+                )
+            return out
+
+        return self.merge_commit(
+            _merge, writer=writer, epoch=epoch, max_retries=max_retries
+        )
+
     def vacuum(self, keep_last: int = 1) -> dict:
         """Drop all but the newest ``keep_last`` versions, then delete
         exactly the data files referenced by a DROPPED manifest and no

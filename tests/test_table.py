@@ -799,3 +799,59 @@ def test_verify_detects_loss_and_tamper(spark, tmp_path):
     os.remove(os.path.join(t._data, names[3]))
     res = t.verify(0)
     assert names[3] in res["missing_files"]
+
+
+def test_merge_into_upsert_delete_insert_modes(spark, tmp_path):
+    """MERGE INTO semantics: whole-row update on match, optional
+    delete-on-match, insert-when-unmatched, creation on empty table,
+    and epoch-replay idempotence via merge_commit."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    # empty table: all-insert
+    t.merge_into(_df(spark, [(1, "a"), (2, "b")]), on=("k",))
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # upsert: update 2, insert 3, leave 1
+    t.merge_into(_df(spark, [(2, "B"), (3, "c")]), on=("k",))
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c")]
+    # matched-delete: remove 1 and 3, key 9 unmatched and NOT inserted
+    t.merge_into(
+        _df(spark, [(1, "x"), (3, "x"), (9, "x")]),
+        on=("k",),
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert _rows(t.read()) == [(2, "B")]
+    # matched=None: only inserts land
+    t.merge_into(
+        _df(spark, [(2, "zzz"), (4, "d")]),
+        on=("k",),
+        when_matched=None,
+    )
+    assert _rows(t.read()) == [(2, "B"), (4, "d")]
+    # replayed epoch: no-op
+    v = t.merge_into(
+        _df(spark, [(5, "e")]), on=("k",), writer="m", epoch=1
+    )
+    v2 = t.merge_into(
+        _df(spark, [(6, "f")]), on=("k",), writer="m", epoch=1
+    )
+    assert v2 == v and t.read().filter("k = 6").count() == 0
+
+
+def test_merge_into_cdf_records_update_images(spark, tmp_path):
+    """With key_columns set, an upsert's CDF carries pre+post images
+    for updates and inserts for new keys."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    v = t.merge_into(_df(spark, [(2, "B"), (3, "c")]), on=("k",))
+    cdf = t._read_manifest(v)["cdf"]
+    assert cdf["mode"] == "diff"
+    chg = spark.read.parquet(
+        *[os.path.join(t._data, n) for n in cdf["files"]]
+    )
+    got = sorted((r.k, r.v, r._change_type) for r in chg.collect())
+    assert got == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "insert"),
+    ]

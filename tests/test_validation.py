@@ -391,3 +391,43 @@ def test_ivm_seq_latest_wins_per_key(spark):
     ):
         got = {(r.customer_id, r.nationkey, r.seq) for r in fold.collect()}
         assert got == {(1, 5, 2), (2, 3, 0)}
+
+
+def test_table_profile_generic_api(spark):
+    """Generic profiler on a hand-built frame: null/distinct/min/max per
+    column, doubles profiled too (string-form min/max, lexicographic)."""
+    df = spark.createDataFrame(
+        [(1, "b", 2.5), (2, None, 1.5), (2, "a", None)],
+        "k long, s string, x double",
+    )
+    rows = {
+        r["column"]: r
+        for r in incremental  # reuse imported module namespace? no —
+        .__class__ and []
+    } if False else {
+        r["column"]: r
+        for r in __import__(
+            "sales_etl_pipeline_spark.plans.validation", fromlist=["x"]
+        ).table_profile(df).collect()
+    }
+    assert set(rows) == {"k", "s", "x"}
+    k, s, x = rows["k"], rows["s"], rows["x"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (3, 0, 2)
+    assert (k.min_str, k.max_str) == ("1", "2")
+    assert (s.n_nulls, s.n_distinct) == (1, 2)
+    assert (s.min_str, s.max_str) == ("a", "b")
+    assert (x.n_nulls, x.n_distinct) == (1, 2)
+
+
+def test_table_profile_single_scan(spark):
+    """The fused profile is ONE scan of the table (dq_report
+    discipline): the 1-row aggregate is checkpoint-anchored before the
+    per-column union, so the RETURNED plan contains no table scan at
+    all (Spark does not share subplans across Union branches — without
+    the anchor every branch re-runs the scan)."""
+    from sales_etl_pipeline_spark.plans import validation
+
+    df = validation.documents_profile(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan  # the anchored aggregate
