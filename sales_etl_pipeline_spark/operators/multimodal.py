@@ -236,3 +236,121 @@ ORACLE: dict[str, str] = {
         FROM f
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# REAL container-header parsing (no codec needed): WAV / PNG / JPEG headers
+# are plain struct-packed bytes, so "what is this payload" metadata — the
+# first pass every multimodal ingest pipeline runs — works today with the
+# stdlib, while pixel/sample DECODE stays behind the decode_media gate.
+
+#: output schema of media_headers
+HEADER_FIELDS = StructType(
+    [
+        StructField("container", StringType()),  # wav | png | jpeg | NULL
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def parse_media_header(payload: bytes | None) -> tuple:
+    """Parse a WAV/PNG/JPEG container header from raw bytes — pure
+    stdlib struct reads, no media library. Returns the HEADER_FIELDS
+    tuple; an unrecognized / truncated / corrupt payload yields
+    (None, ..., n_bytes) rather than raising: at corpus scale damaged
+    payloads are data, not errors (route on ``container IS NULL``)."""
+    import struct
+
+    n = len(payload) if payload is not None else None
+    none_row = (None, None, None, None, None, None, n)
+    if not payload or n < 12:
+        return none_row
+    try:
+        # --- WAV: RIFF <size> WAVE, then fmt / data chunks
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos, channels, rate, byte_rate, data_size = 12, None, None, None, None
+            while pos + 8 <= n:
+                cid, csize = payload[pos : pos + 4], struct.unpack(
+                    "<I", payload[pos + 4 : pos + 8]
+                )[0]
+                body = payload[pos + 8 : pos + 8 + csize]
+                if cid == b"fmt " and len(body) >= 16:
+                    _, channels, rate, byte_rate = struct.unpack(
+                        "<HHII", body[:12]
+                    )
+                elif cid == b"data":
+                    data_size = csize
+                pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+            if rate:
+                dur = (
+                    int(data_size * 1000 // byte_rate)
+                    if data_size is not None and byte_rate
+                    else None
+                )
+                return ("wav", None, None, channels, rate, dur, n)
+            return none_row
+        # --- PNG: signature + IHDR is always the first chunk
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            if n >= 24 and payload[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", payload[16:24])
+                return ("png", w, h, None, None, None, n)
+            return none_row
+        # --- JPEG: scan markers to the first SOF (C0–CF minus C4/C8/CC)
+        if payload[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= n:
+                if payload[pos] != 0xFF:
+                    break
+                marker = payload[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seg = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+                if (
+                    0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)
+                    and pos + 9 <= n
+                ):
+                    h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                    return ("jpeg", w, h, None, None, None, n)
+                pos += 2 + seg
+            return none_row
+    except (struct.error, IndexError):
+        return none_row
+    return none_row
+
+
+def media_headers(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container metadata for every payload: (doc_id, container, width,
+    height, channels, sample_rate, duration_ms, n_bytes) via one
+    Arrow-batched ``mapInPandas`` pass — payloads never leave executor
+    batches, exactly like image_features. Damaged payloads surface as
+    ``container IS NULL`` rows (quarantine-routable), never task
+    failures."""
+    out_schema = StructType(
+        [StructField("doc_id", LongType())] + list(HEADER_FIELDS.fields)
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_media_header(p) for p in pdf[payload_col]]
+            cols = list(zip(*parsed)) if parsed else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "container": cols[0],
+                    "width": cols[1],
+                    "height": cols[2],
+                    "channels": cols[3],
+                    "sample_rate": cols[4],
+                    "duration_ms": cols[5],
+                    "n_bytes": cols[6],
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(_parse, out_schema)

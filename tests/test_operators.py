@@ -988,3 +988,73 @@ def test_hashed_cosine_pairloop_inverted_bit_parity(spark):
         llmdata.hashed_cosine_pairs(spark, sf, threshold=0.0)
     with pytest.raises(ValueError):
         llmdata.hashed_cosine_pairs(spark, sf, method="blas")
+
+
+def test_media_headers_parse_real_containers(spark):
+    """REAL WAV/PNG/JPEG container headers (built with the stdlib, no
+    media library) parse to the right metadata through the Arrow
+    kernel; damaged/unknown payloads surface as container IS NULL rows,
+    never task failures."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    # real WAV via the stdlib encoder: 2ch, 8kHz, 0.5s of silence
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(b"\x00\x00\x00\x00" * 4000)
+    w.close()
+    wav = buf.getvalue()
+
+    # real minimal PNG: signature + IHDR(37x19) + IEND
+    def chunk(tag, body):
+        raw = tag + body
+        return struct.pack(">I", len(body)) + raw + struct.pack(
+            ">I", zlib.crc32(raw)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 37, 19, 8, 2, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+
+    # minimal JPEG: SOI, APP0 stub, SOF0 with 640x480, EOI
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(png)),
+        (3, bytearray(jpeg)),
+        (4, bytearray(b"garbage bytes here")),
+        (5, bytearray(b"\x89PNG\r\n\x1a\n trunc")),  # corrupt PNG
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r for r in multimodal.media_headers(df).collect()
+    }
+    assert got[1].container == "wav"
+    assert (got[1].channels, got[1].sample_rate) == (2, 8000)
+    assert got[1].duration_ms == 500
+    assert got[2].container == "png" and (got[2].width, got[2].height) == (37, 19)
+    assert got[3].container == "jpeg" and (got[3].width, got[3].height) == (640, 480)
+    assert got[4].container is None and got[4].n_bytes == 18
+    assert got[5].container is None  # corrupt: routed, not raised
+    # pure-Python twin: the kernel is parse_media_header row-wise
+    for doc_id, payload in rows:
+        want = multimodal.parse_media_header(bytes(payload))
+        r = got[doc_id]
+        assert (
+            r.container, r.width, r.height, r.channels,
+            r.sample_rate, r.duration_ms, r.n_bytes,
+        ) == want
