@@ -16,6 +16,7 @@ sizes (here doc_id) to avoid size skew.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -263,8 +264,13 @@ def parse_media_header(payload: bytes | None) -> tuple:
     stdlib struct reads, no media library. Returns the HEADER_FIELDS
     tuple; an unrecognized / truncated / corrupt payload yields
     (None, ..., n_bytes) rather than raising: at corpus scale damaged
-    payloads are data, not errors (route on ``container IS NULL``)."""
-    import struct
+    payloads are data, not errors (route on ``container IS NULL``).
+    Header fields that overflow int32 (fuzzed/corrupt u32 values with a
+    valid magic) are ALSO damage — returned as the NULL row, never an
+    Arrow range error."""
+
+    def i32(v):
+        return v if v is not None and 0 <= v < 2**31 else None
 
     n = len(payload) if payload is not None else None
     none_row = (None, None, None, None, None, None, n)
@@ -286,18 +292,20 @@ def parse_media_header(payload: bytes | None) -> tuple:
                 elif cid == b"data":
                     data_size = csize
                 pos += 8 + csize + (csize & 1)  # chunks are word-aligned
-            if rate:
+            if i32(rate):
                 dur = (
                     int(data_size * 1000 // byte_rate)
                     if data_size is not None and byte_rate
                     else None
                 )
-                return ("wav", None, None, channels, rate, dur, n)
+                return ("wav", None, None, i32(channels), i32(rate), dur, n)
             return none_row
         # --- PNG: signature + IHDR is always the first chunk
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             if n >= 24 and payload[12:16] == b"IHDR":
                 w, h = struct.unpack(">II", payload[16:24])
+                if i32(w) is None or i32(h) is None:
+                    return none_row  # u32 overflow = corrupt, not data
                 return ("png", w, h, None, None, None, n)
             return none_row
         # --- JPEG: scan markers to the first SOF (C0–CF minus C4/C8/CC)
@@ -306,7 +314,15 @@ def parse_media_header(payload: bytes | None) -> tuple:
             while pos + 4 <= n:
                 if payload[pos] != 0xFF:
                     break
+                # ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may
+                # pad before a marker — skip them, don't parse them
+                while pos + 1 < n and payload[pos + 1] == 0xFF:
+                    pos += 1
+                if pos + 4 > n:
+                    break
                 marker = payload[pos + 1]
+                if marker == 0xD9:  # EOI before any SOF: no dimensions
+                    break
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     pos += 2
                     continue

@@ -374,6 +374,30 @@ def _undirected_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("a") < F.col("b")).distinct()
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over CANONICAL undirected edges
+    (columns ``a``, ``b`` with a < b, deduplicated) — the reusable API
+    the plan below instantiates (pagerank/shortest_hops house pattern).
+    Each triangle a<b<c is enumerated exactly once by the double
+    self-join; returns (node, n_triangles) for nodes in ≥1 triangle."""
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tris = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .select("x", "y", "z")
+    )
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation per nation over the undirected trade
     graph — the clustering/cohesion primitive (a crawl pipeline runs it
@@ -390,22 +414,7 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew, which the a<b canonicalization already approximates)."""
     release_plan_caches()
     e = _pin(_undirected_trade_edges(spark, sf_dir))
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
-    tris = (
-        e1.join(e2, F.col("y") == F.col("y2"))
-        .join(
-            e3,
-            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
-        )
-        .select("x", "y", "z")
-    )
-    per_node = (
-        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    per_node = triangle_counts(e)
     nation = load_table(spark, sf_dir, "nation")
     named = nation.select(
         F.col("n_nationkey").cast("int").alias("node"), "n_name"

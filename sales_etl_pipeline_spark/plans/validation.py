@@ -285,6 +285,8 @@ def table_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     the STRING form keeps the output schema uniform across column
     types (lexicographic, documented — '10' < '9')."""
     cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("table_profile: no columns to profile")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [

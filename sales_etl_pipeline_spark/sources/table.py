@@ -1190,8 +1190,6 @@ class VersionedTable:
         on the key or scope the rewrite with ``delete_where``-style
         file pruning upstream.
         """
-        from pyspark.sql import functions as F
-
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched: {when_matched!r}")
         if when_not_matched not in ("insert", None):

@@ -1032,12 +1032,27 @@ def test_media_headers_parse_real_containers(spark):
         + b"\xff\xd9"
     )
 
+    # spec-legal JPEG with 0xFF fill padding before the SOF marker
+    jpeg_fill = (
+        b"\xff\xd8" + b"\xff\xff\xff"
+        + b"\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", 32, 64) + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    # valid PNG magic + IHDR whose u32 width overflows int32: damage,
+    # must yield a NULL row — not an Arrow range error killing the task
+    png_overflow = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0xFFFFFFFF, 19, 8, 2, 0, 0, 0))
+    )
     rows = [
         (1, bytearray(wav)),
         (2, bytearray(png)),
         (3, bytearray(jpeg)),
         (4, bytearray(b"garbage bytes here")),
         (5, bytearray(b"\x89PNG\r\n\x1a\n trunc")),  # corrupt PNG
+        (6, bytearray(jpeg_fill)),
+        (7, bytearray(png_overflow)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {
@@ -1050,6 +1065,8 @@ def test_media_headers_parse_real_containers(spark):
     assert got[3].container == "jpeg" and (got[3].width, got[3].height) == (640, 480)
     assert got[4].container is None and got[4].n_bytes == 18
     assert got[5].container is None  # corrupt: routed, not raised
+    assert got[6].container == "jpeg" and (got[6].width, got[6].height) == (64, 32)
+    assert got[7].container is None  # u32 overflow: damage, not a crash
     # pure-Python twin: the kernel is parse_media_header row-wise
     for doc_id, payload in rows:
         want = multimodal.parse_media_header(bytes(payload))

@@ -433,27 +433,14 @@ def test_diff_snapshots_api_on_custom_frames(spark):
 
 
 def test_triangle_counts_on_custom_graph(spark):
-    """Exact triangle participation on a hand-built graph: K4 minus one
-    edge has 2 triangles; the two hub nodes sit in both."""
-    from sales_etl_pipeline_spark.plans.graph import (
-        _pin,
-        release_plan_caches,
-    )
-    from pyspark.sql import functions as F
+    """Exact triangle participation via the PRODUCTION API on a
+    hand-built graph: K4 minus one edge has 2 triangles — hubs 0 and 1
+    sit in both, 2 and 3 in one each."""
+    from sales_etl_pipeline_spark.plans.graph import triangle_counts
 
     # K4 on {0,1,2,3} minus edge (2,3): triangles {0,1,2} and {0,1,3}
     edges = spark.createDataFrame(
         [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)], "a int, b int"
     )
-    release_plan_caches()
-    e = _pin(edges)
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
-    tris = (
-        e1.join(e2, F.col("y") == F.col("y2"))
-        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
-        .select("x", "y", "z")
-    )
-    got = sorted(tuple(r) for r in tris.collect())
-    assert got == [(0, 1, 2), (0, 1, 3)]  # each triangle exactly once
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}

@@ -400,15 +400,10 @@ def test_table_profile_generic_api(spark):
         [(1, "b", 2.5), (2, None, 1.5), (2, "a", None)],
         "k long, s string, x double",
     )
+    from sales_etl_pipeline_spark.plans import validation
+
     rows = {
-        r["column"]: r
-        for r in incremental  # reuse imported module namespace? no —
-        .__class__ and []
-    } if False else {
-        r["column"]: r
-        for r in __import__(
-            "sales_etl_pipeline_spark.plans.validation", fromlist=["x"]
-        ).table_profile(df).collect()
+        r["column"]: r for r in validation.table_profile(df).collect()
     }
     assert set(rows) == {"k", "s", "x"}
     k, s, x = rows["k"], rows["s"], rows["x"]
