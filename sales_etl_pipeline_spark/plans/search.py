@@ -347,3 +347,124 @@ LIBRARY_ORACLE = {
     "bm25_topk": _bm25_oracle(),
     "phrase_search": _phrase_oracle(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of two rankings.
+
+#: standard RRF constant (Cormack/Clarke/Buettcher 2009)
+RRF_K = 60
+#: quality list depth for the fusion plan
+QUALITY_TOP = 10
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int = RRF_K) -> DataFrame:
+    """Reciprocal Rank Fusion of two rankings: score(d) =
+    Σ_lists 1/(k + rank_d). ``a``: (query_id, rank, doc_id);
+    ``b``: (rank, doc_id) — a query-independent prior list (quality,
+    recency, authority) fused into every query. Returns
+    (query_id, rank, doc_id, rrf_score) re-ranked per query.
+
+    Exactness: ranks are integers, 1/(k+rank) is one correctly-rounded
+    IEEE division, and the fusion is ONE addition of two coalesced
+    terms — no ordering-dependent aggregation anywhere, so the oracle
+    matches bit-for-bit with no xsum machinery. Scale: both inputs are
+    top-k lists (k·queries rows); the fusion join and re-rank window
+    run at candidate grain, never corpus grain."""
+    half_a = a.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))).alias(
+            "sa"
+        ),
+    )
+    half_b = b.select(
+        "doc_id",
+        (F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))).alias(
+            "sb"
+        ),
+    )
+    # per query: full outer over the query's list and the prior list —
+    # realized as outer join on doc_id after keying the prior by query
+    queries = a.select("query_id").distinct()
+    prior = queries.join(F.broadcast(half_b))
+    fused = (
+        half_a.join(prior, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce("sa", F.lit(0.0)) + F.coalesce("sb", F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), "doc_id"
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("query_id", "rank", "doc_id", "rrf_score")
+
+
+def bm25_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry plan: fuse the BM25 top-k with a query-independent
+    quality prior (longest documents first — the deterministic
+    stand-in for a model quality score) via RRF. The hybrid-retrieval
+    shape: lexical relevance × corpus-level prior, re-ranked."""
+    docs = load_table(spark, sf_dir, "documents")
+    wq = Window.orderBy(F.desc("n_chars"), "doc_id")
+    quality = (
+        docs.select("doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(wq).cast("int"))
+        .where(F.col("rank") <= QUALITY_TOP)
+        .select("rank", "doc_id")
+    )
+    return rrf_fuse(bm25_topk(spark, sf_dir), quality).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _fusion_oracle() -> str:
+    k = f"CAST({RRF_K}.0 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    zero = "CAST(0.0 AS DOUBLE)"
+    return f"""
+        WITH bm25 AS MATERIALIZED ({_bm25_oracle()}),
+        quality AS MATERIALIZED (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank,
+                   doc_id
+            FROM documents
+            QUALIFY rank <= {QUALITY_TOP}
+        ),
+        half_a AS (
+            SELECT query_id, doc_id,
+                   {one} / ({k} + CAST(rank AS DOUBLE)) AS sa
+            FROM bm25
+        ),
+        prior AS (
+            SELECT q.query_id, quality.doc_id,
+                   {one} / ({k} + CAST(quality.rank AS DOUBLE)) AS sb
+            FROM (SELECT DISTINCT query_id FROM bm25) q, quality
+        ),
+        fused AS (
+            SELECT COALESCE(half_a.query_id, prior.query_id) AS query_id,
+                   COALESCE(half_a.doc_id, prior.doc_id) AS doc_id,
+                   COALESCE(sa, {zero}) + COALESCE(sb, {zero}) AS rrf_score
+            FROM half_a
+            FULL OUTER JOIN prior
+              ON half_a.query_id = prior.query_id
+             AND half_a.doc_id = prior.doc_id
+        )
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, rrf_score
+        FROM fused
+        ORDER BY query_id, rank
+    """
+
+
+LIBRARY_QUERIES["bm25_quality_fusion"] = bm25_quality_fusion
+LIBRARY_ORACLE["bm25_quality_fusion"] = _fusion_oracle()

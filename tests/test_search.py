@@ -218,3 +218,26 @@ def test_stream_bm25_equals_batch(spark, tmp_path):
         for r in search.bm25_score_with_index(docs, q, dfreq, consts).collect()
     }
     assert got == want  # bit-identical across the batch split
+
+
+def test_rrf_fusion_semantics(spark):
+    """RRF on hand-built rankings: a doc present in BOTH lists outranks
+    a doc that is rank-1 in only one list; absent-list contributions
+    are zero, and the score is exactly 1/(60+ra) + 1/(60+rb)."""
+    a = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 200), (1, 3, 300)],
+        "query_id int, rank int, doc_id long",
+    )
+    b = spark.createDataFrame(
+        [(1, 200), (2, 999)], "rank int, doc_id long"
+    )
+    got = {
+        r.doc_id: (r.rank, r.rrf_score)
+        for r in search.rrf_fuse(a, b).collect()
+    }
+    assert set(got) == {100, 200, 300, 999}
+    # doc 200: rank 2 lexically + rank 1 prior beats lexical rank-1 100
+    assert got[200][0] == 1 and got[100][0] == 2
+    assert got[200][1] == 1.0 / 62 + 1.0 / 61
+    assert got[100][1] == 1.0 / 61
+    assert got[999][1] == 1.0 / 62  # prior-only doc still fused in
