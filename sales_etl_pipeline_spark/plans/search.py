@@ -412,11 +412,15 @@ def bm25_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for a model quality score) via RRF. The hybrid-retrieval
     shape: lexical relevance × corpus-level prior, re-ranked."""
     docs = load_table(spark, sf_dir, "documents")
+    # top-N FIRST (TakeOrderedAndProject — per-partition top-k, never a
+    # single-partition global sort of the corpus), THEN rank the N
+    # survivors with a window that only ever sees N rows
     wq = Window.orderBy(F.desc("n_chars"), "doc_id")
     quality = (
         docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(QUALITY_TOP)
         .withColumn("rank", F.row_number().over(wq).cast("int"))
-        .where(F.col("rank") <= QUALITY_TOP)
         .select("rank", "doc_id")
     )
     return rrf_fuse(bm25_topk(spark, sf_dir), quality).orderBy(

@@ -241,3 +241,12 @@ def test_rrf_fusion_semantics(spark):
     assert got[200][1] == 1.0 / 62 + 1.0 / 61
     assert got[100][1] == 1.0 / 61
     assert got[999][1] == 1.0 / 62  # prior-only doc still fused in
+
+
+def test_fusion_quality_prior_is_take_ordered(spark):
+    """The quality prior must be TakeOrderedAndProject over the corpus
+    (per-partition top-N), never a single-partition global window sort
+    of every document — the classic rank-then-filter scale bug."""
+    df = search.bm25_quality_fusion(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
