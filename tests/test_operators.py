@@ -1075,3 +1075,63 @@ def test_media_headers_parse_real_containers(spark):
             r.container, r.width, r.height, r.channels,
             r.sample_rate, r.duration_ms, r.n_bytes,
         ) == want
+
+
+def test_parse_media_header_never_raises_property(spark):
+    """Property: parse_media_header is total — ANY byte string returns a
+    7-tuple with n_bytes = len(payload), never an exception. Fuzzes
+    random bytes plus adversarial prefixes (valid magics followed by
+    garbage), the corpus reality the NULL-row contract promises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    magics = [
+        b"RIFF",
+        b"RIFF\x00\x00\x00\x00WAVE",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8",
+        b"\xff\xd8\xff\xff\xff",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        prefix=st.sampled_from(magics + [b""]),
+        tail=st.binary(max_size=64),
+    )
+    def check(prefix, tail):
+        payload = prefix + tail
+        out = multimodal.parse_media_header(payload)
+        assert isinstance(out, tuple) and len(out) == 7
+        assert out[6] == len(payload)
+        # every populated numeric field must fit the Arrow schema
+        for v in out[1:5]:
+            assert v is None or 0 <= v < 2**31
+
+    check()
+
+
+def test_sql_key_literal_roundtrip_property(spark):
+    """Property: for ANY printable string key, the generated literal
+    parses in Spark SQL and selects exactly that key — the injection
+    surface is closed for the whole input space, not just the fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sales_etl_pipeline_spark.streaming.jobs import _sql_key_literal
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        key=st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), min_codepoint=1
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def check(key):
+        df = spark.createDataFrame([(key,), (key + "_other",)], "k string")
+        kept = [r.k for r in df.filter(f"k IN ({_sql_key_literal(key)})").collect()]
+        assert kept == [key]
+
+    check()
