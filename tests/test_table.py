@@ -855,3 +855,51 @@ def test_merge_into_cdf_records_update_images(spark, tmp_path):
         (2, "b", "update_preimage"),
         (3, "c", "insert"),
     ]
+
+
+def test_merge_into_matches_dict_model_property(spark, tmp_path):
+    """Property: any sequence of MERGE INTO upsert/delete batches leaves
+    the table equal to a plain Python dict replaying the same ops — the
+    executable spec of the MERGE semantics."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    batch = st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from("abc")),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],  # MERGE requires key-unique sources
+    )
+    ops = st.lists(
+        st.tuples(st.sampled_from(["update", "delete"]), batch),
+        min_size=1,
+        max_size=5,
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seq=ops)
+    def check(seq):
+        counter[0] += 1
+        t = VersionedTable(spark, str(tmp_path / f"m{counter[0]}"))
+        model: dict = {}
+        for when_matched, rows in seq:
+            t.merge_into(
+                _df(spark, [(k, v) for k, v in rows]),
+                on=("k",),
+                when_matched=when_matched,
+                when_not_matched="insert" if when_matched == "update" else None,
+            )
+            for k, v in rows:
+                if when_matched == "update":
+                    model[k] = v
+                elif k in model:
+                    del model[k]
+        assert _rows(t.read()) == sorted(model.items())
+
+    check()
