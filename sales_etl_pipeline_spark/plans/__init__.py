@@ -85,16 +85,28 @@ _MODULES = (
 # tests/test_library_parity.py every run), so nothing loses its exact
 # check — the rotation only changes WHICH harness confirms it this round.
 #
-# Round-10 cohort: the ENTIRE remaining never-driver-confirmed set — the
-# r9 additions (bpe_vocab/encoded_docs/packed_windows, linear_probe_*,
-# doc_bigram_surprisal), the analytics/assembly/curation holdovers, and
-# the four rows-only approximate plans (which get the driver's weaker
-# rows-only row; their exact/recall gates stay in pytest). After this
-# round every oracle-checkable plan in the engine has earned at least one
-# independent driver CORRECTNESS row. Outgoing: the r9 cohort (confirmed
-# by the driver last round — see CORRECTNESS_r09.json), the three
-# rows-only ANN plans that held driver slots since r5 (their exact twins
-# remain), and two long-stable dedup plans (driver-green since r4).
+# Round-11 cohort (first half of the 2-round r10-additions schedule —
+# VERDICT r10 item 3): the 16 TPC-H shapes (plans/tpch.py), the 4
+# timeseries plans, snapshot_diff, and documents_profile — 22 slots.
+# Round-12 cohort (PLANNED; stated here so the schedule is auditable):
+# the remaining 16 never-driver-confirmed plans — nation_trade_pagerank/
+# _hops/_triangles, bm25_topk/phrase_search/bm25_quality_fusion,
+# html_text_extract/url_domain_stats/boilerplate_link_density,
+# bottomk_sample, lm_heldout_perplexity, incremental_nation_revenue,
+# incremental_product_summary_hll, event_transitions, session_paths_topk,
+# ann_ivf_topk_filtered.
+# Outgoing r11: the whole r10 cohort (driver-confirmed last round, see
+# CORRECTNESS_r10.json) simply drops out of ROTATED_IN; the two r10 ERR
+# rows (bpe_encoded_docs/bpe_packed_windows) return to the library tier
+# where the pytest harness CAN canonicalize their array columns, and
+# their new *_str driver twins (plans/bpe.py) carry the driver rows.
+#
+# HARNESS COMPAT RULE (learned from the r10 ERR): the driver's
+# canonicalizer cannot hash array/map cells, so plans whose result schema
+# has complex top-level columns must NOT enter the driver registry —
+# serialize (array_join/to_json) for a driver twin instead. Enforced by
+# tests/test_oracle_parity.py::_assert_flat_schema (every driver-tier
+# plan) and ::test_array_typed_bpe_plans_stay_library_tier.
 
 #: driver plans rotated out to the library tier this round
 ROTATED_OUT = frozenset({
@@ -131,38 +143,34 @@ ROTATED_OUT = frozenset({
 })
 
 #: library plans promoted into the driver registry for this round —
-#: every plan that had never earned a driver CORRECTNESS row before r10
+#: round 11 = first half of the never-driver-confirmed r10 additions
 ROTATED_IN = frozenset({
-    # r9 additions, pytest-only until now
-    "bpe_vocab",
-    "bpe_encoded_docs",
-    "bpe_packed_windows",
-    "linear_probe_train",
-    "linear_probe_scores",
-    "linear_probe_eval",
-    "doc_bigram_surprisal",
-    # analytics holdovers
-    "above_avg_balance",
-    "lateral_topk_per_nation",
-    "order_value_histogram",
-    "shipping_priority",
-    "returned_item_report",
-    "event_attribution",
-    "doc_chunks_udtf",
-    # assembly / curation holdovers
-    "pii_redact",
-    "text_normalize",
-    "train_test_split",
-    "source_length_mad",
-    "source_length_ranks",
-    "source_mix_sample",
-    "rare_token_stats",
-    # rows-only approximate plans: driver rows-only row this round;
-    # exact-twin/recall/error-band gates stay in pytest
-    "ann_ivfpq_topk",
-    "approx_heavy_hitters",
-    "ivf_cluster_stats",
-    "near_dup_components",
+    # the 16 TPC-H query shapes (plans/tpch.py) — the largest
+    # never-driver-confirmed family, promoted first per VERDICT r10
+    "disjunctive_part_revenue",
+    "dormant_customer_balance",
+    "excess_share_suppliers",
+    "forecast_revenue",
+    "important_part_value",
+    "large_volume_customers",
+    "min_cost_supplier",
+    "nation_market_share",
+    "nation_trade_volume",
+    "product_type_profit",
+    "promo_revenue_share",
+    "ship_lag_priority",
+    "small_quantity_revenue",
+    "supplier_part_variety",
+    "top_supplier_revenue",
+    "waiting_suppliers",
+    # timeseries regularization (plans/timeseries.py)
+    "daily_sales_gapfill",
+    "hourly_value_interp",
+    "weekly_revenue_ohlc",
+    "daily_anomaly_flags",
+    # versioned-table diff + DQ profile
+    "snapshot_diff",
+    "documents_profile",
 })
 
 

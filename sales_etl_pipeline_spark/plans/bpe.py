@@ -493,6 +493,44 @@ def bpe_encoded_docs(
     )
 
 
+def _ids_as_str(col):
+    """array<int> → '_'-joined string — the DRIVER-HARNESS serialization.
+
+    The driver's CORRECTNESS canonicalizer goes through pandas
+    ``sort_values``, which cannot hash a numpy array cell
+    (CORRECTNESS_r10: ``bpe_encoded_docs``/``bpe_packed_windows`` ERR
+    ``unhashable type: 'numpy.ndarray'``). Driver-facing plans therefore
+    serialize array columns to a deterministic scalar; the array-typed
+    originals stay at the library tier where tests/oracle_harness.py
+    canonicalizes lists to tuples. tests/test_plans.py pins that the
+    driver registry carries no array/map/struct top-level columns."""
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), "_")
+
+
+def bpe_encoded_docs_str(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Driver-registry twin of ``bpe_encoded_docs``: identical plan, with
+    the token-id array serialized via ``_ids_as_str`` (oracle:
+    ``array_to_string``). Everything upstream — training, vocab join,
+    positional reassembly — is the shared ``bpe_encoded_docs`` plan."""
+    enc = bpe_encoded_docs(spark, sf_dir, n_merges)
+    return enc.select(
+        "doc_id",
+        _ids_as_str(F.col("token_ids")).alias("token_ids_str"),
+        "n_tokens",
+    )
+
+
+def _encoded_docs_str_sql(n_merges: int) -> str:
+    return f"""
+    SELECT doc_id,
+           array_to_string(token_ids, '_') AS token_ids_str,
+           n_tokens
+    FROM ({_encoded_docs_sql(n_merges)})
+    """
+
+
 #: context-window width for the id-level packer
 PACK_WINDOW = 64
 
@@ -711,18 +749,52 @@ def _encoded_docs_sql(n_merges: int) -> str:
     """
 
 
+def bpe_packed_windows_str(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    window: int = PACK_WINDOW,
+) -> DataFrame:
+    """Driver-registry twin of ``bpe_packed_windows`` — window contents
+    serialized via ``_ids_as_str`` (see the r10 driver-harness note)."""
+    packed = bpe_packed_windows(spark, sf_dir, n_merges, window)
+    return packed.select(
+        "source",
+        "window_id",
+        _ids_as_str(F.col("token_ids")).alias("token_ids_str"),
+        "n_tokens",
+    )
+
+
+def _packed_windows_str_sql(n_merges: int, window: int) -> str:
+    return f"""
+    SELECT source, window_id,
+           array_to_string(token_ids, '_') AS token_ids_str,
+           n_tokens
+    FROM ({_packed_windows_sql(n_merges, window)})
+    """
+
+
 QUERIES = {
     "bpe_merges": bpe_merges,
     "bpe_token_stats": bpe_token_stats,
+    # driver-harness twins of the array-typed library plans (r11): same
+    # plan, ids serialized to a scalar the driver canonicalizer can hash
+    "bpe_encoded_docs_str": bpe_encoded_docs_str,
+    "bpe_packed_windows_str": bpe_packed_windows_str,
 }
 
 ORACLE = {
     "bpe_merges": _merges_sql(N_MERGES),
     "bpe_token_stats": _token_stats_sql(N_MERGES),
+    "bpe_encoded_docs_str": _encoded_docs_str_sql(N_MERGES),
+    "bpe_packed_windows_str": _packed_windows_str_sql(N_MERGES, PACK_WINDOW),
 }
 
-#: vocab + id encoding live at the library tier (driver registry is at
-#: its 50-entry cap); oracle-checked by tests/test_library_parity.py
+#: vocab + the ARRAY-TYPED id encodings live at the library tier: the
+#: driver's canonicalizer can't hash array cells (r10 ERR), so the exact
+#: array results are pytest-oracle-checked (tests/test_library_parity.py)
+#: and the *_str twins above carry the driver rows
 LIBRARY_QUERIES = {
     "bpe_vocab": bpe_vocab,
     "bpe_encoded_docs": bpe_encoded_docs,

@@ -626,6 +626,74 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_transitions_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Driver-facing STATEFUL-STREAMING replay (VERDICT r10 item 6): the
+    events table is re-staged as ``n_chunks`` time-ordered files, streamed
+    with ``maxFilesPerTrigger=1`` through the incremental lag operator
+    ``streaming.jobs.stream_event_transitions`` (applyInPandasWithState +
+    event-time timers), and the finalized (from_type, to_type) pairs are
+    aggregated to the transition-matrix grain. This makes the driver's
+    CORRECTNESS run exercise a real watermarked multi-microbatch stateful
+    query, not just batch plans; the exact stream ≡ batch containment gate
+    stays in tests/test_streaming.py::test_stream_event_transitions_match_batch.
+
+    Rows-only on purpose (no oracle entry): the finalized subset depends
+    on watermark progression across microbatches — the unfinalized tail
+    (events the watermark never passes on a bounded stream) is
+    legitimately absent, so the relation is a deterministic SUBSET of
+    ``event_transitions``, not an independently SQL-expressible one.
+
+    This is a replay HARNESS: the one ``toPandas`` stages the bounded
+    test corpus into chunk files and is not a scale path — at production
+    scale the stream source is the live file/Kafka feed and no staging
+    exists. The stateful operator itself is the scale path (per-user
+    state bounded by the watermark delay; see stream_event_transitions).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.readers import normalize_event_ts
+    from ..streaming import jobs
+
+    pdf = load_events(spark, sf_dir).orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tempfile.mkdtemp(prefix="stream_replay_")
+    try:
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = pdf.iloc[i * step : (i + 1) * step]
+            if len(chunk):
+                chunk.to_parquet(
+                    os.path.join(src, f"part{i:04d}.parquet"), index=False
+                )
+        raw = (
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = jobs.run_to_memory(
+            jobs.stream_event_transitions(normalize_event_ts(raw)),
+            "stream_replay_" + uuid.uuid4().hex,
+            "update",
+        )
+        # Aggregate to matrix grain and materialize OFF the memory sink so
+        # the temp stage can be removed before returning.
+        rows = (
+            out.groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n_finalized"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "from_type string, to_type string, n_finalized bigint"
+    ).orderBy("from_type", "to_type")
+
+
 #: Library tier (50-entry driver cap, COVERAGE.md): oracle-checked every
 #: pytest run by tests/test_library_parity.py; the streaming twin in
 #: streaming/jobs.py is additionally pinned stream ≡ batch.
@@ -780,4 +848,6 @@ QUERIES = {
     "event_hourly_activity": event_hourly_activity,
     "event_funnel": event_funnel,
     "event_range_window": event_range_window,
+    # rows-only: real stateful-streaming replay in the driver run (r11)
+    "stream_transitions_replay": stream_transitions_replay,
 }

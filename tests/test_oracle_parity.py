@@ -38,9 +38,25 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0 and len(df.columns) > 0
 
 
+def _assert_flat_schema(df, name):
+    """Driver-harness compat (CORRECTNESS_r10 ERR: pandas sort_values
+    cannot hash array cells): driver-tier plans must return only atomic
+    top-level columns — serialize arrays (plans/bpe.py:_ids_as_str) for
+    a driver twin and keep the array original at the library tier."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: complex top-level columns in driver tier {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_parity(spark, con, name):
     df = _QUERIES[name](spark, SF)
+    _assert_flat_schema(df, name)
     if name not in _ORACLES:
         # rows-only contract: must run and return a stable schema
         assert df.columns
@@ -48,3 +64,14 @@ def test_query_parity(spark, con, name):
         return
     problems = compare(df, con, _ORACLES[name], name)
     assert not problems, "\n".join(problems)
+
+
+def test_array_typed_bpe_plans_stay_library_tier():
+    """The rotation policy must never promote the array-typed originals;
+    their *_str twins carry the driver rows (plans/__init__.py r11 note)."""
+    from sales_etl_pipeline_spark import plans
+
+    driver = set(plans.all_queries())
+    library = set(plans.library_queries())
+    assert {"bpe_encoded_docs", "bpe_packed_windows"} <= library
+    assert {"bpe_encoded_docs_str", "bpe_packed_windows_str"} <= driver
