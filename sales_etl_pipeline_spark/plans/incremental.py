@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.core import DEC, oracle_dsum
 from ..sources.readers import load_table
+from .llmdata import _pin
 from .parity import ORACLE as _PARITY_ORACLE, _non_cancelled_orders
 
 #: order-date boundary splitting the base state from the delta batch in
@@ -140,7 +141,8 @@ def finalize_customer_summary(state: DataFrame) -> DataFrame:
         (F.col("rev_dec").cast("double") / F.col("total_orders")).alias(
             "avg_order_value"
         ),
-    ).persist()
+    )
+    agg = _pin(agg)
     quartiles = agg.agg(
         F.percentile("total_revenue", 0.25).alias("q1"),
         F.percentile("total_revenue", 0.50).alias("q2"),

@@ -299,9 +299,13 @@ def release_plan_caches() -> None:
 
 def _pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` for multi-consumer reuse inside ONE returned plan
-    and register it for release. Callers invoke release_plan_caches()
-    ONCE at plan entry (before the first _pin) so a plan that pins
-    several relations keeps all of them until the next plan begins."""
+    and register it for release when the NEXT plan begins. Release is
+    automatic for registry consumers: plans.all_queries() /
+    library_queries() wrap every plan so entry releases the previous
+    plan's pins (plans/__init__._scoped) — this is THE pin mechanism;
+    plan code must never call bare .persist() for per-plan reuse
+    (exceptions: _INCR_CACHES cross-batch state, pins the same function
+    explicitly unpersists)."""
     df = df.persist()
     _PLAN_CACHES.append(df)
     return df
@@ -420,7 +424,7 @@ def ngram_jaccard_pairs(
     # storage level is MEMORY_AND_DISK — spills, never OOMs, and at cluster
     # scale this is exactly the relation you'd persist (or checkpoint)
     # before a self-join. Measured 12.4 s → 6.4 s at sf0.1.
-    sh = _shingle_table(spark, sf_dir, canon_docs).persist()
+    sh = _pin(_shingle_table(spark, sf_dir, canon_docs))
     # Prefix filtering (AllPairs/SSJoin family): for Jaccard ≥ t, two sets
     # must share at least one of their first ⌊(1−t)·|d|⌋+1 shingles under a
     # global rarity order (document frequency asc, shingle asc). Exact — no
@@ -496,12 +500,12 @@ def _dup_groups(spark: SparkSession, sf_dir: str, require_shingles: bool = True)
         if require_shingles
         else docs
     )
-    gmap = eligible.select(
+    gmap = _pin(eligible.select(
         "doc_id",
         F.min("doc_id")
         .over(Window.partitionBy(F.md5("text")))
         .alias("canon_id"),
-    ).persist()
+    ))
     canon_docs = eligible.join(
         gmap.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
         "doc_id",
@@ -692,13 +696,13 @@ def minhash_near_dup(
     # Persisted: feeds the signature aggregation AND the exact-Jaccard
     # verification of candidates (three uses; same rationale as
     # ngram_jaccard_pairs).
-    sh = _shingle_table(spark, sf_dir, canon_docs).persist()
+    sh = _pin(_shingle_table(spark, sf_dir, canon_docs))
     # the band relation feeds the bucket-size aggregate AND (via capped)
     # both sides of the candidate self-join — persist both skinny
     # relations (4 rows/doc), else the 16-min signature aggregate under
     # them executes three times (measured 2× on the composed curation
     # funnel)
-    bands = _minhash_bands(sh).persist()
+    bands = _pin(_minhash_bands(sh))
     # hot-bucket split (see docstring): bucket sizes shuffle on the same
     # (band, key) the candidate join uses, so the size join adds no new
     # partitioning; sub = (band:doc)-hash mod ceil(size/cap), pure int
@@ -715,8 +719,8 @@ def minhash_near_dup(
                 "sub"
             ),
         )
-        .persist()
     )
+    capped = _pin(capped)
     cand = (
         capped.alias("x")
         .join(
@@ -800,7 +804,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature relation feeds both join sides — persist so the token
     # explode + 60-column vote agg runs once (CacheManager dedups by
     # sameResult across repeated calls)
-    sig = simhash_signatures(spark, sf_dir, docs=canon_docs).persist()
+    sig = _pin(simhash_signatures(spark, sf_dir, docs=canon_docs))
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -978,8 +982,8 @@ def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order independent to survive any partitioning)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = (
-        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = _pin(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -1111,7 +1115,7 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-grain aggregate. No UDFs, no driver traffic; the shingle relation
     is persisted once because both the df aggregate and the join consume
     it."""
-    sh = _shingle_table(spark, sf_dir).persist()
+    sh = _pin(_shingle_table(spark, sf_dir))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(dfreq, "s")
@@ -1589,13 +1593,12 @@ def semantic_dedup_bucketed(
     if collapse == "auto":
         collapse = "skip" if _all_distinct(raw, F.hash("v")) else "always"
     if collapse == "skip":
-        emb = raw.select("vec_id", "v", "nrm").persist()
+        emb = _pin(raw.select("vec_id", "v", "nrm"))
     else:
-        emb = (
+        emb = _pin(
             raw.groupBy("v", "nrm")
             .agg(F.min("vec_id").alias("vec_id"))
             .select("vec_id", "v", "nrm")
-            .persist()
         )
     # Candidate generation stays SKINNY (ids only): assignment is the
     # zero-shuffle Arrow-batched map-side top-nprobe and the 64-dim
@@ -1726,11 +1729,11 @@ def near_dup_components(
     """
     rounds_cap = CC_MAX_ITERS if max_iters is None else max_iters
     pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
+    edges = _pin(pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).persist()
+    ))
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -1834,7 +1837,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window."""
     from pyspark.sql.functions import pandas_udf
 
-    emb = _embeddings_normed(spark, sf_dir).persist()
+    emb = _pin(_embeddings_normed(spark, sf_dir))
     # (tables·bits, dims) hyperplanes; table t owns rows [t·bits, (t+1)·bits)
     planes = np.array(_hyperplanes(LSH_TABLES * LSH_BITS, EMB_DIMS))
     weights = 1 << np.arange(LSH_BITS - 1, -1, -1, dtype=np.int64)
@@ -2426,7 +2429,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     # tf feeds both the df aggregation and the final join — persist so the
     # token explode+shuffle runs once.
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = _pin(tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
@@ -2492,7 +2495,7 @@ def ann_ivf_topk(
     # kernel runs the BLAS/vectorized path: training + assignment are
     # matmuls, pair scoring is an Arrow multiply-sum — the fold-exact
     # kernels stay reserved for the oracle-replayed semantic_dedup path
-    emb = _embeddings_normed(spark, sf_dir).persist()
+    emb = _pin(_embeddings_normed(spark, sf_dir))
     cent_ids, cmat, cn = _train_centroids(
         emb,
         cache_key=sf_dir,
@@ -2743,7 +2746,7 @@ def ann_ivfpq_topk(
     sf0.001. Returned cosines are EXACT (computed at re-rank), so a hit
     list agrees with knn_cosine_topk wherever candidates overlap.
     """
-    emb = _embeddings_normed(spark, sf_dir).persist()
+    emb = _pin(_embeddings_normed(spark, sf_dir))
     cent_ids, cmat, cn = _train_centroids(
         emb,
         cache_key=sf_dir,
@@ -3525,7 +3528,7 @@ def ann_ivf_topk_filtered(
     Rows-only (approximate by construction, like ann_ivf_topk); the
     recall gates vs the brute-force FILTERED twin are pinned in
     tests/test_skew.py."""
-    emb = _embeddings_normed(spark, sf_dir).persist()
+    emb = _pin(_embeddings_normed(spark, sf_dir))
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     cent_ids, cmat, cn = _train_centroids(
         emb,

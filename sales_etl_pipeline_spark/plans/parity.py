@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.core import DEC, dsum, davg, oracle_dsum, oracle_davg, title_case, weekday_mon0
 from ..sources.readers import load_table
+from .llmdata import _pin
 
 CANCELLED = "F"  # o_orderstatus class standing in for the 'C' invoice prefix
 
@@ -143,7 +144,7 @@ def customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the final projection); persist it so the 4-table join + wide agg
     # runs once, not twice. Customer grain is orders of magnitude smaller
     # than the fact tables, so this persists cheaply at any scale.
-    agg = agg.persist()
+    agg = _pin(agg)
     # D3 (etl.py:139-143): exact qcut quartiles, broadcast-joined.
     quartiles = agg.agg(
         F.percentile("total_revenue", 0.25).alias("q1"),

@@ -444,3 +444,68 @@ def test_triangle_counts_on_custom_graph(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_plan_scope_releases_previous_pins(spark):
+    """The one-mechanism pin lifecycle (VERDICT r10 item 4): registry
+    plans register every persist via _pin; entering the NEXT registry
+    plan releases the previous plan's pins, so a long driver session
+    holds at most one plan's pins at any time."""
+    from sales_etl_pipeline_spark import plans
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    qs = plans.all_queries()
+    llmdata.release_plan_caches()
+    assert llmdata._PLAN_CACHES == []
+
+    df1 = qs["minhash_near_dup"](spark, SF)
+    df1.count()
+    first_pins = list(llmdata._PLAN_CACHES)
+    assert first_pins, "minhash_near_dup is a pinning plan"
+    assert all(p.storageLevel.useMemory for p in first_pins)
+
+    # long-session simulation: several pinning plans back to back —
+    # the registry never accumulates more than one plan's pins
+    ids_seen = set()
+    for name in ("ngram_jaccard_pairs", "sequence_packing", "exact_dedup",
+                 "curation_pipeline"):
+        qs[name](spark, SF).count()
+        assert len(llmdata._PLAN_CACHES) <= 6, name
+        ids_seen.update(id(p) for p in llmdata._PLAN_CACHES)
+    # the first plan's pins were released (storage dropped)...
+    assert all(not p.storageLevel.useMemory for p in first_pins)
+    # ...and never re-entered the registry
+    assert ids_seen.isdisjoint({id(p) for p in first_pins})
+    llmdata.release_plan_caches()
+
+
+def test_no_bare_persist_in_plan_modules():
+    """Source gate for the pin mechanism: plans/ may not call bare
+    .persist() outside the documented exemptions (_pin itself, the
+    _INCR_CACHES cross-batch trio, _train_probe's explicitly-released
+    locals)."""
+    import re
+
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sales_etl_pipeline_spark",
+        "plans",
+    )
+    allowed = {
+        # llmdata.py: _pin's own persist (+1 docstring mention), the
+        # _INCR_CACHES trio (released per ingest batch), and
+        # _train_probe's two locals (explicitly unpersisted in the
+        # same function)
+        "llmdata.py": 7,
+    }
+    offenders = []
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(plans_dir, fname)).read()
+        n = len(re.findall(r"\.persist\(", src))
+        if n > allowed.get(fname, 0):
+            offenders.append((fname, n))
+    assert not offenders, (
+        f"bare .persist() outside _pin in {offenders}; use llmdata._pin"
+    )

@@ -273,3 +273,105 @@ def test_cdf_feed_delivers_delete_where_changes(spark, tmp_path):
     assert {
         (r.k, r.v, r._change_type, r._version) for r in got.collect()
     } == _expected_cdf(t, -1, 1)
+
+
+def test_sustained_lakehouse_workload(spark, tmp_path):
+    """VERDICT r10 item 5 — one sustained multi-epoch run interleaving
+    the WHOLE maintenance surface: MERGE INTO, append, OPTIMIZE
+    (+ZORDER), additive schema evolution, DELETE WHERE, vacuum, and two
+    incremental CDF-feed drains across it. Invariants:
+
+    - feed ≡ per-version anti-join diff for EVERY version, including
+      those vacuumed after being consumed (slices are captured while
+      both endpoints are still readable);
+    - compact commits contribute zero CDF rows;
+    - the final snapshot equals an independent dict-model replay of the
+      whole epoch sequence.
+    """
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.key_columns = ("k",)
+    t.stat_columns = ("k",)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+
+    expected: set = set()
+    model: dict = {}
+
+    def capture(lo, hi):
+        # pad every captured slice row to the evolved width so slices
+        # from pre-evolution versions compare against the feed's
+        # latest-schema rows (nulls for added columns)
+        for r in _expected_cdf(t, lo, hi):
+            body, tags = r[:-2], r[-2:]
+            expected.add(body + (None,) * (3 - len(body)) + tags)
+
+    # v0: MERGE INTO on an empty table = all-insert
+    t.merge_into(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), on=("k",))
+    model.update({1: ("a", None), 2: ("b", None), 3: ("c", None)})
+    # v1: MERGE upsert — update 2, insert 4
+    t.merge_into(_df(spark, [(2, "B"), (4, "d")]), on=("k",))
+    model.update({2: ("B", None), 4: ("d", None)})
+    # v2: pure append
+    t.commit_append(_df(spark, [(5, "e")]))
+    model[5] = ("e", None)
+    # v3: OPTIMIZE ZORDER — same rows, no CDF contribution
+    t.compact(zorder_by=("k",))
+    capture(-1, 3)
+
+    # v4: additive schema evolution via append with a new column
+    t.commit_append(
+        spark.createDataFrame([(6, "f", "X")], "k long, v string, w string")
+    )
+    model[6] = ("f", "X")
+    # v5: MERGE on the evolved schema — update 1 with w, insert 7
+    t.merge_into(
+        spark.createDataFrame(
+            [(1, "A", "Y"), (7, "g", "Z")], "k long, v string, w string"
+        ),
+        on=("k",),
+    )
+    model.update({1: ("A", "Y"), 7: ("g", "Z")})
+    # v6: DELETE WHERE
+    t.delete_where("k = 3")
+    del model[3]
+    capture(3, 6)
+
+    # drain #1, then vacuum the consumed history
+    got = _drain_cdf(spark, t.root, out, ckpt)
+    rows = {
+        (r.k, r.v, r.w, r._change_type, r._version) for r in got.collect()
+    }
+    assert rows == expected
+    assert not {r for r in rows if r[4] == 3}  # ZORDER compact: 0 rows
+    t.vacuum(keep_last=2)  # v0–v4 gone; feed already consumed them
+    t.gc_orphans(older_than_seconds=0)
+
+    # v7: MERGE after vacuum — delete 5, update 6
+    t.merge_into(
+        spark.createDataFrame([(6, "F", "X2")], "k long, v string, w string"),
+        on=("k",),
+    )
+    model[6] = ("F", "X2")
+    t.merge_into(
+        spark.createDataFrame([(5, "e", None)], "k long, v string, w string"),
+        on=("k",),
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    del model[5]
+    # v9: plain OPTIMIZE
+    t.compact()
+    capture(6, 9)
+
+    # drain #2: only the new versions arrive, still ≡ anti-join diff
+    got = _drain_cdf(spark, t.root, out, ckpt)
+    rows = {
+        (r.k, r.v, r.w, r._change_type, r._version) for r in got.collect()
+    }
+    assert rows == expected
+    assert not {r for r in rows if r[4] == 9}  # compact: 0 rows again
+
+    # final snapshot ≡ dict-model replay of the whole sequence
+    snap = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert snap == model
+    # and manifest-level pruning still works on the zordered stats
+    assert len(t.files_for(t.latest_version(), where=("k", 100, None))) == 0
