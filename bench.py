@@ -124,6 +124,11 @@ HEADLINE = (
     "event_transitions",
     "min_cost_supplier",
     "nation_trade_pagerank",
+    # round 11: mergeable quantile digest (plans/quantiles.py) — the
+    # sketch path whose shuffle is partitions×delta regardless of data
+    # size; compare against the full-sort exact twin it replaces
+    # (exact_order_value_quantiles, oracle-checked in pytest)
+    "approx_order_value_quantiles",
     # round 10: BM25 ranked retrieval — the inverted-index plan (one
     # tokenize shuffle builds the postings/tf relation; queries are a
     # broadcast postings lookup + per-query top-k window). Tracks the

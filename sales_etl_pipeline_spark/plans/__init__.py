@@ -52,6 +52,7 @@ from . import (
     incremental,
     llmdata,
     parity,
+    quantiles,
     search,
     temporal,
     timeseries,
@@ -86,6 +87,7 @@ _MODULES = (
     timeseries,
     graph,
     search,
+    quantiles,
     pysource,
 )
 
