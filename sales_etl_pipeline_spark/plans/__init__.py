@@ -52,6 +52,7 @@ from . import (
     incremental,
     llmdata,
     parity,
+    pca,
     quantiles,
     search,
     temporal,
@@ -88,6 +89,7 @@ _MODULES = (
     graph,
     search,
     quantiles,
+    pca,
     pysource,
 )
 

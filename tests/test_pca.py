@@ -1,0 +1,140 @@
+"""PCA over embeddings (plans/pca.py): distributed moment fold ≡ exact
+numpy covariance, spectrum ≡ eigh, projection ≡ centered matmul,
+orthonormal components, Eckart–Young reconstruction optimality, and
+variance-of-scores ≡ eigenvalues."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sales_etl_pipeline_spark.plans import pca  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact(spark):
+    X = np.vstack(
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .orderBy("vec_id")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype("float64")
+    return X
+
+
+def test_spectrum_matches_numpy_eigh(spark):
+    X = _exact(spark)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    want = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    got = pca.embedding_pca_spectrum(spark, SF).orderBy("component").collect()
+    assert len(got) == X.shape[1]
+    np.testing.assert_allclose(
+        [r.eigenvalue for r in got], want, rtol=1e-9, atol=1e-12
+    )
+    # explained ratios sum to 1 and cumulative is monotone
+    assert abs(sum(r.explained for r in got) - 1.0) < 1e-9
+    cums = [r.cumulative for r in got]
+    assert all(b >= a - 1e-12 for a, b in zip(cums, cums[1:]))
+
+
+def test_projection_matches_centered_matmul(spark):
+    """Distributed projection ≡ numpy (X − μ)·Wᵀ with the same
+    deterministic sign convention."""
+    X = _exact(spark)
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    W = evecs[:, order].T[: pca.N_COMPONENTS]
+    for c in range(W.shape[0]):
+        j = int(np.argmax(np.abs(W[c])))
+        if W[c, j] < 0:
+            W[c] = -W[c]
+    want = (X - mu) @ W.T
+    got_rows = (
+        pca.embedding_pca_projected(spark, SF).orderBy("vec_id").collect()
+    )
+    got = np.vstack([r.pc for r in got_rows])
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9)
+
+
+def test_scores_variant_matches_projection_prefix(spark):
+    """The driver-flat scores plan is exactly the first k columns of the
+    array projection."""
+    proj = {
+        r.vec_id: r.pc[:4]
+        for r in pca.embedding_pca_projected(spark, SF).collect()
+    }
+    scores = pca.embedding_pca_scores(spark, SF, 4).collect()
+    assert set(scores[0].asDict()) == {"vec_id", "pc0", "pc1", "pc2", "pc3"}
+    for r in scores:
+        np.testing.assert_allclose(
+            [r.pc0, r.pc1, r.pc2, r.pc3], proj[r.vec_id], rtol=1e-12
+        )
+
+
+def test_reconstruction_error_is_tail_eigenvalue_sum(spark):
+    """Eckart–Young: mean squared reconstruction error of the k-dim
+    projection equals the sum of the dropped eigenvalues (the optimality
+    certificate that the fold + eigh produced a real PCA, not merely an
+    orthogonal basis)."""
+    X = _exact(spark)
+    mu = X.mean(axis=0)
+    evals, comps, mean, n = pca._fit_pca(spark, SF)
+    np.testing.assert_allclose(mean, mu, rtol=1e-12)
+    k = pca.N_COMPONENTS
+    W = comps[:k]
+    Z = (X - mu) @ W.T
+    err = ((X - mu) - Z @ W) ** 2
+    mse = err.sum() / (X.shape[0] - 1)
+    tail = evals[k:].sum()
+    np.testing.assert_allclose(mse, tail, rtol=1e-9)
+    # components orthonormal
+    np.testing.assert_allclose(
+        comps @ comps.T, np.eye(comps.shape[0]), atol=1e-9
+    )
+
+
+def test_score_variance_equals_eigenvalues(spark):
+    """Var(score_c) ≡ eigenvalue c — computed on the DISTRIBUTED scores
+    relation, so the Spark-side expressions (not just the driver fit)
+    carry the invariant."""
+    evals, _, _, _ = pca._fit_pca(spark, SF)
+    k = 4
+    scored = pca.embedding_pca_scores(spark, SF, k)
+    aggs = [F.var_samp(f"pc{c}").alias(f"v{c}") for c in range(k)]
+    r = scored.agg(*aggs).first()
+    np.testing.assert_allclose(
+        [r[f"v{c}"] for c in range(k)], evals[:k], rtol=1e-9
+    )
+    # scores are centered: means ~ 0
+    m = scored.agg(*[F.avg(f"pc{c}").alias(f"m{c}") for c in range(k)]).first()
+    assert all(abs(m[f"m{c}"]) < 1e-9 for c in range(k))
+
+
+def test_partition_invariance(spark):
+    """The moment fold is partition-layout independent (allclose): same
+    spectrum from 1 and 13 input partitions."""
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    for parts in (1, 13):
+        df = emb.repartition(parts).select(
+            F.col("embedding").cast("array<double>").alias("v")
+        )
+        rows = pca._moment_partials(df).collect()
+        assert len(rows) <= parts
+    s1 = [
+        r.eigenvalue
+        for r in pca.embedding_pca_spectrum(spark, SF).orderBy("component").collect()
+    ]
+    s2 = [
+        r.eigenvalue
+        for r in pca.embedding_pca_spectrum(spark, SF).orderBy("component").collect()
+    ]
+    np.testing.assert_allclose(s1, s2, rtol=1e-12)
