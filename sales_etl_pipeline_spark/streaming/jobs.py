@@ -181,6 +181,90 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+QUANTILE_DIGEST_OUTPUT = (
+    "event_type string, q double, value double"
+)
+QUANTILE_DIGEST_STATE = "means array<double>, weights array<double>"
+
+#: centroid budget of the streaming digest state (rank error ≤ 2/delta,
+#: same contract as the batch twin in plans/quantiles.py)
+STREAM_DIGEST_DELTA = 64
+
+#: quantile spine the streaming digest emits per update
+STREAM_DIGEST_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def stream_quantile_digest(
+    events: DataFrame, delta: int = STREAM_DIGEST_DELTA
+) -> DataFrame:
+    """Streaming twin of ``plans/quantiles.quantile_digest``: a
+    per-event-type mergeable quantile digest folded incrementally across
+    microbatches with ``applyInPandasWithState``, emitting the current
+    quantile estimates (q ∈ STREAM_DIGEST_QS) of ``value`` after every
+    update — the always-on latency/size percentile monitor over an
+    unbounded stream.
+
+    State per key is the centroid relation itself (≤ ~2·delta means +
+    weights — bounded regardless of stream length; the same digest the
+    batch plan computes, so fold ≡ batch holds up to the documented
+    2/delta rank band, pinned in tests/test_quantiles.py). Each update
+    sorts the batch's values, chunks them into centroids
+    (plans/quantiles._chunk_digest — shared kernel, one semantics), and
+    re-chunks the union with the retained state. NoTimeout: digests
+    summarize ALL history by design; pair with a windowed pre-filter
+    upstream for sliding semantics."""
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.quantiles import _chunk_digest
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            means, weights = state.get
+            means = np.asarray(means, dtype="float64")
+            weights = np.asarray(weights, dtype="float64")
+        else:
+            means = np.array([])
+            weights = np.array([])
+        for pdf in pdfs:
+            v = pdf["value"].to_numpy(dtype="float64")
+            v = v[~np.isnan(v)]
+            if not len(v):
+                continue
+            bm, bw = _chunk_digest(np.sort(v), np.ones(len(v)), delta)
+            allm = np.concatenate([means, bm])
+            allw = np.concatenate([weights, bw])
+            order = np.argsort(allm, kind="stable")
+            means, weights = _chunk_digest(allm[order], allw[order], delta)
+        if not len(means):
+            return
+        state.update((means.tolist(), weights.tolist()))
+        total = weights.sum()
+        mids = np.cumsum(weights) - weights / 2
+        out = []
+        for q in STREAM_DIGEST_QS:
+            target = q * total
+            out.append(
+                (key[0], q, float(np.interp(target, mids, means)))
+            )
+        yield pd.DataFrame(out, columns=["event_type", "q", "value"])
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update,
+            QUANTILE_DIGEST_OUTPUT,
+            QUANTILE_DIGEST_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 CUSTOM_SESSION_OUTPUT = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "session_events long"

@@ -899,3 +899,68 @@ def test_stream_bpe_tokenize_equals_batch(spark, tmp_path):
         for r in bpe.bpe_apply(docs, "text", merges).collect()
     }
     assert got == want
+
+
+def test_stream_quantile_digest_band_and_fold(spark, tmp_path):
+    """Streaming quantile digest (jobs.stream_quantile_digest): the
+    events table streams in 4 chunks; the LAST emitted estimate per
+    (event_type, q) must satisfy the batch digest's 2/delta rank band
+    against the exact per-type value distribution — the stream fold and
+    the batch digest share one kernel (plans/quantiles._chunk_digest),
+    so this is the stream ≡ batch gate stated as the band property a
+    lossy summary supports."""
+    import numpy as np
+
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "qdigest"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_quantile_digest(normalize_event_ts(raw)),
+        "t_qdigest",
+        "update",
+    )
+    # update mode appends every emission; keep the LAST per (type, q).
+    # The memory sink has no emission index, so re-read per key/q and
+    # pick the final value via the batch count ordering: emissions per
+    # key are one row per (q, update) — dedupe by taking each (key, q)'s
+    # last occurrence in collection order (memory sink preserves
+    # batch order).
+    last = {}
+    for r in out.collect():
+        last[(r.event_type, r.q)] = r.value
+    exact = {
+        k: np.sort(g["value"].to_numpy(dtype="float64"))
+        for k, g in load_events(spark, SF)
+        .select("event_type", "value")
+        .toPandas()
+        .groupby("event_type")
+    }
+    assert {k for k, _ in last} == set(exact)
+    eps = 2.0 / jobs.STREAM_DIGEST_DELTA
+    for (etype, q), v in last.items():
+        vals = exact[etype]
+        lo = np.searchsorted(vals, v, side="left") / len(vals)
+        hi = np.searchsorted(vals, v, side="right") / len(vals)
+        r = (lo + hi) / 2
+        if abs(r - q) <= eps:
+            continue
+        blo = float(np.quantile(vals, max(0.0, q - eps)))
+        bhi = float(np.quantile(vals, min(1.0, q + eps)))
+        tol = 1e-9 + 1e-3 * max(abs(blo), abs(bhi))
+        assert blo - tol <= v <= bhi + tol, (etype, q, v, r)
