@@ -138,3 +138,67 @@ def test_partition_invariance(spark):
         for r in pca.embedding_pca_spectrum(spark, SF).orderBy("component").collect()
     ]
     np.testing.assert_allclose(s1, s2, rtol=1e-12)
+
+
+def _recall(got_df, want_df):
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    want = {}
+    for r in want_df.collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & w) for q, w in want.items())
+    total = sum(len(w) for w in want.values())
+    return hits / total
+
+
+def test_ann_pca_losslessness_at_full_rank(spark):
+    """n_components = d makes the projection a pure rotation: euclidean
+    candidate order is exact, so the result must equal the brute-force
+    plan EXACTLY (ids, ranks, and bit-identical cosines — the re-rank
+    evaluates the same expression over the same vectors). The PQ
+    re-rank losslessness gate, restated for PCA."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    got = sorted(
+        tuple(r) for r in pca.ann_pca_topk(spark, SF, n_components=64).collect()
+    )
+    want = sorted(
+        tuple(r) for r in llmdata.knn_cosine_topk(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_ann_pca_recall_on_clustered_corpus(spark):
+    """On genuinely clustered embeddings (the skew corpus — Zipf-sized
+    Gaussian blobs) the 16-dim coarse stage must keep recall@5 ≥ 0.9 vs
+    brute force; on such data the top components carry the
+    between-cluster structure that decides neighborhoods."""
+    from scripts.make_skewdata import ensure_skew_corpus
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    corpus = ensure_skew_corpus("/tmp/sfskew")
+    got = pca.ann_pca_topk(spark, corpus)
+    want = llmdata.knn_cosine_topk(spark, corpus)
+    r = _recall(got, want)
+    assert r >= 0.9, r
+
+
+def test_ann_pca_scores_are_exact_for_hits(spark):
+    """Every (query, neighbor) the PCA plan returns that brute force
+    also returns must carry the IDENTICAL cosine — approximation may
+    cost recall, never score fidelity."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in pca.ann_pca_topk(spark, SF).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in llmdata.knn_cosine_topk(spark, SF).collect()
+    }
+    shared = set(got) & set(want)
+    assert shared, "no overlap at all — candidate stage is broken"
+    for key in shared:
+        assert got[key] == want[key], key
