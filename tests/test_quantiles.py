@@ -184,3 +184,45 @@ def test_exact_plan_matches_percentile(spark):
     for k, g in pdf.groupby("o_orderpriority"):
         want = np.quantile(g["o_totalprice"].to_numpy(), Q.QS)
         assert np.allclose(got[k], want), (k, got[k], want)
+
+
+def test_chunk_digest_kernel_properties():
+    """Hypothesis property gate on the shared chunk kernel (used by the
+    batch, incremental AND streaming digests): for arbitrary finite
+    value lists and any delta — exact mass conservation, per-centroid
+    weight ≤ cap(+fp), ≤ 2·delta+1 centroids, means inside the data
+    range and NON-DECREASING (sorted input ⇒ sorted centroids — the
+    invariant the relational extraction's cum-weight window relies on).
+    Pure Python, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sales_etl_pipeline_spark.plans.quantiles import _chunk_digest
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e12,
+                max_value=1e12,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=400,
+        ),
+        delta=st.integers(min_value=1, max_value=64),
+    )
+    def check(vals, delta):
+        v = np.sort(np.asarray(vals, dtype="float64"))
+        m, w = _chunk_digest(v, np.ones(len(v)), delta)
+        assert len(m) == len(w)
+        assert abs(w.sum() - len(v)) < 1e-6 * max(1, len(v))
+        cap = max(len(v) / delta, 1e-12)
+        assert (w <= cap + 1e-6).all()
+        assert len(m) <= 2 * delta + 1
+        tol = 1e-9 * max(1.0, abs(float(v[0])), abs(float(v[-1])))
+        assert (m >= v[0] - tol).all() and (m <= v[-1] + tol).all()
+        assert (np.diff(m) >= -tol).all()
+
+    check()
