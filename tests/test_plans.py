@@ -509,3 +509,30 @@ def test_no_bare_persist_in_plan_modules():
     assert not offenders, (
         f"bare .persist() outside _pin in {offenders}; use llmdata._pin"
     )
+
+
+def test_pca_projection_is_shuffle_free(spark):
+    """plans/pca.py's core claim pinned in the physical plan: the k-fold
+    projection is map-side only — ZERO Exchange nodes (fit happens in a
+    separate bounded job; the projection job itself never shuffles)."""
+    from sales_etl_pipeline_spark.plans import pca
+
+    df = pca.embedding_pca_scores(spark, SF, 4)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_digest_extraction_plan_shape(spark):
+    """The digest plan's shuffles are all CENTROID-grain: the quantile
+    spine joins by broadcast (BroadcastNestedLoopJoin over 4 rows),
+    never a cartesian; the value-grain work is a single mapInPandas
+    pass (FlatMapGroupsInPandas only on the bounded centroid relation)."""
+    from sales_etl_pipeline_spark.plans import quantiles as Q
+
+    df = Q.approx_order_value_quantiles(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" in plan  # the 4-row q-spine join
