@@ -185,8 +185,11 @@ ROTATED_IN = frozenset({
     "hourly_value_interp",
     "weekly_revenue_ohlc",
     "daily_anomaly_flags",
-    # versioned-table diff + DQ profile
-    "snapshot_diff",
+    # versioned-table diff (serialized twin — the array-typed
+    # snapshot_diff stays library-tier per the harness compat rule; the
+    # flat-schema gate caught the array original when first promoted)
+    # + DQ profile
+    "snapshot_diff_str",
     "documents_profile",
 })
 

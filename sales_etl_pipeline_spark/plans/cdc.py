@@ -262,6 +262,21 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_snapshots(old, new, "c_custkey", _DIFF_COLS)
 
 
+def snapshot_diff_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registry twin of ``snapshot_diff``: identical plan with
+    ``changed_cols`` serialized to a '_'-joined string — the driver's
+    CORRECTNESS canonicalizer cannot hash array cells (the r10 BPE ERR
+    class; flat-schema rule in plans/__init__.py). Caught pre-round by
+    tests/test_oracle_parity.py::_assert_flat_schema when the array
+    original was first promoted."""
+    d = snapshot_diff(spark, sf_dir)
+    return d.select(
+        "c_custkey",
+        "change_type",
+        F.array_join("changed_cols", "_").alias("changed_cols_str"),
+    )
+
+
 def _diff_neq(col: str) -> str:
     return f"NOT (o.{col} IS NOT DISTINCT FROM n.{col})"
 
@@ -320,14 +335,25 @@ ORACLE: dict = {}
 
 LIBRARY_QUERIES = {
     "snapshot_diff": snapshot_diff,
+    "snapshot_diff_str": snapshot_diff_str,
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "cdc_incremental_merge": cdc_incremental_merge,
     "scd2_intervals": scd2_intervals,
     "scd2_compacted": scd2_compacted,
 }
 
+_DIFF_STR_SQL = f"""
+    SELECT c_custkey, change_type,
+           -- DuckDB's array_to_string of an empty list is NULL; Spark's
+           -- array_join is '' — align on ''
+           coalesce(array_to_string(changed_cols, '_'), '')
+               AS changed_cols_str
+    FROM ({_DIFF_SQL})
+"""
+
 LIBRARY_ORACLE: dict[str, str] = {
     "snapshot_diff": _DIFF_SQL,
+    "snapshot_diff_str": _DIFF_STR_SQL,
     "cdc_latest_snapshot": _SNAPSHOT_SQL,
     # The merged snapshot must equal the full recompute — the oracle for
     # the incremental path is deliberately the SAME full-recompute SQL.
