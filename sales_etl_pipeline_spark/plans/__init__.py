@@ -58,6 +58,7 @@ from . import (
     temporal,
     timeseries,
     tpch,
+    unigram,
     validation,
     webtext,
 )
@@ -90,6 +91,7 @@ _MODULES = (
     search,
     quantiles,
     pca,
+    unigram,
     pysource,
 )
 

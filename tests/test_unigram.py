@@ -1,0 +1,180 @@
+"""Unigram-LM tokenizer (plans/unigram.py): pure-Python EM replay
+(allclose on probabilities), EM likelihood monotonicity, probability
+normalization, coverage totality, Viterbi optimality + deterministic
+tie-break, and exact segmentation agreement with the replay."""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sales_etl_pipeline_spark.plans import unigram as U  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _word_freqs(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    freqs: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in re.findall("[a-z]+", r.text.lower()):
+            freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def _py_train(freqs, vocab_size=U.VOCAB_SIZE, em_rounds=U.EM_ROUNDS):
+    """Pure-Python replay of train_unigram: same seed rule, same
+    lattice function, same M-step/prune — no Spark anywhere."""
+    counts: dict[str, float] = {}
+    for w, f in freqs.items():
+        for i in range(len(w)):
+            for l in range(1, min(U.MAX_PIECE_LEN, len(w) - i) + 1):
+                p = w[i : i + l]
+                counts[p] = counts.get(p, 0.0) + f
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: U.SEED_SIZE]
+    probs = dict(top)
+    for p, c in counts.items():
+        if len(p) == 1:
+            probs.setdefault(p, c)
+    z = sum(probs.values())
+    probs = {p: c / z for p, c in probs.items()}
+
+    def em(probs):
+        logp = {p: math.log(v) for p, v in probs.items()}
+        acc: dict[str, float] = {}
+        ll = 0.0
+        for w, f in freqs.items():
+            exp, zw = U._lattice_expected(w, float(f), logp)
+            if zw != float("-inf"):
+                ll += f * zw
+            for p, c in exp.items():
+                acc[p] = acc.get(p, 0.0) + c
+        total = sum(acc.values())
+        new = {
+            p: max(acc.get(p, 0.0) / total, U.PROB_FLOOR) for p in probs
+        }
+        z = sum(new.values())
+        return {p: v / z for p, v in new.items()}, ll
+
+    lls = []
+    for _ in range(em_rounds):
+        probs, ll = em(probs)
+        lls.append(ll)
+    probs = U._prune(probs, vocab_size)
+    probs, ll = em(probs)
+    lls.append(ll)
+    return probs, lls
+
+
+def test_train_matches_python_replay(spark):
+    """Distributed EM ≡ the pure-Python replay: same support, allclose
+    probabilities (float summation order is the only divergence), and
+    allclose per-round log-likelihoods."""
+    U.clear_unigram_cache()
+    probs, lls = U.train_unigram(spark, SF)
+    want, want_lls = _py_train(_word_freqs(spark))
+    assert set(probs) == set(want)
+    np.testing.assert_allclose(
+        [probs[p] for p in sorted(probs)],
+        [want[p] for p in sorted(want)],
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(lls, want_lls, rtol=1e-8)
+
+
+def test_em_likelihood_is_monotone(spark):
+    """The EM certificate: corpus log-likelihood under the entering
+    probs must not decrease across the pre-prune rounds (pruning may
+    drop likelihood by design; the post-prune round is excluded)."""
+    probs, lls = U.train_unigram(spark, SF)
+    pre = lls[: U.EM_ROUNDS]
+    assert all(b >= a - 1e-9 * abs(a) for a, b in zip(pre, pre[1:])), lls
+
+
+def test_probabilities_normalized_and_chars_covered(spark):
+    probs, _ = U.train_unigram(spark, SF)
+    assert abs(sum(probs.values()) - 1.0) < 1e-9
+    chars = {c for w in _word_freqs(spark) for c in w}
+    assert chars <= {p for p in probs if len(p) == 1}
+
+
+def test_viterbi_optimal_and_total(spark):
+    """Viterbi returns a max-score segmentation: its score must match a
+    brute-force enumeration over all segmentations for a sample of
+    words, and every corpus word must segment (coverage)."""
+    probs, _ = U.train_unigram(spark, SF)
+    logp = {p: math.log(v) for p, v in probs.items()}
+    words = sorted(_word_freqs(spark))[:80]
+
+    def brute(word):
+        best = None
+        stack = [(0, 0.0, ())]
+        while stack:
+            pos, sc, seg = stack.pop()
+            if pos == len(word):
+                cand = (sc, -len(seg), seg)
+                if best is None or (
+                    (cand[0], cand[1]) > (best[0], best[1])
+                    or ((cand[0], cand[1]) == (best[0], best[1]) and seg < best[2])
+                ):
+                    best = cand
+                continue
+            for l in range(1, min(U.MAX_PIECE_LEN, len(word) - pos) + 1):
+                piece = word[pos : pos + l]
+                if piece in logp:
+                    stack.append((pos + l, sc + logp[piece], seg + (piece,)))
+        return best
+
+    for w in words:
+        got = U.viterbi_segment(w, logp)
+        b = brute(w)
+        assert b is not None, w
+        got_score = sum(logp[p] for p in got)
+        assert abs(got_score - b[0]) < 1e-9, (w, got, b)
+        assert "".join(got) == w
+
+
+def test_viterbi_deterministic_tie_break():
+    """Constructed exact tie: 'aaa' under {a: p, aa: p} — segmentations
+    (a,aa) and (aa,a) share score and piece count; the rule picks the
+    lexicographically smaller (a, aa)."""
+    logp = {"a": math.log(0.5), "aa": math.log(0.5)}
+    assert U.viterbi_segment("aaa", logp) == ["a", "aa"]
+    # fewer pieces beats more at equal score: 'aa' alone vs (a, a)
+    logp2 = {"a": math.log(0.25), "aa": math.log(0.0625)}
+    assert U.viterbi_segment("aa", logp2) == ["aa"]
+
+
+def test_token_stats_matches_replay_segmentation(spark):
+    """The distributed doc sizing agrees with a driver-side recount
+    using the replay's Viterbi segmentation of every word."""
+    probs, _ = U.train_unigram(spark, SF)
+    logp = {p: math.log(v) for p, v in probs.items()}
+    seg_len = {
+        w: len(U.viterbi_segment(w, logp)) for w in _word_freqs(spark)
+    }
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        ws = re.findall("[a-z]+", r.text.lower())
+        if ws:
+            want[r.doc_id] = (len(ws), sum(seg_len[w] for w in ws))
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces)
+        for r in U.unigram_token_stats(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_vocab_plan_flat_and_sized(spark):
+    rows = U.unigram_vocab(spark, SF).collect()
+    assert rows and all(len(r) == 3 for r in rows)
+    pieces = [r.piece for r in rows]
+    assert pieces == sorted(pieces)
+    assert len(rows) <= U.SEED_SIZE
