@@ -105,6 +105,11 @@ HEADLINE = (
     # exhaust mergeable pairs at ~89). ~70 driver rounds instead of the
     # sequential path's 1000.
     "bpe_train_1k",
+    # round 11: unigram-LM tokenizer cold fit (EM-family twin of the
+    # bpe_train row; corpus-size-independent after the word-count
+    # shuffle, per-round cost = one Arrow lattice pass over distinct
+    # words + a piece-grain shuffle)
+    "unigram_train",
     # round 9: in-engine model training — 3 full-batch GD steps over the
     # hashed features (2 aggregate jobs + one (dim+1)-row collect per
     # step); the cost is step-count × corpus-scan bound, the relational
@@ -257,10 +262,21 @@ def _bpe_train_1k(spark, sf_dir: str):
     return seqs
 
 
+def _unigram_train(spark, sf_dir: str):
+    """Cold unigram-LM training (seed + EM rounds + prune + final EM;
+    plans/unigram.py) — the EM-family counterpart of the bpe_train
+    row. Cache cleared per run, so best-of-two measures a cold fit."""
+    from sales_etl_pipeline_spark.plans import unigram
+
+    unigram.clear_unigram_cache()
+    return unigram.unigram_vocab(spark, sf_dir)
+
+
 EXTRA_QUERIES = {
     "training_pipeline_curated": _training_pipeline_curated,
     "bpe_train": _bpe_train,
     "bpe_train_1k": _bpe_train_1k,
+    "unigram_train": _unigram_train,
     "ingest_batch_fold": _ingest_batch_fold,
     "pii_redact": _pii_redact,
     "ann_ivf_train": _ann_ivf_train,

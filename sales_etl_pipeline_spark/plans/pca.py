@@ -73,15 +73,37 @@ def _moment_partials(emb: DataFrame) -> DataFrame:
     )
 
 
+#: fit memo keyed on a cheap data fingerprint (count, max vec_id) per
+#: normalize flag — the same recipe as _BPE_CACHE/_UNIGRAM_CACHE, so the
+#: four registry plans sharing one corpus pay ONE moment pass, not four
+_PCA_CACHE: dict = {}
+
+
+def clear_pca_cache() -> None:
+    _PCA_CACHE.clear()
+
+
 def _fit_pca(spark: SparkSession, sf_dir: str, normalize: bool = False):
     """Driver-side fold of the moment partials + eigh. Returns
     (eigenvalues desc, components — all d rows, mean, n).
     ``normalize=True`` fits on L2-normalized vectors (the ANN path:
     cosine ranking ≡ euclidean ranking on the unit sphere, and
-    euclidean distance is preserved under the centering PCA applies)."""
+    euclidean distance is preserved under the centering PCA applies).
+    Memoized per (corpus fingerprint, normalize) — see ``_PCA_CACHE``."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    table = load_table(spark, sf_dir, "embeddings")
+    fp = table.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("vec_id").alias("hi"),
+        # a DATA term so a rewritten corpus at the same path refits
+        F.sum(F.element_at("embedding", 1)).alias("s0"),
+    ).first()
+    key = ((fp.n, fp.hi, float(fp.s0 or 0.0)), normalize)
+    hit = _PCA_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = table.select(
         F.col("embedding").cast("array<double>").alias("v")
     )
     if normalize:
@@ -112,7 +134,9 @@ def _fit_pca(spark: SparkSession, sf_dir: str, normalize: bool = False):
         j = int(np.argmax(np.abs(comps[c])))
         if comps[c, j] < 0:
             comps[c] = -comps[c]
-    return evals, comps, mean, n
+    out = (evals, comps, mean, n)
+    _PCA_CACHE[key] = out
+    return out
 
 
 def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,13 +254,18 @@ def ann_pca_topk(
         "vec_id",
         F.transform("v", lambda x: x / F.col("nrm")).alias("v"),
     )
-    proj = unit.select(
+    from .llmdata import _pin
+
+    # proj feeds both sides of the candidate join — pin it so the
+    # normalize+project pass runs once (released at the next registry
+    # plan, the standard _pin lifecycle)
+    proj = _pin(unit.select(
         "vec_id",
         F.array(
             *[e.alias(f"p{c}") for c, e in
               enumerate(_proj_exprs(comps, mean, n_components))]
         ).alias("p"),
-    )
+    ))
     qp = proj.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
     )

@@ -107,6 +107,14 @@ def quantile_digest(
     )
 
     def _partial(batches):
+        # Fold ACROSS Arrow batches (state: per-key centroid digest,
+        # ≤ ~2·delta rows per key) and emit ONCE per partition — the
+        # partition-count bound the module contract states. Emitting per
+        # batch would grow the shuffle with data size (~batches × delta
+        # rows) and force the per-key merge to hold it all in one pandas
+        # frame; the fold is the same state recipe as
+        # streaming/jobs.stream_quantile_digest.
+        state: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -114,21 +122,31 @@ def quantile_digest(
                 groups = pdf.groupby(keys, sort=False)
             else:
                 groups = [((), pdf)]
-            frames = []
             for gk, g in groups:
+                if keys and not isinstance(gk, tuple):
+                    gk = (gk,)
                 v = np.sort(g["v"].to_numpy(dtype="float64"))
-                m, w = _chunk_digest(v, np.ones(len(v)), delta)
-                if not len(m):
+                bm, bw = _chunk_digest(v, np.ones(len(v)), delta)
+                if not len(bm):
                     continue
-                f = pd.DataFrame({"c_mean": m, "c_weight": w})
-                if keys:
-                    if not isinstance(gk, tuple):
-                        gk = (gk,)
-                    for k, kv in zip(keys, gk):
-                        f[k] = kv
-                frames.append(f[keys + ["c_mean", "c_weight"]])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                old = state.get(gk)
+                if old is None:
+                    state[gk] = (bm, bw)
+                else:
+                    allm = np.concatenate([old[0], bm])
+                    allw = np.concatenate([old[1], bw])
+                    order = np.argsort(allm, kind="stable")
+                    state[gk] = _chunk_digest(
+                        allm[order], allw[order], delta
+                    )
+        frames = []
+        for gk, (m, w) in state.items():
+            f = pd.DataFrame({"c_mean": m, "c_weight": w})
+            for k, kv in zip(keys, gk):
+                f[k] = kv
+            frames.append(f[keys + ["c_mean", "c_weight"]])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     partials = vals.mapInPandas(_partial, out_schema)
 

@@ -106,8 +106,12 @@ def seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _top_seed(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Driver-side seed scores: top SEED_SIZE pieces by count plus all
     single chars; initial prob ∝ count. Bounded collect (≤ SEED_SIZE +
-    alphabet rows)."""
-    sv = seed_vocab(spark, sf_dir)
+    alphabet rows). The seed relation feeds BOTH collects, so it is
+    pinned (llmdata._pin — released at the next registry plan) rather
+    than paying the substring-explosion shuffle twice."""
+    from .llmdata import _pin
+
+    sv = _pin(seed_vocab(spark, sf_dir))
     top = (
         sv.orderBy(F.desc("count"), "piece").limit(SEED_SIZE).collect()
     )

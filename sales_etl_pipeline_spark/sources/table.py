@@ -1274,10 +1274,13 @@ class VersionedTable:
         if check_source_unique:
             from pyspark.sql import functions as F
 
+            # collision-proof alias: a key column named 'n' must not
+            # make the guard itself fail with AMBIGUOUS_REFERENCE
+            cnt = "__merge_dup_n"
             dup = (
                 source.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1)
+                .agg(F.count(F.lit(1)).alias(cnt))
+                .filter(F.col(cnt) > 1)
                 .limit(1)
                 .collect()
             )
@@ -1286,7 +1289,7 @@ class VersionedTable:
                 raise ValueError(
                     "merge_into: duplicate source keys (SQL MERGE "
                     f"multiple-matched-rows condition), e.g. {key_repr} "
-                    f"×{dup[0]['n']}; pre-deduplicate (cdc._latest_wins) "
+                    f"×{dup[0][cnt]}; pre-deduplicate (cdc._latest_wins) "
                     "or pass check_source_unique=False"
                 )
 

@@ -177,4 +177,9 @@ def test_vocab_plan_flat_and_sized(spark):
     assert rows and all(len(r) == 3 for r in rows)
     pieces = [r.piece for r in rows]
     assert pieces == sorted(pieces)
-    assert len(rows) <= U.SEED_SIZE
+    # the PRUNED bound (multi pieces capped at VOCAB_SIZE − singles, so
+    # the total is ≤ VOCAB_SIZE) — a no-op _prune returning the
+    # ~SEED_SIZE seed must fail here
+    n_singles = sum(1 for p in pieces if len(p) == 1)
+    assert len(rows) <= max(U.VOCAB_SIZE, n_singles)
+    assert n_singles <= 26
