@@ -1,0 +1,96 @@
+"""Tokenizer model registry (operators/tokenizer_store.py): exact
+round-trip, tokenize-with-loaded ≡ tokenize-with-trained, AS OF time
+travel across retrains, per-key CDF audit of vocabulary evolution, and
+(writer, epoch) replay idempotence inherited from the table layer."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sales_etl_pipeline_spark.operators import tokenizer_store as TS  # noqa: E402
+from sales_etl_pipeline_spark.plans import bpe, unigram  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bpe_round_trip_and_apply_equivalence(spark, tmp_path):
+    merges, _ = bpe.train_bpe(spark, SF, 12)
+    root = str(tmp_path / "bpe_model")
+    v = TS.save_bpe_model(spark, root, merges)
+    assert v == 0
+    loaded = TS.load_bpe_model(spark, root)
+    assert loaded == merges
+    # applying the LOADED model reproduces the trained segmentation
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).limit(20)
+    a = bpe.bpe_apply(docs, "text", merges).select("doc_id", "bpe_tokens")
+    b = bpe.bpe_apply(docs, "text", loaded).select("doc_id", "bpe_tokens")
+    ra = {r.doc_id: list(r.bpe_tokens) for r in a.collect()}
+    rb = {r.doc_id: list(r.bpe_tokens) for r in b.collect()}
+    assert ra == rb
+
+
+def test_bpe_time_travel_across_retrains(spark, tmp_path):
+    """A retrain with more merges commits a new version; version pins and
+    AS OF both recover the exact older model."""
+    import time
+
+    root = str(tmp_path / "bpe_model")
+    m8, _ = bpe.train_bpe(spark, SF, 8)
+    TS.save_bpe_model(spark, root, m8)
+    t_after_v0 = time.time()
+    m16, _ = bpe.train_bpe(spark, SF, 16)
+    TS.save_bpe_model(spark, root, m16)
+    assert TS.load_bpe_model(spark, root) == m16
+    assert TS.load_bpe_model(spark, root, version=0) == m8
+    assert TS.load_bpe_model(spark, root, as_of=t_after_v0) == m8
+    # sequential BPE: the longer training extends the shorter one
+    assert m16[:8] == m8
+
+
+def test_bpe_model_cdf_audits_retrain(spark, tmp_path):
+    """The v1 change relation shows exactly the merges ADDED by the
+    longer retrain (ranks 8..15 as inserts, ranks 0..7 unchanged —
+    absent from the diff)."""
+    root = str(tmp_path / "bpe_model")
+    m8, _ = bpe.train_bpe(spark, SF, 8)
+    m16, _ = bpe.train_bpe(spark, SF, 16)
+    TS.save_bpe_model(spark, root, m8)
+    TS.save_bpe_model(spark, root, m16)
+    ch = {
+        (r.rank, r._change_type)
+        for r in TS.model_changes(spark, root, 1).collect()
+    }
+    assert ch == {(i, "insert") for i in range(8, 16)}
+    # v0 was the initial commit: everything an insert
+    ch0 = {
+        (r.rank, r._change_type)
+        for r in TS.model_changes(spark, root, 0).collect()
+    }
+    assert ch0 == {(i, "insert") for i in range(8)}
+
+
+def test_bpe_save_epoch_replay_idempotent(spark, tmp_path):
+    root = str(tmp_path / "bpe_model")
+    m8, _ = bpe.train_bpe(spark, SF, 8)
+    v1 = TS.save_bpe_model(spark, root, m8, writer="trainer", epoch=1)
+    v2 = TS.save_bpe_model(spark, root, m8, writer="trainer", epoch=1)
+    assert v1 == v2  # replayed epoch: no new version
+
+
+def test_unigram_round_trip_bit_exact_and_viterbi(spark, tmp_path):
+    probs, _ = unigram.train_unigram(spark, SF)
+    root = str(tmp_path / "uni_model")
+    TS.save_unigram_model(spark, root, probs)
+    logp = TS.load_unigram_model(spark, root)
+    import math
+
+    want = {p: math.log(v) for p, v in probs.items()}
+    assert logp == want  # IEEE doubles round-trip losslessly via parquet
+    # Viterbi under the loaded model ≡ under the trained model
+    for w in ("data", "pipeline", "analytics"):
+        assert unigram.viterbi_segment(w, logp) == unigram.viterbi_segment(
+            w, want
+        )
