@@ -353,6 +353,47 @@ def _word_segments(
     )
 
 
+def unigram_apply(
+    df: DataFrame, text_col: str, logp: dict[str, float]
+) -> DataFrame:
+    """Segment ``text_col`` with a trained unigram model (the
+    ``bpe_apply`` counterpart; ``logp`` is piece→log-prob, the shape
+    ``tokenizer_store.load_unigram_model`` returns): per ``[a-z]+``
+    word, Viterbi under the model — applies to UNSEEN words too (any
+    word over in-vocab characters segments; see ``viterbi_segment``).
+    Returns ``df`` with a ``unigram_pieces`` array<string> column.
+    One Arrow pass; the text stays doc-grain through the kernel."""
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(logp)
+    cols = df.columns
+    word_re = __import__("re").compile("[a-z]+")
+
+    def _seg(batches):
+        lp = b.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                pieces: list[str] = []
+                for w in word_re.findall(str(text).lower()):
+                    seg = cache.get(w)
+                    if seg is None:
+                        seg = viterbi_segment(w, lp)
+                        cache[w] = seg
+                    pieces.extend(seg)
+                out.append(pieces)
+            pdf = pdf.copy()
+            pdf["unigram_pieces"] = out
+            yield pdf
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", unigram_pieces array<string>"
+    return df.mapInPandas(_seg, out_schema).select(
+        *cols, "unigram_pieces"
+    )
+
+
 def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry plan: the trained vocabulary — (piece, logprob,
     n_chars), deterministic order. Flat schema; rows-only (float EM has

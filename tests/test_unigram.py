@@ -183,3 +183,24 @@ def test_vocab_plan_flat_and_sized(spark):
     n_singles = sum(1 for p in pieces if len(p) == 1)
     assert len(rows) <= max(U.VOCAB_SIZE, n_singles)
     assert n_singles <= 26
+
+
+def test_unigram_apply_matches_word_segments(spark):
+    """unigram_apply (the bpe_apply counterpart, consuming a loaded
+    log-prob dict) reproduces the per-word Viterbi on real documents,
+    including words order and concatenation identity."""
+    probs, _ = U.train_unigram(spark, SF)
+    logp = {p: math.log(v) for p, v in probs.items()}
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).limit(25)
+    got = {
+        r.doc_id: list(r.unigram_pieces)
+        for r in U.unigram_apply(docs, "text", logp).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        want = []
+        for w in re.findall("[a-z]+", r.text.lower()):
+            want.extend(U.viterbi_segment(w, logp))
+        assert got[r.doc_id] == want
+        assert "".join(got[r.doc_id]) == "".join(
+            re.findall("[a-z]+", r.text.lower())
+        )
