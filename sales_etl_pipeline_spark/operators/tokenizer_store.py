@@ -25,7 +25,10 @@ import math
 
 from pyspark.sql import SparkSession
 
-from ..sources.table import VersionedTable
+from ..sources.table import CommitConflict, VersionedTable
+
+#: save retries through concurrent commits (the merge_commit pattern)
+_MAX_RETRIES = 5
 
 
 def _bpe_table(spark: SparkSession, root: str) -> VersionedTable:
@@ -40,13 +43,36 @@ def _replayed_version(
     """The version a (writer, epoch) pair already committed, else None —
     save-model replay idempotence. (``commit_overwrite`` records the
     pair in the manifest but only delete/merge skip on replay; a model
-    save is an overwrite, so the registry enforces it here.)"""
+    save is an overwrite, so the registry enforces it here.) Newest-
+    first manifest scan with early exit, the ``epoch_committed``
+    pattern — a replayed save typically matches within one read."""
     if writer is None or epoch is None:
         return None
-    for m in t.history():
+    for v in reversed(t.versions()):
+        m = t._read_manifest(v)
         if m.get("writer") == writer and m.get("epoch") == epoch:
-            return m["version"]
+            return v
     return None
+
+
+def _save(t: VersionedTable, df, operation, writer, epoch) -> int:
+    """Replay-idempotent, conflict-retrying model save: re-check the
+    replay (a RACING save of the same epoch may have landed), then
+    commit; on CommitConflict loop — the same optimistic-concurrency
+    recipe as VersionedTable.merge_commit."""
+    last: CommitConflict | None = None
+    for _ in range(_MAX_RETRIES):
+        done = _replayed_version(t, writer, epoch)
+        if done is not None:
+            return done
+        try:
+            return t.commit_overwrite(
+                df, operation=operation, writer=writer, epoch=epoch
+            )
+        except CommitConflict as e:
+            last = e
+            continue
+    raise last or CommitConflict((t.latest_version() or 0) + 1)
 
 
 def save_bpe_model(
@@ -57,17 +83,10 @@ def save_bpe_model(
     epoch: int | None = None,
 ) -> int:
     """Commit the ordered merge list as the next model version."""
-    t = _bpe_table(spark, root)
-    done = _replayed_version(t, writer, epoch)
-    if done is not None:
-        return done
-    df = spark.createDataFrame(
-        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
-        "rank int, lhs string, rhs string, merged string",
-    )
-    return t.commit_overwrite(
-        df, operation="save_bpe", writer=writer, epoch=epoch
-    )
+    from ..plans.bpe import MERGE_TABLE_SCHEMA, merge_table_rows
+
+    df = spark.createDataFrame(merge_table_rows(merges), MERGE_TABLE_SCHEMA)
+    return _save(_bpe_table(spark, root), df, "save_bpe", writer, epoch)
 
 
 def load_bpe_model(
@@ -100,16 +119,12 @@ def save_unigram_model(
 ) -> int:
     """Commit a trained unigram vocabulary (piece → prob) as the next
     model version; stored as log-probs like the serving artifact."""
-    t = _unigram_table(spark, root)
-    done = _replayed_version(t, writer, epoch)
-    if done is not None:
-        return done
     df = spark.createDataFrame(
         sorted((p, math.log(v)) for p, v in probs.items()),
         "piece string, logprob double",
     )
-    return t.commit_overwrite(
-        df, operation="save_unigram", writer=writer, epoch=epoch
+    return _save(
+        _unigram_table(spark, root), df, "save_unigram", writer, epoch
     )
 
 

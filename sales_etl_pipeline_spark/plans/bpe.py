@@ -278,6 +278,16 @@ def bpe_apply(df: DataFrame, text_col: str, merges: list[tuple[str, str]]):
     return df.withColumn("bpe_tokens", F.flatten(per_word))
 
 
+#: the merge-table artifact shape — shared by the bpe_merges plan and
+#: the tokenizer model registry (operators/tokenizer_store.py) so the
+#: stored model can never drift from the registry plan of the same name
+MERGE_TABLE_SCHEMA = "rank int, lhs string, rhs string, merged string"
+
+
+def merge_table_rows(merges: list[tuple[str, str]]) -> list[tuple]:
+    return [(i, l, r, l + r) for i, (l, r) in enumerate(merges)]
+
+
 def bpe_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
 ) -> DataFrame:
@@ -285,10 +295,7 @@ def bpe_merges(
     merged)``, one row per merge rule in training order. The model
     artifact a downstream tokenizer ships."""
     merges, _ = train_bpe(spark, sf_dir, n_merges)
-    return spark.createDataFrame(
-        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
-        "rank int, lhs string, rhs string, merged string",
-    )
+    return spark.createDataFrame(merge_table_rows(merges), MERGE_TABLE_SCHEMA)
 
 
 def bpe_token_stats(

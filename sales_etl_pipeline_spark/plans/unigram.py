@@ -59,7 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import load_table
-from .bpe import WORD_REGEX_SPARK, _word_freq
+from .bpe import WORD_REGEX_SPARK, WORD_REGEX_SQL, _word_freq
 
 #: longest candidate piece in the seed vocabulary
 MAX_PIECE_LEN = 6
@@ -358,29 +358,48 @@ def unigram_apply(
 ) -> DataFrame:
     """Segment ``text_col`` with a trained unigram model (the
     ``bpe_apply`` counterpart; ``logp`` is piece→log-prob, the shape
-    ``tokenizer_store.load_unigram_model`` returns): per ``[a-z]+``
-    word, Viterbi under the model — applies to UNSEEN words too (any
-    word over in-vocab characters segments; see ``viterbi_segment``).
-    Returns ``df`` with a ``unigram_pieces`` array<string> column.
-    One Arrow pass; the text stays doc-grain through the kernel."""
+    ``tokenizer_store.load_unigram_model`` returns): per word of the
+    SHARED pre-tokenizer (``bpe.WORD_REGEX_SQL`` — the same word grain
+    the model was trained on), Viterbi under the model. TOTAL on
+    arbitrary input: NULL text maps to NULL pieces (matching
+    ``bpe_apply``'s SQL null propagation), and a word containing
+    characters the vocabulary never saw falls back to character
+    pieces with the OOV characters kept as singleton pieces (the
+    byte-fallback convention) instead of crashing the job. Returns
+    ``df`` with a ``unigram_pieces`` array<string> column. One Arrow
+    pass; the text stays doc-grain through the kernel."""
+    import re
+
     spark = df.sparkSession
     b = spark.sparkContext.broadcast(logp)
     cols = df.columns
-    word_re = __import__("re").compile("[a-z]+")
+    word_re = re.compile(WORD_REGEX_SQL)
 
     def _seg(batches):
         lp = b.value
         cache: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            seg = cache.get(w)
+            if seg is None:
+                try:
+                    seg = viterbi_segment(w, lp)
+                except ValueError:  # OOV character: singleton fallback
+                    seg = list(w)
+                cache[w] = seg
+            return seg
+
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
+                if text is None or (
+                    isinstance(text, float) and math.isnan(text)
+                ):
+                    out.append(None)
+                    continue
                 pieces: list[str] = []
                 for w in word_re.findall(str(text).lower()):
-                    seg = cache.get(w)
-                    if seg is None:
-                        seg = viterbi_segment(w, lp)
-                        cache[w] = seg
-                    pieces.extend(seg)
+                    pieces.extend(seg_word(w))
                 out.append(pieces)
             pdf = pdf.copy()
             pdf["unigram_pieces"] = out

@@ -16,20 +16,31 @@ from sales_etl_pipeline_spark.plans import bpe, unigram  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 
-def test_bpe_round_trip_and_apply_equivalence(spark, tmp_path):
+def test_bpe_round_trip_and_apply(spark, tmp_path):
     merges, _ = bpe.train_bpe(spark, SF, 12)
     root = str(tmp_path / "bpe_model")
     v = TS.save_bpe_model(spark, root, merges)
     assert v == 0
     loaded = TS.load_bpe_model(spark, root)
-    assert loaded == merges
-    # applying the LOADED model reproduces the trained segmentation
-    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).limit(20)
-    a = bpe.bpe_apply(docs, "text", merges).select("doc_id", "bpe_tokens")
-    b = bpe.bpe_apply(docs, "text", loaded).select("doc_id", "bpe_tokens")
-    ra = {r.doc_id: list(r.bpe_tokens) for r in a.collect()}
-    rb = {r.doc_id: list(r.bpe_tokens) for r in b.collect()}
-    assert ra == rb
+    assert loaded == merges  # the equivalence claim IS the round-trip
+    # and the loaded model actually tokenizes: merges fire (fewer
+    # tokens than characters) on a deterministic doc subset
+    docs = spark.read.parquet(
+        os.path.join(SF, "documents.parquet")
+    ).filter("doc_id < 20")
+    from pyspark.sql import functions as F
+
+    r = (
+        bpe.bpe_apply(docs, "text", loaded)
+        .agg(
+            F.sum(F.size("bpe_tokens")).alias("toks"),
+            F.sum(
+                F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            ).alias("chars"),
+        )
+        .first()
+    )
+    assert 0 < r.toks < r.chars
 
 
 def test_bpe_time_travel_across_retrains(spark, tmp_path):

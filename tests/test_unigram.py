@@ -191,7 +191,11 @@ def test_unigram_apply_matches_word_segments(spark):
     including words order and concatenation identity."""
     probs, _ = U.train_unigram(spark, SF)
     logp = {p: math.log(v) for p, v in probs.items()}
-    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).limit(25)
+    # deterministic subset: limit() without orderBy may pick different
+    # rows across the two jobs below
+    docs = spark.read.parquet(
+        os.path.join(SF, "documents.parquet")
+    ).filter("doc_id < 25")
     got = {
         r.doc_id: list(r.unigram_pieces)
         for r in U.unigram_apply(docs, "text", logp).collect()
@@ -204,3 +208,22 @@ def test_unigram_apply_matches_word_segments(spark):
         assert "".join(got[r.doc_id]) == "".join(
             re.findall("[a-z]+", r.text.lower())
         )
+
+
+def test_unigram_apply_null_and_oov_total(spark):
+    """Totality on arbitrary input (review r11): NULL text → NULL
+    pieces (bpe_apply's null-propagation twin), and a word with an
+    out-of-vocabulary character segments via the singleton fallback
+    instead of crashing the job."""
+    logp = {"a": math.log(0.5), "b": math.log(0.5)}
+    df = spark.createDataFrame(
+        [(1, "ab ba"), (2, None), (3, "az")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (None if r.unigram_pieces is None else list(r.unigram_pieces))
+        for r in U.unigram_apply(df, "text", logp).collect()
+    }
+    assert got[1] == ["a", "b", "b", "a"]
+    assert got[2] is None
+    assert got[3] == ["a", "z"]  # 'z' unseen: kept as its own piece
