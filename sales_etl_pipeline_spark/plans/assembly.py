@@ -273,7 +273,126 @@ def source_mix_sample(
     )
 
 
-#: No driver-registry entries (50-cap, COVERAGE.md) — all three plans are
+#: token budget of the registry-facing selection plan (fixed so the
+#: oracle diff is meaningful at every sf; see token_budget_selection)
+TOKEN_BUDGET = 50_000
+
+#: score-bucket count for the blocked prefix sum (block id =
+#: floor(score × BUDGET_BLOCKS) — blocks follow the selection order
+#: because the order's leading key IS the score)
+BUDGET_BLOCKS = 256
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata import text_quality
+
+    return text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+
+def token_budget_selection_single_window(
+    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Naive single-window twin (the oracle's shape and the baseline the
+    two-phase plan is pinned bit-identical against): one global
+    cumulative token sum in quality order."""
+    w = Window.orderBy(
+        F.desc("quality_score"), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = _scored_docs(spark, sf_dir)
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .orderBy(F.desc("quality_score"), "doc_id")
+    )
+
+
+def token_budget_selection(
+    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Quality-ranked GREEDY PREFIX under a token budget — the corpus-
+    selection step of dataset assembly ("take the best documents until
+    N tokens"): order by (quality_score desc, doc_id), keep every doc
+    whose inclusive cumulative token count stays ≤ ``budget``. The
+    cumulative sum is monotone, so the selection is a true prefix and
+    the greedy-optimality property holds (min selected score ≥ max
+    excluded score, ties broken by doc_id — pinned in tests).
+
+    Scale shape — the sequence_packing recipe, re-keyed: a single
+    global ordered window is the one-hot-partition scale killer, so the
+    prefix sum runs two-phase with SCORE-BUCKET blocks
+    (``floor(score × BUDGET_BLOCKS)``): blocks are totally ordered
+    consistently with the selection order because the order's leading
+    key IS the score, local sums run per block, and the block-total
+    prefix runs on the ≤ BUDGET_BLOCKS+1-row block relation. Long
+    addition is associative → bit-identical to the single-window twin
+    (tested). Caveat (documented, same class as any value-bucketing):
+    a degenerate corpus where every document has the SAME score
+    collapses to one block — add a finer score signal before selecting
+    at that point.
+
+    Returns (doc_id, n_tokens, quality_score, cum_tokens) for the
+    selected prefix in selection order."""
+    scored = _scored_docs(spark, sf_dir).withColumn(
+        "blk",
+        F.floor(F.col("quality_score") * BUDGET_BLOCKS).cast("int"),
+    )
+    w_local = (
+        Window.partitionBy("blk")
+        .orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = scored.withColumn("lcum", F.sum("n_tokens").over(w_local))
+    # block-grain relation: ≤ BUDGET_BLOCKS+1 rows at any corpus size
+    w_blocks = Window.orderBy(F.desc("blk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("blk")
+        .agg(F.sum("n_tokens").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.coalesce(
+                F.sum("blk_total").over(w_blocks), F.lit(0).cast("long")
+            ),
+        )
+        .select("blk", "blk_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "blk")
+        .withColumn(
+            "cum_tokens",
+            (F.col("blk_offset") + F.col("lcum")).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+        .orderBy(F.desc("quality_score"), "doc_id")
+    )
+
+
+def _budget_selection_sql(budget: int) -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    return f"""
+    WITH tq AS ({_LLM_ORACLE["text_quality"]}),
+    ranked AS (
+        SELECT doc_id, n_tokens, quality_score,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tokens
+        FROM tq
+    )
+    SELECT doc_id, n_tokens, quality_score, cum_tokens
+    FROM ranked WHERE cum_tokens <= {budget}
+    ORDER BY quality_score DESC, doc_id
+    """
+
+
+#: No driver-registry entries (50-cap, COVERAGE.md) — all plans are
 #: library tier, oracle-checked by tests/test_library_parity.py.
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -282,6 +401,7 @@ LIBRARY_QUERIES = {
     "pii_redact": pii_redact,
     "train_test_split": train_test_split,
     "source_mix_sample": source_mix_sample,
+    "token_budget_selection": token_budget_selection,
 }
 
 LIBRARY_ORACLE: dict[str, str] = {
@@ -352,3 +472,4 @@ def _source_mix_oracle_sql(
 
 
 LIBRARY_ORACLE["source_mix_sample"] = _source_mix_oracle_sql()
+LIBRARY_ORACLE["token_budget_selection"] = _budget_selection_sql(TOKEN_BUDGET)

@@ -346,3 +346,46 @@ def test_bottomk_plan_is_take_ordered(spark):
     # below the top-k: scan + hash projection only — the corpus is never
     # globally sorted (the only Sort sits above, over the k sampled rows)
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[1]
+
+
+def test_token_budget_selection_two_phase_equals_single_window(spark):
+    """The score-bucket blocked prefix sum must be BIT-IDENTICAL to the
+    naive single-window twin (long addition is associative), and the
+    greedy-prefix property must hold: every selected document's quality
+    score is >= every excluded document's (ties resolved by doc_id)."""
+    from sales_etl_pipeline_spark.plans import assembly
+
+    two = assembly.token_budget_selection(spark, SF)
+    one = assembly.token_budget_selection_single_window(spark, SF)
+    ra = sorted(tuple(r) for r in two.collect())
+    rb = sorted(tuple(r) for r in one.collect())
+    assert ra == rb and ra, "two-phase != single-window (or empty)"
+    # selection is a true prefix of the quality order
+    sel = {r[0] for r in ra}
+    scored = assembly._scored_docs(spark, SF).collect()
+    order = sorted(scored, key=lambda r: (-r.quality_score, r.doc_id))
+    seen_excluded = False
+    for r in order:
+        if r.doc_id in sel:
+            assert not seen_excluded, "selection is not a prefix"
+        else:
+            seen_excluded = True
+    # budget respected; if anything was excluded, adding the first
+    # excluded doc would exceed it (at sf0.001 the whole corpus can fit)
+    total = sum(r[1] for r in ra)
+    assert total <= assembly.TOKEN_BUDGET
+    excluded = [r for r in order if r.doc_id not in sel]
+    if excluded:
+        assert total + excluded[0].n_tokens > assembly.TOKEN_BUDGET
+    else:
+        assert len(ra) == len(order)  # everything fit: selection = corpus
+    # exercise the boundary regime regardless of sf: a budget that can
+    # only hold part of the corpus
+    small = assembly.token_budget_selection(spark, SF, budget=total // 2)
+    small_rows = sorted(tuple(r) for r in small.collect())
+    small_one = assembly.token_budget_selection_single_window(
+        spark, SF, budget=total // 2
+    )
+    assert small_rows == sorted(tuple(r) for r in small_one.collect())
+    assert 0 < len(small_rows) < len(ra)
+    assert sum(r[1] for r in small_rows) <= total // 2
