@@ -315,15 +315,104 @@ def ann_pca_topk(
     )
 
 
+def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension INT8 scalar quantization of the embedding column
+    with exact reconstruction-error accounting — the memory-bound
+    compression step next to residual PQ (``llmdata.ann_ivfpq_topk``):
+    8× smaller vectors (64 B vs 512 B of doubles) for ANN shortlists and
+    broadcast payloads, with the quality cost MEASURED, not assumed.
+
+    code = clamp(floor((x − lo_d)/scale_d + 0.5), 0, 255) with
+    scale_d = (hi_d − lo_d)/255 per dimension (min/max from one
+    dim-grain aggregate — a d-row broadcast relation); floor(x+0.5)
+    instead of round() because the engines' round() tie rules differ
+    while floor is identically defined. Per-vector output: n_dims,
+    mean |x − recon| (via the order-independent ``xsum``) and
+    max |x − recon| — all bit-exact vs the DuckDB oracle.
+
+    Scale shape: one posexplode to (vec, dim) grain, one d-row
+    aggregate, a broadcast join back, one vec-grain aggregate — the
+    same two-shuffle shape as any per-dim normalization; everything
+    else is codegen'd arithmetic."""
+    from ..functions.core import xsum
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    rng = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    j = dims.join(F.broadcast(rng), "dim")
+    scale = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.col("lo")) / scale + F.lit(0.5))
+                .cast("double"),
+                F.lit(0.0),
+            ),
+            F.lit(255.0),
+        )
+    )
+    err = F.abs(F.col("x") - (F.col("lo") + code * scale))
+    return (
+        j.select("vec_id", err.alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            (xsum(F.col("err")) / F.count(F.lit(1))).alias("mean_abs_err"),
+            F.max("err").alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _int8_stats_sql() -> str:
+    from ..functions.core import oracle_xsum
+
+    return f"""
+    WITH dims AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               CAST(embedding[g.i] AS DOUBLE) AS x
+        FROM embeddings,
+        LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    rng AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY 1),
+    q AS (
+        SELECT vec_id, x, lo, hi,
+               CASE WHEN hi = lo THEN 0.0
+                    ELSE least(greatest(floor(
+                        (x - lo) / ((hi - lo) / 255.0) + 0.5), 0.0), 255.0)
+               END AS code
+        FROM dims JOIN rng USING (dim)
+    ),
+    e AS (
+        SELECT vec_id,
+               abs(x - (lo + code * ((hi - lo) / 255.0))) AS err
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS INTEGER) AS n_dims,
+           {oracle_xsum("err")} / COUNT(*) AS mean_abs_err,
+           MAX(err) AS max_abs_err
+    FROM e GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
 LIBRARY_QUERIES = {
     "embedding_pca_spectrum": embedding_pca_spectrum,
     "embedding_pca_projected": embedding_pca_projected,
     "embedding_pca_scores": embedding_pca_scores,
     "ann_pca_topk": ann_pca_topk,
+    "embedding_int8_stats": embedding_int8_stats,
 }
 
-#: no SQL oracles: eigendecomposition is not SQL-expressible — the exact
-#: numpy twins (spectrum ≡ eigh of the exact covariance; projection ≡
-#: centered matmul; Eckart–Young reconstruction bound) live in
-#: tests/test_pca.py
-LIBRARY_ORACLE: dict[str, str] = {}
+#: PCA plans carry no SQL oracles (eigendecomposition is not
+#: SQL-expressible — the exact numpy twins live in tests/test_pca.py);
+#: the int8 quantization IS oracle-exact (pure floor/clamp arithmetic +
+#: xsum error accounting)
+LIBRARY_ORACLE: dict[str, str] = {
+    "embedding_int8_stats": _int8_stats_sql(),
+}

@@ -202,3 +202,25 @@ def test_ann_pca_scores_are_exact_for_hits(spark):
     assert shared, "no overlap at all — candidate stage is broken"
     for key in shared:
         assert got[key] == want[key], key
+
+
+def test_int8_quantization_error_bound(spark):
+    """Scalar int8 quantization's analytic guarantee: every per-vector
+    max abs reconstruction error is ≤ half the coarsest dimension step
+    (scale_d/2 = (hi_d − lo_d)/510), and in-range codes imply zero
+    error only for exact grid points (mean error strictly positive on
+    real data)."""
+    from sales_etl_pipeline_spark.plans import pca as P
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    X = np.vstack(emb.orderBy("vec_id").toPandas()["embedding"].to_numpy()).astype(
+        "float64"
+    )
+    worst_step = (X.max(axis=0) - X.min(axis=0)).max() / 255.0
+    rows = P.embedding_int8_stats(spark, SF).collect()
+    assert len(rows) == X.shape[0]
+    for r in rows:
+        assert r.n_dims == X.shape[1]
+        assert 0 <= r.mean_abs_err <= r.max_abs_err
+        assert r.max_abs_err <= worst_step / 2 + 1e-12
+    assert max(r.mean_abs_err for r in rows) > 0
