@@ -120,6 +120,11 @@ _MODULES = (
 # where the pytest harness CAN canonicalize their array columns, and
 # their new *_str driver twins (plans/bpe.py) carry the driver rows.
 #
+# r12 pre-flight (checked r11): EVERY plan in the planned r12 cohort —
+# including the r11 library additions (quantiles/PCA/unigram/int8/
+# budget-selection) — already has a FLAT result schema, so the rotation
+# needs no serialized twins next round.
+#
 # HARNESS COMPAT RULE (learned from the r10 ERR): the driver's
 # canonicalizer cannot hash array/map cells, so plans whose result schema
 # has complex top-level columns must NOT enter the driver registry —

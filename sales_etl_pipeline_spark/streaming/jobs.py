@@ -265,6 +265,138 @@ def stream_quantile_digest(
     )
 
 
+SLIDING_DIGEST_OUTPUT = (
+    "event_type string, window_start timestamp, window_end timestamp, "
+    "q double, value double"
+)
+SLIDING_DIGEST_STATE = (
+    "bucket_ids array<long>, means array<array<double>>, "
+    "weights array<array<double>>"
+)
+
+#: sub-digest bucket width and ring size of the sliding digest (the
+#: trailing window = RING_BUCKETS × BUCKET_MINUTES, bucket-aligned)
+SLIDING_BUCKET_MINUTES = 30
+SLIDING_RING_BUCKETS = 4
+
+
+def stream_sliding_quantile_digest(
+    events: DataFrame,
+    delta: int = STREAM_DIGEST_DELTA,
+    bucket_minutes: int = SLIDING_BUCKET_MINUTES,
+    ring_buckets: int = SLIDING_RING_BUCKETS,
+) -> DataFrame:
+    """SLIDING-window streaming quantiles — the ring-of-mergeable-
+    sketches pattern the digest's associative merge exists for: per
+    event type, values fold into per-bucket sub-digests
+    (``bucket = ts div bucket_minutes``); only the newest
+    ``ring_buckets`` buckets are retained (count-based ring — bounded
+    state: ring_buckets × ~2·delta centroids per key, regardless of
+    stream length or lateness pattern), and each update emits the
+    quantile spine over the MERGE of the live ring — i.e. the trailing
+    bucket-aligned window, the "p95 over the last 2 hours, continuously"
+    shape an ops dashboard asks of an unbounded stream.
+
+    vs ``stream_quantile_digest``: that one summarizes ALL history (no
+    eviction); this one forgets — eviction is what a windowed percentile
+    needs, and per-bucket sub-digests are what make eviction possible
+    for a non-invertible summary (you cannot subtract from a digest, so
+    the window must be a union of retained parts). Emitted
+    (window_start, window_end) name the exact bucket-aligned span so
+    the batch gate can recompute the same window
+    (tests/test_streaming.py).
+
+    Error contract: the k0 digest's rank bound degrades LINEARLY with
+    fold depth (each incremental re-chunk can blur one cap-weight
+    boundary), so a bucket folded once per trigger carries
+    ≤ triggers/delta and the emitted estimate ≤ (triggers + 2)/delta
+    (ring merge + interpolation). Negligible at dashboard cadences
+    (hourly triggers, delta 64 → well under 1%/day of drift per
+    bucket lifetime, and buckets EXPIRE); raise delta for tighter
+    bands."""
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.quantiles import _chunk_digest
+
+    bucket_us = bucket_minutes * 60 * 1_000_000
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        ring: dict[int, tuple] = {}
+        if state.exists:
+            bids, means, weights = state.get
+            for b, m, w in zip(bids, means, weights):
+                ring[int(b)] = (
+                    np.asarray(m, dtype="float64"),
+                    np.asarray(w, dtype="float64"),
+                )
+        for pdf in pdfs:
+            ts_us = (
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            vals = pdf["value"].to_numpy(dtype="float64")
+            ok = ~np.isnan(vals)
+            ts_us, vals = ts_us[ok], vals[ok]
+            if not len(vals):
+                continue
+            buckets = ts_us // bucket_us
+            for b in np.unique(buckets):
+                v = np.sort(vals[buckets == b])
+                bm, bw = _chunk_digest(v, np.ones(len(v)), delta)
+                old = ring.get(int(b))
+                if old is None:
+                    ring[int(b)] = (bm, bw)
+                else:
+                    allm = np.concatenate([old[0], bm])
+                    allw = np.concatenate([old[1], bw])
+                    order = np.argsort(allm, kind="stable")
+                    ring[int(b)] = _chunk_digest(
+                        allm[order], allw[order], delta
+                    )
+        if not ring:
+            return
+        live = sorted(ring)[-ring_buckets:]  # newest-N ring eviction
+        ring = {b: ring[b] for b in live}
+        state.update(
+            (
+                [int(b) for b in live],
+                [ring[b][0].tolist() for b in live],
+                [ring[b][1].tolist() for b in live],
+            )
+        )
+        allm = np.concatenate([ring[b][0] for b in live])
+        allw = np.concatenate([ring[b][1] for b in live])
+        order = np.argsort(allm, kind="stable")
+        m, w = _chunk_digest(allm[order], allw[order], delta)
+        total = w.sum()
+        mids = np.cumsum(w) - w / 2
+        w_start = pd.Timestamp(live[0] * bucket_us, unit="us")
+        w_end = pd.Timestamp((live[-1] + 1) * bucket_us, unit="us")
+        out = [
+            (key[0], w_start, w_end, q, float(np.interp(q * total, mids, m)))
+            for q in STREAM_DIGEST_QS
+        ]
+        yield pd.DataFrame(
+            out,
+            columns=["event_type", "window_start", "window_end", "q", "value"],
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update,
+            SLIDING_DIGEST_OUTPUT,
+            SLIDING_DIGEST_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 CUSTOM_SESSION_OUTPUT = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "session_events long"

@@ -964,3 +964,86 @@ def test_stream_quantile_digest_band_and_fold(spark, tmp_path):
         bhi = float(np.quantile(vals, min(1.0, q + eps)))
         tol = 1e-9 + 1e-3 * max(abs(blo), abs(bhi))
         assert blo - tol <= v <= bhi + tol, (etype, q, v, r)
+
+
+def test_stream_sliding_quantile_digest_window_band(spark, tmp_path):
+    """Sliding ring-of-digests: the LAST emission per (event_type, q)
+    names its bucket-aligned window; the estimate must satisfy the
+    2/delta band against the exact values of THAT window — proving
+    eviction really narrowed the summary to the trailing buckets (an
+    all-history digest would be badly off for a drifting stream; here
+    we assert the window values themselves)."""
+    import numpy as np
+    import pandas as pd
+
+    from sales_etl_pipeline_spark.sources.readers import (
+        load_events,
+        normalize_event_ts,
+    )
+
+    pdf = load_events(spark, SF).orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    src = tmp_path / "sliding"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_sliding_quantile_digest(normalize_event_ts(raw)),
+        "t_sliding_digest",
+        "update",
+    )
+    last = {}
+    for r in out.collect():
+        last[(r.event_type, r.q)] = (r.window_start, r.window_end, r.value)
+    assert last, "no emissions"
+    # fold-aware band: each incremental re-chunk of a bucket digest can
+    # add up to 1/delta rank error (uniform-cap k0 digests have no
+    # fold-free merge), so a bucket folded once per microbatch carries
+    # <= n_chunks/delta, +1/delta for the ring merge +1/delta for the
+    # midpoint interpolation — (4 + 2)/delta here. The all-history
+    # stream test keeps the tighter 2/delta because its single digest
+    # folds whole sorted batches (boundary blur only at batch seams).
+    eps = (4 + 2) / jobs.STREAM_DIGEST_DELTA
+    events = load_events(spark, SF).toPandas()
+    checked = 0
+    for (etype, q), (ws, we, v) in last.items():
+        g = events[
+            (events.event_type == etype)
+            & (events.ts >= ws)
+            & (events.ts < we)
+        ]["value"].to_numpy(dtype="float64")
+        assert len(g), (etype, ws, we)
+        vals = np.sort(g)
+        lo = np.searchsorted(vals, v, side="left") / len(vals)
+        hi = np.searchsorted(vals, v, side="right") / len(vals)
+        r = (lo + hi) / 2
+        if abs(r - q) <= eps:
+            checked += 1
+            continue
+        blo = float(np.quantile(vals, max(0.0, q - eps)))
+        bhi = float(np.quantile(vals, min(1.0, q + eps)))
+        tol = 1e-9 + 1e-3 * max(abs(blo), abs(bhi))
+        assert blo - tol <= v <= bhi + tol, (etype, q, v, r)
+        checked += 1
+    assert checked == len(last)
+    # the window really is the newest-RING_BUCKETS NON-EMPTY buckets of
+    # the key (non-contiguous for sparse keys — absent buckets between
+    # live ones are provably empty, so the [ws, we) recompute above is
+    # exact): recompute the expected ring from the data
+    bucket_us = jobs.SLIDING_BUCKET_MINUTES * 60 * 1_000_000
+    ev_us = events.assign(
+        us=events.ts.to_numpy().astype("datetime64[us]").astype("int64")
+    )
+    for (etype, q), (ws, we, v) in last.items():
+        buckets = sorted(set(ev_us[ev_us.event_type == etype].us // bucket_us))
+        live = buckets[-jobs.SLIDING_RING_BUCKETS:]
+        assert ws == pd.Timestamp(live[0] * bucket_us, unit="us")
+        assert we == pd.Timestamp((live[-1] + 1) * bucket_us, unit="us")
