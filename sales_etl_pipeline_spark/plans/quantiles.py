@@ -83,6 +83,31 @@ def _chunk_digest(values, weights, delta: int):
     return np.asarray(means), np.asarray(outw)
 
 
+def _merge_centroid_arrays(m_list, w_list, delta: int):
+    """THE digest merge: concatenate centroid arrays, stable-sort by
+    mean, re-chunk under the weight cap. Single definition shared by the
+    batch merge, the incremental fold, and both streaming jobs — the
+    'one semantics' contract (a tie-rule or cap change lands
+    everywhere at once)."""
+    import numpy as np
+
+    allm = np.concatenate(m_list)
+    allw = np.concatenate(w_list)
+    order = np.argsort(allm, kind="stable")
+    return _chunk_digest(allm[order], allw[order], delta)
+
+
+def _spine_estimates(means, weights, qs) -> list[float]:
+    """Midpoint-rule quantile estimates from one centroid array — the
+    numpy twin of ``digest_quantiles``'s relational extraction, used by
+    the streaming emitters."""
+    import numpy as np
+
+    total = weights.sum()
+    mids = np.cumsum(weights) - weights / 2
+    return [float(np.interp(q * total, mids, means)) for q in qs]
+
+
 def quantile_digest(
     df: DataFrame,
     value_col: str,
@@ -133,11 +158,8 @@ def quantile_digest(
                 if old is None:
                     state[gk] = (bm, bw)
                 else:
-                    allm = np.concatenate([old[0], bm])
-                    allw = np.concatenate([old[1], bw])
-                    order = np.argsort(allm, kind="stable")
-                    state[gk] = _chunk_digest(
-                        allm[order], allw[order], delta
+                    state[gk] = _merge_centroid_arrays(
+                        [old[0], bm], [old[1], bw], delta
                     )
         frames = []
         for gk, (m, w) in state.items():
@@ -151,11 +173,8 @@ def quantile_digest(
     partials = vals.mapInPandas(_partial, out_schema)
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["c_mean"].to_numpy(), kind="stable")
-        m, w = _chunk_digest(
-            pdf["c_mean"].to_numpy()[order],
-            pdf["c_weight"].to_numpy()[order],
-            delta,
+        m, w = _merge_centroid_arrays(
+            [pdf["c_mean"].to_numpy()], [pdf["c_weight"].to_numpy()], delta
         )
         out = pd.DataFrame({"c_mean": m, "c_weight": w})
         for k in keys:
@@ -196,13 +215,8 @@ def merge_digest_states(
     )
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        order = np.argsort(pdf["c_mean"].to_numpy(), kind="stable")
-        m, w = _chunk_digest(
-            pdf["c_mean"].to_numpy()[order],
-            pdf["c_weight"].to_numpy()[order],
-            delta,
+        m, w = _merge_centroid_arrays(
+            [pdf["c_mean"].to_numpy()], [pdf["c_weight"].to_numpy()], delta
         )
         out = pd.DataFrame({"c_mean": m, "c_weight": w})
         for k in keys:

@@ -217,7 +217,11 @@ def stream_quantile_digest(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..plans.quantiles import _chunk_digest
+    from ..plans.quantiles import (
+        _chunk_digest,
+        _merge_centroid_arrays,
+        _spine_estimates,
+    )
 
     def _update(key, pdfs, state):
         import pandas as pd
@@ -229,28 +233,29 @@ def stream_quantile_digest(
         else:
             means = np.array([])
             weights = np.array([])
+        # buffer the trigger's values across Arrow chunks and fold ONCE
+        # — the error contract is fold-depth-linear (see the sliding
+        # twin's docstring), so folds must count triggers, not chunks
+        chunks = []
         for pdf in pdfs:
             v = pdf["value"].to_numpy(dtype="float64")
             v = v[~np.isnan(v)]
-            if not len(v):
-                continue
-            bm, bw = _chunk_digest(np.sort(v), np.ones(len(v)), delta)
-            allm = np.concatenate([means, bm])
-            allw = np.concatenate([weights, bw])
-            order = np.argsort(allm, kind="stable")
-            means, weights = _chunk_digest(allm[order], allw[order], delta)
+            if len(v):
+                chunks.append(v)
+        if chunks:
+            v = np.sort(np.concatenate(chunks))
+            bm, bw = _chunk_digest(v, np.ones(len(v)), delta)
+            means, weights = _merge_centroid_arrays(
+                [means, bm], [weights, bw], delta
+            )
         if not len(means):
             return
         state.update((means.tolist(), weights.tolist()))
-        total = weights.sum()
-        mids = np.cumsum(weights) - weights / 2
-        out = []
-        for q in STREAM_DIGEST_QS:
-            target = q * total
-            out.append(
-                (key[0], q, float(np.interp(target, mids, means)))
-            )
-        yield pd.DataFrame(out, columns=["event_type", "q", "value"])
+        est = _spine_estimates(means, weights, STREAM_DIGEST_QS)
+        yield pd.DataFrame(
+            [(key[0], q, v) for q, v in zip(STREAM_DIGEST_QS, est)],
+            columns=["event_type", "q", "value"],
+        )
 
     return (
         events.withWatermark("ts", WATERMARK)
@@ -289,13 +294,15 @@ def stream_sliding_quantile_digest(
     """SLIDING-window streaming quantiles — the ring-of-mergeable-
     sketches pattern the digest's associative merge exists for: per
     event type, values fold into per-bucket sub-digests
-    (``bucket = ts div bucket_minutes``); only the newest
-    ``ring_buckets`` buckets are retained (count-based ring — bounded
-    state: ring_buckets × ~2·delta centroids per key, regardless of
-    stream length or lateness pattern), and each update emits the
-    quantile spine over the MERGE of the live ring — i.e. the trailing
-    bucket-aligned window, the "p95 over the last 2 hours, continuously"
-    shape an ops dashboard asks of an unbounded stream.
+    (``bucket = ts div bucket_minutes``); eviction is TIME-based —
+    exactly the trailing ``ring_buckets`` bucket slots behind the
+    newest bucket survive (bounded state: ≤ ring_buckets × ~2·delta
+    centroids per key regardless of stream length; a sparse key's
+    stale buckets are DROPPED, never smeared into the window) — and
+    each update emits the quantile spine over the MERGE of the live
+    ring: the trailing bucket-aligned window, the "p95 over the last
+    2 hours, continuously" shape an ops dashboard asks of an
+    unbounded stream.
 
     vs ``stream_quantile_digest``: that one summarizes ALL history (no
     eviction); this one forgets — eviction is what a windowed percentile
@@ -318,7 +325,11 @@ def stream_sliding_quantile_digest(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..plans.quantiles import _chunk_digest
+    from ..plans.quantiles import (
+        _chunk_digest,
+        _merge_centroid_arrays,
+        _spine_estimates,
+    )
 
     bucket_us = bucket_minutes * 60 * 1_000_000
 
@@ -333,6 +344,10 @@ def stream_sliding_quantile_digest(
                     np.asarray(m, dtype="float64"),
                     np.asarray(w, dtype="float64"),
                 )
+        # buffer the trigger's values per bucket across Arrow chunks and
+        # fold ONCE per (bucket, trigger) — the fold-depth error contract
+        # counts triggers, not chunks
+        pending: dict[int, list] = {}
         for pdf in pdfs:
             ts_us = (
                 pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
@@ -344,21 +359,26 @@ def stream_sliding_quantile_digest(
                 continue
             buckets = ts_us // bucket_us
             for b in np.unique(buckets):
-                v = np.sort(vals[buckets == b])
-                bm, bw = _chunk_digest(v, np.ones(len(v)), delta)
-                old = ring.get(int(b))
-                if old is None:
-                    ring[int(b)] = (bm, bw)
-                else:
-                    allm = np.concatenate([old[0], bm])
-                    allw = np.concatenate([old[1], bw])
-                    order = np.argsort(allm, kind="stable")
-                    ring[int(b)] = _chunk_digest(
-                        allm[order], allw[order], delta
-                    )
+                pending.setdefault(int(b), []).append(vals[buckets == b])
+        for b, parts in pending.items():
+            v = np.sort(np.concatenate(parts))
+            bm, bw = _chunk_digest(v, np.ones(len(v)), delta)
+            old = ring.get(b)
+            if old is None:
+                ring[b] = (bm, bw)
+            else:
+                ring[b] = _merge_centroid_arrays(
+                    [old[0], bm], [old[1], bw], delta
+                )
         if not ring:
             return
-        live = sorted(ring)[-ring_buckets:]  # newest-N ring eviction
+        # TIME-based eviction: keep exactly the trailing ring_buckets
+        # bucket slots behind the newest bucket — a sparse key must not
+        # smear days-old data into a "last 2 hours" window (the
+        # count-based newest-N variant would)
+        newest = max(ring)
+        floor_b = newest - ring_buckets + 1
+        live = sorted(b for b in ring if b >= floor_b)
         ring = {b: ring[b] for b in live}
         state.update(
             (
@@ -367,20 +387,17 @@ def stream_sliding_quantile_digest(
                 [ring[b][1].tolist() for b in live],
             )
         )
-        allm = np.concatenate([ring[b][0] for b in live])
-        allw = np.concatenate([ring[b][1] for b in live])
-        order = np.argsort(allm, kind="stable")
-        m, w = _chunk_digest(allm[order], allw[order], delta)
-        total = w.sum()
-        mids = np.cumsum(w) - w / 2
-        w_start = pd.Timestamp(live[0] * bucket_us, unit="us")
-        w_end = pd.Timestamp((live[-1] + 1) * bucket_us, unit="us")
-        out = [
-            (key[0], w_start, w_end, q, float(np.interp(q * total, mids, m)))
-            for q in STREAM_DIGEST_QS
-        ]
+        m, w = _merge_centroid_arrays(
+            [ring[b][0] for b in live], [ring[b][1] for b in live], delta
+        )
+        est = _spine_estimates(m, w, STREAM_DIGEST_QS)
+        w_start = pd.Timestamp(floor_b * bucket_us, unit="us")
+        w_end = pd.Timestamp((newest + 1) * bucket_us, unit="us")
         yield pd.DataFrame(
-            out,
+            [
+                (key[0], w_start, w_end, q, v)
+                for q, v in zip(STREAM_DIGEST_QS, est)
+            ],
             columns=["event_type", "window_start", "window_end", "q", "value"],
         )
 

@@ -1013,6 +1013,7 @@ def test_stream_sliding_quantile_digest_window_band(spark, tmp_path):
     # folds whole sorted batches (boundary blur only at batch seams).
     eps = (4 + 2) / jobs.STREAM_DIGEST_DELTA
     events = load_events(spark, SF).toPandas()
+    events = events[events.value.notna()]  # the job folds non-null only
     checked = 0
     for (etype, q), (ws, we, v) in last.items():
         g = events[
@@ -1034,16 +1035,19 @@ def test_stream_sliding_quantile_digest_window_band(spark, tmp_path):
         assert blo - tol <= v <= bhi + tol, (etype, q, v, r)
         checked += 1
     assert checked == len(last)
-    # the window really is the newest-RING_BUCKETS NON-EMPTY buckets of
-    # the key (non-contiguous for sparse keys — absent buckets between
-    # live ones are provably empty, so the [ws, we) recompute above is
-    # exact): recompute the expected ring from the data
+    # TIME-based eviction: the window is exactly the trailing
+    # RING_BUCKETS bucket slots behind the key's newest bucket —
+    # recompute from the data (non-null values only, matching the job)
     bucket_us = jobs.SLIDING_BUCKET_MINUTES * 60 * 1_000_000
     ev_us = events.assign(
         us=events.ts.to_numpy().astype("datetime64[us]").astype("int64")
     )
     for (etype, q), (ws, we, v) in last.items():
-        buckets = sorted(set(ev_us[ev_us.event_type == etype].us // bucket_us))
-        live = buckets[-jobs.SLIDING_RING_BUCKETS:]
-        assert ws == pd.Timestamp(live[0] * bucket_us, unit="us")
-        assert we == pd.Timestamp((live[-1] + 1) * bucket_us, unit="us")
+        newest = int(ev_us[ev_us.event_type == etype].us.max() // bucket_us)
+        floor_b = newest - jobs.SLIDING_RING_BUCKETS + 1
+        assert ws == pd.Timestamp(floor_b * bucket_us, unit="us")
+        assert we == pd.Timestamp((newest + 1) * bucket_us, unit="us")
+        span_min = (we - ws).total_seconds() / 60
+        assert span_min == (
+            jobs.SLIDING_RING_BUCKETS * jobs.SLIDING_BUCKET_MINUTES
+        )
