@@ -284,10 +284,21 @@ BUDGET_BLOCKS = 256
 
 
 def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input of BOTH budget-selection plans. NULL/NaN scores are
+    filtered HERE (and mirrored in the oracle SQL) so the blocked plan,
+    the single-window twin, and the oracle agree on nullable corpora:
+    a NULL score would give a NULL ``blk`` whose equi-join back to the
+    block offsets silently drops the row, while an ordered window keeps
+    it — and Spark/DuckDB additionally disagree on NaN placement under
+    DESC. An unscorable document has no defined budget rank; excluding
+    it is the one semantics all three paths can share exactly."""
     from .llmdata import text_quality
 
-    return text_quality(spark, sf_dir).select(
-        "doc_id", "n_tokens", "quality_score"
+    score = F.col("quality_score")
+    return (
+        text_quality(spark, sf_dir)
+        .select("doc_id", "n_tokens", "quality_score")
+        .filter(score.isNotNull() & ~F.isnan(score))
     )
 
 
@@ -385,6 +396,8 @@ def _budget_selection_sql(budget: int) -> str:
                    ROWS UNBOUNDED PRECEDING
                ) AS BIGINT) AS cum_tokens
         FROM tq
+        -- mirrors _scored_docs: unscorable docs have no budget rank
+        WHERE quality_score IS NOT NULL AND NOT isnan(quality_score)
     )
     SELECT doc_id, n_tokens, quality_score, cum_tokens
     FROM ranked WHERE cum_tokens <= {budget}

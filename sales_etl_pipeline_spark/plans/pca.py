@@ -117,6 +117,10 @@ def _fit_pca(spark: SparkSession, sf_dir: str, normalize: bool = False):
     if not rows:
         raise ValueError("no embeddings")
     n = sum(r.n for r in rows)
+    if n < 2:
+        # the (n - 1) covariance denominator below needs n ≥ 2; fail as
+        # clearly as the 'no embeddings' case instead of emitting inf/nan
+        raise ValueError("need >= 2 embeddings for PCA")
     d = len(rows[0].s)
     s = np.zeros(d)
     g = np.zeros((d, d))

@@ -32,9 +32,26 @@ structs — aggregate-grain, never touching facts.
 Error contract (pinned in tests/test_quantiles.py): for every estimate
 v̂ at quantile q, the true rank of v̂ lies within q ± RANK_EPS where
 RANK_EPS = 2/delta (1/delta from centroid width + 1/delta from the
-midpoint interpolation, conservative). The fold ≡ recompute property is
-a BAND property, not bit-equality — digests are compression, and the
-test pins both sides inside the same band plus merge determinism.
+midpoint interpolation, conservative) — at fold depth 1, i.e. one
+chunking pass plus the final per-key merge. Each additional re-chunk
+LEVEL can widen the band by up to 1/delta, so the k0 guarantee is
+depth-linear, not flat; ``_partial`` therefore folds its per-Arrow-batch
+digests through a BINOMIAL STACK (same-size digests merge pairwise), so
+a partition spanning B batches costs ≤ ⌈log2 B⌉ extra levels — worst
+case (2 + ⌈log2 B⌉ + 1)/delta, not the (B + 2)/delta a sequential fold
+would allow. The streaming twins state their own (deeper) fold-depth
+bounds in streaming/jobs.py. The fold ≡ recompute property is a BAND
+property, not bit-equality — digests are compression, and the test pins
+both sides inside the same band plus merge determinism.
+
+NULL semantics: NULL *values* are dropped (SQL aggregate semantics);
+NULL *keys* form their own group exactly like Spark groupBy / the
+quantile_cont oracle (``dropna=False`` + key normalization below — a
+pandas groupby would otherwise silently discard NULL-keyed rows). One
+documented narrowing: pandas cannot distinguish NULL from NaN in a
+double key column, so NaN keys are normalized to NULL here while Spark
+groupBy would keep them distinct — key on non-float columns (or
+pre-coalesce NaN) if that distinction matters.
 """
 
 from __future__ import annotations
@@ -97,6 +114,16 @@ def _merge_centroid_arrays(m_list, w_list, delta: int):
     return _chunk_digest(allm[order], allw[order], delta)
 
 
+def _norm_key(kv):
+    """Map every pandas missing-value representation (None, NaN, NaT)
+    back to None so (a) NULL keys from different Arrow batches land in
+    ONE dict group (py3.10+ hashes each NaN object by id — two NaNs
+    would silently fork the group), and (b) the emitted key round-trips
+    through Arrow as a Spark NULL rather than a NaN double (Spark
+    groupBy treats NaN as a value, not NULL)."""
+    return None if kv is None or pd.isna(kv) else kv
+
+
 def _spine_estimates(means, weights, qs) -> list[float]:
     """Midpoint-rule quantile estimates from one centroid array — the
     numpy twin of ``digest_quantiles``'s relational extraction, used by
@@ -132,19 +159,33 @@ def quantile_digest(
     )
 
     def _partial(batches):
-        # Fold ACROSS Arrow batches (state: per-key centroid digest,
-        # ≤ ~2·delta rows per key) and emit ONCE per partition — the
-        # partition-count bound the module contract states. Emitting per
-        # batch would grow the shuffle with data size (~batches × delta
-        # rows) and force the per-key merge to hold it all in one pandas
-        # frame; the fold is the same state recipe as
-        # streaming/jobs.stream_quantile_digest.
-        state: dict = {}
+        # Fold ACROSS Arrow batches (state: per-key BINOMIAL STACK of
+        # digests, ≤ ~2·delta rows per stack entry, ≤ log2(batches)+1
+        # entries) and emit ONCE per partition — the partition-count
+        # shuffle bound the module contract states. Emitting per batch
+        # would grow the shuffle with data size; a SEQUENTIAL per-batch
+        # fold would keep the shuffle bound but degrade the rank band
+        # linearly with batch count (re-chunk depth = batches). The
+        # stack merges same-level digests pairwise, so fold depth — and
+        # the band — grows with log2(batches) instead (module header).
+        state: dict = {}  # normalized key tuple -> [(level, m, w), ...]
+
+        def _push(stack, m, w):
+            level = 0
+            while stack and stack[-1][0] == level:
+                _, pm, pw = stack.pop()
+                m, w = _merge_centroid_arrays([pm, m], [pw, w], delta)
+                level += 1
+            stack.append((level, m, w))
+
         for pdf in batches:
             if not len(pdf):
                 continue
             if keys:
-                groups = pdf.groupby(keys, sort=False)
+                # dropna=False: NULL-keyed rows are a real group (Spark
+                # groupBy / quantile_cont semantics) — the pandas
+                # default would silently discard them
+                groups = pdf.groupby(keys, sort=False, dropna=False)
             else:
                 groups = [((), pdf)]
             for gk, g in groups:
@@ -154,15 +195,13 @@ def quantile_digest(
                 bm, bw = _chunk_digest(v, np.ones(len(v)), delta)
                 if not len(bm):
                     continue
-                old = state.get(gk)
-                if old is None:
-                    state[gk] = (bm, bw)
-                else:
-                    state[gk] = _merge_centroid_arrays(
-                        [old[0], bm], [old[1], bw], delta
-                    )
+                gk = tuple(_norm_key(kv) for kv in gk)
+                _push(state.setdefault(gk, []), bm, bw)
         frames = []
-        for gk, (m, w) in state.items():
+        for gk, stack in state.items():
+            m, w = _merge_centroid_arrays(
+                [e[1] for e in stack], [e[2] for e in stack], delta
+            )
             f = pd.DataFrame({"c_mean": m, "c_weight": w})
             for k, kv in zip(keys, gk):
                 f[k] = kv
@@ -178,7 +217,8 @@ def quantile_digest(
         )
         out = pd.DataFrame({"c_mean": m, "c_weight": w})
         for k in keys:
-            out[k] = pdf[k].iloc[0]
+            # NULL key arrives as NaN/NaT in pandas; emit a real NULL
+            out[k] = _norm_key(pdf[k].iloc[0])
         return out[keys + ["c_mean", "c_weight"]]
 
     if keys:
@@ -220,7 +260,8 @@ def merge_digest_states(
         )
         out = pd.DataFrame({"c_mean": m, "c_weight": w})
         for k in keys:
-            out[k] = pdf[k].iloc[0]
+            # NULL key arrives as NaN/NaT in pandas; emit a real NULL
+            out[k] = _norm_key(pdf[k].iloc[0])
         return out[keys + ["c_mean", "c_weight"]]
 
     if keys:

@@ -224,3 +224,18 @@ def test_int8_quantization_error_bound(spark):
         assert 0 <= r.mean_abs_err <= r.max_abs_err
         assert r.max_abs_err <= worst_step / 2 + 1e-12
     assert max(r.mean_abs_err for r in rows) > 0
+
+
+def test_pca_needs_two_embeddings(spark, tmp_path):
+    """ADVICE r11: a single-embedding corpus must fail with a clear
+    ValueError, not divide by zero in the covariance denominator."""
+    import pytest as _pytest
+
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    one.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from sales_etl_pipeline_spark.plans import pca as P
+
+    with _pytest.raises(ValueError, match=">= 2 embeddings"):
+        P._fit_pca(spark, str(tmp_path))

@@ -226,3 +226,76 @@ def test_chunk_digest_kernel_properties():
         assert (np.diff(m) >= -tol).all()
 
     check()
+
+
+def test_null_keyed_rows_form_a_group(spark):
+    """ADVICE r11 (quantiles.py dropna): rows whose KEY is NULL must
+    form their own digest group — exactly like Spark groupBy and the
+    quantile_cont oracle — not be silently discarded by the pandas
+    groupby default. Checks both a string key (NULL→None) and a double
+    key (NULL→NaN in pandas), that the emitted key is a real Spark
+    NULL, and that the NULL group's estimates sit inside the band."""
+    rng = np.random.default_rng(19)
+    vals = rng.random(6_000) * 100
+    rows = [
+        (None if i % 3 == 0 else ("a" if i % 2 == 0 else "b"), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(4)
+    d = Q.quantile_digest(df, "v", ("k",))
+    keys = {r.k for r in d.select("k").distinct().collect()}
+    assert keys == {None, "a", "b"}
+    # weight conservation per group incl. the NULL group
+    got_w = {
+        r.k: r.w
+        for r in d.groupBy("k").agg(F.sum("c_weight").alias("w")).collect()
+    }
+    want_n = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count("v").alias("n")).collect()
+    }
+    assert set(got_w) == set(want_n)
+    for k in want_n:
+        assert abs(got_w[k] - want_n[k]) < 1e-6, (k, got_w[k], want_n[k])
+    exact = {}
+    for k in (None, "a", "b"):
+        exact[k] = np.sort(
+            np.array([v for kk, v in rows if kk == k], dtype="float64")
+        )
+    _assert_band(_collect_est(Q.digest_quantiles(d, Q.QS, ("k",))), exact)
+    # double key: NULL arrives in pandas as NaN; emitted key must be NULL
+    dfd = spark.createDataFrame(
+        [(None if i % 4 == 0 else 1.0, float(v)) for i, v in enumerate(vals)],
+        "k double, v double",
+    ).repartition(4)
+    dd = Q.quantile_digest(dfd, "v", ("k",))
+    dkeys = {r.k for r in dd.select("k").distinct().collect()}
+    assert dkeys == {None, 1.0}, dkeys
+
+
+def test_many_arrow_batches_keep_band(spark):
+    """ADVICE r11 (fold depth): a partition spanning MANY Arrow batches
+    must still satisfy the documented band — the binomial stack keeps
+    the re-chunk depth at log2(batches), not batches. Forces ~40
+    batches per partition via arrow.maxRecordsPerBatch and checks the
+    band on a skewed distribution in a single partition (worst case:
+    every batch folds into one stack)."""
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(conf_key, "256")
+        rng = np.random.default_rng(23)
+        vals = rng.lognormal(0, 2.0, 10_000)
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double"
+        ).coalesce(1)
+        d = Q.quantile_digest(df, "v", (), Q.DELTA)
+        # size bound survives the deep fold
+        assert d.count() <= 2 * Q.DELTA + 1
+        est = _collect_est(Q.digest_quantiles(d, Q.QS, ()), keyed=False)
+        _assert_band(est, {None: np.sort(vals)})
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
