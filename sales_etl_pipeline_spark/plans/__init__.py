@@ -104,26 +104,28 @@ _MODULES = (
 # tests/test_library_parity.py every run), so nothing loses its exact
 # check — the rotation only changes WHICH harness confirms it this round.
 #
-# Round-11 cohort (first half of the 2-round r10-additions schedule —
-# VERDICT r10 item 3): the 16 TPC-H shapes (plans/tpch.py), the 4
-# timeseries plans, snapshot_diff, and documents_profile — 22 slots.
-# Round-12 cohort (PLANNED; stated here so the schedule is auditable):
-# the remaining 16 never-driver-confirmed plans — nation_trade_pagerank/
-# _hops/_triangles, bm25_topk/phrase_search/bm25_quality_fusion,
-# html_text_extract/url_domain_stats/boilerplate_link_density,
-# bottomk_sample, lm_heldout_perplexity, incremental_nation_revenue,
+# Round-12 cohort (EXECUTING the schedule stated here in r11): the 16
+# never-driver-confirmed plans — the graph trio, search trio, webtext
+# trio, bottomk_sample, lm_heldout_perplexity, incremental_nation_revenue,
 # incremental_product_summary_hll, event_transitions, session_paths_topk,
-# ann_ivf_topk_filtered.
-# Outgoing r11: the whole r10 cohort (driver-confirmed last round, see
-# CORRECTNESS_r10.json) simply drops out of ROTATED_IN; the two r10 ERR
-# rows (bpe_encoded_docs/bpe_packed_windows) return to the library tier
-# where the pytest harness CAN canonicalize their array columns, and
-# their new *_str driver twins (plans/bpe.py) carry the driver rows.
+# ann_ivf_topk_filtered — plus the r11 library additions: the quantile
+# pair (exact is the oracle-checked baseline, approx is the digest,
+# rows-only with pytest band gates), the PCA trio (rows-only by design —
+# eigendecomposition; numpy-twin-exact in tests/test_pca.py) and the
+# unigram pair (rows-only; EM replay-exact in tests/test_unigram.py).
+# 22 promotions (embedding_pca_projected is array-typed → stays library;
+# see the ROTATED_IN note). Outgoing r12: the whole r11 cohort (all 22
+# driver-confirmed green in CORRECTNESS_r11.json) drops out of
+# ROTATED_IN, and five long-stable base plans (driver-green r4–r11:
+# asof_join_events_orders, contamination_check, curation_pipeline,
+# repeat_buyer_set_ops, region_nation_rollup) move to the library tier —
+# freeing slots for this round's NEW driver plans (incremental dedup
+# registry exposure, byte-pretokenized BPE stats, IVF drift) while
+# staying under the 50-slot cap.
 #
-# r12 pre-flight (checked r11): EVERY plan in the planned r12 cohort —
-# including the r11 library additions (quantiles/PCA/unigram/int8/
-# budget-selection) — already has a FLAT result schema, so the rotation
-# needs no serialized twins next round.
+# r12 pre-flight (checked r11): every promoted plan already has a FLAT
+# result schema (gate: tests/test_oracle_parity.py::_assert_flat_schema),
+# so this rotation needs no serialized twins.
 #
 # HARNESS COMPAT RULE (learned from the r10 ERR): the driver's
 # canonicalizer cannot hash array/map cells, so plans whose result schema
@@ -164,40 +166,50 @@ ROTATED_OUT = frozenset({
     # r10: long-stable (driver-green r4–r9)
     "simhash_near_dup",
     "semantic_dedup_bucketed",
+    # r12: long-stable (driver-green r4–r11) — frees slots for the r12
+    # promotions and this round's new driver plans
+    "asof_join_events_orders",
+    "contamination_check",
+    "curation_pipeline",
+    "repeat_buyer_set_ops",
+    "region_nation_rollup",
 })
 
 #: library plans promoted into the driver registry for this round —
-#: round 11 = first half of the never-driver-confirmed r10 additions
+#: round 12 = the 16 never-driver-confirmed plans + the r11 additions
 ROTATED_IN = frozenset({
-    # the 16 TPC-H query shapes (plans/tpch.py) — the largest
-    # never-driver-confirmed family, promoted first per VERDICT r10
-    "disjunctive_part_revenue",
-    "dormant_customer_balance",
-    "excess_share_suppliers",
-    "forecast_revenue",
-    "important_part_value",
-    "large_volume_customers",
-    "min_cost_supplier",
-    "nation_market_share",
-    "nation_trade_volume",
-    "product_type_profit",
-    "promo_revenue_share",
-    "ship_lag_priority",
-    "small_quantity_revenue",
-    "supplier_part_variety",
-    "top_supplier_revenue",
-    "waiting_suppliers",
-    # timeseries regularization (plans/timeseries.py)
-    "daily_sales_gapfill",
-    "hourly_value_interp",
-    "weekly_revenue_ohlc",
-    "daily_anomaly_flags",
-    # versioned-table diff (serialized twin — the array-typed
-    # snapshot_diff stays library-tier per the harness compat rule; the
-    # flat-schema gate caught the array original when first promoted)
-    # + DQ profile
-    "snapshot_diff_str",
-    "documents_profile",
+    # graph trio (plans/graph.py)
+    "nation_trade_pagerank",
+    "nation_trade_hops",
+    "nation_trade_triangles",
+    # search trio (plans/search.py)
+    "bm25_topk",
+    "phrase_search",
+    "bm25_quality_fusion",
+    # webtext trio (plans/webtext.py)
+    "html_text_extract",
+    "url_domain_stats",
+    "boilerplate_link_density",
+    # singletons never driver-confirmed before this round
+    "bottomk_sample",
+    "lm_heldout_perplexity",
+    "incremental_nation_revenue",
+    "incremental_product_summary_hll",
+    "event_transitions",
+    "session_paths_topk",
+    "ann_ivf_topk_filtered",
+    # r11 additions: quantile digest pair (plans/quantiles.py)
+    "exact_order_value_quantiles",
+    "approx_order_value_quantiles",
+    # r11 additions: PCA family (plans/pca.py). embedding_pca_projected
+    # stays library-tier — its (vec_id, pc array<double>) schema is
+    # array-typed by design and the flat-schema gate rejects it; its
+    # scalar twin embedding_pca_scores carries the driver row.
+    "embedding_pca_spectrum",
+    "embedding_pca_scores",
+    # r11 additions: unigram-LM tokenizer pair (plans/unigram.py)
+    "unigram_vocab",
+    "unigram_token_stats",
 })
 
 
