@@ -372,7 +372,11 @@ def main() -> None:
         "sf": sf,
         "details_file": DETAILS_FILE,
     }
-    details: dict = {"sf": sf, "suite_total_sec": total}
+    # details carry the per-query timings too (r12): the committed
+    # BENCH_DETAILS.json is the prior-compare fallback when a driver
+    # BENCH_r{N}.json records parsed:null (compact line lost to the
+    # tail-capture window, as happened to BENCH_r10.json)
+    details: dict = {"sf": sf, "suite_total_sec": total, "queries": timings}
     # Same-session stability pair (BENCH protocol, round 9): re-time one
     # already-timed query with identical bytes at the END of the run. Its
     # ratio bounds how much of any cross-round delta is host/GC drift
@@ -392,16 +396,47 @@ def main() -> None:
             "late_sec": late,
             "ratio": round(late / early, 2) if early > 0 else None,
         }
-    prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), PRIOR_BENCH)
-    if os.path.exists(prior_path):
+    def _load_prior_queries(path: str) -> dict:
+        """Per-query timings from any bench artifact shape: a raw
+        bench.py line ({"queries": ...}), a driver BENCH_r{N}.json
+        ({"parsed": {"queries": ...}}) — tolerating parsed:null, which
+        the r10 artifact carries because its compact line fell off the
+        driver's tail-capture window — or a committed BENCH_DETAILS
+        (which embeds "queries" since r12 exactly for this fallback)."""
         try:
-            with open(prior_path) as f:
+            with open(path) as f:
                 doc = json.load(f)
-            # the driver's BENCH_r{N}.json wraps the bench line under
-            # "parsed"; a raw bench.py line has "queries" top-level
-            prior = doc.get("queries") or doc.get("parsed", {}).get(
-                "queries", {}
-            )
+        except Exception:
+            return {}
+        doc_sf = (
+            doc.get("sf")
+            or (doc.get("parsed") or {}).get("sf")
+            or (doc.get("solo_run") or {}).get("sf")
+        )
+        if doc_sf is not None and str(doc_sf) != str(sf):
+            # cross-sf ratios are meaningless — skip this artifact
+            return {}
+        return (
+            doc.get("queries")
+            or (doc.get("parsed") or {}).get("queries")
+            or (doc.get("solo_run") or {}).get("queries")
+            or {}
+        )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_src = PRIOR_BENCH
+    prior = _load_prior_queries(os.path.join(here, PRIOR_BENCH))
+    if not prior:
+        # unusable prior artifact → fall back to the committed details
+        # (carries last round's timings) then the builder's solo capture
+        for cand in (DETAILS_FILE, SOLO_BENCH):
+            prior = _load_prior_queries(os.path.join(here, cand))
+            if prior:
+                prior_src = f"{cand} (fallback: {PRIOR_BENCH} unusable)"
+                break
+    if prior:
+        details["prior_source"] = prior_src
+        try:
             ratios = {
                 name: t / prior[name]
                 for name, t in timings.items()
@@ -432,7 +467,7 @@ def main() -> None:
             }
             if regressions:
                 details["regressions_vs_prior"] = regressions
-                print(f"REGRESSIONS vs {PRIOR_BENCH}: {regressions}", file=sys.stderr)
+                print(f"REGRESSIONS vs {prior_src}: {regressions}", file=sys.stderr)
             # ADVICE r9: median-ratio normalization can MASK a uniform
             # code regression (a change slowing every query ~equally is
             # absorbed into drift). Disambiguate with the in-run

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout small: stage-progress bars flooded the r11 driver's
+        # 2000-char tail window and pushed bench.py's compact line out of
+        # the recorded artifact (BENCH_r10.json parsed:null)
+        .config("spark.ui.showConsoleProgress", "false")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
