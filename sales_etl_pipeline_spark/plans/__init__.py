@@ -227,6 +227,12 @@ def _scoped(fn):
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         llmdata.release_plan_caches()
+        # incremental-ingest state pins (the minhash fold plan's band/
+        # candidate/shingle caches) get the same next-plan-entry release;
+        # direct API callers (the ingest loop) are unaffected — they
+        # don't route through the registry, and release is always safe
+        # (Spark recomputes on next use)
+        llmdata.release_incremental_caches()
         return fn(*args, **kwargs)
 
     return wrapper

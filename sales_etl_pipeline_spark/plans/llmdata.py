@@ -387,6 +387,59 @@ def incremental_minhash_near_dup(
     return _pair_jaccard(sh_cand, cand)
 
 
+def incremental_exact_dedup_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry exposure of the ``incremental_exact_dedup`` fold (VERDICT
+    r11 item 6): split the documents table into two deterministic
+    batches (even/odd doc_id), build the fingerprint state from batch 1
+    (the ``exact_dedup`` shape), fold batch 2 through the delta merge,
+    and return the final state. The oracle is the BATCH-FREE recompute
+    (exact_dedup's own SQL) — a green row is an independent driver check
+    of the fold ≡ recompute contract that until now only pytest pinned
+    (tests/test_operators.py::test_incremental_exact_dedup_equals_full_recompute).
+    Returns (doc_id, content_md5, dup_count)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 != 0)
+    state = (
+        b1.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("doc_id", "content_md5", "dup_count")
+    )
+    return incremental_exact_dedup(state, b2).select(
+        "doc_id", "content_md5", "dup_count"
+    )
+
+
+def incremental_minhash_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry exposure of the ``incremental_minhash_near_dup`` fold:
+    pairs(batch1) ∪ incremental(batch1, batch2) over a deterministic
+    even/odd doc_id split — the two calls are disjoint by construction
+    (within-base pairs vs pairs touching the delta), so their union is
+    exactly the UNCAPPED, non-collapsed near-dup pair set of the whole
+    corpus, which the oracle recomputes batch-free (same md5 min-hash
+    family, 4×4 banding and exact-Jaccard verify as the minhash_near_dup
+    oracle, minus its exact-dup collapse and hot-bucket cap — the
+    incremental path deliberately lacks both, see its docstring).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 != 0)
+    empty = spark.createDataFrame([], b1.schema)
+    base_pairs = incremental_minhash_near_dup(empty, b1)
+    # NOTE: this second call releases the first call's _INCR_CACHES —
+    # harmless here because the union re-computes released subplans at
+    # most once; the ingest loop (the real consumer) folds sequentially
+    delta_pairs = incremental_minhash_near_dup(b1, b2)
+    return base_pairs.unionByName(delta_pairs).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, *, collapse: str = "auto"
 ) -> DataFrame:
@@ -2081,6 +2134,14 @@ ORACLE: dict[str, str] = {
         FROM documents
         GROUP BY md5(text)
     """,
+    # fold ≡ recompute: the oracle for the 2-batch fold plan IS the
+    # batch-free computation — a value-hash match proves the fold
+    "incremental_exact_dedup_fold": """
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS content_md5,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY md5(text)
+    """,
     "ngram_jaccard_pairs": f"""
         WITH sh AS ({_SHINGLES_SQL}),
         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -2155,6 +2216,33 @@ ORACLE: dict[str, str] = {
         SELECT doc_a, doc_b, jaccard FROM cross_pairs
         UNION ALL
         SELECT doc_a, doc_b, jaccard FROM within_pairs
+    """,
+    # Batch-free recompute of the 2-batch incremental fold: UNCAPPED,
+    # non-collapsed banding over ALL documents (the incremental path has
+    # neither the exact-dup collapse nor the hot-bucket cap — see
+    # incremental_minhash_near_dup's docstring), same md5 signature
+    # family and exact-Jaccard verify as the minhash_near_dup oracle.
+    "incremental_minhash_fold": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS ({_minhash_sig_sql()}),
+        bands AS (
+            {" UNION ALL ".join(
+                "SELECT doc_id, " + str(b) + " AS band, "
+                + " || '-' || ".join(
+                    f"CAST(m{b * (MINHASH_SIGS // MINHASH_BANDS) + r} AS VARCHAR)"
+                    for r in range(MINHASH_SIGS // MINHASH_BANDS)
+                )
+                + " AS key FROM sig"
+                for b in range(MINHASH_BANDS)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.key = y.key
+                 AND x.doc_id < y.doc_id
+        )
+        {_PAIR_JACCARD_SQL}
     """,
     # Brute-force all-pairs twin of the banded plan — identical result set
     # by the pigeonhole argument (see simhash_near_dup docstring), so the
@@ -2843,6 +2931,10 @@ def ann_ivfpq_topk(
 
 QUERIES = {
     "exact_dedup": exact_dedup,
+    # r12: the incremental dedup APIs' fold paths, driver-exposed over a
+    # deterministic 2-batch split (VERDICT r11 item 6)
+    "incremental_exact_dedup_fold": incremental_exact_dedup_fold,
+    "incremental_minhash_fold": incremental_minhash_fold,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dup": minhash_near_dup,
     "simhash_near_dup": simhash_near_dup,
