@@ -500,6 +500,18 @@ def main() -> None:
                 )
         except Exception as exc:
             print(f"prior-bench compare skipped: {exc!r}", file=sys.stderr)
+    # committed code-isolation adjudications (fresh-JVM HEAD-vs-prior-
+    # commit protocol, see BENCH_ISOLATION_r*.json) ride along in the
+    # details artifact so a reader of one file sees the verdicts
+    import glob as _glob
+
+    iso = sorted(_glob.glob(os.path.join(here, "BENCH_ISOLATION_r*.json")))
+    if iso:
+        try:
+            with open(iso[-1]) as f:
+                details["isolation"] = json.load(f)
+        except Exception as exc:
+            print(f"isolation embed skipped: {exc!r}", file=sys.stderr)
     solo_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), SOLO_BENCH)
     if os.path.exists(solo_path):
         try:
