@@ -778,6 +778,112 @@ def dedup_spans(
         )
     )
 
+#: paragraph-dedup window size (tokens): pieces longer than this are
+#: sub-split into fixed windows — the deterministic sentence-window
+#: fallback that gives single-line corpora (the synthetic tables) a real
+#: paragraph grain instead of one doc-sized "paragraph"
+PARA_TOKENS = 20
+
+#: blank-line paragraph separator (CCNet's split); probed identical in
+#: Spark (java.util.regex) and DuckDB (RE2) incl. the leading-empty case
+PARA_SEP = r"\n[ \t]*\n+"
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup — the pass CCNet/CommonCrawl pipelines
+    run BEFORE doc-level near-dup (public: CCNet, Wenzek et al. 2020):
+    split every document into paragraphs, hash each normalized
+    paragraph, keep only the corpus-wide FIRST occurrence of every
+    distinct paragraph, and reassemble the surviving paragraphs per
+    document in original order. Complements ``dedup_spans`` (which cuts
+    df-heavy 3-gram spans): this removes long verbatim blocks wholesale
+    at paragraph grain, the grain where boilerplate actually repeats.
+
+    Paragraph definition, both engines identically: split on blank
+    lines (``PARA_SEP``), drop whitespace-only pieces, then sub-split
+    every piece into fixed non-overlapping ``PARA_TOKENS``-token
+    windows (the sentence-window fallback — a single-line corpus still
+    gets paragraph-grain dedup instead of degenerating to doc grain).
+    "First occurrence" is the row with the smallest (doc_id, piece_idx,
+    win) — a total order, so the kept set is deterministic. Hashing is
+    ``md5(lower(ptext))``; swap in a stronger normalizer expression
+    (digit-stripping à la CCNet) at ingest if the corpus needs it.
+    Reassembly joins surviving windows with a single space (structure
+    flattening, documented: the synthetic corpus is single-line, and
+    the oracle must reproduce the join exactly).
+
+    Scale shape: tokens → windows is one doc-grain shuffle (the same
+    posexplode + groupBy spine as dedup_spans); first-occurrence is ONE
+    row_number window partitioned by the paragraph hash (paragraph
+    grain — the only corpus-wide exchange, and exactly the mergeable
+    fingerprint relation an incremental ingest would maintain);
+    reassembly is one doc-grain aggregate. No pairwise joins anywhere;
+    a hot hash (the classic boilerplate paragraph repeated millions of
+    times) is ONE window partition whose rows carry only (ids, hash) —
+    skew-gated on the boilerplate-family corpus in tests/test_curation.py.
+
+    Returns (doc_id, clean_text, n_paras, n_dropped) for every document
+    (empty docs keep a row with clean_text='' — membership decisions
+    belong to quality_filter, same policy as dedup_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", PARA_SEP)).alias("piece_idx", "piece"),
+    ).filter(F.trim(F.col("piece")) != "")
+    tok = pieces.select(
+        "doc_id",
+        "piece_idx",
+        F.posexplode(tokens(F.col("piece"))).alias("pos", "tok"),
+    )
+    para = (
+        tok.withColumn("win", (F.col("pos") / PARA_TOKENS).cast("int"))
+        .groupBy("doc_id", "piece_idx", "win")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("ptext")
+        )
+    )
+    para = _pin(para)  # feeds the per-doc total AND the dedup window
+    w = Window.partitionBy(F.md5(F.lower(F.col("ptext")))).orderBy(
+        "doc_id", "piece_idx", "win"
+    )
+    kept = para.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("piece_idx", "win", "ptext"))
+                ),
+                lambda x: x["ptext"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tot = para.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", F.lit(0)).cast("int").alias("n_paras"),
+            (
+                F.coalesce("n_paras", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            )
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )
+
+
 QUERIES = {
     "quality_filter": quality_filter,
     "contamination_check": contamination_check,
@@ -794,6 +900,7 @@ QUERIES = {
 #: contamination_check (the eval split) and curation_pipeline.
 LIBRARY_QUERIES = {
     "dedup_spans": dedup_spans,
+    "paragraph_dedup": paragraph_dedup,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "doc_chunks_udtf": doc_chunks_udtf,
@@ -1014,6 +1121,66 @@ LIBRARY_ORACLE["dedup_spans"] = f"""
            CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0)
                AS INTEGER) AS n_removed
     FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+#: batch-free recompute of paragraph_dedup — same split (RE2/java.regex
+#: agreement probed for PARA_SEP incl. the leading-empty case), same
+#: fixed windows, same first-occurrence rule, same space-joined
+#: reassembly. string_agg(... ORDER BY) gives the deterministic order.
+LIBRARY_ORACLE["paragraph_dedup"] = f"""
+    WITH pieces AS (
+        SELECT doc_id, u.idx AS piece_idx, u.val AS piece
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, len(ps)),
+                       i -> {{'idx': i, 'val': ps[i + 1]}}
+                   )) AS u
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(text, '\\n[ \\t]*\\n+') AS ps
+                FROM documents
+            )
+        )
+        WHERE trim(u.val) <> ''
+    ), paras AS (
+        SELECT doc_id, piece_idx, w.idx AS win, w.val AS ptext
+        FROM (
+            SELECT doc_id, piece_idx,
+                   unnest(list_transform(
+                       range(0, (len(tks) + {PARA_TOKENS - 1}) // {PARA_TOKENS}),
+                       i -> {{'idx': i, 'val': array_to_string(
+                           tks[i * {PARA_TOKENS} + 1 : (i + 1) * {PARA_TOKENS}],
+                           ' ')}}
+                   )) AS w
+            FROM (
+                SELECT doc_id, piece_idx, string_split(piece, ' ') AS tks
+                FROM pieces
+            )
+        )
+    ), kept AS (
+        SELECT doc_id, piece_idx, win, ptext,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(lower(ptext))
+                   ORDER BY doc_id, piece_idx, win
+               ) AS rn
+        FROM paras
+    ), reassembled AS (
+        SELECT doc_id,
+               string_agg(ptext, ' ' ORDER BY piece_idx, win) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept WHERE rn = 1 GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(t.n_paras, 0) AS INTEGER) AS n_paras,
+           CAST(COALESCE(t.n_paras, 0) - COALESCE(r.n_kept, 0) AS INTEGER)
+               AS n_dropped
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN reassembled r USING (doc_id)
 """
 
 LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
