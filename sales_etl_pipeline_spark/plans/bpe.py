@@ -221,6 +221,18 @@ def train_bpe(
     if hit is not None:
         return hit
     seqs = _init_seqs(_word_freq(spark, sf_dir)).localCheckpoint(eager=True)
+    out = _train_rounds(seqs, n_merges, batch_size, admission)
+    _BPE_CACHE[key] = out
+    return out
+
+
+def _train_rounds(
+    seqs: DataFrame, n_merges: int, batch_size: int, admission: str
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """The init-agnostic training loop shared by the character-grain and
+    byte-grain trainers: count pairs, admit a batch, apply as one
+    chained-replace projection, checkpoint — see ``train_bpe`` for the
+    full semantics. ``seqs`` must already be checkpointed."""
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
         want = min(batch_size, n_merges - len(merges))
@@ -243,8 +255,171 @@ def train_bpe(
             )
         seqs = seqs.withColumn("seq", col).localCheckpoint(eager=True)
         merges.extend(batch)
-    _BPE_CACHE[key] = (merges, seqs)
     return merges, seqs
+
+
+# ---------------------------------------------------------------------------
+# byte-level pretokenization (VERDICT r11 item 4): open-vocabulary BPE
+
+#: GPT-2-style pretokenizer (Radford et al. 2019 — public), LOOKAHEAD-FREE
+#: so one pattern runs identically in java.util.regex (Spark), RE2
+#: (DuckDB) and Python re (the replay oracle) — all three probed equal on
+#: contractions, mixed case, digits, punctuation runs, multi-space runs
+#: and non-ASCII. Divergence from GPT-2 proper (documented): RE2 has no
+#: lookahead, so the `\s+(?!\S)` trailing-space rule is dropped — a
+#: whitespace run before a word is ONE `\s+` pretoken instead of
+#: splitting its last space onto the word. ASCII classes on purpose:
+#: `\p{L}` case-folding differs across engines; non-ASCII letters land in
+#: the punctuation-class alternative, which is lossless (bytes carry
+#: them) just less linguistically grouped.
+BYTE_PRETOK_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+#: Spark's regexp_extract_all needs one explicit capture group
+BYTE_PRETOK_SPARK = "(" + BYTE_PRETOK_SQL + ")"
+
+#: default merge budget for the byte-level registry plans (same as the
+#: char-grain N_MERGES: each oracle CTE round costs the same)
+BYTE_N_MERGES = 24
+
+
+def _byte_pretoken_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-PRETOKEN frequency relation — the byte-level analogue of
+    ``_word_freq``. No lowercasing (open vocabulary keeps case; the
+    bytes are the alphabet, so nothing needs normalizing away)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BYTE_PRETOK_SPARK))
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _byte_seq_expr(col):
+    """UTF-8 bytes of ``col`` as a wrapped-separator sequence of 2-hex
+    symbols: 'He' → '_48__65_'. The byte-FALLBACK alphabet: every
+    possible pretoken — any case, digits, punctuation, emoji — encodes
+    to [0-9a-f] symbols, so the wrapped-separator machinery (which needs
+    token text free of '_') carries an OPEN vocabulary; the char-grain
+    trainer's [a-z]+ assumption disappears."""
+    return F.regexp_replace(
+        F.lower(F.hex(F.encode(col, "UTF-8"))), "(..)", "_$1_"
+    )
+
+
+def _init_byte_seqs(word_freq: DataFrame) -> DataFrame:
+    return word_freq.select(
+        "word", "freq", _byte_seq_expr(F.col("word")).alias("seq")
+    )
+
+
+def train_bpe_bytes(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BYTE_N_MERGES,
+    batch_size: int = 1,
+    admission: str = "prefix",
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Byte-level BPE: GPT-2-style pretokens, UTF-8 bytes (as 2-hex
+    symbols) as the initial alphabet, then exactly the ``train_bpe``
+    loop — same pair counts, same admission modes, same chained-replace
+    application, same memo/exhaustion contract. Merge rules are hex
+    strings ('68','65')→'6865'; ``bpe_apply_bytes`` replays them on
+    unseen text and decodes surviving symbols back to bytes. Sequential
+    mode is bit-matched by the unrolled-CTE DuckDB oracle
+    (``_byte_token_stats_sql``) and by the pure-Python replayer in
+    tests/test_bpe.py."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if admission not in ("prefix", "subset"):
+        raise ValueError(f"unknown admission mode {admission!r}")
+    docs = load_table(spark, sf_dir, "documents")
+    fp_row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.length("text")).alias("chars"),
+    ).first()
+    key = (
+        "bytes",
+        (fp_row.n, fp_row.hi, fp_row.chars),
+        n_merges,
+        batch_size,
+        admission,
+    )
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    seqs = _init_byte_seqs(
+        _byte_pretoken_freq(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+    out = _train_rounds(seqs, n_merges, batch_size, admission)
+    _BPE_CACHE[key] = out
+    return out
+
+
+def bpe_apply_bytes(df: DataFrame, text_col: str, merges) -> DataFrame:
+    """Segment ``text_col`` under a trained byte-level merge list —
+    works on ANY text, seen or unseen (the open-vocabulary property:
+    unseen bytes fall back to single-byte tokens). Returns ``df`` with
+    ``byte_tokens`` (array<string> of hex-symbol tokens, reading order).
+    Same JVM-only chained-replace replay as ``bpe_apply``."""
+    words = F.regexp_extract_all(F.col(text_col), F.lit(BYTE_PRETOK_SPARK))
+    per_word = F.transform(
+        words,
+        lambda w: F.split(
+            F.btrim(_replay_merges(_byte_seq_expr(w), merges), F.lit("_")),
+            "__",
+        ),
+    )
+    return df.withColumn("byte_tokens", F.flatten(per_word))
+
+
+def bpe_byte_token_stats(
+    spark: SparkSession, sf_dir: str, n_merges: int = BYTE_N_MERGES
+) -> DataFrame:
+    """Registry plan: document sizing under the trained BYTE-LEVEL
+    tokenizer — per doc: pretoken count, byte-BPE token count, and mean
+    BYTES per token (the byte-level compression ratio, the open-vocab
+    counterpart of ``bpe_token_stats``'s chars_per_token). Same
+    join-against-the-trained-segmentation shape: no re-replay, one
+    broadcast-sized trained relation, doc-grain aggregate."""
+    _, seqs = train_bpe_bytes(spark, sf_dir, n_merges)
+    wtok = seqs.select(
+        "word",
+        F.size(
+            F.split(F.expr("trim(BOTH '_' FROM seq)"), "__")
+        ).alias("n_tok"),
+        F.octet_length("word").cast("int").alias("n_bytes"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BYTE_PRETOK_SPARK))
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("n_tok").alias("n_byte_tokens"),
+            (
+                F.sum("n_bytes").cast("double") / F.sum("n_tok")
+            ).alias("bytes_per_token"),
+        )
+        .select(
+            "doc_id", "n_pretokens", "n_byte_tokens", "bytes_per_token"
+        )
+    )
+
+
+def bpe_byte_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BYTE_N_MERGES
+) -> DataFrame:
+    """The trained byte-level merge table (hex-symbol rules) — same
+    artifact shape as ``bpe_merges``."""
+    merges, _ = train_bpe_bytes(spark, sf_dir, n_merges)
+    return spark.createDataFrame(merge_table_rows(merges), MERGE_TABLE_SCHEMA)
 
 
 def _replay_merges(seq, merges: list[tuple[str, str]]):
@@ -351,7 +526,8 @@ def _bpe_cte_chain(n_merges: int) -> str:
     at n=24). Materializing pins each round to one evaluation, which is
     also exactly how the Spark side executes (localCheckpoint per round).
     """
-    parts = [
+    return _cte_chain_from(
+        n_merges,
         f"""w AS MATERIALIZED (
         SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(regexp_extract_all(lower(text), '{WORD_REGEX_SQL}')) AS word
@@ -361,8 +537,36 @@ def _bpe_cte_chain(n_merges: int) -> str:
     s0 AS MATERIALIZED (
         SELECT word, freq, regexp_replace(word, '(.)', '_\\1_', 'g') AS seq
         FROM w
-    )"""
-    ]
+    )""",
+    )
+
+
+def _byte_cte_chain(n_merges: int) -> str:
+    """Byte-level twin of ``_bpe_cte_chain``: GPT-2-style pretokens (the
+    SQL literal escapes the pattern's apostrophe), UTF-8-bytes-as-hex
+    initial sequences. The merge rounds are identical — hex symbols are
+    [0-9a-f]+, so the wrapped-separator replace semantics carry over
+    unchanged."""
+    pat = BYTE_PRETOK_SQL.replace("'", "''")
+    return _cte_chain_from(
+        n_merges,
+        f"""w AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text, '{pat}')) AS word
+            FROM documents
+        ) GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+        SELECT word, freq,
+               regexp_replace(lower(hex(encode(word))), '(..)', '_\\1_', 'g')
+                   AS seq
+        FROM w
+    )""",
+    )
+
+
+def _cte_chain_from(n_merges: int, base: str) -> str:
+    parts = [base]
     for r in range(n_merges):
         parts.append(
             f"""p{r} AS (
@@ -419,6 +623,43 @@ def _token_stats_sql(n_merges: int) -> str:
            CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok) AS chars_per_token
     FROM doc_words JOIN wtok USING (word)
     GROUP BY 1
+    """
+
+
+def _byte_token_stats_sql(n_merges: int) -> str:
+    pat = BYTE_PRETOK_SQL.replace("'", "''")
+    return f"""
+    WITH {_byte_cte_chain(n_merges)},
+    wtok AS (
+        SELECT word,
+               CAST(len(string_split(trim(seq, '_'), '__')) AS INTEGER) AS n_tok,
+               CAST(octet_length(encode(word)) AS INTEGER) AS n_bytes
+        FROM s{n_merges}
+    ),
+    doc_words AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{pat}')) AS word
+        FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_pretokens,
+           CAST(SUM(n_tok) AS BIGINT) AS n_byte_tokens,
+           CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tok) AS bytes_per_token
+    FROM doc_words JOIN wtok USING (word)
+    GROUP BY 1
+    """
+
+
+def _byte_merges_sql(n_merges: int) -> str:
+    union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rank, lhs, rhs FROM b{r}" for r in range(n_merges)
+    )
+    return f"""
+    WITH {_byte_cte_chain(n_merges)},
+    merges AS (
+        {union}
+    )
+    SELECT rank, lhs, rhs, lhs || rhs AS merged FROM merges
     """
 
 
@@ -811,6 +1052,9 @@ def _packed_windows_str_sql(n_merges: int, window: int) -> str:
 QUERIES = {
     "bpe_merges": bpe_merges,
     "bpe_token_stats": bpe_token_stats,
+    # r12: byte-level (open-vocabulary) tokenizer stats — GPT-2-style
+    # pretokens, byte-fallback alphabet, oracle replays training in SQL
+    "bpe_byte_token_stats": bpe_byte_token_stats,
     # driver-harness twins of the array-typed library plans (r11): same
     # plan, ids serialized to a scalar the driver canonicalizer can hash
     "bpe_encoded_docs_str": bpe_encoded_docs_str,
@@ -820,6 +1064,7 @@ QUERIES = {
 ORACLE = {
     "bpe_merges": _merges_sql(N_MERGES),
     "bpe_token_stats": _token_stats_sql(N_MERGES),
+    "bpe_byte_token_stats": _byte_token_stats_sql(BYTE_N_MERGES),
     "bpe_encoded_docs_str": _encoded_docs_str_sql(N_MERGES),
     "bpe_packed_windows_str": _packed_windows_str_sql(N_MERGES, PACK_WINDOW),
 }
@@ -829,12 +1074,14 @@ ORACLE = {
 #: array results are pytest-oracle-checked (tests/test_library_parity.py)
 #: and the *_str twins above carry the driver rows
 LIBRARY_QUERIES = {
+    "bpe_byte_merges": bpe_byte_merges,
     "bpe_vocab": bpe_vocab,
     "bpe_encoded_docs": bpe_encoded_docs,
     "bpe_packed_windows": bpe_packed_windows,
 }
 
 LIBRARY_ORACLE = {
+    "bpe_byte_merges": _byte_merges_sql(BYTE_N_MERGES),
     "bpe_vocab": _vocab_sql(N_MERGES),
     "bpe_encoded_docs": _encoded_docs_sql(N_MERGES),
     "bpe_packed_windows": _packed_windows_sql(N_MERGES, PACK_WINDOW),

@@ -206,13 +206,15 @@ def test_train_raises_when_pairs_exhaust(spark, tmp_path):
 # Batched merge selection (train_bpe(batch_size=m))
 
 
-def _py_batched_bpe(word_freqs, n_merges, batch_size, admission="prefix"):
+def _py_batched_bpe(word_freqs, n_merges, batch_size, admission="prefix", init=list):
     """Pure-Python replay oracle for the BATCHED training path: the same
     admission rule (non-interacting prefix or greedy subset of the
     count-sorted pairs, per ``admission``) and the same apply semantics
     (per admitted pair in order, one left-to-right non-overlapping pass
-    over every word), implemented on plain lists with no Spark involved."""
-    seqs = {w: list(w) for w in word_freqs}
+    over every word), implemented on plain lists with no Spark involved.
+    ``init`` maps a word to its initial symbol list (default: characters;
+    the byte-level replayer passes UTF-8 hex pairs)."""
+    seqs = {w: init(w) for w in word_freqs}
     merges = []
     while len(merges) < n_merges:
         want = min(batch_size, n_merges - len(merges))
@@ -368,4 +370,78 @@ def test_bench_corpus_supports_1k_merges(spark):
         spark, corpus, 200, batch_size=128, admission="subset"
     )
     assert len(merges) == 200
+    bpe.clear_bpe_cache()
+
+
+def _hex_pairs(word: str) -> list:
+    h = word.encode("utf-8").hex()
+    return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+
+def _py_pretokens(text: str) -> list:
+    import re
+
+    return re.findall(bpe.BYTE_PRETOK_SQL, text)
+
+
+def test_byte_level_matches_python_replay_oracle(spark):
+    """VERDICT r11 item 4 gate: byte-level training (GPT-2-style
+    pretokens, UTF-8-hex byte alphabet) is bit-matched by the pure-Python
+    replayer — the same _py_batched_bpe kernel with pretoken freqs and a
+    hex-pair init. Checked in sequential AND subset-batched modes, merge
+    list and final segmentations both."""
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents")
+    freqs = Counter()
+    for r in docs.select("text").collect():
+        freqs.update(_py_pretokens(r.text))
+    for kwargs in ({"batch_size": 1}, {"batch_size": 8, "admission": "subset"}):
+        bpe.clear_bpe_cache()
+        merges, seqs = bpe.train_bpe_bytes(spark, SF, n_merges=16, **kwargs)
+        want_merges, want_seqs = _py_batched_bpe(
+            dict(freqs), 16, kwargs.get("batch_size", 1),
+            kwargs.get("admission", "prefix"), init=_hex_pairs,
+        )
+        assert merges == want_merges
+        got = {
+            r.word: r.seq.strip("_").split("__") for r in seqs.collect()
+        }
+        assert got == want_seqs
+    bpe.clear_bpe_cache()
+
+
+def test_byte_apply_open_vocabulary(spark):
+    """The open-vocab property the char-grain trainer lacks: text with
+    uppercase, digits, punctuation, contractions and non-ASCII — none of
+    it in the [a-z]+ char-grain universe — segments without error, every
+    token decodes back to bytes, and concatenating the decoded tokens
+    reproduces the original text exactly (losslessness)."""
+    merges, _ = bpe.train_bpe_bytes(spark, SF, n_merges=16)
+    weird = [
+        (0, "Hello WORLD, it's 2026!"),
+        (1, "café ± π — emoji: 🚀🚀"),
+        (2, "x" * 3 + "\t tabs\nand newlines  "),
+    ]
+    df = spark.createDataFrame(weird, "doc_id long, text string")
+    out = {r.doc_id: r.byte_tokens for r in bpe.bpe_apply_bytes(df, "text", merges).collect()}
+    for doc_id, text in weird:
+        toks = out[doc_id]
+        assert toks, text
+        decoded = bytes.fromhex("".join(toks)).decode("utf-8")
+        assert decoded == text
+    bpe.clear_bpe_cache()
+
+
+def test_byte_token_stats_counts_pretokens(spark):
+    """bpe_byte_token_stats invariants: n_byte_tokens between pretoken
+    count (full merging) and byte count (no merging); bytes_per_token
+    ≥ 1; every doc with at least one pretoken has a row."""
+    stats = {r.doc_id: r for r in bpe.bpe_byte_token_stats(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.filter(F.length("text") > 0).count()
+    assert len(stats) == n_docs
+    for r in stats.values():
+        assert r.n_pretokens <= r.n_byte_tokens
+        assert r.bytes_per_token >= 1.0
     bpe.clear_bpe_cache()
