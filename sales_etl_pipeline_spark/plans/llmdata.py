@@ -1336,6 +1336,9 @@ KMEANS_MAX_K = 4096  # ...capped: k must stay broadcast/driver-holdable
 # 100 TB; with the cap, clusters get bigger instead — the correct trade,
 # since cluster size only bounds the candidate equi-join fan-in.
 KMEANS_ITERS = 2  # Lloyd iterations (unrolled in the DuckDB oracle too)
+IVF_NPROBE = 3  # query-side probes (ann_ivf_topk and the postings path)
+IVF_TOP_K = 5  # neighbors returned per query
+IVF_N_QUERIES = 50  # registry query set: vec_id < 50
 SEMDEDUP_NPROBE = 3  # multi-probe: each vector joins its 3 nearest clusters
 
 
@@ -1576,6 +1579,189 @@ def ivf_cluster_stats(
         )
         .orderBy(F.desc("size"), "cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF maintenance (VERDICT r11 item 5): the embedding twin of
+# incremental_minhash_near_dup — fold new vectors into a TRAINED index
+
+
+def _assign_cos_udf(cent_ids, cmat, cn):
+    """Top-1 assignment WITH its cosine — the quality signal the drift
+    statistic reads (an append batch the trained centroids no longer fit
+    assigns with visibly lower cosines). Same Arrow-batched zero-shuffle
+    BLAS kernel and stable tie-break as ``_assign_clusters_udf``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cluster: bigint, cos: double>")
+    def _top1(v: pd.Series, nrm: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cluster": [], "cos": []})
+        mat = np.vstack(v.to_numpy())
+        cos = (mat @ cmat.T) / np.outer(nrm.to_numpy(), cn)
+        best = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame(
+            {
+                "cluster": cent_ids[best],
+                "cos": cos[np.arange(len(best)), best],
+            }
+        )
+
+    return _top1
+
+
+def ivf_index_postings(emb: DataFrame, cent_ids, cmat, cn) -> DataFrame:
+    """The persistable IVF postings relation for a FROZEN centroid set:
+    (vec_id, v, nrm, cluster) — the state an append-only embedding
+    pipeline maintains across ingest batches (write it bucketed on
+    ``cluster``, sources/writers.write_bucketed, and the probe-side
+    candidate equi-join needs no exchange on the index side). Assignment
+    is the zero-shuffle Arrow kernel; per-row results depend only on the
+    row and the frozen centroids, never on batch boundaries — which is
+    what makes the fold below exact, not approximate."""
+    assign1 = _assign_clusters_udf(cent_ids, cmat, cn, 1, foldexact=False)
+    return emb.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.element_at(assign1(F.col("v"), F.col("nrm")), 1).alias("cluster"),
+    )
+
+
+def fold_ivf_postings(
+    postings: DataFrame, new_emb: DataFrame, cent_ids, cmat, cn
+) -> DataFrame:
+    """Fold a NEW embedding batch into an existing IVF index WITHOUT
+    retraining: assign the DELTA ONLY against the frozen centroids and
+    append its postings. Per-batch work is delta-grain end to end (the
+    base side is the already-materialized postings relation).
+
+    Fold ≡ rebuild contract (pinned in tests/test_operators.py): because
+    assignment is row-local against frozen centroids,
+    ``fold(postings(base), delta)`` equals ``ivf_index_postings(base ∪
+    delta)`` EXACTLY — the same fold ≡ recompute shape as
+    incremental_exact_dedup, and bit-equality rather than a band.
+    What folding does NOT do is move the centroids: append batches the
+    training distribution no longer represents degrade recall, which is
+    the statistic ``ivf_drift_stats`` watches (retrain trigger)."""
+    return postings.unionByName(
+        ivf_index_postings(new_emb, cent_ids, cmat, cn)
+    )
+
+
+def ann_topk_over_postings(
+    postings: DataFrame,
+    queries: DataFrame,
+    cent_ids,
+    cmat,
+    cn,
+    *,
+    nprobe: int | None = None,
+    top_k: int = IVF_TOP_K,
+) -> DataFrame:
+    """ANN top-k served from a GIVEN postings relation (built by
+    ``ivf_index_postings`` / grown by ``fold_ivf_postings``) — the query
+    path of the incrementally-maintained index. Same probe + cluster
+    equi-join + per-query window as ``ann_ivf_topk``; queries is a
+    (vec_id, v, nrm) relation."""
+    if nprobe is None:
+        nprobe = max(IVF_NPROBE, int(np.ceil(np.sqrt(cmat.shape[0]))))
+    assign_probe = _assign_clusters_udf(
+        cent_ids, cmat, cn, nprobe, foldexact=False
+    )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(assign_probe(F.col("v"), F.col("nrm"))).alias("cluster"),
+    )
+    pair_dot = _pair_dot_udf(foldexact=False)
+    scored = (
+        probes.join(postings, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                pair_dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry plan: the RETRAIN TRIGGER for an incrementally-maintained
+    IVF — per-cluster drift between the index's training data and an
+    append stream, over a deterministic 80/20 vec_id split of the
+    embeddings table (train on the first 80%, fold the rest).
+
+    Per cluster: base/delta posting counts, each side's share of its
+    total (the two distributions whose total-variation distance
+    ``0.5·Σ|base_share−delta_share|`` is the standard shift statistic),
+    and each side's mean top-1 assignment cosine (fit quality — an
+    append batch the centroids no longer represent assigns with visibly
+    lower cosine before it ever hurts recall). Retrain when the TV
+    distance or the cosine drop crosses the pipeline's threshold;
+    responsiveness (shifted appends score strictly worse than iid
+    appends) is pinned in tests/test_operators.py. Rows-only: cluster
+    ids are index-internal, like ivf_cluster_stats."""
+    emb = _pin(_embeddings_normed(spark, sf_dir))
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    cut = int(hi * 4) // 5
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+    cent_ids, cmat, cn = _train_centroids(
+        base, cache_key=f"{sf_dir}#drift{cut}", foldexact=False
+    )
+    a = _assign_cos_udf(cent_ids, cmat, cn)
+    tagged = base.withColumn("tag", F.lit("base")).unionByName(
+        delta.withColumn("tag", F.lit("delta"))
+    )
+    per = tagged.select(
+        "tag", a(F.col("v"), F.col("nrm")).alias("ac")
+    ).select("tag", F.col("ac.cluster").alias("cluster"), F.col("ac.cos").alias("cos"))
+    is_b = F.col("tag") == "base"
+    agg = per.groupBy("cluster").agg(
+        F.count(F.when(is_b, 1)).alias("base_size"),
+        F.count(F.when(~is_b, 1)).alias("delta_size"),
+        F.avg(F.when(is_b, F.col("cos"))).alias("base_mean_cos"),
+        F.avg(F.when(~is_b, F.col("cos"))).alias("delta_mean_cos"),
+    )
+    w_all = Window.partitionBy()
+    shares = agg.select(
+        "cluster",
+        "base_size",
+        "delta_size",
+        (F.col("base_size") / F.sum("base_size").over(w_all)).alias(
+            "base_share"
+        ),
+        (F.col("delta_size") / F.sum("delta_size").over(w_all)).alias(
+            "delta_share"
+        ),
+        "base_mean_cos",
+        "delta_mean_cos",
+    )
+    return shares.select(
+        "cluster",
+        "base_size",
+        "delta_size",
+        "base_share",
+        "delta_share",
+        F.abs(F.col("base_share") - F.col("delta_share")).alias(
+            "share_drift"
+        ),
+        "base_mean_cos",
+        "delta_mean_cos",
+    ).orderBy(F.desc("share_drift"), "cluster")
 
 
 def semantic_dedup_bucketed(
@@ -2539,10 +2725,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_NPROBE = 3  # query-side probes (ann_ivf_topk)
 PROBE_COVERAGE = 16  # filtered ANN: probe cells until 16*k matches covered
-IVF_TOP_K = 5  # neighbors returned per query
-IVF_N_QUERIES = 50  # registry query set: vec_id < 50
 
 
 def ann_ivf_topk(
@@ -2946,6 +3129,9 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "knn_cosine_topk": knn_cosine_topk,
     "semantic_dedup_bucketed": semantic_dedup_bucketed,
+    # r12: incremental-IVF retrain trigger (rows-only: index-internal
+    # cluster ids; fold≡rebuild + recall-after-appends gates in pytest)
+    "ivf_drift_stats": ivf_drift_stats,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: approximate by construction
 }

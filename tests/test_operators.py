@@ -1135,3 +1135,158 @@ def test_sql_key_literal_roundtrip_property(spark):
         assert kept == [key]
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF maintenance (VERDICT r11 item 5)
+
+
+def _exact_topk(vecs: dict, query_ids, top_k=5):
+    """numpy brute-force cosine top-k over {vec_id: np.array} — the
+    exact baseline for the folded-index recall gate."""
+    import numpy as np
+
+    ids = sorted(vecs)
+    M = np.vstack([vecs[i] for i in ids])
+    nrm = np.sqrt((M * M).sum(1))
+    out = {}
+    for q in query_ids:
+        qi = ids.index(q)
+        cos = (M @ M[qi]) / (nrm * nrm[qi])
+        cos[qi] = -np.inf
+        order = sorted(range(len(ids)), key=lambda j: (-cos[j], ids[j]))
+        out[q] = [ids[j] for j in order[:top_k]]
+    return out
+
+
+def test_ivf_fold_equals_rebuild(spark):
+    """fold_ivf_postings(postings(base), delta) must equal
+    ivf_index_postings(base ∪ delta) EXACTLY — assignment against frozen
+    centroids is row-local, so the fold is bit-equal, not a band."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    emb = llmdata._embeddings_normed(spark, SF)
+    base = emb.filter(F.col("vec_id") < 300)
+    d1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    d2 = emb.filter(F.col("vec_id") >= 400)
+    cent_ids, cmat, cn = llmdata._train_centroids(base, cache_key=None)
+    folded = llmdata.fold_ivf_postings(
+        llmdata.fold_ivf_postings(
+            llmdata.ivf_index_postings(base, cent_ids, cmat, cn),
+            d1, cent_ids, cmat, cn,
+        ),
+        d2, cent_ids, cmat, cn,
+    )
+    rebuilt = llmdata.ivf_index_postings(emb, cent_ids, cmat, cn)
+    got = {(r.vec_id, r.cluster) for r in folded.select("vec_id", "cluster").collect()}
+    want = {(r.vec_id, r.cluster) for r in rebuilt.select("vec_id", "cluster").collect()}
+    assert got == want and len(got) == emb.count()
+
+
+def test_ivf_folded_index_recall_after_appends(spark):
+    """The recall bound holds on an index grown by K=2 appends: top-5
+    from the folded postings vs numpy exact top-5 over the full corpus,
+    mean recall ≥ 0.9 (the ann_ivf_topk gate, applied to the
+    incrementally-maintained index)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    emb = llmdata._embeddings_normed(spark, SF)
+    base = emb.filter(F.col("vec_id") < 300)
+    d1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    d2 = emb.filter(F.col("vec_id") >= 400)
+    cent_ids, cmat, cn = llmdata._train_centroids(base, cache_key=None)
+    folded = llmdata.fold_ivf_postings(
+        llmdata.fold_ivf_postings(
+            llmdata.ivf_index_postings(base, cent_ids, cmat, cn),
+            d1, cent_ids, cmat, cn,
+        ),
+        d2, cent_ids, cmat, cn,
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    # k = ceil(300/50) = 6 trained cells; probe 5 — the sqrt rule is
+    # calibrated for real k (hundreds+), not a 6-cell toy index
+    got_rows = llmdata.ann_topk_over_postings(
+        folded, queries, cent_ids, cmat, cn, nprobe=5, top_k=5
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    vecs = {
+        r.vec_id: np.array(list(r.v), dtype="float64")
+        for r in emb.select("vec_id", "v").collect()
+    }
+    want = _exact_topk(vecs, sorted(got), top_k=5)
+    recalls = [
+        len(set(got[q]) & set(want[q])) / 5.0 for q in sorted(got)
+    ]
+    assert len(recalls) == 20
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+
+
+def test_ivf_drift_stats_detect_shift(spark, tmp_path):
+    """Retrain-trigger responsiveness, one corpus per failure mode the
+    two signals exist to catch: vs an iid append stream, (a) a NEGATED
+    append stream (maximally wrong direction for a cosine index) drops
+    the delta assignment cosine hard, and (b) a HOT-SPOT append stream
+    (every new vector a copy of one document — the crawl-replica shape)
+    concentrates delta mass into one cell and drives the TV distance
+    up. Either crossing its threshold is the retrain trigger."""
+    import numpy as np
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    # clustered corpus (drift statistics are about CLUSTERED data — on
+    # near-uniform vectors every assignment cosine is equally mediocre
+    # and no statistic can tell fit from misfit): 4 tight orthogonal
+    # clusters; base = ids 0..399 (100/cluster), appends = ids 400..499
+    rng = np.random.default_rng(31)
+    dim, per = 16, 100
+    centers = np.zeros((4, dim))
+    for c in range(4):
+        centers[c, c] = 10.0
+    def _cluster_rows(start_id, ks):
+        rows = []
+        for i, k in enumerate(ks):
+            v = centers[k] + rng.normal(0, 0.5, dim)
+            rows.append((start_id + i, [float(x) for x in v]))
+        return rows
+
+    base_rows = _cluster_rows(0, [i % 4 for i in range(4 * per)])
+    iid_rows = _cluster_rows(400, [i % 4 for i in range(per)])
+    # shifted: a 5th direction the training never saw
+    far = np.zeros(dim); far[5] = 10.0
+    shift_rows = [
+        (400 + i, [float(x) for x in far + rng.normal(0, 0.5, dim)])
+        for i in range(per)
+    ]
+    # hot-spot: every append lands in cluster 0 (crawl-replica shape)
+    hot_rows = _cluster_rows(400, [0] * per)
+
+    def _mk(name, delta_rows):
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            base_rows + delta_rows, "vec_id long, embedding array<float>"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        return d
+
+    def _signals(d):
+        rows = llmdata.ivf_drift_stats(spark, d).collect()
+        tv = 0.5 * sum(r.share_drift for r in rows)
+        with_cos = [r for r in rows if r.delta_mean_cos is not None]
+        sz = sum(r.delta_size for r in with_cos)
+        mean_cos = sum(r.delta_mean_cos * r.delta_size for r in with_cos) / sz
+        return tv, mean_cos
+
+    tv_iid, cos_iid = _signals(_mk("iid", iid_rows))
+    _, cos_shift = _signals(_mk("shift", shift_rows))
+    tv_hot, _ = _signals(_mk("hot", hot_rows))
+    assert cos_iid > 0.9  # the trained index FITS its own distribution
+    assert cos_shift < cos_iid - 0.3, (cos_iid, cos_shift)
+    assert tv_hot > tv_iid + 0.2, (tv_iid, tv_hot)
