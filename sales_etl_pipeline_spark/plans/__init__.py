@@ -210,6 +210,9 @@ ROTATED_IN = frozenset({
     # r11 additions: unigram-LM tokenizer pair (plans/unigram.py)
     "unigram_vocab",
     "unigram_token_stats",
+    # r12 addition: paragraph-grain dedup (plans/curation.py) — new this
+    # round, oracle-exact, takes the 50th slot
+    "paragraph_dedup",
 })
 
 
