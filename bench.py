@@ -139,6 +139,14 @@ HEADLINE = (
     # broadcast postings lookup + per-query top-k window). Tracks the
     # engine's full-text-search cost per query batch.
     "bm25_topk",
+    # round 12: paragraph-grain exact dedup (the CCNet pre-pass that
+    # runs before doc-level near-dup) — token→window doc-grain shuffle,
+    # ONE paragraph-grain first-occurrence window, doc-grain reassembly
+    "paragraph_dedup",
+    # round 12: byte-level (open-vocab) tokenizer sizing — steady-state
+    # apply with training memoized (the bpe_token_stats pattern); the
+    # cold byte-level train cost is the same loop as the bpe_train row
+    "bpe_byte_token_stats",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch

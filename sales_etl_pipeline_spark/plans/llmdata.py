@@ -425,7 +425,16 @@ def incremental_minhash_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, 4×4 banding and exact-Jaccard verify as the minhash_near_dup
     oracle, minus its exact-dup collapse and hot-bucket cap — the
     incremental path deliberately lacks both, see its docstring).
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Cost note: this registry plan pays the BACKFILL shape — both calls
+    recompute their base signatures from raw text (measured ≈ the full
+    batch plan's cost at sf0.1, 2-3× at toy scale from the doubled
+    plan tree). The production ingest loop does NOT: it persists the
+    band index once (``minhash_index`` → write_bucketed) and each batch
+    pays delta-grain work only. The plan exists to earn the fold an
+    independent driver-oracle row, not to replace the batch plan on a
+    static corpus."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 != 0)

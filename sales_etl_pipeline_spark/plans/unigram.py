@@ -131,18 +131,27 @@ def _seed_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lattice_expected(word: str, freq: float, logp: dict[str, float]):
+def _lattice_expected(
+    word: str, freq: float, logp: dict[str, float], stride: int = 1
+):
     """Forward–backward over the segmentation lattice of one word:
     returns (expected piece counts weighted by freq, marginal
     log-likelihood of the word). Log-domain DP, python floats — the
-    pure-Python replay oracle runs this same function."""
-    n = len(word)
+    pure-Python replay oracle runs this same function.
+
+    ``stride`` is the characters-per-SYMBOL width: 1 for the char-grain
+    model, 2 for the byte-level model (symbols are UTF-8 bytes carried
+    as hex pairs, so lattice positions move two hex chars at a time and
+    pieces are byte-aligned hex substrings — the same hex-pair alphabet
+    as ``bpe.train_bpe_bytes``)."""
+    n = len(word) // stride  # lattice length in SYMBOLS
     NEG = float("-inf")
-    # in-edges per end position: (start, piece, lp)
+    # in-edges per end position: (start, piece, lp) — positions in
+    # symbols, pieces as raw substrings ((start·stride, len·stride))
     edges: list[list[tuple[int, str, float]]] = [[] for _ in range(n + 1)]
     for i in range(n):
         for l in range(1, min(MAX_PIECE_LEN, n - i) + 1):
-            piece = word[i : i + l]
+            piece = word[i * stride : (i + l) * stride]
             lp = logp.get(piece)
             if lp is not None:
                 edges[i + l].append((i, piece, lp))
@@ -167,7 +176,7 @@ def _lattice_expected(word: str, freq: float, logp: dict[str, float]):
     for s in range(n - 1, -1, -1):
         acc = NEG
         for l in range(1, min(MAX_PIECE_LEN, n - s) + 1):
-            piece = word[s : s + l]
+            piece = word[s * stride : (s + l) * stride]
             lp = logp.get(piece)
             if lp is None or beta[s + l] == NEG:
                 continue
@@ -187,7 +196,10 @@ def _lattice_expected(word: str, freq: float, logp: dict[str, float]):
 
 
 def _em_round_relational(
-    wf_bucketed: DataFrame, vocab: DataFrame, round_idx: int
+    wf_bucketed: DataFrame,
+    vocab: DataFrame,
+    round_idx: int,
+    stride: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """One EM round with ZERO driver traffic (VERDICT r11 item 7 — the
     old shape collected the vocab-grain expected counts every round and
@@ -214,7 +226,7 @@ def _em_round_relational(
         acc: dict[str, float] = {}
         ll = 0.0
         for word, freq in zip(words["word"], words["freq"]):
-            exp, z = _lattice_expected(str(word), float(freq), lp)
+            exp, z = _lattice_expected(str(word), float(freq), lp, stride)
             if z != float("-inf"):
                 ll += float(freq) * z
             for piece, c in exp.items():
@@ -254,40 +266,45 @@ def _em_round_relational(
     return new_vocab, ll_df
 
 
-def _prune_df(vocab: DataFrame, size: int) -> DataFrame:
+def _prune_df(vocab: DataFrame, size: int, sym_len: int = 1) -> DataFrame:
     """Relational twin of ``_prune`` (which remains the pure-Python
     replay's definition): keep the ``size − n_singles`` highest-prob
-    multi-char pieces (ties on piece text) plus all single chars,
-    renormalized — all window aggregates on the bounded vocab."""
+    multi-symbol pieces (ties on piece text) plus all single SYMBOLS
+    (length ``sym_len``), renormalized — all window aggregates on the
+    bounded vocab."""
     from pyspark.sql import Window
 
     w_all = Window.partitionBy()
     n_singles = F.sum(
-        F.when(F.length("piece") == 1, 1).otherwise(0)
+        F.when(F.length("piece") == sym_len, 1).otherwise(0)
     ).over(w_all)
     v = vocab.withColumn("budget", F.lit(size) - n_singles)
     rk = F.row_number().over(Window.orderBy(F.desc("prob"), "piece"))
     multi = (
-        v.filter(F.length("piece") > 1)
+        v.filter(F.length("piece") > sym_len)
         .withColumn("rk", rk)
         .filter(F.col("rk") <= F.greatest(F.col("budget"), F.lit(0)))
         .select("piece", "prob")
     )
     kept = multi.unionByName(
-        v.filter(F.length("piece") == 1).select("piece", "prob")
+        v.filter(F.length("piece") == sym_len).select("piece", "prob")
     )
     total = F.sum("prob").over(w_all)
     return kept.select("piece", (F.col("prob") / total).alias("prob"))
 
 
-def _prune(probs: dict[str, float], size: int) -> dict[str, float]:
-    """Keep the ``size`` highest-probability pieces + all single chars,
-    renormalized. (The full SentencePiece prune scores each piece by
-    likelihood loss on removal; probability mass is its first-order
-    proxy and keeps the implementation honest about being 'lite'.)"""
-    singles = {p: v for p, v in probs.items() if len(p) == 1}
+def _prune(
+    probs: dict[str, float], size: int, sym_len: int = 1
+) -> dict[str, float]:
+    """Keep the ``size`` highest-probability pieces + all single SYMBOLS
+    (chars at sym_len=1, hex byte pairs at sym_len=2 — coverage needs
+    every single symbol segmentable), renormalized. (The full
+    SentencePiece prune scores each piece by likelihood loss on removal;
+    probability mass is its first-order proxy and keeps the
+    implementation honest about being 'lite'.)"""
+    singles = {p: v for p, v in probs.items() if len(p) == sym_len}
     multi = sorted(
-        ((p, v) for p, v in probs.items() if len(p) > 1),
+        ((p, v) for p, v in probs.items() if len(p) > sym_len),
         key=lambda kv: (-kv[1], kv[0]),
     )[: max(0, size - len(singles))]
     kept = dict(multi)
@@ -363,11 +380,14 @@ def train_unigram(
     return probs, lls
 
 
-def viterbi_segment(word: str, logp: dict[str, float]) -> list[str]:
+def viterbi_segment(
+    word: str, logp: dict[str, float], stride: int = 1
+) -> list[str]:
     """Best segmentation under the trained log-probs. Deterministic
     tie-break: higher score, then fewer pieces, then lexicographically
-    smaller piece list. Total for any word whose chars are in-vocab."""
-    n = len(word)
+    smaller piece list. Total for any word whose chars are in-vocab.
+    ``stride``: characters per symbol (see ``_lattice_expected``)."""
+    n = len(word) // stride
     # best[e] = (score, n_pieces_neg? use (score, -pieces, seg) maximized
     best: list[tuple[float, int, tuple[str, ...]] | None] = [
         None
@@ -379,7 +399,7 @@ def viterbi_segment(word: str, logp: dict[str, float]) -> list[str]:
             s = e - l
             if best[s] is None:
                 continue
-            piece = word[s:e]
+            piece = word[s * stride : e * stride]
             lp = logp.get(piece)
             if lp is None:
                 continue
@@ -530,9 +550,194 @@ def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# byte-level (open-vocabulary) unigram LM — the GPT-2-pretokenized,
+# byte-alphabet twin, same EM/viterbi machinery at stride 2
+
+
+def seed_vocab_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level seed candidates: every BYTE-ALIGNED hex substring of
+    1..MAX_PIECE_LEN symbols (= 2..2·MAX_PIECE_LEN hex chars) of every
+    distinct GPT-2-style pretoken, weighted by pretoken frequency.
+    Same relational substring explosion as ``seed_vocab``, positions
+    stepping two hex chars at a time."""
+    from .bpe import _byte_pretoken_freq
+
+    wf = _byte_pretoken_freq(spark, sf_dir).select(
+        F.lower(F.hex(F.encode(F.col("word"), "UTF-8"))).alias("word"),
+        "freq",
+    )
+    m = F.length("word") / 2  # symbols (bytes) per pretoken
+    pieces = wf.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), m.cast("int")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(MAX_PIECE_LEN),
+                                m.cast("int") - i + 1,
+                            ),
+                        ),
+                        lambda n: F.substring(
+                            F.col("word"), (i - 1) * 2 + 1, n * 2
+                        ),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    return pieces.groupBy("piece").agg(F.sum("freq").alias("count"))
+
+
+def _seed_vocab_bytes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(piece, prob) byte-level seed relation: top SEED_SIZE pieces by
+    (count desc, piece) plus all single SYMBOLS (2-hex-char pieces —
+    coverage: any byte sequence stays segmentable)."""
+    from pyspark.sql import Window
+
+    sv = seed_vocab_bytes(spark, sf_dir)
+    rk = F.row_number().over(Window.orderBy(F.desc("count"), "piece"))
+    kept = sv.withColumn("rk", rk).filter(
+        (F.col("rk") <= SEED_SIZE) | (F.length("piece") == 2)
+    )
+    total = F.sum("count").over(Window.partitionBy())
+    return kept.select("piece", (F.col("count") / total).alias("prob"))
+
+
+def train_unigram_bytes(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_size: int = VOCAB_SIZE,
+    em_rounds: int = EM_ROUNDS,
+) -> tuple[dict[str, float], list[float]]:
+    """Byte-level unigram LM (the open-vocabulary twin of
+    ``train_unigram``, completing VERDICT r11 item 4 for the EM family):
+    GPT-2-style pretokens (``bpe.BYTE_PRETOK_SQL`` — shared with
+    ``train_bpe_bytes``), UTF-8 bytes as hex-pair SYMBOLS, then exactly
+    the relational EM loop at lattice stride 2. Pieces in the returned
+    model are hex strings; ``unigram_apply_bytes`` decodes segmentations
+    back to bytes. Same replay/monotonicity gates (tests/test_unigram.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.length("text")).alias("chars"),
+    ).first()
+    key = ("bytes", (fp.n, fp.hi, fp.chars), vocab_size, em_rounds)
+    hit = _UNIGRAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .bpe import _byte_pretoken_freq
+
+    wf_b = (
+        _byte_pretoken_freq(spark, sf_dir)
+        .select(
+            F.lower(F.hex(F.encode(F.col("word"), "UTF-8"))).alias("word"),
+            "freq",
+        )
+        .withColumn(
+            "b", F.pmod(F.hash("word"), F.lit(EM_BUCKETS)).cast("int")
+        )
+        .localCheckpoint(eager=True)
+    )
+    vocab = _seed_vocab_bytes_df(spark, sf_dir).localCheckpoint(eager=True)
+    ll_dfs: list[DataFrame] = []
+    for i in range(em_rounds):
+        vocab, ll_df = _em_round_relational(wf_b, vocab, i, stride=2)
+        if i % 8 == 7:
+            vocab = vocab.localCheckpoint(eager=True)
+        ll_dfs.append(ll_df)
+    vocab = _prune_df(vocab, vocab_size, sym_len=2).localCheckpoint(
+        eager=True
+    )
+    vocab, ll_df = _em_round_relational(wf_b, vocab, em_rounds, stride=2)
+    ll_dfs.append(ll_df)
+    probs = {r.piece: r.prob for r in vocab.collect()}
+    ll_all = ll_dfs[0]
+    for d in ll_dfs[1:]:
+        ll_all = ll_all.unionByName(d)
+    lls = [r.ll for r in ll_all.orderBy("round").collect()]
+    _UNIGRAM_CACHE[key] = (probs, lls)
+    return probs, lls
+
+
+def unigram_apply_bytes(
+    df: DataFrame, text_col: str, logp: dict[str, float]
+) -> DataFrame:
+    """Open-vocabulary segmentation under a trained BYTE-LEVEL unigram
+    model: GPT-2-style pretokens → hex symbols → stride-2 Viterbi; an
+    unseen BYTE falls back to its singleton hex piece. Returns ``df``
+    with ``unigram_byte_pieces`` (array<string> of hex pieces — decode
+    with bytes.fromhex; concatenation is byte-lossless, pinned in
+    tests). One Arrow pass, per-pretoken memoized."""
+    import re
+
+    from .bpe import BYTE_PRETOK_SQL
+
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(logp)
+    cols = df.columns
+    tok_re = re.compile(BYTE_PRETOK_SQL)
+
+    def _seg(batches):
+        lp = b.value
+        cache: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            seg = cache.get(w)
+            if seg is None:
+                h = w.encode("utf-8").hex()
+                try:
+                    seg = viterbi_segment(h, lp, stride=2)
+                except ValueError:  # OOV byte: singleton fallback
+                    seg = [h[i : i + 2] for i in range(0, len(h), 2)]
+                cache[w] = seg
+            return seg
+
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                if text is None or (
+                    isinstance(text, float) and math.isnan(text)
+                ):
+                    out.append(None)
+                    continue
+                pieces: list[str] = []
+                for w in tok_re.findall(str(text)):
+                    pieces.extend(seg_word(w))
+                out.append(pieces)
+            pdf = pdf.copy()
+            pdf["unigram_byte_pieces"] = out
+            yield pdf
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", unigram_byte_pieces array<string>"
+    return df.mapInPandas(_seg, out_schema).select(
+        *cols, "unigram_byte_pieces"
+    )
+
+
+def unigram_byte_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library plan: the trained byte-level vocabulary — (piece hex,
+    logprob, n_bytes). Rows-only (float EM) with the stride-2 replay +
+    monotonicity gates in tests/test_unigram.py."""
+    probs, _ = train_unigram_bytes(spark, sf_dir)
+    rows = sorted(probs.items())
+    return spark.createDataFrame(
+        [(p, math.log(v), len(p) // 2) for p, v in rows],
+        "piece string, logprob double, n_bytes int",
+    )
+
+
 LIBRARY_QUERIES = {
     "unigram_vocab": unigram_vocab,
     "unigram_token_stats": unigram_token_stats,
+    "unigram_byte_vocab": unigram_byte_vocab,
 }
 
 #: no SQL oracles (float EM / lattice DP); the replay + monotonicity

@@ -227,3 +227,111 @@ def test_unigram_apply_null_and_oov_total(spark):
     assert got[1] == ["a", "b", "b", "a"]
     assert got[2] is None
     assert got[3] == ["a", "z"]  # 'z' unseen: kept as its own piece
+
+
+# ---------------------------------------------------------------------------
+# byte-level (open-vocabulary) unigram — stride-2 twin (r12)
+
+
+def _byte_pretoken_freqs(spark):
+    from sales_etl_pipeline_spark.plans.bpe import BYTE_PRETOK_SQL
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    freqs: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in re.findall(BYTE_PRETOK_SQL, r.text):
+            h = w.encode("utf-8").hex()
+            freqs[h] = freqs.get(h, 0) + 1
+    return freqs
+
+
+def _py_train_bytes(freqs, vocab_size=U.VOCAB_SIZE, em_rounds=U.EM_ROUNDS):
+    """Pure-Python replay of train_unigram_bytes: same seed rule over
+    byte-aligned hex substrings, same stride-2 lattice, same M-step and
+    prune (sym_len=2) — no Spark anywhere."""
+    counts: dict[str, float] = {}
+    for h, f in freqs.items():
+        m = len(h) // 2
+        for i in range(m):
+            for l in range(1, min(U.MAX_PIECE_LEN, m - i) + 1):
+                p = h[i * 2 : (i + l) * 2]
+                counts[p] = counts.get(p, 0.0) + f
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: U.SEED_SIZE]
+    probs = dict(top)
+    for p, c in counts.items():
+        if len(p) == 2:
+            probs.setdefault(p, c)
+    z = sum(probs.values())
+    probs = {p: c / z for p, c in probs.items()}
+
+    def em(probs):
+        logp = {p: math.log(v) for p, v in probs.items()}
+        acc: dict[str, float] = {}
+        ll = 0.0
+        for h, f in freqs.items():
+            exp, zw = U._lattice_expected(h, float(f), logp, stride=2)
+            if zw != float("-inf"):
+                ll += f * zw
+            for p, c in exp.items():
+                acc[p] = acc.get(p, 0.0) + c
+        total = sum(acc.values())
+        new = {
+            p: max(acc.get(p, 0.0) / total, U.PROB_FLOOR) for p in probs
+        }
+        z = sum(new.values())
+        return {p: v / z for p, v in new.items()}, ll
+
+    lls = []
+    for _ in range(em_rounds):
+        probs, ll = em(probs)
+        lls.append(ll)
+    probs = U._prune(probs, vocab_size, sym_len=2)
+    probs, ll = em(probs)
+    lls.append(ll)
+    return probs, lls
+
+
+def test_byte_train_matches_python_replay(spark):
+    """Distributed byte-level EM ≡ the pure-Python stride-2 replay."""
+    U.clear_unigram_cache()
+    probs, lls = U.train_unigram_bytes(spark, SF)
+    want, want_lls = _py_train_bytes(_byte_pretoken_freqs(spark))
+    assert set(probs) == set(want)
+    np.testing.assert_allclose(
+        [probs[p] for p in sorted(probs)],
+        [want[p] for p in sorted(want)],
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(lls, want_lls, rtol=1e-8)
+    # the EM certificate holds at byte grain too
+    pre = lls[: U.EM_ROUNDS]
+    assert all(b >= a - 1e-9 * abs(a) for a, b in zip(pre, pre[1:])), lls
+    # every piece is a byte-aligned hex string; all single bytes seen in
+    # the corpus are covered (the open-vocab coverage rule)
+    assert all(len(p) % 2 == 0 and len(p) >= 2 for p in probs)
+
+
+def test_byte_apply_open_vocab_lossless(spark):
+    """unigram_apply_bytes is TOTAL and byte-lossless on text the
+    char-grain model cannot even represent: uppercase, digits,
+    punctuation, non-ASCII, and bytes never seen in training (OOV
+    singleton fallback)."""
+    probs, _ = U.train_unigram_bytes(spark, SF)
+    logp = {p: math.log(v) for p, v in probs.items()}
+    weird = [
+        (0, "Hello WORLD, it's 2026!"),
+        (1, "café ± π 🚀"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(weird, "doc_id long, text string")
+    out = {
+        r.doc_id: r.unigram_byte_pieces
+        for r in U.unigram_apply_bytes(df, "text", logp).collect()
+    }
+    for doc_id, text in weird:
+        if text is None:
+            assert out[doc_id] is None
+            continue
+        decoded = bytes.fromhex("".join(out[doc_id])).decode("utf-8")
+        assert decoded == text
+    U.clear_unigram_cache()
