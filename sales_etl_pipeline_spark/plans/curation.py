@@ -826,6 +826,18 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (empty docs keep a row with clean_text='' — membership decisions
     belong to quality_filter, same policy as dedup_spans)."""
     docs = load_table(spark, sf_dir, "documents")
+    para = _pin(_paragraphs(docs))  # feeds per-doc total AND dedup window
+    w = Window.partitionBy("para_hash").orderBy(
+        "doc_id", "piece_idx", "win"
+    )
+    kept = para.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return _reassemble_clean(docs, para, kept)
+
+
+def _paragraphs(docs: DataFrame) -> DataFrame:
+    """The paragraph relation of a document set: (doc_id, piece_idx,
+    win, ptext, para_hash) under the blank-line split + fixed-window
+    fallback (see ``paragraph_dedup``)."""
     pieces = docs.select(
         "doc_id",
         F.posexplode(F.split("text", PARA_SEP)).alias("piece_idx", "piece"),
@@ -835,7 +847,7 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "piece_idx",
         F.posexplode(tokens(F.col("piece"))).alias("pos", "tok"),
     )
-    para = (
+    return (
         tok.withColumn("win", (F.col("pos") / PARA_TOKENS).cast("int"))
         .groupBy("doc_id", "piece_idx", "win")
         .agg(
@@ -847,12 +859,15 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("ptext")
         )
+        .withColumn("para_hash", F.md5(F.lower(F.col("ptext"))))
     )
-    para = _pin(para)  # feeds the per-doc total AND the dedup window
-    w = Window.partitionBy(F.md5(F.lower(F.col("ptext")))).orderBy(
-        "doc_id", "piece_idx", "win"
-    )
-    kept = para.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+
+
+def _reassemble_clean(
+    docs: DataFrame, para: DataFrame, kept: DataFrame
+) -> DataFrame:
+    """(doc_id, clean_text, n_paras, n_dropped) for every doc in
+    ``docs`` from its full paragraph relation and the surviving rows."""
     reassembled = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
@@ -884,6 +899,86 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paragraph_state(docs: DataFrame) -> DataFrame:
+    """The persistable paragraph-fingerprint state of an already-ingested
+    corpus: (para_hash, n_seen) — the relation an append-only ingest
+    maintains (write it bucketed on para_hash and the per-batch
+    membership anti-join needs no exchange on the state side)."""
+    return _paragraphs(docs).groupBy("para_hash").agg(
+        F.count(F.lit(1)).alias("n_seen")
+    )
+
+
+def incremental_paragraph_dedup(
+    state: DataFrame, new_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a NEW document batch into paragraph-dedup state — the
+    paragraph member of the incremental family (exact-dedup /
+    minhash / IVF folds in plans/llmdata.py). Returns
+    ``(new_state, cleaned_batch)``.
+
+    Append-only ingest makes first-occurrence keeps FINAL: a later
+    batch can never out-rank an earlier paragraph occurrence (doc_ids
+    grow monotonically), so each batch's cleaned output is computed
+    once at ingest time and never revisited — which is what gives the
+    fold its clean contract, pinned in tests/test_curation.py:
+    concatenating the per-batch cleaned outputs over id-ordered batches
+    equals ``paragraph_dedup`` over the whole corpus, exactly.
+
+    Per-batch work is delta-grain: the delta's paragraphs, ONE
+    paragraph-grain window WITHIN the delta (first occurrence inside
+    the batch), and a hash anti-join/aggregate against the state —
+    which is fingerprint grain, one skinny row per DISTINCT paragraph,
+    never corpus grain."""
+    # pinned: feeds the within-batch window, the state count merge, AND
+    # the per-doc reassembly total (released at the next registry plan)
+    delta = _pin(_paragraphs(new_docs))
+    w = Window.partitionBy("para_hash").orderBy(
+        "doc_id", "piece_idx", "win"
+    )
+    ranked = delta.withColumn("rn", F.row_number().over(w))
+    kept = (
+        ranked.filter("rn = 1")
+        .join(state.select("para_hash"), "para_hash", "left_anti")
+        .drop("rn")
+    )
+    delta_counts = delta.groupBy("para_hash").agg(
+        F.count(F.lit(1)).alias("d_seen")
+    )
+    new_state = (
+        state.select("para_hash", F.col("n_seen").alias("s_seen"))
+        .join(delta_counts, "para_hash", "full_outer")
+        .select(
+            "para_hash",
+            (
+                F.coalesce("s_seen", F.lit(0))
+                + F.coalesce("d_seen", F.lit(0))
+            ).alias("n_seen"),
+        )
+    )
+    return new_state, _reassemble_clean(new_docs, delta, kept)
+
+
+def incremental_paragraph_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry exposure of the paragraph-dedup fold: split the corpus
+    at the doc_id midpoint into two id-ordered batches (the append-only
+    invariant the fold requires — a later batch must never contain
+    smaller ids), fold both through ``incremental_paragraph_dedup``
+    from an empty state, and return the concatenated per-batch cleaned
+    outputs. Oracle = the BATCH-FREE ``paragraph_dedup`` recompute —
+    fold ≡ recompute, exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.max("doc_id")).first()[0] // 2
+    b1 = docs.filter(F.col("doc_id") <= cut)
+    b2 = docs.filter(F.col("doc_id") > cut)
+    empty = spark.createDataFrame([], "para_hash string, n_seen long")
+    s1, c1 = incremental_paragraph_dedup(empty, b1)
+    _, c2 = incremental_paragraph_dedup(s1, b2)
+    return c1.unionByName(c2)
+
+
 QUERIES = {
     "quality_filter": quality_filter,
     "contamination_check": contamination_check,
@@ -901,6 +996,7 @@ QUERIES = {
 LIBRARY_QUERIES = {
     "dedup_spans": dedup_spans,
     "paragraph_dedup": paragraph_dedup,
+    "incremental_paragraph_fold": incremental_paragraph_fold,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "doc_chunks_udtf": doc_chunks_udtf,
@@ -1182,6 +1278,9 @@ LIBRARY_ORACLE["paragraph_dedup"] = f"""
     LEFT JOIN tot t USING (doc_id)
     LEFT JOIN reassembled r USING (doc_id)
 """
+
+#: fold ≡ recompute: the 2-batch fold's oracle IS the batch-free plan's
+LIBRARY_ORACLE["incremental_paragraph_fold"] = LIBRARY_ORACLE["paragraph_dedup"]
 
 LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
 

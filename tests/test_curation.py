@@ -492,3 +492,40 @@ def test_paragraph_dedup_skew_gate(spark):
         .count()
     )
     assert kept == distinct_paras
+
+
+def test_incremental_paragraph_dedup_fold_equals_recompute(spark):
+    """Folding id-ordered batches through incremental_paragraph_dedup
+    must reproduce paragraph_dedup over the whole corpus EXACTLY (per-doc
+    clean_text, n_paras, n_dropped), and the folded state's n_seen must
+    conserve the total paragraph count — the same fold ≡ recompute
+    contract as the exact-dedup/minhash/IVF folds, at paragraph grain."""
+    docs = load_table(spark, SF, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    batches = [
+        docs.filter(F.col("doc_id") <= cuts[0]),
+        docs.filter(
+            (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+        ),
+        docs.filter(F.col("doc_id") > cuts[1]),
+    ]
+    state = spark.createDataFrame([], "para_hash string, n_seen long")
+    cleaned = []
+    for b in batches:
+        state, c = curation.incremental_paragraph_dedup(state, b)
+        cleaned.append(c)
+        state = state.localCheckpoint(eager=True)
+    got = {}
+    for c in cleaned:
+        for r in c.collect():
+            got[r.doc_id] = (r.clean_text, r.n_paras, r.n_dropped)
+    want = {
+        r.doc_id: (r.clean_text, r.n_paras, r.n_dropped)
+        for r in curation.paragraph_dedup(spark, SF).collect()
+    }
+    assert got == want
+    total_paras = sum(n for _, n, _ in want.values())
+    assert (
+        state.agg(F.sum("n_seen")).first()[0] == total_paras
+    )
