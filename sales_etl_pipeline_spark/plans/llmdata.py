@@ -1199,6 +1199,123 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005 — public): the
+# point-query member of the mergeable-sketch family (heavy hitters =
+# Misra–Gries, distinct = HLL, quantiles = t-digest, membership = Bloom;
+# CM answers "how often did THIS key occur" with one-sided error)
+
+CM_W = 256  # sketch width: overcount ≤ N/w per row in expectation
+CM_D = 4  # depth: min over d independent rows → P(err > 2N/w) ≤ 2^-d
+CM_QUERY_K = 20  # estimates plan: top-k + bottom-k true terms queried
+
+
+def _cm_cells(tok_col, w: int, d: int):
+    """The d (row, cell) pairs of one token under the seeded md5 family
+    — identical bits in Spark and DuckDB (functions.core.md5_long), so
+    the sketch is DETERMINISTIC and exactly oracle-checkable, unlike
+    RNG-seeded sketch implementations."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(
+                    md5_long(F.concat(F.lit(f"cm{i}#"), tok_col)),
+                    F.lit(w),
+                )
+                .cast("int")
+                .alias("cell"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def countmin_sketch(
+    spark: SparkSession, sf_dir: str, *, w: int = CM_W, d: int = CM_D
+) -> DataFrame:
+    """The Count-Min sketch of corpus token frequencies as a RELATION:
+    (r, cell, cnt) — at most d×w rows at ANY corpus size, the bounded
+    mergeable state a streaming/incremental counter ships instead of a
+    full term dictionary. Counts are LINEAR, so the merge is a cell-wise
+    sum and fold ≡ recompute holds BIT-exactly (pinned in
+    tests/test_operators.py — the cleanest fold contract in the sketch
+    family; digests only give a band).
+
+    Scale shape: one token explode, a d-way cell fanout (skinny ints),
+    and ONE groupBy at (r, cell) grain — partial aggregation collapses
+    map-side, the shuffle carries ≤ d×w rows per map task regardless of
+    corpus size. No UDFs; md5-seeded hashing keeps it engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        tok.select(F.explode(_cm_cells(F.col("tok"), w, d)).alias("rc"))
+        .select(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    w: int = CM_W,
+    d: int = CM_D,
+    k: int = CM_QUERY_K,
+) -> DataFrame:
+    """Point-query demonstration with its own ground truth: the k most
+    frequent and k least frequent corpus terms (deterministic ties on
+    term text), each with its TRUE count and its CM estimate
+    (min over the d sketch rows). One-sided error by construction
+    (estimate ≥ truth, overcounts only — hash collisions add, never
+    subtract); the ε-δ band is pinned in tests. Returns
+    (term, true_count, cm_estimate), fully oracle-exact."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = _pin(
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    top = F.row_number().over(
+        Window.orderBy(F.desc("true_count"), "tok")
+    )
+    bot = F.row_number().over(
+        Window.orderBy(F.asc("true_count"), "tok")
+    )
+    queried = (
+        counts.withColumn("rk_top", top)
+        .withColumn("rk_bot", bot)
+        .filter((F.col("rk_top") <= k) | (F.col("rk_bot") <= k))
+        .select("tok", "true_count")
+    )
+    sketch = countmin_sketch(spark, sf_dir, w=w, d=d)
+    probes = queried.select(
+        "tok",
+        "true_count",
+        F.explode(_cm_cells(F.col("tok"), w, d)).alias("rc"),
+    ).select(
+        "tok", "true_count", F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy(F.col("tok").alias("term"), "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select("term", "true_count", "cm_estimate")
+    )
+
+
+def merge_countmin(*sketches: DataFrame) -> DataFrame:
+    """Fold Count-Min states (the incremental-maintenance entry point):
+    union + cell-wise sum. Counts are linear, so this is EXACT —
+    fold(b1, b2) is bit-identical to the batch-free sketch."""
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("r", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
 # similarity search over embeddings
 
 #: the embeddings table's fixed vector width (TESTDATA.md).
@@ -3901,6 +4018,10 @@ def ann_ivf_topk_filtered(
 
 
 LIBRARY_QUERIES = {
+    # Count-Min sketch family (r12): deterministic md5 hashing makes
+    # both relations oracle-EXACT — rare for a sketch
+    "countmin_sketch": countmin_sketch,
+    "countmin_estimates": countmin_estimates,
     # rows-only (approximate by construction): recall-vs-filtered-twin
     # gate in tests/test_skew.py
     "ann_ivf_topk_filtered": ann_ivf_topk_filtered,
@@ -3931,6 +4052,62 @@ LIBRARY_QUERIES = {
     # adversarial corpus in tests/test_skew.py
     "ivf_cluster_stats": ivf_cluster_stats,
 }
+
+def _cm_cells_sql(w: int, d: int, src: str = "tok") -> str:
+    """The d-way cell fanout as a UNION ALL — same seeded md5 family as
+    _cm_cells, bit-for-bit."""
+    parts = []
+    for i in range(d):
+        h = oracle_md5_long(f"'cm{i}#' || tok")
+        parts.append(
+            f"SELECT {i} AS r, CAST({h} % {w} AS INTEGER) AS cell, tok"
+            f" FROM {src}"
+        )
+    return "\n    UNION ALL ".join(parts)
+
+
+LIBRARY_ORACLE["countmin_sketch"] = f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+        {_cm_cells_sql(CM_W, CM_D)}
+    )
+    SELECT r, cell, COUNT(*) AS cnt FROM cells GROUP BY r, cell
+"""
+
+LIBRARY_ORACLE["countmin_estimates"] = f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok, COUNT(*) AS true_count FROM tok GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, true_count,
+               ROW_NUMBER() OVER (ORDER BY true_count DESC, tok) AS rk_top,
+               ROW_NUMBER() OVER (ORDER BY true_count ASC, tok) AS rk_bot
+        FROM counts
+    ),
+    queried AS (
+        SELECT tok, true_count FROM ranked
+        WHERE rk_top <= {CM_QUERY_K} OR rk_bot <= {CM_QUERY_K}
+    ),
+    cells AS (
+        {_cm_cells_sql(CM_W, CM_D)}
+    ),
+    sketch AS (
+        SELECT r, cell, COUNT(*) AS cnt FROM cells GROUP BY r, cell
+    ),
+    probes AS (
+        {_cm_cells_sql(CM_W, CM_D, src="queried")}
+    )
+    SELECT q.tok AS term, q.true_count, MIN(s.cnt) AS cm_estimate
+    FROM probes p
+    JOIN queried q ON q.tok = p.tok
+    JOIN sketch s ON s.r = p.r AND s.cell = p.cell
+    GROUP BY q.tok, q.true_count
+"""
 
 LIBRARY_ORACLE["hashed_token_features"] = f"""
     WITH tok AS (

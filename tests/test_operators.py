@@ -1290,3 +1290,71 @@ def test_ivf_drift_stats_detect_shift(spark, tmp_path):
     assert cos_iid > 0.9  # the trained index FITS its own distribution
     assert cos_shift < cos_iid - 0.3, (cos_iid, cos_shift)
     assert tv_hot > tv_iid + 0.2, (tv_iid, tv_hot)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (r12)
+
+
+def test_countmin_fold_is_bit_exact(spark):
+    """Counts are linear, so merge_countmin(cm(b1), cm(b2)) must equal
+    the batch-free sketch EXACTLY — the strongest fold contract in the
+    sketch family (digests only give a band)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    def _cm_of(docs):
+        tok = docs.select(
+            F.explode(llmdata.tokens(F.col("text"))).alias("tok")
+        )
+        return (
+            tok.select(
+                F.explode(
+                    llmdata._cm_cells(F.col("tok"), llmdata.CM_W, llmdata.CM_D)
+                ).alias("rc")
+            )
+            .select(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+            .groupBy("r", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    docs = load_table(spark, SF, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 != 0)
+    folded = {
+        (r.r, r.cell): r.cnt
+        for r in llmdata.merge_countmin(_cm_of(b1), _cm_of(b2)).collect()
+    }
+    full = {
+        (r.r, r.cell): r.cnt
+        for r in llmdata.countmin_sketch(spark, SF).collect()
+    }
+    assert folded == full
+
+
+def test_countmin_estimates_guarantee(spark):
+    """The CM guarantee on the real corpus: every estimate ≥ its true
+    count (one-sided error), and the overcount respects the ε-δ bound —
+    err ≤ 2N/w must hold for MOST queried terms (the bound fails per
+    term with prob ≤ 2^-d per the min-over-rows argument; we assert ≤
+    10% violations, far looser than 2^-4, plus a hard cap of 4N/w)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    rows = llmdata.countmin_estimates(spark, SF).collect()
+    assert rows
+    docs = load_table(spark, SF, "documents")
+    n_tokens = docs.select(
+        F.explode(llmdata.tokens(F.col("text"))).alias("t")
+    ).count()
+    bound = 2.0 * n_tokens / llmdata.CM_W
+    violations = 0
+    for r in rows:
+        assert r.cm_estimate >= r.true_count, (r.term, r.true_count, r.cm_estimate)
+        err = r.cm_estimate - r.true_count
+        assert err <= 2 * bound, (r.term, err, bound)
+        if err > bound:
+            violations += 1
+    assert violations <= max(1, len(rows) // 10), (violations, len(rows))
