@@ -1397,6 +1397,109 @@ def run_crawl_ingest_stream(
     query.awaitTermination()
 
 
+PARA_DEDUP_OUTPUT = (
+    "doc_id long, piece_idx int, win int, ptext string"
+)
+PARA_DEDUP_STATE = "seen boolean"
+
+
+def stream_paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming paragraph dedup — the stream twin of
+    ``plans/curation.incremental_paragraph_dedup``: documents arrive as
+    an unbounded stream, each paragraph's hash is a state key, and only
+    the corpus-lifetime FIRST occurrence of every paragraph is emitted
+    (the CCNet pass as an always-on ingest filter instead of a batch
+    job). State per key is a single seen flag — the smallest possible
+    stateful operator, bounded by DISTINCT paragraphs, the same
+    fingerprint grain as the batch state relation.
+
+    Paragraph extraction must avoid window functions (unsupported on
+    streams), so it runs as pure higher-order expressions per document
+    row: blank-line split → index-aware transform → fixed
+    ``PARA_TOKENS``-token slices — the same (piece_idx, win, ptext)
+    relation ``curation._paragraphs`` builds relationally (equality
+    pinned in tests/test_streaming.py). Interpreted-expression cost is
+    per-DOC paragraph counts (tens), not the shingle-scale blowup the
+    _shingle_table docstring warns about.
+
+    Stream ≡ batch gate (tests/test_streaming.py): replaying id-ordered
+    chunks, the union of emitted rows equals the batch
+    ``paragraph_dedup`` kept set exactly. Same append-only assumption
+    as the batch fold: a doc's rows arrive in one trigger and later
+    triggers carry larger doc_ids."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.curation import PARA_SEP, PARA_TOKENS
+
+    pieces = F.filter(
+        F.split(F.col("text"), PARA_SEP), lambda p: F.trim(p) != ""
+    )
+    toks = lambda p: F.split(p, " ")  # noqa: E731 — shared with tokens()
+    paras = F.flatten(
+        F.transform(
+            pieces,
+            lambda p, pi: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks(p)) / F.lit(PARA_TOKENS)).cast(
+                        "int"
+                    )
+                    - 1,
+                ),
+                lambda w: F.struct(
+                    pi.cast("int").alias("piece_idx"),
+                    w.cast("int").alias("win"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            toks(p), w * PARA_TOKENS + 1, PARA_TOKENS
+                        ),
+                    ).alias("ptext"),
+                ),
+            ),
+        )
+    )
+    exploded = (
+        docs.select("doc_id", F.explode(paras).alias("pw"))
+        .select(
+            "doc_id",
+            F.col("pw.piece_idx").alias("piece_idx"),
+            F.col("pw.win").alias("win"),
+            F.col("pw.ptext").alias("ptext"),
+        )
+        .withColumn("para_hash", F.md5(F.lower(F.col("ptext"))))
+    )
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            # paragraph already kept in an earlier trigger — drop all
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                cand = (row.doc_id, row.piece_idx, row.win, row.ptext)
+                if best is None or cand[:3] < best[:3]:
+                    best = cand
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            [best], columns=["doc_id", "piece_idx", "win", "ptext"]
+        )
+
+    return exploded.groupBy("para_hash").applyInPandasWithState(
+        _update,
+        PARA_DEDUP_OUTPUT,
+        PARA_DEDUP_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -1051,3 +1051,49 @@ def test_stream_sliding_quantile_digest_window_band(spark, tmp_path):
         assert span_min == (
             jobs.SLIDING_RING_BUCKETS * jobs.SLIDING_BUCKET_MINUTES
         )
+
+
+def test_stream_paragraph_dedup_equals_batch(spark, tmp_path):
+    """stream_paragraph_dedup over id-ordered document chunks ≡ the
+    batch paragraph_dedup kept set, EXACTLY: the union of emitted rows
+    equals the batch plan's first-occurrence rows (doc_id, piece_idx,
+    win, ptext) — and the expression-level paragraph extraction agrees
+    with curation._paragraphs' relational build."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import curation
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "paradocs"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_paragraph_dedup(raw), "t_paradedup", "update"
+    )
+    got = {
+        (r.doc_id, r.piece_idx, r.win, r.ptext) for r in out.collect()
+    }
+    para = curation._paragraphs(docs)
+    w = Window.partitionBy("para_hash").orderBy(
+        "doc_id", "piece_idx", "win"
+    )
+    want = {
+        (r.doc_id, r.piece_idx, r.win, r.ptext)
+        for r in para.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "piece_idx", "win", "ptext")
+        .collect()
+    }
+    assert got == want and got
