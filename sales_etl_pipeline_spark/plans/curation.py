@@ -1362,6 +1362,74 @@ def bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LIBRARY_QUERIES["bottomk_sample"] = bottomk_sample
 
+#: weighted-sample size
+WEIGHTED_K = 64
+
+
+def weighted_sample(
+    spark: SparkSession, sf_dir: str, *, k: int = WEIGHTED_K, seed: str = "ws0"
+) -> DataFrame:
+    """SEQUENTIAL POISSON SAMPLE (Ohlsson 1998 — the πps method survey
+    statisticians use): priority = u/w with u a uniform draw and w the
+    row's weight; the k smallest priorities are the sample, giving
+    inclusion probability ≈ k·w/Σw (probability-proportional-to-size).
+    Here w = the document's token count — sample documents proportional
+    to the tokens they contribute, the corpus-sampling policy a
+    token-budgeted training mix actually wants (uniform doc sampling
+    over-represents short docs per token).
+
+    Deterministic + oracle-EXACT by construction: u comes from the
+    md5-rank family (``md5_long(seed # doc_id)``), so the draw is
+    reproducible across runs/engines/partitionings, and the priority is
+    ONE exact double division of two engine-identically-rounded values
+    — no transcendentals (the textbook Efraimidis–Spirakis key
+    ``-ln(u)/w`` is monotone-equivalent per row but ``ln`` differs in
+    the last ulp across engines, which would break bit-exact checking).
+    Weight-respecting and mergeable like bottom-k: the k smallest
+    priorities of a union are a subset of the per-part k smallest, so
+    per-batch (priority, doc) states fold exactly.
+
+    Returns (doc_id, n_tokens, priority, sample_rank), rank ordered."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    u = (
+        md5_long(
+            F.concat(F.lit(seed + "#"), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ).cast("double")
+    base = docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        (u / n_tokens.cast("double")).alias("priority"),
+    )
+    w = Window.orderBy("priority", "doc_id")
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .orderBy("sample_rank")
+    )
+
+
+LIBRARY_QUERIES["weighted_sample"] = weighted_sample
+
+LIBRARY_ORACLE["weighted_sample"] = f"""
+    SELECT doc_id, n_tokens, priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS INTEGER)
+               AS sample_rank
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST({oracle_md5_long("'ws0#' || CAST(doc_id AS VARCHAR)")}
+                    + 1 AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS priority
+        FROM documents
+    )
+    QUALIFY sample_rank <= {WEIGHTED_K}
+    ORDER BY sample_rank
+"""
+
 LIBRARY_ORACLE["bottomk_sample"] = f"""
     SELECT doc_id, h,
            CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS INTEGER)

@@ -529,3 +529,66 @@ def test_incremental_paragraph_dedup_fold_equals_recompute(spark):
     assert (
         state.agg(F.sum("n_seen")).first()[0] == total_paras
     )
+
+
+def test_weighted_sample_is_pps_and_mergeable(spark):
+    """Sequential Poisson sampling properties: (a) across independent
+    seeded draws, long documents are sampled measurably more often than
+    short ones (inclusion ∝ token weight); (b) the sample folds like
+    bottom-k — the k smallest priorities of a union are recoverable
+    from per-part top-k states, exactly."""
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    tok_of = {
+        r.doc_id: r.nt
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("nt")
+        ).collect()
+    }
+    median_tok = sorted(tok_of.values())[len(tok_of) // 2]
+    heavy_hits = light_hits = 0
+    for s in range(8):
+        rows = curation.weighted_sample(spark, SF, seed=f"t{s}").collect()
+        assert len(rows) == curation.WEIGHTED_K
+        assert [r.sample_rank for r in rows] == list(
+            range(1, curation.WEIGHTED_K + 1)
+        )
+        for r in rows:
+            if tok_of[r.doc_id] > median_tok:
+                heavy_hits += 1
+            else:
+                light_hits += 1
+    # heavier-than-median docs hold >half the tokens → should dominate
+    assert heavy_hits > light_hits * 1.3, (heavy_hits, light_hits)
+    # mergeability: per-half top-k states fold to the global sample
+    full = [
+        (r.doc_id, r.priority)
+        for r in curation.weighted_sample(spark, SF).collect()
+    ]
+    halves = []
+    for pred in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+        part = (
+            curation.load_table(spark, SF, "documents")
+            .filter(pred)
+            .select(
+                "doc_id",
+                (
+                    (
+                        curation.md5_long(
+                            F.concat(
+                                F.lit("ws0#"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        )
+                        + 1
+                    ).cast("double")
+                    / F.size(F.split("text", " ")).cast("double")
+                ).alias("priority"),
+            )
+            .orderBy("priority", "doc_id")
+            .limit(curation.WEIGHTED_K)
+            .collect()
+        )
+        halves.extend((r.doc_id, r.priority) for r in part)
+    folded = sorted(halves, key=lambda t: (t[1], t[0]))[: curation.WEIGHTED_K]
+    assert folded == full
