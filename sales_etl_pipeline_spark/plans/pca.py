@@ -34,6 +34,7 @@ tier per the driver-harness compat rule in plans/__init__.py).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -405,7 +406,162 @@ def _int8_stats_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Frequent Directions matrix sketch (Liberty 2013; Ghashami et al. 2016
+# — public): the BOUNDED-MEMORY, MERGEABLE covariance sketch next to the
+# exact moment fold above. The exact fold ships (1+d+d²) doubles per
+# partition — fine at d=64, quadratic in d; FD ships ≤ 2ℓ×d per
+# partition with the one-sided spectral guarantee
+# 0 ⪯ AᵀA − BᵀB ⪯ (‖A‖_F²/ℓ)·I, and sketches MERGE (concat + shrink)
+# with the same bound — the matrix member of the mergeable-summary
+# family (counts/HLL/MG/bottom-k/digest/CM ✓, now covariance ✓).
+
+FD_L = 16  # sketch rows kept; buffer 2ℓ, shrink on overflow
+
+
+def _fd_shrink(B: "np.ndarray", l: int) -> "np.ndarray":
+    """One FD shrink: SVD, subtract the ℓ-th singular value's square
+    from every spectrum entry (floor 0), keep the non-zero rows (≤ ℓ−1)
+    of sqrt(Σ²−σ_ℓ²)·Vᵀ. Deterministic for a fixed row order."""
+    U, s, Vt = np.linalg.svd(B, full_matrices=False)
+    if len(s) < l:
+        return B.copy()
+    s2 = np.maximum(s * s - s[l - 1] * s[l - 1], 0.0)
+    keep = s2 > 0
+    return (np.sqrt(s2[keep])[:, None] * Vt[keep])
+
+
+def _fd_fold(rows_iter, l: int, d: int) -> "np.ndarray":
+    """Fold vectors (or sketch rows) into an FD sketch: buffer to 2ℓ,
+    shrink on overflow, final state ≤ 2ℓ rows."""
+    B = np.zeros((0, d))
+    for chunk in rows_iter:
+        if not len(chunk):
+            continue
+        B = np.vstack([B, chunk])
+        while B.shape[0] >= 2 * l:
+            B = _fd_shrink(B, l)
+    return B
+
+
+def embedding_fd_sketch(
+    spark: SparkSession, sf_dir: str, *, l: int = FD_L
+) -> DataFrame:
+    """The Frequent Directions sketch of the embedding matrix as a flat
+    relation (i, dim, val) — ≤ 2ℓ×d rows at ANY corpus size. Two-phase
+    like the quantile digest: per-partition FD fold via ``mapInPandas``
+    (numpy SVD per shrink, never more than 2ℓ rows of state), then ONE
+    bounded global merge (≤ partitions×2ℓ rows) via ``applyInPandas``,
+    concatenating partials in deterministic (pid, i) order and
+    re-shrinking. Rows-only (SVD has no SQL twin); the Liberty spectral
+    bound — for the distributed AND the merged sketch — plus
+    mergeability are pinned in tests/test_pca.py.
+
+    100-TB shape: state per executor is 2ℓ×d doubles (16 KB here),
+    shuffle is partitions×2ℓ skinny rows, and the guarantee degrades
+    with ‖A‖_F²/ℓ — the knob is ℓ, not data size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.spark_partition_id().alias("pid"),
+    )
+    probe = emb.select(F.size("v").alias("d")).first()
+    if probe is None:
+        raise ValueError("no embeddings")
+    d = probe.d
+
+    def _partial(batches):
+        B = np.zeros((0, d))
+        pid = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            B = _fd_fold([B, np.vstack(pdf["v"].to_numpy())], l, d)
+        if B.shape[0]:
+            i, dim = np.divmod(np.arange(B.size), d)
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "i": i.astype("int32"),
+                    "dim": dim.astype("int32"),
+                    "val": B.ravel(),
+                }
+            )
+
+    partials = emb.mapInPandas(
+        _partial, "pid int, i int, dim int, val double"
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["pid", "i", "dim"])
+        mats = []
+        for (pid, _), g in pdf.groupby(["pid", "i"], sort=True):
+            mats.append(g["val"].to_numpy())
+        B = _fd_fold([np.vstack(mats)] if mats else [], l, d)
+        i, dim = np.divmod(np.arange(B.size), d)
+        return pd.DataFrame(
+            {
+                "i": i.astype("int32"),
+                "dim": dim.astype("int32"),
+                "val": B.ravel(),
+            }
+        )
+
+    return (
+        partials.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: _merge(pdf.drop(columns=["_g"])),
+            "i int, dim int, val double",
+        )
+    )
+
+
+def merge_fd_sketches(
+    *sketches: DataFrame, l: int = FD_L
+) -> DataFrame:
+    """Fold FD sketch relations (the incremental-maintenance entry
+    point): union the (i, dim, val) rows — tagged by input position so
+    the fold order is deterministic — and re-shrink once. Same
+    ‖A‖_F²/ℓ guarantee on the merged result (Ghashami et al.'s
+    mergeability theorem)."""
+    tagged = []
+    for j, s in enumerate(sketches):
+        tagged.append(s.withColumn("pid", F.lit(j)))
+    unioned = tagged[0]
+    for s in tagged[1:]:
+        unioned = unioned.unionByName(s)
+    probe = unioned.agg(F.max("dim").alias("m")).first()
+    d = int(probe.m) + 1 if probe.m is not None else 0
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["pid", "i", "dim"])
+        mats = [
+            g["val"].to_numpy()
+            for _, g in pdf.groupby(["pid", "i"], sort=True)
+        ]
+        B = _fd_fold([np.vstack(mats)] if mats else [], l, d)
+        i, dim = np.divmod(np.arange(B.size), d)
+        return pd.DataFrame(
+            {
+                "i": i.astype("int32"),
+                "dim": dim.astype("int32"),
+                "val": B.ravel(),
+            }
+        )
+
+    return (
+        unioned.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: _merge(pdf.drop(columns=["_g"])),
+            "i int, dim int, val double",
+        )
+    )
+
+
 LIBRARY_QUERIES = {
+    "embedding_fd_sketch": embedding_fd_sketch,
     "embedding_pca_spectrum": embedding_pca_spectrum,
     "embedding_pca_projected": embedding_pca_projected,
     "embedding_pca_scores": embedding_pca_scores,

@@ -239,3 +239,84 @@ def test_pca_needs_two_embeddings(spark, tmp_path):
 
     with _pytest.raises(ValueError, match=">= 2 embeddings"):
         P._fit_pca(spark, str(tmp_path))
+
+
+def _fd_matrices(spark, sf_dir):
+    import numpy as np
+
+    from sales_etl_pipeline_spark.plans import pca as P
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    A = np.array(
+        [
+            list(r.embedding)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype="float64",
+    )
+    rows = P.embedding_fd_sketch(spark, sf_dir).collect()
+    d = A.shape[1]
+    n_rows = max(r.i for r in rows) + 1
+    B = np.zeros((n_rows, d))
+    for r in rows:
+        B[r.i, r.dim] = r.val
+    return A, B
+
+
+def test_fd_sketch_spectral_bound(spark):
+    """Liberty's guarantee on the DISTRIBUTED sketch: AᵀA − BᵀB is PSD
+    (one-sided shrinkage — the sketch never overstates covariance) with
+    spectral norm ≤ ‖A‖_F²/ℓ; and the sketch is non-trivial (its error
+    beats the empty sketch, i.e. it captured the top directions)."""
+    import numpy as np
+
+    from sales_etl_pipeline_spark.plans import pca as P
+
+    A, B = _fd_matrices(spark, "/root/testdata/sf0.001")
+    G = A.T @ A - B.T @ B
+    eig = np.linalg.eigvalsh(G)
+    fro2 = float((A * A).sum())
+    scale = max(1.0, fro2)
+    assert eig[0] >= -1e-8 * scale, eig[0]  # PSD up to float noise
+    assert eig[-1] <= fro2 / P.FD_L + 1e-8 * scale, (eig[-1], fro2 / P.FD_L)
+    # captured signal: error strictly below the no-sketch spectral mass
+    top = np.linalg.eigvalsh(A.T @ A)[-1]
+    assert eig[-1] < top
+
+
+def test_fd_sketch_bounded_and_mergeable(spark, tmp_path):
+    """Size bound (≤ 2ℓ sketch rows regardless of corpus size) and
+    MERGEABILITY: fd(batch1) ⊕ fd(batch2) satisfies the same bound vs
+    the full matrix — the fold contract a matrix sketch supports (a
+    band, like the digest; counts-linear sketches get bit-exactness)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import pca as P
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    SF = "/root/testdata/sf0.001"
+    rows = P.embedding_fd_sketch(spark, SF).collect()
+    assert max(r.i for r in rows) + 1 <= 2 * P.FD_L
+    src = load_table(spark, SF, "embeddings")
+    for name, pred in (("a", "vec_id % 2 = 0"), ("b", "vec_id % 2 = 1")):
+        src.filter(pred).write.mode("overwrite").parquet(
+            str(tmp_path / name / "embeddings.parquet")
+        )
+    sa = P.embedding_fd_sketch(spark, str(tmp_path / "a"))
+    sb = P.embedding_fd_sketch(spark, str(tmp_path / "b"))
+    merged = P.merge_fd_sketches(sa, sb).collect()
+    A, _ = _fd_matrices(spark, SF)
+    d = A.shape[1]
+    M = np.zeros((max(r.i for r in merged) + 1, d))
+    for r in merged:
+        M[r.i, r.dim] = r.val
+    G = A.T @ A - M.T @ M
+    eig = np.linalg.eigvalsh(G)
+    fro2 = float((A * A).sum())
+    scale = max(1.0, fro2)
+    assert eig[0] >= -1e-8 * scale
+    assert eig[-1] <= fro2 / P.FD_L + 1e-8 * scale
