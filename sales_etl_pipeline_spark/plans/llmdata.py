@@ -1712,11 +1712,14 @@ def ivf_cluster_stats(
 # incremental_minhash_near_dup — fold new vectors into a TRAINED index
 
 
-def _assign_cos_udf(cent_ids, cmat, cn):
+def _assign_cos_udf(cent_ids, cmat, cn, foldexact: bool = False):
     """Top-1 assignment WITH its cosine — the quality signal the drift
     statistic reads (an append batch the trained centroids no longer fit
     assigns with visibly lower cosines). Same Arrow-batched zero-shuffle
-    BLAS kernel and stable tie-break as ``_assign_clusters_udf``."""
+    kernel and stable tie-break as ``_assign_clusters_udf``, with the
+    same ``foldexact`` switch: the cumsum kernel is bit-identical to the
+    oracle's left-fold cosine (required on the oracle-replayed
+    ivf_drift_stats path); BLAS otherwise."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("struct<cluster: bigint, cos: double>")
@@ -1724,7 +1727,15 @@ def _assign_cos_udf(cent_ids, cmat, cn):
         if len(v) == 0:
             return pd.DataFrame({"cluster": [], "cos": []})
         mat = np.vstack(v.to_numpy())
-        cos = (mat @ cmat.T) / np.outer(nrm.to_numpy(), cn)
+        if foldexact:
+            k = cmat.shape[0]
+            cos = np.empty((mat.shape[0], k))
+            for j in range(k):
+                cos[:, j] = _foldexact_row_dots(mat, cmat[j]) / (
+                    nrm.to_numpy() * cn[j]
+                )
+        else:
+            cos = (mat @ cmat.T) / np.outer(nrm.to_numpy(), cn)
         best = np.argsort(-cos, axis=1, kind="stable")[:, 0]
         return pd.DataFrame(
             {
@@ -1824,7 +1835,9 @@ def ann_topk_over_postings(
     )
 
 
-def ivf_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_drift_stats(
+    spark: SparkSession, sf_dir: str, *, foldexact: bool = True
+) -> DataFrame:
     """Registry plan: the RETRAIN TRIGGER for an incrementally-maintained
     IVF — per-cluster drift between the index's training data and an
     append stream, over a deterministic 80/20 vec_id split of the
@@ -1838,17 +1851,33 @@ def ivf_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower cosine before it ever hurts recall). Retrain when the TV
     distance or the cosine drop crosses the pipeline's threshold;
     responsiveness (shifted appends score strictly worse than iid
-    appends) is pinned in tests/test_operators.py. Rows-only: cluster
-    ids are index-internal, like ivf_cluster_stats."""
+    appends) is pinned in tests/test_operators.py.
+
+    ORACLE-EXACT (upgraded from rows-only, r12): the whole statistic is
+    deterministic given the fold-exact kernels — the DuckDB oracle
+    replays the k-means training on the same base split (the
+    ``_kmeans_cents_sql`` chain semantic_dedup_bucketed pins), the
+    top-1 assignment with the same left-fold cosine and ordinal
+    tie-break, and xsum fixed-point cosine means — so even the index's
+    internal cluster ids value-hash-match across engines.
+
+    ``foldexact`` (default True — the oracle-replayed registry mode)
+    selects the bit-exact cumsum kernels; pass False at production
+    scale, where k reaches thousands and the per-centroid exact loop is
+    an order of magnitude slower than BLAS — a retrain trigger needs
+    the drift signal, not bit-reproducibility (same dual-mode policy as
+    _assign_clusters_udf; measured BLAS scale row in BASELINE.md)."""
     emb = _pin(_embeddings_normed(spark, sf_dir))
     hi = emb.agg(F.max("vec_id")).first()[0]
     cut = int(hi * 4) // 5
     base = emb.filter(F.col("vec_id") <= cut)
     delta = emb.filter(F.col("vec_id") > cut)
     cent_ids, cmat, cn = _train_centroids(
-        base, cache_key=f"{sf_dir}#drift{cut}", foldexact=False
+        base,
+        cache_key=f"{sf_dir}#drift{cut}",
+        foldexact=foldexact,
     )
-    a = _assign_cos_udf(cent_ids, cmat, cn)
+    a = _assign_cos_udf(cent_ids, cmat, cn, foldexact=foldexact)
     tagged = base.withColumn("tag", F.lit("base")).unionByName(
         delta.withColumn("tag", F.lit("delta"))
     )
@@ -1856,11 +1885,19 @@ def ivf_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tag", a(F.col("v"), F.col("nrm")).alias("ac")
     ).select("tag", F.col("ac.cluster").alias("cluster"), F.col("ac.cos").alias("cos"))
     is_b = F.col("tag") == "base"
+    base_n = F.count(F.when(is_b, 1))
+    delta_n = F.count(F.when(~is_b, 1))
     agg = per.groupBy("cluster").agg(
-        F.count(F.when(is_b, 1)).alias("base_size"),
-        F.count(F.when(~is_b, 1)).alias("delta_size"),
-        F.avg(F.when(is_b, F.col("cos"))).alias("base_mean_cos"),
-        F.avg(F.when(~is_b, F.col("cos"))).alias("delta_mean_cos"),
+        base_n.alias("base_size"),
+        delta_n.alias("delta_size"),
+        # xsum (order-independent fixed point), NOT avg: a float mean's
+        # summation order would diverge from the oracle's scan order
+        F.when(
+            base_n > 0, xsum(F.when(is_b, F.col("cos"))) / base_n
+        ).alias("base_mean_cos"),
+        F.when(
+            delta_n > 0, xsum(F.when(~is_b, F.col("cos"))) / delta_n
+        ).alias("delta_mean_cos"),
     )
     w_all = Window.partitionBy()
     shares = agg.select(
@@ -2669,6 +2706,71 @@ ORACLE: dict[str, str] = {
     """,
     # Mirrors the IVF bucketing algorithm itself (centroid rule, cosine
     # fold association, rn tie-break) — exact check, not a recall bound.
+    # k-means replay (the semantic_dedup chain) + left-fold top-1
+    # assignment + xsum fixed-point cosine means — the drift trigger is
+    # deterministic end to end, so even cluster ids value-hash-match
+    "ivf_drift_stats": f"""
+        WITH eall AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cut AS (SELECT (MAX(vec_id) * 4) // 5 AS c FROM eall),
+        e AS (
+            SELECT vec_id, v FROM eall
+            WHERE vec_id <= (SELECT c FROM cut)
+        ),
+        {_kmeans_cents_sql()},
+        cents AS (SELECT ord AS cent_id, cv FROM c{KMEANS_ITERS}),
+        tagged AS (
+            SELECT vec_id, v,
+                   CASE WHEN vec_id <= (SELECT c FROM cut)
+                        THEN 'base' ELSE 'delta' END AS tag
+            FROM eall
+        ),
+        assign AS (
+            SELECT tag, cent_id AS cluster, cent_cos AS cos FROM (
+                SELECT t.tag, c.cent_id,
+                       {_COS_SQL.format(a='t.v', b='c.cv')} AS cent_cos,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id
+                           ORDER BY {_COS_SQL.format(a='t.v', b='c.cv')} DESC,
+                                    c.cent_id
+                       ) AS rn
+                FROM tagged t CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        base_agg AS (
+            SELECT cluster, COUNT(*) AS base_size,
+                   {oracle_xsum('cos')} AS base_cos_sum
+            FROM assign WHERE tag = 'base' GROUP BY cluster
+        ),
+        delta_agg AS (
+            SELECT cluster, COUNT(*) AS delta_size,
+                   {oracle_xsum('cos')} AS delta_cos_sum
+            FROM assign WHERE tag = 'delta' GROUP BY cluster
+        ),
+        agg AS (
+            SELECT COALESCE(b.cluster, d.cluster) AS cluster,
+                   COALESCE(base_size, 0) AS base_size,
+                   COALESCE(delta_size, 0) AS delta_size,
+                   CASE WHEN COALESCE(base_size, 0) > 0
+                        THEN base_cos_sum / base_size
+                   END AS base_mean_cos,
+                   CASE WHEN COALESCE(delta_size, 0) > 0
+                        THEN delta_cos_sum / delta_size
+                   END AS delta_mean_cos
+            FROM base_agg b FULL OUTER JOIN delta_agg d
+              ON b.cluster = d.cluster
+        )
+        SELECT cluster, base_size, delta_size,
+               base_size / (SUM(base_size) OVER ()) AS base_share,
+               delta_size / (SUM(delta_size) OVER ()) AS delta_share,
+               ABS(base_size / (SUM(base_size) OVER ())
+                   - delta_size / (SUM(delta_size) OVER ()))
+                   AS share_drift,
+               base_mean_cos, delta_mean_cos
+        FROM agg
+        ORDER BY share_drift DESC, cluster
+    """,
     "semantic_dedup_bucketed": f"""
         WITH e0 AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -3255,8 +3357,9 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "knn_cosine_topk": knn_cosine_topk,
     "semantic_dedup_bucketed": semantic_dedup_bucketed,
-    # r12: incremental-IVF retrain trigger (rows-only: index-internal
-    # cluster ids; fold≡rebuild + recall-after-appends gates in pytest)
+    # r12: incremental-IVF retrain trigger — ORACLE-EXACT (k-means
+    # replay + fold-exact assignment + xsum means); fold≡rebuild and
+    # recall-after-appends gates in pytest
     "ivf_drift_stats": ivf_drift_stats,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: approximate by construction
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: approximate by construction
