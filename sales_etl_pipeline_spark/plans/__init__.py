@@ -127,6 +127,16 @@ _MODULES = (
 # result schema (gate: tests/test_oracle_parity.py::_assert_flat_schema),
 # so this rotation needs no serialized twins.
 #
+# Round-13 cohort (PLANNED; stated here so the schedule stays
+# auditable): promote the r12 library additions that have never had a
+# driver row — countmin_sketch, countmin_estimates (both oracle),
+# weighted_sample (oracle), incremental_paragraph_fold (oracle),
+# embedding_fd_sketch, unigram_byte_vocab (rows-only), bpe_byte_merges
+# (oracle) — 7 slots; back-fill the remainder with long-out oracle
+# plans on their return leg (doc_fingerprint, lang_id, text_quality,
+# token_stats, tfidf_top_terms, the event windowing family). r13
+# pre-flight (checked r12): every named plan has a flat schema.
+#
 # HARNESS COMPAT RULE (learned from the r10 ERR): the driver's
 # canonicalizer cannot hash array/map cells, so plans whose result schema
 # has complex top-level columns must NOT enter the driver registry —

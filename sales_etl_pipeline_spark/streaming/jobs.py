@@ -1397,6 +1397,28 @@ def run_crawl_ingest_stream(
     query.awaitTermination()
 
 
+def stream_countmin_sketch(docs: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch of token frequencies — the stream twin
+    of ``plans/llmdata.countmin_sketch``. Counts are LINEAR, so no
+    custom stateful operator is needed at all: the d-way cell fanout is
+    a stateless projection and the sketch is an ordinary streaming
+    aggregation at (r, cell) grain (state ≤ d×w rows forever — the
+    bounded-state property is the sketch itself). Emitted in update
+    mode; the current sketch at any time is exactly the batch sketch of
+    everything ingested so far (stream ≡ batch EXACT, pinned in
+    tests/test_streaming.py — same md5 cell family, bit-identical)."""
+    from ..plans.llmdata import CM_D, CM_W, _cm_cells
+    from ..functions.core import tokens
+
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        tok.select(F.explode(_cm_cells(F.col("tok"), CM_W, CM_D)).alias("rc"))
+        .select(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 PARA_DEDUP_OUTPUT = (
     "doc_id long, piece_idx int, win int, ptext string"
 )

@@ -1097,3 +1097,35 @@ def test_stream_paragraph_dedup_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_countmin_equals_batch(spark, tmp_path):
+    """stream_countmin_sketch over a chunked document stream ≡ the
+    batch countmin_sketch EXACTLY (linear counts; update-mode streaming
+    aggregation): the final (r, cell) counts match bit-for-bit."""
+    from sales_etl_pipeline_spark.plans import llmdata
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "cmdocs"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_countmin_sketch(raw), "t_cmsketch", "complete"
+    )
+    got = {(r.r, r.cell): r.cnt for r in out.collect()}
+    want = {
+        (r.r, r.cell): r.cnt
+        for r in llmdata.countmin_sketch(spark, SF).collect()
+    }
+    assert got == want and got
