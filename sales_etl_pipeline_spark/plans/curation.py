@@ -660,6 +660,52 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sliding-window chunking: window stride (< CHUNK_TOKENS ⇒ overlap)
+CHUNK_STRIDE = 30
+
+
+def doc_chunks_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    size: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """SLIDING-window token chunking with overlap — the retrieval/RAG
+    and long-context-packing variant of ``doc_chunks`` (windows start
+    every ``stride`` tokens, so consecutive chunks share
+    ``size − stride`` tokens and no boundary-straddling span is ever
+    split away from both its contexts). Same zero-shuffle, zero-Python
+    narrow generate projection; window starts are
+    0, stride, 2·stride, … up to the last start that adds content
+    (start < n_tokens, and the final partial window is kept like
+    doc_chunks' tail). Returns (doc_id, chunk_idx, start_token,
+    chunk_text, n_tokens)."""
+    s, c = stride, size
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(_toks) - 1) div {s}),"
+                    f" i -> named_struct("
+                    f"'st', i * {s},"
+                    f" 'ch', slice(_toks, i * {s} + 1, {c})))"
+                )
+            ).alias("chunk_idx", "_w"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("_w.st").cast("int").alias("start_token"),
+            F.array_join("_w.ch", " ").alias("chunk_text"),
+            F.size("_w.ch").cast("int").alias("n_tokens"),
+        )
+    )
+
+
 def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunking via a Python UDTF (PySpark 4 user-defined
     TABLE function — the escape hatch for one-row-to-many-rows logic that
@@ -997,6 +1043,7 @@ LIBRARY_QUERIES = {
     "dedup_spans": dedup_spans,
     "paragraph_dedup": paragraph_dedup,
     "incremental_paragraph_fold": incremental_paragraph_fold,
+    "doc_chunks_overlap": doc_chunks_overlap,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "doc_chunks_udtf": doc_chunks_udtf,
@@ -1283,6 +1330,24 @@ LIBRARY_ORACLE["paragraph_dedup"] = f"""
 LIBRARY_ORACLE["incremental_paragraph_fold"] = LIBRARY_ORACLE["paragraph_dedup"]
 
 LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
+
+LIBRARY_ORACLE["doc_chunks_overlap"] = f"""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} AS INTEGER) AS start_token,
+           array_to_string(
+               tks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+               ' ') AS chunk_text,
+           CAST(len(tks[i * {CHUNK_STRIDE} + 1
+                        : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INTEGER)
+               AS n_tokens
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS tks,
+               unnest(range(0, (len(string_split(text, ' ')) - 1)
+                               // {CHUNK_STRIDE} + 1)) AS i
+        FROM documents
+    )
+"""
 
 #: The Bloom prefilter must not change the result: held to the exact
 #: contamination oracle (false positives die in the confirming join).

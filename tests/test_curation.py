@@ -592,3 +592,34 @@ def test_weighted_sample_is_pps_and_mergeable(spark):
         halves.extend((r.doc_id, r.priority) for r in part)
     folded = sorted(halves, key=lambda t: (t[1], t[0]))[: curation.WEIGHTED_K]
     assert folded == full
+
+
+def test_doc_chunks_overlap_coverage_and_overlap(spark):
+    """Sliding-window invariants: every token position is covered by at
+    least one window; consecutive windows overlap by exactly
+    size − stride tokens (except the tail); reassembling each window
+    from the flat token list reproduces chunk_text."""
+    rows = curation.doc_chunks_overlap(spark, SF).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    s, c = curation.CHUNK_STRIDE, curation.CHUNK_TOKENS
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        covered = set()
+        for r in chunks:
+            assert r.start_token == r.chunk_idx * s
+            want = toks[r.start_token : r.start_token + c]
+            assert r.chunk_text == " ".join(want)
+            assert r.n_tokens == len(want)
+            covered.update(range(r.start_token, r.start_token + r.n_tokens))
+        assert covered == set(range(len(toks)))
+        for a, b in zip(chunks, chunks[1:]):
+            if a.n_tokens == c:  # full window: fixed overlap with next
+                assert a.start_token + c - b.start_token == c - s
