@@ -1869,6 +1869,8 @@ def ivf_drift_stats(
     _assign_clusters_udf; measured BLAS scale row in BASELINE.md)."""
     emb = _pin(_embeddings_normed(spark, sf_dir))
     hi = emb.agg(F.max("vec_id")).first()[0]
+    if hi is None:
+        raise ValueError("no embeddings")  # clear, like the PCA guard
     cut = int(hi * 4) // 5
     base = emb.filter(F.col("vec_id") <= cut)
     delta = emb.filter(F.col("vec_id") > cut)

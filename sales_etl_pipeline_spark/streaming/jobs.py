@@ -1403,10 +1403,12 @@ def stream_countmin_sketch(docs: DataFrame) -> DataFrame:
     custom stateful operator is needed at all: the d-way cell fanout is
     a stateless projection and the sketch is an ordinary streaming
     aggregation at (r, cell) grain (state ≤ d×w rows forever — the
-    bounded-state property is the sketch itself). Emitted in update
-    mode; the current sketch at any time is exactly the batch sketch of
-    everything ingested so far (stream ≡ batch EXACT, pinned in
-    tests/test_streaming.py — same md5 cell family, bit-identical)."""
+    bounded-state property is the sketch itself). Run it in complete
+    mode (re-emitting all ≤ d×w rows per trigger is cheap) or update
+    mode (changed cells only); either way the aggregation state at any
+    time is exactly the batch sketch of everything ingested so far
+    (stream ≡ batch EXACT, pinned in tests/test_streaming.py — same
+    md5 cell family, bit-identical)."""
     from ..plans.llmdata import CM_D, CM_W, _cm_cells
     from ..functions.core import tokens
 
