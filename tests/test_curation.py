@@ -623,3 +623,51 @@ def test_doc_chunks_overlap_coverage_and_overlap(spark):
         for a, b in zip(chunks, chunks[1:]):
             if a.n_tokens == c:  # full window: fixed overlap with next
                 assert a.start_token + c - b.start_token == c - s
+
+
+def test_r12_plans_edge_corpus_parity(spark, tmp_path):
+    """Adversarial-edge cross-engine parity for the r12 oracle plans:
+    doubled/tripled spaces (empty tokens), empty text, trailing-space
+    tail tokens, and byte-exact duplicate docs — the token-split edge
+    cases where Spark and DuckDB conventions could silently diverge.
+    Every plan must stay value-hash EXACT on this corpus too."""
+    import duckdb
+
+    from sales_etl_pipeline_spark.plans import llmdata
+    from tests.oracle_harness import compare
+
+    docs = [
+        (0, "a  b   c"),
+        (1, ""),
+        (2, "x " * 30),
+        (3, "a  b   c"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    plans = {
+        "paragraph_dedup": (curation.paragraph_dedup, curation.LIBRARY_ORACLE),
+        "incremental_paragraph_fold": (
+            curation.incremental_paragraph_fold,
+            curation.LIBRARY_ORACLE,
+        ),
+        "weighted_sample": (curation.weighted_sample, curation.LIBRARY_ORACLE),
+        "doc_chunks_overlap": (
+            curation.doc_chunks_overlap,
+            curation.LIBRARY_ORACLE,
+        ),
+        "countmin_sketch": (llmdata.countmin_sketch, llmdata.LIBRARY_ORACLE),
+        "countmin_estimates": (
+            llmdata.countmin_estimates,
+            llmdata.LIBRARY_ORACLE,
+        ),
+    }
+    for name, (fn, oracles) in plans.items():
+        probs = compare(fn(spark, d), con, oracles[name], name)
+        assert not probs, (name, probs)
