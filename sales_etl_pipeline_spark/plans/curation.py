@@ -1025,6 +1025,104 @@ def incremental_paragraph_fold(
     return c1.unionByName(c2)
 
 
+#: RefinedWeb's duplicated-span threshold: spans of at least this many
+#: tokens appearing in ≥ LONG_SPAN_MIN_DOCS distinct documents are cut
+LONG_SPAN_TOKENS = 50
+LONG_SPAN_MIN_DOCS = 2
+
+
+def dedup_long_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n: int = LONG_SPAN_TOKENS,
+    min_docs: int = LONG_SPAN_MIN_DOCS,
+) -> DataFrame:
+    """EXACT duplicated-LONG-span removal — the RefinedWeb/MassiveText
+    criterion proper (Penedo et al. 2023: cut any span of ≥ 50 tokens
+    that appears verbatim in another document), complementing
+    ``dedup_spans`` (3-gram, df ≥ 4 — a boilerplate heuristic; this one
+    is the exact-substring-dedup pass, since a duplicated substring of
+    length ≥ n is exactly a run of duplicated n-grams).
+
+    Shape: per-position n-gram hashes via ONE forward window
+    (collect_list over ROWS [0, n−1] — the concat+md5 is map-side
+    codegen'd work, ~n× byte-touches per position, embarrassingly
+    parallel and never shuffled; the exchanges carry only (doc, pos,
+    16-byte hash) rows), then df-filtered duplicate hashes, coverage
+    expansion (each hit covers its n positions), anti-join, positional
+    reassembly — the dedup_spans pipeline at long-span grain. At 100 TB
+    the map-side n× constant is the honest cost of exact-substring
+    dedup without a distributed suffix array; the hash relation itself
+    stays position-grain. All copies of a duplicated span are removed
+    (RefinedWeb semantics — membership decisions stay with
+    quality_filter downstream).
+
+    Returns (doc_id, clean_text, n_tokens, n_removed), one row per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, n - 1)
+    )
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", F.collect_list("tok").over(w))
+            ).alias("g"),
+            F.count(F.lit(1)).over(w).alias("_wn"),
+        )
+        .filter(F.col("_wn") == n)
+        .drop("_wn")
+    )
+    grams = _pin(grams)  # feeds the df aggregate AND the coverage join
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter(F.col("d") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_tokens = F.size(tokens(F.col("text")))
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 QUERIES = {
     "quality_filter": quality_filter,
     "contamination_check": contamination_check,
@@ -1044,6 +1142,7 @@ LIBRARY_QUERIES = {
     "paragraph_dedup": paragraph_dedup,
     "incremental_paragraph_fold": incremental_paragraph_fold,
     "doc_chunks_overlap": doc_chunks_overlap,
+    "dedup_long_spans": dedup_long_spans,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "doc_chunks_udtf": doc_chunks_udtf,
@@ -1328,6 +1427,54 @@ LIBRARY_ORACLE["paragraph_dedup"] = f"""
 
 #: fold ≡ recompute: the 2-batch fold's oracle IS the batch-free plan's
 LIBRARY_ORACLE["incremental_paragraph_fold"] = LIBRARY_ORACLE["paragraph_dedup"]
+
+#: batch-free recompute of dedup_long_spans — per-position n-gram md5
+#: over the token list, df filter, coverage expansion, reassembly
+LIBRARY_ORACLE["dedup_long_spans"] = f"""
+    WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    toks AS (
+        SELECT doc_id, u.i AS pos, u.t AS tok FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(0, len(s)), i -> {{'i': i, 't': s[i + 1]}})) AS u
+            FROM sp
+        )
+    ),
+    grams AS (
+        SELECT doc_id, u.i AS pos, u.g FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(0, len(s) - {LONG_SPAN_TOKENS - 1}),
+                i -> {{'i': i, 'g': md5(array_to_string(
+                    s[i + 1 : i + {LONG_SPAN_TOKENS}], ' '))}})) AS u
+            FROM sp
+        )
+    ),
+    dup AS (
+        SELECT g FROM grams
+        GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {LONG_SPAN_MIN_DOCS}
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + d AS pos
+        FROM grams JOIN dup USING (g)
+        CROSS JOIN (SELECT unnest(range(0, {LONG_SPAN_TOKENS})) AS d)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t ANTI JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0)
+               AS INTEGER) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
 

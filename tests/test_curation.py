@@ -671,3 +671,48 @@ def test_r12_plans_edge_corpus_parity(spark, tmp_path):
     for name, (fn, oracles) in plans.items():
         probs = compare(fn(spark, d), con, oracles[name], name)
         assert not probs, (name, probs)
+
+
+def test_dedup_long_spans_semantics(spark, tmp_path):
+    """Hand-checked RefinedWeb criterion on a constructed corpus: a
+    60-token block shared verbatim by two docs is cut from BOTH; the
+    unique tails survive; a doc with no ≥50-token duplicate span is
+    untouched; a sub-threshold (30-token) shared block is NOT cut."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    block = " ".join(f"b{i}" for i in range(60))       # 60-token dup block
+    small = " ".join(f"s{i}" for i in range(30))       # sub-threshold
+    docs = [
+        (0, block + " " + " ".join(f"t0x{i}" for i in range(10))),
+        (1, " ".join(f"t1x{i}" for i in range(10)) + " " + block),
+        (2, " ".join(f"u{i}" for i in range(80))),
+        (3, small + " " + " ".join(f"t3x{i}" for i in range(40))),
+        (4, small + " " + " ".join(f"t4x{i}" for i in range(40))),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in curation.dedup_long_spans(spark, d).collect()}
+    assert got[0].clean_text == " ".join(f"t0x{i}" for i in range(10))
+    assert got[0].n_removed == 60
+    assert got[1].clean_text == " ".join(f"t1x{i}" for i in range(10))
+    assert got[1].n_removed == 60
+    assert got[2].n_removed == 0 and got[2].clean_text == docs[2][1]
+    # 30-token shared block is below the 50-token threshold: untouched
+    assert got[3].n_removed == 0 and got[3].clean_text == docs[3][1]
+    assert got[4].n_removed == 0
+    # and the oracle agrees on this corpus too
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert not compare(
+        curation.dedup_long_spans(spark, d),
+        con,
+        curation.LIBRARY_ORACLE["dedup_long_spans"],
+        "dedup_long_spans",
+    )
