@@ -131,8 +131,9 @@ _MODULES = (
 # auditable): promote the r12 library additions that have never had a
 # driver row — countmin_sketch, countmin_estimates (both oracle),
 # weighted_sample (oracle), incremental_paragraph_fold (oracle),
+# dedup_long_spans (oracle), doc_chunks_overlap (oracle),
 # embedding_fd_sketch, unigram_byte_vocab (rows-only), bpe_byte_merges
-# (oracle) — 7 slots; back-fill the remainder with long-out oracle
+# (oracle) — 9 slots; back-fill the remainder with long-out oracle
 # plans on their return leg (doc_fingerprint, lang_id, text_quality,
 # token_stats, tfidf_top_terms, the event windowing family). r13
 # pre-flight (checked r12): every named plan has a flat schema.
