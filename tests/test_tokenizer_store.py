@@ -105,3 +105,36 @@ def test_unigram_round_trip_bit_exact_and_viterbi(spark, tmp_path):
         assert unigram.viterbi_segment(w, logp) == unigram.viterbi_segment(
             w, want
         )
+
+
+def test_byte_level_models_round_trip(spark, tmp_path):
+    """The registry is alphabet-agnostic: byte-level BPE merge rules
+    (hex-pair symbols) and byte-level unigram vocabularies round-trip
+    bit-exactly, and the loaded byte model segments identically to the
+    trained one (open-vocab apply on unseen text)."""
+    import math
+
+    from sales_etl_pipeline_spark.operators import tokenizer_store as ts
+    from sales_etl_pipeline_spark.plans import bpe, unigram
+
+    merges, _ = bpe.train_bpe_bytes(spark, SF, n_merges=12)
+    root = str(tmp_path / "byte_bpe")
+    ts.save_bpe_model(spark, root, merges)
+    loaded = ts.load_bpe_model(spark, root)
+    assert loaded == merges
+    df = spark.createDataFrame(
+        [(0, "Unseen TEXT 42 — π!")], "doc_id long, text string"
+    )
+    a = bpe.bpe_apply_bytes(df, "text", merges).first().byte_tokens
+    b = bpe.bpe_apply_bytes(df, "text", loaded).first().byte_tokens
+    assert list(a) == list(b)
+
+    probs, _ = unigram.train_unigram_bytes(spark, SF)
+    uroot = str(tmp_path / "byte_uni")
+    ts.save_unigram_model(spark, uroot, probs)
+    got = ts.load_unigram_model(spark, uroot)
+    logp_want = {p: math.log(v) for p, v in probs.items()}
+    assert set(got) == set(logp_want)
+    assert all(got[p] == logp_want[p] for p in got)  # bit-exact doubles
+    bpe.clear_bpe_cache()
+    unigram.clear_unigram_cache()
