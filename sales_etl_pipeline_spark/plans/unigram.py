@@ -439,11 +439,60 @@ def _word_segments(
                     "word": pdf["word"],
                     "seg": ["•".join(s) for s in segs],
                     "n_pieces": [len(s) for s in segs],
+                    # the Viterbi path's log-probability — the word's
+                    # LM score, consumed by unigram_doc_perplexity
+                    "logprob": [
+                        float(sum(lp[p] for p in s)) for s in segs
+                    ],
                 }
             )
 
     return wf.select("word").mapInPandas(
-        _seg, "word string, seg string, n_pieces int"
+        _seg, "word string, seg string, n_pieces int, logprob double"
+    )
+
+
+def unigram_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 rank documents
+    by LM perplexity; low-perplexity ≈ clean prose, high ≈ gibberish/
+    boilerplate tables): per document, the total Viterbi log-probability
+    of its words under the TRAINED unigram LM, the per-PIECE mean, and
+    ``perplexity = exp(−mean)`` — the filter signal the curation funnel
+    thresholds on, joining the tokenizer family to the curation family.
+
+    Shape: word scores come from the distinct-word segmentation relation
+    (ONE Arrow Viterbi pass over distinct words, like every apply path —
+    never per-occurrence re-segmentation); documents explode their words
+    and join — a broadcastable word-grain join. Rows-only (float EM has
+    no SQL twin); the per-doc replay exactness gate lives in
+    tests/test_unigram.py. Returns (doc_id, n_words, n_pieces,
+    total_logprob, mean_piece_logprob, perplexity)."""
+    probs, _ = train_unigram(spark, sf_dir)
+    seg = _word_segments(spark, sf_dir, probs)
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_REGEX_SPARK))
+        ).alias("word"),
+    )
+    agg = (
+        doc_words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("logprob").alias("total_logprob"),
+        )
+    )
+    mean_lp = F.col("total_logprob") / F.col("n_pieces")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "total_logprob",
+        mean_lp.alias("mean_piece_logprob"),
+        F.exp(-mean_lp).alias("perplexity"),
     )
 
 
@@ -738,6 +787,7 @@ LIBRARY_QUERIES = {
     "unigram_vocab": unigram_vocab,
     "unigram_token_stats": unigram_token_stats,
     "unigram_byte_vocab": unigram_byte_vocab,
+    "unigram_doc_perplexity": unigram_doc_perplexity,
 }
 
 #: no SQL oracles (float EM / lattice DP); the replay + monotonicity

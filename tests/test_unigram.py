@@ -335,3 +335,37 @@ def test_byte_apply_open_vocab_lossless(spark):
         decoded = bytes.fromhex("".join(out[doc_id])).decode("utf-8")
         assert decoded == text
     U.clear_unigram_cache()
+
+
+def test_unigram_doc_perplexity_matches_replay(spark):
+    """The LM quality score replays exactly: per doc, sum of the
+    Viterbi path log-probs of its words under the trained model;
+    perplexity = exp(−total/pieces). Monotone sanity: perplexity ≥ 1
+    whenever every piece prob ≤ 1 (it is — probs are normalized)."""
+    probs, _ = U.train_unigram(spark, SF)
+    logp = {p: math.log(v) for p, v in probs.items()}
+    got = {
+        r.doc_id: r for r in U.unigram_doc_perplexity(spark, SF).collect()
+    }
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    cache: dict = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = re.findall("[a-z]+", r.text.lower())
+        tot, pieces = 0.0, 0
+        for w in words:
+            if w not in cache:
+                seg = U.viterbi_segment(w, logp)
+                cache[w] = (sum(logp[p] for p in seg), len(seg))
+            s, n = cache[w]
+            tot += s
+            pieces += n
+        if not words:
+            assert r.doc_id not in got
+            continue
+        g = got[r.doc_id]
+        assert g.n_words == len(words) and g.n_pieces == pieces
+        np.testing.assert_allclose(g.total_logprob, tot, rtol=1e-9)
+        np.testing.assert_allclose(
+            g.perplexity, math.exp(-tot / pieces), rtol=1e-9
+        )
+        assert g.perplexity >= 1.0
