@@ -1123,6 +1123,65 @@ def dedup_long_spans(
     )
 
 
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health report — ONE long-form (metric, value) relation
+    a pipeline owner reads before/after a curation run, composed from
+    the engine's own oracle-exact signals: size (docs, tokens, mean doc
+    length), exact-duplicate text fraction, quality-filter pass rate,
+    paragraph-grain duplication fraction, and per-language shares. Every
+    value is an exact integer ratio (one double division of counts — the
+    established bit-parity class), so the whole report is oracle-EXACT.
+    Scale shape: a handful of scalar aggregates + one lang-grain groupBy,
+    all map-side-combining; the unions are 1-row relations."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.count(F.lit(1))
+    n_tokens = F.sum(F.size(tokens(F.col("text"))))
+
+    def one(metric: str, agg_col) -> DataFrame:
+        return docs.agg(agg_col.cast("double").alias("value")).select(
+            F.lit(metric).alias("metric"), "value"
+        )
+
+    base = (
+        one("n_docs", n_docs)
+        .unionByName(one("n_tokens", n_tokens))
+        .unionByName(
+            one("mean_doc_tokens", n_tokens / n_docs)
+        )
+        .unionByName(
+            one(
+                "distinct_text_fraction",
+                F.countDistinct(F.md5("text")) / n_docs,
+            )
+        )
+    )
+    q = quality_filter(spark, sf_dir).agg(
+        (
+            F.sum(F.col("kept").cast("long")) / F.count(F.lit(1))
+        ).cast("double").alias("value")
+    ).select(F.lit("quality_pass_rate").alias("metric"), "value")
+    p = paragraph_dedup(spark, sf_dir).agg(
+        (
+            F.sum("n_dropped") / F.sum("n_paras")
+        ).cast("double").alias("value")
+    ).select(F.lit("paragraph_dup_fraction").alias("metric"), "value")
+    total = Window.partitionBy()
+    langs = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.concat(F.lit("lang_share_"), F.col("lang")).alias("metric"),
+            (F.col("c") / F.sum("c").over(total)).cast("double").alias(
+                "value"
+            ),
+        )
+    )
+    return (
+        base.unionByName(q).unionByName(p).unionByName(langs)
+        .orderBy("metric")
+    )
+
+
 QUERIES = {
     "quality_filter": quality_filter,
     "contamination_check": contamination_check,
@@ -1143,6 +1202,7 @@ LIBRARY_QUERIES = {
     "incremental_paragraph_fold": incremental_paragraph_fold,
     "doc_chunks_overlap": doc_chunks_overlap,
     "dedup_long_spans": dedup_long_spans,
+    "corpus_report": corpus_report,
     "repetition_stats": repetition_stats,
     "stratified_sample": stratified_sample,
     "doc_chunks_udtf": doc_chunks_udtf,
@@ -1475,6 +1535,46 @@ LIBRARY_ORACLE["dedup_long_spans"] = f"""
                AS INTEGER) AS n_removed
     FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+#: the report composes the quality-filter and paragraph-dedup oracles as
+#: CTEs — every value is an exact integer ratio, so the report is exact
+LIBRARY_ORACLE["corpus_report"] = f"""
+    WITH {_METRICS_SQL},
+    q AS (
+        SELECT NOT (n_tokens < {MIN_TOKENS} OR n_tokens > {MAX_TOKENS}
+                    OR distinct_frac < {MIN_DISTINCT_FRAC}
+                    OR top_token_frac > {MAX_TOP_TOKEN_FRAC}) AS kept
+        FROM metrics
+    ),
+    pd AS ({{PD}})
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM documents
+    UNION ALL
+    SELECT 'n_tokens',
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'mean_doc_tokens',
+           CAST(SUM(len(string_split(text, ' '))) / COUNT(*) AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'distinct_text_fraction',
+           CAST(COUNT(DISTINCT md5(text)) / COUNT(*) AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'quality_pass_rate',
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / COUNT(*) AS DOUBLE)
+    FROM q
+    UNION ALL
+    SELECT 'paragraph_dup_fraction',
+           CAST(SUM(n_dropped) / SUM(n_paras) AS DOUBLE)
+    FROM pd
+    UNION ALL
+    SELECT 'lang_share_' || lang,
+           CAST(COUNT(*) / (SELECT COUNT(*) FROM documents) AS DOUBLE)
+    FROM documents GROUP BY lang
+    ORDER BY metric
+""".replace("{PD}", LIBRARY_ORACLE["paragraph_dedup"])
 
 LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
 
