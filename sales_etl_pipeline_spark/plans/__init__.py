@@ -132,6 +132,7 @@ _MODULES = (
 # driver row — countmin_sketch, countmin_estimates (both oracle),
 # weighted_sample (oracle), incremental_paragraph_fold (oracle),
 # dedup_long_spans (oracle), doc_chunks_overlap (oracle),
+# corpus_report (oracle), unigram_doc_perplexity (rows-only),
 # embedding_fd_sketch, unigram_byte_vocab (rows-only), bpe_byte_merges
 # (oracle) — 9 slots; back-fill the remainder with long-out oracle
 # plans on their return leg (doc_fingerprint, lang_id, text_quality,
