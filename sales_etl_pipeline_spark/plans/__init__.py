@@ -134,7 +134,7 @@ _MODULES = (
 # dedup_long_spans (oracle), doc_chunks_overlap (oracle),
 # corpus_report (oracle), unigram_doc_perplexity (rows-only),
 # embedding_fd_sketch, unigram_byte_vocab (rows-only), bpe_byte_merges
-# (oracle) — 9 slots; back-fill the remainder with long-out oracle
+# (oracle) — 11 slots; back-fill the remainder with long-out oracle
 # plans on their return leg (doc_fingerprint, lang_id, text_quality,
 # token_stats, tfidf_top_terms, the event windowing family). r13
 # pre-flight (checked r12): every named plan has a flat schema.
