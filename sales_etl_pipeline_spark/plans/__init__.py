@@ -55,6 +55,7 @@ from . import (
     pca,
     quantiles,
     search,
+    tableplans,
     temporal,
     timeseries,
     tpch,
@@ -92,6 +93,7 @@ _MODULES = (
     quantiles,
     pca,
     unigram,
+    tableplans,
     pysource,
 )
 
@@ -104,7 +106,45 @@ _MODULES = (
 # tests/test_library_parity.py every run), so nothing loses its exact
 # check — the rotation only changes WHICH harness confirms it this round.
 #
-# Round-12 cohort (EXECUTING the schedule stated here in r11): the 16
+# Round-13 cohort (EXECUTING the schedule stated here in r12, per
+# VERDICT r12 Next #1): promote the 11 never-driver-confirmed r12
+# library additions — countmin_sketch, countmin_estimates,
+# weighted_sample, incremental_paragraph_fold, dedup_long_spans,
+# doc_chunks_overlap, corpus_report (all oracle), unigram_doc_perplexity,
+# embedding_fd_sketch, unigram_byte_vocab (rows-only with pytest gates),
+# bpe_byte_merges (oracle) — plus training_pipeline_curated (NEW
+# registry exposure of the composed funnel, oracle = the four stage
+# oracles composed; bench row since r7, never a driver row) = 12
+# ROTATED_IN entries. Return-leg (removed from ROTATED_OUT, so their
+# base-tier registration resumes): the text quintet doc_fingerprint,
+# lang_id, text_quality, token_stats, tfidf_top_terms (driver-green
+# r1–r8, out since r9) and the 9-plan event windowing family
+# (driver-green r1–r8). New base driver plan: table_time_travel
+# (plans/tableplans.py — VERDICT r12 Next #4, the versioned table's
+# first driver row). Outgoing: the whole r12 cohort (all 23
+# driver-confirmed green in CORRECTNESS_r12.json) leaves ROTATED_IN,
+# and four long-stable base plans rotate out (driver-green r4–r12:
+# ngram_jaccard_pairs, knn_cosine_topk, and the two thin serialization
+# twins bpe_encoded_docs_str / bpe_packed_windows_str whose array
+# originals stay library-oracle-checked) — total 23 base + 26 rotated/
+# returned + table_time_travel = 50 slots exactly, 46 oracle + 4
+# rows-only (stream_transitions_replay, unigram_doc_perplexity,
+# embedding_fd_sketch, unigram_byte_vocab).
+#
+# r13 pre-flight (checked r12): every promoted plan has a flat schema.
+#
+# Round-14 cohort (PLANNED): promote the r13 library additions on the
+# usual one-round lag — the Gopher line-grain quality pack
+# (line_quality_stats, quality_filter_v2 — VERDICT r12 Next #5 names
+# the r14 driver slot) and any further r13 additions — and back-fill
+# with the longest-out return-leg plans (doc_chunks,
+# embedding_centroids, daily_sales, the three showcase plans,
+# simhash_near_dup, semantic_dedup_bucketed, plus the five r12 outs:
+# asof_join_events_orders, contamination_check, curation_pipeline,
+# repeat_buyer_set_ops, region_nation_rollup), rotating out the r13
+# cohort (driver-confirmed this round) to make room.
+#
+# Round-12 cohort (EXECUTED r12; kept for the audit trail): the 16
 # never-driver-confirmed plans — the graph trio, search trio, webtext
 # trio, bottomk_sample, lm_heldout_perplexity, incremental_nation_revenue,
 # incremental_product_summary_hll, event_transitions, session_paths_topk,
@@ -127,18 +167,6 @@ _MODULES = (
 # result schema (gate: tests/test_oracle_parity.py::_assert_flat_schema),
 # so this rotation needs no serialized twins.
 #
-# Round-13 cohort (PLANNED; stated here so the schedule stays
-# auditable): promote the r12 library additions that have never had a
-# driver row — countmin_sketch, countmin_estimates (both oracle),
-# weighted_sample (oracle), incremental_paragraph_fold (oracle),
-# dedup_long_spans (oracle), doc_chunks_overlap (oracle),
-# corpus_report (oracle), unigram_doc_perplexity (rows-only),
-# embedding_fd_sketch, unigram_byte_vocab (rows-only), bpe_byte_merges
-# (oracle) — 11 slots; back-fill the remainder with long-out oracle
-# plans on their return leg (doc_fingerprint, lang_id, text_quality,
-# token_stats, tfidf_top_terms, the event windowing family). r13
-# pre-flight (checked r12): every named plan has a flat schema.
-#
 # HARNESS COMPAT RULE (learned from the r10 ERR): the driver's
 # canonicalizer cannot hash array/map cells, so plans whose result schema
 # has complex top-level columns must NOT enter the driver registry —
@@ -148,27 +176,17 @@ _MODULES = (
 
 #: driver plans rotated out to the library tier this round
 ROTATED_OUT = frozenset({
-    # pre-r9 rotation (still out; library-oracle-checked every pytest run)
+    # pre-r9 rotation (still out; library-oracle-checked every pytest
+    # run). r13 return-leg: the text quintet (doc_fingerprint, lang_id,
+    # text_quality, token_stats, tfidf_top_terms) and the 9-plan event
+    # windowing family left this set — their base-tier registration
+    # resumes after 4 rounds out.
     "doc_chunks",
     "embedding_centroids",
     "daily_sales",
     "stats_showcase",
     "scalar_function_showcase",
     "window_function_showcase",
-    "event_tumbling_window",
-    "event_sliding_window",
-    "event_sessionization",
-    "event_dedup_first",
-    "event_props_stats",
-    "event_user_pivot",
-    "event_hourly_activity",
-    "event_funnel",
-    "event_range_window",
-    "doc_fingerprint",
-    "lang_id",
-    "text_quality",
-    "token_stats",
-    "tfidf_top_terms",
     "mm_image_features",
     "mm_frame_sample",
     # r10: rows-only ANN trio makes room for the never-confirmed set
@@ -178,53 +196,54 @@ ROTATED_OUT = frozenset({
     # r10: long-stable (driver-green r4–r9)
     "simhash_near_dup",
     "semantic_dedup_bucketed",
-    # r12: long-stable (driver-green r4–r11) — frees slots for the r12
-    # promotions and this round's new driver plans
+    # r12: long-stable (driver-green r4–r11)
     "asof_join_events_orders",
     "contamination_check",
     "curation_pipeline",
     "repeat_buyer_set_ops",
     "region_nation_rollup",
+    # r13: long-stable (driver-green r4–r12) — frees slots for the r13
+    # promotions; the two *_str plans are thin serialization twins whose
+    # array originals stay independently library-oracle-checked
+    "ngram_jaccard_pairs",
+    "knn_cosine_topk",
+    "bpe_encoded_docs_str",
+    "bpe_packed_windows_str",
 })
 
 #: library plans promoted into the driver registry for this round —
-#: round 12 = the 16 never-driver-confirmed plans + the r11 additions
+#: round 13 = the 11 never-driver-confirmed r12 additions + the
+#: composed-funnel exposure (see the Round-13 cohort note above)
 ROTATED_IN = frozenset({
-    # graph trio (plans/graph.py)
-    "nation_trade_pagerank",
-    "nation_trade_hops",
-    "nation_trade_triangles",
-    # search trio (plans/search.py)
-    "bm25_topk",
-    "phrase_search",
-    "bm25_quality_fusion",
-    # webtext trio (plans/webtext.py)
-    "html_text_extract",
-    "url_domain_stats",
-    "boilerplate_link_density",
-    # singletons never driver-confirmed before this round
-    "bottomk_sample",
-    "lm_heldout_perplexity",
-    "incremental_nation_revenue",
-    "incremental_product_summary_hll",
-    "event_transitions",
-    "session_paths_topk",
-    "ann_ivf_topk_filtered",
-    # r11 additions: quantile digest pair (plans/quantiles.py)
-    "exact_order_value_quantiles",
-    "approx_order_value_quantiles",
-    # r11 additions: PCA family (plans/pca.py). embedding_pca_projected
-    # stays library-tier — its (vec_id, pc array<double>) schema is
-    # array-typed by design and the flat-schema gate rejects it; its
-    # scalar twin embedding_pca_scores carries the driver row.
-    "embedding_pca_spectrum",
-    "embedding_pca_scores",
-    # r11 additions: unigram-LM tokenizer pair (plans/unigram.py)
-    "unigram_vocab",
-    "unigram_token_stats",
-    # r12 addition: paragraph-grain dedup (plans/curation.py) — new this
-    # round, oracle-exact, takes the 50th slot
-    "paragraph_dedup",
+    # Count-Min pair (plans/llmdata.py) — oracle-EXACT sketch + estimates
+    "countmin_sketch",
+    "countmin_estimates",
+    # weighted PPS sampling (plans/curation.py) — oracle-EXACT
+    "weighted_sample",
+    # paragraph-dedup incremental fold (plans/curation.py) — oracle =
+    # batch-free recompute, fold ≡ recompute exactly
+    "incremental_paragraph_fold",
+    # RefinedWeb ≥50-token exact long-span dedup (plans/curation.py) —
+    # oracle-EXACT (rolling-fingerprint rewrite this round)
+    "dedup_long_spans",
+    # sliding RAG chunking (plans/curation.py) — oracle-EXACT
+    "doc_chunks_overlap",
+    # corpus health report (plans/curation.py) — oracle-EXACT
+    "corpus_report",
+    # CCNet LM doc-perplexity score (plans/unigram.py) — rows-only (EM
+    # float); replay/monotonicity gates in tests/test_unigram.py
+    "unigram_doc_perplexity",
+    # Frequent Directions covariance sketch (plans/pca.py) — rows-only
+    # by design; spectral-bound gates in tests/test_pca.py
+    "embedding_fd_sketch",
+    # byte-level unigram vocab (plans/unigram.py) — rows-only (EM float)
+    "unigram_byte_vocab",
+    # byte-level BPE merge table (plans/bpe.py) — oracle-EXACT (training
+    # replayed bit-for-bit in unrolled CTEs)
+    "bpe_byte_merges",
+    # composed curated-corpus funnel (plans/llmdata.py, NEW registry
+    # exposure r13) — oracle = the four stage oracles composed
+    "training_pipeline_curated",
 })
 
 

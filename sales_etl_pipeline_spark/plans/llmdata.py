@@ -4613,3 +4613,55 @@ LIBRARY_ORACLE["doc_surprisal"] = """
     FROM tf JOIN lm USING (term)
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curated-corpus funnel (registry exposure, round 13)
+
+
+def training_pipeline_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry exposure of ``operators/pipeline.TrainingDataPipeline
+    .curated()`` — the composed lang → quality → exact-dedup → near-dup
+    funnel that has carried a bench row since r7 but never a driver
+    CORRECTNESS row (VERDICT r12 rotation list). The composition is one
+    lazy DAG over four independently oracle-checked stage plans
+    (lang_id, text_quality, exact_dedup, minhash_near_dup), so its
+    oracle is the literal SQL composition of the four stage oracles —
+    a value-hash match proves the STAGES *and* the semi/anti-join
+    plumbing between them. Output = the surviving documents rows
+    (flat schema), ordered by doc_id. ``output_dir`` is unused by
+    ``curated()`` (only ``run()`` writes) — a fixed placeholder path.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.pipeline import TrainingDataPipeline
+
+    out = TrainingDataPipeline(
+        spark,
+        sf_dir,
+        _os.path.join(_tempfile.gettempdir(), "plan_curated_unused"),
+    ).curated()
+    return out.orderBy("doc_id")
+
+
+LIBRARY_QUERIES["training_pipeline_curated"] = training_pipeline_curated
+
+# the funnel oracle composes the four stage oracles verbatim (nested
+# CTEs); filters mirror TrainingDataPipeline defaults (lang='en',
+# min_quality=0.5) and the survivor set = lang ∩ quality ∩ canonical
+# minus near-dup doc_b tombstones — exactly curated()'s join plumbing
+LIBRARY_ORACLE["training_pipeline_curated"] = f"""
+    WITH lang_scores AS ({ORACLE['lang_id']}),
+    qual AS ({ORACLE['text_quality']}),
+    canon AS ({ORACLE['exact_dedup']}),
+    nd AS ({ORACLE['minhash_near_dup']})
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM lang_scores
+                       WHERE predicted_lang = 'en')
+      AND d.doc_id IN (SELECT doc_id FROM qual WHERE quality_score >= 0.5)
+      AND d.doc_id IN (SELECT doc_id FROM canon)
+      AND d.doc_id NOT IN (SELECT doc_b FROM nd)
+    ORDER BY d.doc_id
+"""
