@@ -716,3 +716,98 @@ def test_dedup_long_spans_semantics(spark, tmp_path):
         curation.LIBRARY_ORACLE["dedup_long_spans"],
         "dedup_long_spans",
     )
+
+
+# ---------------------------------------------------------------------------
+# line-grain quality rules (r13): the synthetic corpus is single-line, so
+# discrimination is pinned on an in-memory multi-line fixture (hand-
+# computed expectations) and a DuckDB cross-check of the exact same rows.
+
+
+def _line_fixture(spark):
+    rows = [
+        # doc 1: 4 lines, one exact duplicate pair ("same line.") →
+        # dup_line_frac = 2/4; 3 of 4 lines end in terminal punctuation
+        (1, "same line.\nunique one!\nsame line.\nno punct here"),
+        # doc 2: bullet-heavy list — every line bullet-started, none
+        # punct-terminated, one ellipsis line
+        (2, "- alpha beta\n- gamma delta\n- trailing thought..."),
+        # doc 3: single line, no newline at all (the synthetic-corpus
+        # degenerate case)
+        (3, "just one plain line with no terminal punctuation"),
+        # doc 4: blank/whitespace lines are dropped before any ratio
+        (4, "kept.\n   \n\nkept.\n"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_metrics_fixture_exact(spark):
+    got = {
+        r["doc_id"]: r
+        for r in curation._line_metrics(_line_fixture(spark)).collect()
+    }
+    d1 = got[1]
+    assert d1.n_lines == 4
+    assert d1.dup_line_frac == 2 / 4
+    assert d1.punct_line_frac == 3 / 4
+    assert d1.bullet_line_frac == 0.0
+    d2 = got[2]
+    assert d2.n_lines == 3
+    assert d2.dup_line_frac == 0.0
+    assert d2.bullet_line_frac == 1.0
+    assert d2.ellipsis_line_frac == 1 / 3
+    assert d2.punct_line_frac == 1 / 3  # '...' ends with '.'
+    d3 = got[3]
+    assert d3.n_lines == 1 and d3.dup_line_frac == 0.0
+    d4 = got[4]
+    # whitespace-only lines dropped; the two 'kept.' lines duplicate
+    assert d4.n_lines == 2
+    assert d4.dup_line_frac == 1.0
+    assert d4.punct_line_frac == 1.0
+
+
+def test_line_metrics_fixture_matches_duckdb(spark):
+    """The oracle fragment is exercised on multi-line text too (the
+    registry oracle only ever sees the single-line corpus)."""
+    import duckdb
+
+    fix = _line_fixture(spark)
+    pdf = fix.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = "WITH " + curation._LINE_METRICS_SQL + " SELECT * FROM linem ORDER BY doc_id"
+    want = con.execute(sql).fetchall()
+    got = [
+        tuple(r)
+        for r in curation._line_metrics(fix).orderBy("doc_id").collect()
+    ]
+    assert [tuple(w) for w in want] == got
+
+
+def test_quality_filter_v2_line_rules_fire(spark):
+    """Gopher line rules reject what v1 cannot see: a long, lexically
+    diverse doc whose lines are one block repeated (dup_line_frac=2/3 >
+    0.30) fails v2 with the dup_lines reason; a doc of the same token
+    stream as ONE line passes both (the rules are line-grain, not
+    token-grain)."""
+    words = " ".join(f"w{i}" for i in range(40))
+    dup_doc = f"{words}.\n{words}.\nsingle extra line"
+    one_line = f"{words}. {words}. single extra line"
+    docs = _line_fixture(spark).sparkSession.createDataFrame(
+        [(10, dup_doc), (11, one_line)], "doc_id long, text string"
+    )
+    # route through the public plan by staging the fixture as a corpus
+    import tempfile, os as _os
+
+    d = tempfile.mkdtemp(prefix="lineq_")
+    docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("fix").alias("source"), F.length("text").alias("n_chars")
+    ).write.mode("overwrite").parquet(_os.path.join(d, "documents.parquet"))
+    v2 = {r["doc_id"]: r for r in curation.quality_filter_v2(
+        docs.sparkSession, d).collect()}
+    assert not v2[10].kept and v2[10].reject_reason == "dup_lines"
+    assert v2[11].kept and v2[11].reject_reason is None
+    v1 = {r["doc_id"]: r for r in curation.quality_filter(
+        docs.sparkSession, d).collect()}
+    assert v1[10].kept  # v1 is blind to the line-grain duplication
