@@ -136,7 +136,9 @@ _MODULES = (
 # Round-14 cohort (PLANNED): promote the r13 library additions on the
 # usual one-round lag — the Gopher line-grain quality pack
 # (line_quality_stats, quality_filter_v2 — VERDICT r12 Next #5 names
-# the r14 driver slot) and any further r13 additions — and back-fill
+# the r14 driver slot) and the DSIR importance-resampling pair
+# (dsir_importance_weights, dsir_selected — both oracle-exact via the
+# floor-log2 bits trick) — and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,
 # simhash_near_dup, semantic_dedup_bucketed, plus the five r12 outs:

@@ -49,6 +49,12 @@ MAX_BULLET_LINE_FRAC = 0.90     # Gopher: > 90% of lines bullet-started
 MAX_ELLIPSIS_LINE_FRAC = 0.30   # Gopher: > 30% of lines ellipsis-ended
 SHORT_LINE_CHARS = 30           # FineWeb-style short-line threshold
 
+# DSIR importance resampling (r13): hashed feature buckets, the target
+# source, and the selection budget — see dsir_importance_weights
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SOURCE = "src0"
+DSIR_K = 100
+
 #: line-boundary + per-line predicates, shared by Spark (Java regex) and
 #: DuckDB (RE2) — only constructs with identical semantics in both
 _LINE_SEP = r"\r?\n"
@@ -1884,6 +1890,64 @@ LIBRARY_ORACLE["corpus_report"] = f"""
     ORDER BY metric
 """.replace("{PD}", LIBRARY_ORACLE["paragraph_dedup"])
 
+#: shared DSIR model CTEs — bucket counts, add-1 smoothed totals, and
+#: floor-log2 code lengths (integer `//` here; the Spark side's
+#: double-divide-then-cast equals it for totals < 2^52 — ~100× the
+#: token count of a 100 TB corpus, documented in the plan docstring)
+_DSIR_MODEL_SQL = f"""
+    dsir_tok AS (
+        SELECT doc_id, source,
+               CAST({oracle_md5_long('t')} % {DSIR_BUCKETS} AS INTEGER) AS b
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ),
+    dsir_tc AS (
+        SELECT b, COUNT(*) AS tc FROM dsir_tok
+        WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b
+    ),
+    dsir_rc AS (
+        SELECT b, COUNT(*) AS rc FROM dsir_tok
+        WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY b
+    ),
+    dsir_tt AS (SELECT SUM(tc) + {DSIR_BUCKETS} AS t_tot FROM dsir_tc),
+    dsir_rt AS (SELECT SUM(rc) + {DSIR_BUCKETS} AS r_tot FROM dsir_rc),
+    dsir_model AS (
+        SELECT ab.b,
+               length(bin(t_tot // (COALESCE(tc, 0) + 1))) - 1 AS bits_t,
+               length(bin(r_tot // (COALESCE(rc, 0) + 1))) - 1 AS bits_r
+        FROM (SELECT DISTINCT b FROM dsir_tok) ab
+        LEFT JOIN dsir_tc USING (b)
+        LEFT JOIN dsir_rc USING (b), dsir_tt, dsir_rt
+    ),
+    dsir_weights AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * (bits_r - bits_t)) AS BIGINT) AS weight_bits
+        FROM (
+            SELECT doc_id, b, COUNT(*) AS tf FROM dsir_tok
+            WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY doc_id, b
+        ) JOIN dsir_model USING (b)
+        GROUP BY doc_id
+    )
+"""
+
+LIBRARY_ORACLE["dsir_importance_weights"] = f"""
+    WITH {_DSIR_MODEL_SQL}
+    SELECT doc_id, n_tokens, weight_bits
+    FROM dsir_weights ORDER BY doc_id
+"""
+
+LIBRARY_ORACLE["dsir_selected"] = f"""
+    WITH {_DSIR_MODEL_SQL}
+    SELECT doc_id, n_tokens, weight_bits,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight_bits DESC, doc_id)
+               AS INTEGER) AS sel_rank
+    FROM dsir_weights
+    QUALIFY sel_rank <= {DSIR_K}
+    ORDER BY sel_rank
+"""
+
 LIBRARY_ORACLE["line_quality_stats"] = f"""
     WITH {_LINE_METRICS_SQL}
     SELECT * FROM linem ORDER BY doc_id
@@ -2070,6 +2134,125 @@ def weighted_sample(
 
 
 LIBRARY_QUERIES["weighted_sample"] = weighted_sample
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (r13). Constants (DSIR_BUCKETS = the
+# hashed feature space, DSIR_TARGET_SOURCE = the curated-target role,
+# DSIR_K = the fixed selection budget à la WEIGHTED_K) live at the top
+# of the module — the oracle section interpolates them too.
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023 — public
+    paper), engine-exact: score every RAW-pool document by how much more
+    likely its hashed-unigram bag is under the TARGET distribution than
+    under the raw distribution, in integer BITS.
+
+    Model: tokens hash into ``DSIR_BUCKETS`` md5 buckets (the shared
+    md5_long family, engine-identical); each side's bucket distribution
+    is add-1 smoothed; a bucket's code length is floor(log2((tot+B)/
+    (c+1))) via the ``length(bin(x))-1`` integer trick (the established
+    doc_surprisal parity class — no transcendental log anywhere). A
+    document's importance weight is Σ_tok (bits_raw − bits_target):
+    positive ⇔ the document's tokens are cheaper to code under the
+    target model ⇔ more target-like. Bit-grain quantization of the true
+    log-likelihood ratio is the price of exactness (documented; DSIR
+    itself only needs the ORDER, which floor-log2 preserves at bucket
+    grain).
+
+    Scale shape: one token explode; two bucket-grain aggregates (≤ B
+    rows each — broadcastable model relation); one (doc, bucket) tf
+    aggregate; one doc-grain weighted sum. No windows, no pairwise
+    joins; the model join is a broadcast at any corpus size because B
+    is a constant.
+
+    Returns (doc_id, n_tokens, weight_bits) for every raw-pool doc
+    (unordered — the registry oracle compares order-insensitively, and
+    ``dsir_selected`` must NOT inherit a doc_id sort below its top-k:
+    with no pre-sort the rank filter compiles to
+    TakeOrderedAndProject(limit=k) feeding a k-row window, verified in
+    tests/test_curation.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
+        )
+        .select(
+            "doc_id",
+            "source",
+            (md5_long(F.col("t")) % DSIR_BUCKETS).cast("int").alias("b"),
+        )
+    )
+    tok = _pin(tok)  # feeds both model sides AND the candidate tf
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    tc = tok.filter(is_target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    rc = tok.filter(~is_target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    t_tot = tc.agg((F.sum("tc") + DSIR_BUCKETS).alias("t_tot"))
+    r_tot = rc.agg((F.sum("rc") + DSIR_BUCKETS).alias("r_tot"))
+
+    def bits(tot_col, cnt_col):
+        # floor(log2(tot // (c+1))) — exact integer code length
+        return (
+            F.length(
+                F.bin(
+                    (tot_col / (F.coalesce(cnt_col, F.lit(0)) + 1))
+                    .cast("long")
+                )
+            )
+            - 1
+        )
+
+    model = (
+        tok.select("b").distinct()
+        .join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            bits(F.col("t_tot"), F.col("tc")).alias("bits_t"),
+            bits(F.col("r_tot"), F.col("rc")).alias("bits_r"),
+        )
+    )
+    cand = (
+        tok.filter(~is_target)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return cand.join(F.broadcast(model), "b").groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(
+            F.col("tf") * (F.col("bits_r") - F.col("bits_t"))
+        ).alias("weight_bits"),
+    )
+
+
+def dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR: the DSIR_K raw-pool documents with
+    the highest importance weights (ties broken by doc_id — a total
+    order, so the selection is deterministic and oracle-EXACT). The
+    global rank-≤-k filter compiles to a window-group limit (top-k per
+    partition, k-row final merge), the weighted_sample pattern — never
+    a full sort. The full DSIR recipe adds Gumbel noise to the weights
+    before the top-k; the deterministic variant keeps the driver check
+    exact, and the noisy twin is ``weighted_sample`` composed over
+    these weights."""
+    w = Window.orderBy(F.col("weight_bits").desc(), "doc_id")
+    return (
+        dsir_importance_weights(spark, sf_dir)  # unordered, see its note
+        .withColumn("sel_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sel_rank") <= DSIR_K)
+        .orderBy("sel_rank")
+    )
+
+
+LIBRARY_QUERIES["dsir_importance_weights"] = dsir_importance_weights
+LIBRARY_QUERIES["dsir_selected"] = dsir_selected
 
 LIBRARY_ORACLE["weighted_sample"] = f"""
     SELECT doc_id, n_tokens, priority,

@@ -811,3 +811,53 @@ def test_quality_filter_v2_line_rules_fire(spark):
     v1 = {r["doc_id"]: r for r in curation.quality_filter(
         docs.sparkSession, d).collect()}
     assert v1[10].kept  # v1 is blind to the line-grain duplication
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r13): oracle parity is covered by
+# tests/test_library_parity.py; these pin the semantics — target-like
+# documents must outscore off-target ones, and selection is the top-k.
+
+
+def _dsir_fixture(spark):
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    rows = [(i, target_text, "en", "src0", len(target_text)) for i in range(5)]
+    rows += [
+        # raw doc 10: pure target vocabulary → cheap under the target model
+        (10, "alpha beta gamma delta alpha beta", "en", "raw", 30),
+        # raw doc 11: disjoint junk vocabulary → expensive under target
+        (11, "zork quux blarg wibble zork quux", "en", "raw", 30),
+        # raw doc 12: half and half
+        (12, "alpha beta zork quux alpha wibble", "en", "raw", 30),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_dsir_orders_by_target_likeness(spark, tmp_path):
+    import os as _os
+
+    d = str(tmp_path / "dsir")
+    _dsir_fixture(spark).write.mode("overwrite").parquet(
+        _os.path.join(d, "documents.parquet")
+    )
+    w = {r.doc_id: r.weight_bits
+         for r in curation.dsir_importance_weights(spark, d).collect()}
+    assert set(w) == {10, 11, 12}  # target docs never score themselves
+    assert w[10] > w[12] > w[11]
+    sel = curation.dsir_selected(spark, d).collect()
+    assert [r.doc_id for r in sel][:2] == [10, 12]  # rank follows weight
+    assert [r.sel_rank for r in sel] == list(range(1, len(sel) + 1))
+
+
+def test_dsir_selected_compiles_to_topk(spark):
+    """The rank-≤-k filter must push a k-row limit below the global
+    window (LimitPushDownThroughWindow → TakeOrderedAndProject): the
+    single-partition WindowExec then ranks ≤ DSIR_K rows, never the
+    corpus — the weighted_sample invariant, pinned here for DSIR too."""
+    plan = (
+        curation.dsir_selected(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert f"TakeOrderedAndProject(limit={curation.DSIR_K}" in plan
