@@ -136,9 +136,12 @@ _MODULES = (
 # Round-14 cohort (PLANNED): promote the r13 library additions on the
 # usual one-round lag — the Gopher line-grain quality pack
 # (line_quality_stats, quality_filter_v2 — VERDICT r12 Next #5 names
-# the r14 driver slot) and the DSIR importance-resampling pair
+# the r14 driver slot), the DSIR importance-resampling pair
 # (dsir_importance_weights, dsir_selected — both oracle-exact via the
-# floor-log2 bits trick) — and back-fill
+# floor-log2 bits trick), the incremental corpus-report fold
+# (incremental_corpus_report — oracle = batch-free corpus_report), and
+# near_dup_components (upgraded rows-only → ORACLE-EXACT r13 via a
+# recursive-CTE transitive closure) — and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,
 # simhash_near_dup, semantic_dedup_bucketed, plus the five r12 outs:

@@ -64,6 +64,13 @@ _PUNCT_RE = r"[.!?]$"
 
 
 def _doc_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/bigram statistics over the corpus table — see
+    ``_doc_token_metrics_df`` (the df-level kernel, shared with the
+    incremental corpus-report fold)."""
+    return _doc_token_metrics_df(load_table(spark, sf_dir, "documents"))
+
+
+def _doc_token_metrics_df(docs: DataFrame) -> DataFrame:
     """Per-document token/bigram statistics, relationally.
 
     One posexplode of the whitespace tokens; bigrams via ``lead`` over the
@@ -71,7 +78,6 @@ def _doc_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     — same rationale as llmdata._shingle_table). Persisted: consumed by
     both the token-count and bigram-count aggregations.
     """
-    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
@@ -220,26 +226,71 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_token_metrics(spark, sf_dir)
 
 
+def _v1_rules() -> list[tuple[str, "F.Column"]]:
+    """The v1 doc-grain reject rules in evaluation order, over the
+    ``_doc_token_metrics_df`` columns — the single source both
+    quality_filter tiers and the incremental corpus-report fold share."""
+    return [
+        ("too_short", F.col("n_tokens") < MIN_TOKENS),
+        ("too_long", F.col("n_tokens") > MAX_TOKENS),
+        ("low_distinct_frac", F.col("distinct_frac") < MIN_DISTINCT_FRAC),
+        ("dominant_token", F.col("top_token_frac") > MAX_TOP_TOKEN_FRAC),
+    ]
+
+
+def _line_rules() -> list[tuple[str, "F.Column"]]:
+    """The v2 line-grain reject rules (over ``_line_metrics`` columns)."""
+    return [
+        ("dup_lines", F.col("dup_line_frac") > MAX_DUP_LINE_FRAC),
+        ("dup_line_chars",
+         F.col("dup_line_char_frac") > MAX_DUP_LINE_CHAR_FRAC),
+        ("bullet_lines", F.col("bullet_line_frac") > MAX_BULLET_LINE_FRAC),
+        ("ellipsis_lines",
+         F.col("ellipsis_line_frac") > MAX_ELLIPSIS_LINE_FRAC),
+    ]
+
+
+def _verdict_columns(rules: list[tuple[str, "F.Column"]]):
+    """(kept, reject_reason) columns from an ordered rule list."""
+    kept = F.lit(True)
+    for _, expr in rules:
+        kept = kept & ~expr
+    reason = F
+    for name, expr in rules:
+        reason = reason.when(expr, name)
+    return kept, reason.alias("reject_reason")
+
+
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold quality filter with per-document verdict and the first
     failing rule as the reject reason (evaluation order: length, then
     distinct fraction, then dominant token)."""
     m = _doc_token_metrics(spark, sf_dir)
-    too_short = F.col("n_tokens") < MIN_TOKENS
-    too_long = F.col("n_tokens") > MAX_TOKENS
-    low_distinct = F.col("distinct_frac") < MIN_DISTINCT_FRAC
-    dominant = F.col("top_token_frac") > MAX_TOP_TOKEN_FRAC
+    kept, reason = _verdict_columns(_v1_rules())
     return m.select(
         "doc_id",
         "n_tokens",
         "distinct_frac",
         "top_token_frac",
-        (~(too_short | too_long | low_distinct | dominant)).alias("kept"),
-        F.when(too_short, "too_short")
-        .when(too_long, "too_long")
-        .when(low_distinct, "low_distinct_frac")
-        .when(dominant, "dominant_token")
-        .alias("reject_reason"),
+        kept.alias("kept"),
+        reason,
+    )
+
+
+def _line_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, line, c): per-document instance counts of each DISTINCT
+    trimmed non-empty ``\\r?\\n`` line — the shared relation under
+    ``_line_metrics``, the corpus_report line rows, and the incremental
+    corpus-report fold (within-document counts are batch-local, so the
+    relation folds additively)."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split("text", _LINE_SEP)).alias("raw")
+        )
+        .select("doc_id", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
@@ -265,14 +316,7 @@ def _line_metrics(docs: DataFrame) -> DataFrame:
     instance count, so a boilerplate line repeated 10^6 times is scanned
     once per doc). Every output fraction is an exact integer/integer
     double division — the established bit-parity class."""
-    lines = (
-        docs.select(
-            "doc_id", F.explode(F.split("text", _LINE_SEP)).alias("raw")
-        )
-        .select("doc_id", F.trim(F.col("raw")).alias("line"))
-        .filter(F.col("line") != "")
-    )
-    lc = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("c"))
+    lc = _line_counts(docs)
     chars = F.length("line") * F.col("c")
     flag = lambda rx: F.when(  # noqa: E731 — local weight-by-count helper
         F.col("line").rlike(rx), F.col("c")
@@ -331,14 +375,7 @@ def quality_filter_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _doc_token_metrics(spark, sf_dir)
     lm = _line_metrics(load_table(spark, sf_dir, "documents"))
     j = m.join(lm, "doc_id")
-    too_short = F.col("n_tokens") < MIN_TOKENS
-    too_long = F.col("n_tokens") > MAX_TOKENS
-    low_distinct = F.col("distinct_frac") < MIN_DISTINCT_FRAC
-    dominant = F.col("top_token_frac") > MAX_TOP_TOKEN_FRAC
-    dup_lines = F.col("dup_line_frac") > MAX_DUP_LINE_FRAC
-    dup_chars = F.col("dup_line_char_frac") > MAX_DUP_LINE_CHAR_FRAC
-    bullets = F.col("bullet_line_frac") > MAX_BULLET_LINE_FRAC
-    ellipses = F.col("ellipsis_line_frac") > MAX_ELLIPSIS_LINE_FRAC
+    kept, reason = _verdict_columns(_v1_rules() + _line_rules())
     return j.select(
         "doc_id",
         "n_tokens",
@@ -351,27 +388,8 @@ def quality_filter_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ellipsis_line_frac",
         "punct_line_frac",
         "short_line_frac",
-        (
-            ~(
-                too_short
-                | too_long
-                | low_distinct
-                | dominant
-                | dup_lines
-                | dup_chars
-                | bullets
-                | ellipses
-            )
-        ).alias("kept"),
-        F.when(too_short, "too_short")
-        .when(too_long, "too_long")
-        .when(low_distinct, "low_distinct_frac")
-        .when(dominant, "dominant_token")
-        .when(dup_lines, "dup_lines")
-        .when(dup_chars, "dup_line_chars")
-        .when(bullets, "bullet_lines")
-        .when(ellipses, "ellipsis_lines")
-        .alias("reject_reason"),
+        kept.alias("kept"),
+        reason,
     )
 
 
@@ -1405,15 +1423,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 line-grain extension: corpus-wide integer-count ratios over the
     # same (doc, line) relation the per-doc rules use (_line_metrics
     # convention — duplicate means repeated within its own document)
-    lc = _pin(
-        docs.select(
-            "doc_id", F.explode(F.split("text", _LINE_SEP)).alias("raw")
-        )
-        .select("doc_id", F.trim(F.col("raw")).alias("line"))
-        .filter(F.col("line") != "")
-        .groupBy("doc_id", "line")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    lc = _pin(_line_counts(docs))
     ldup = lc.agg(
         (
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
@@ -1453,6 +1463,140 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health report maintained INCREMENTALLY — the fold twin
+    of ``corpus_report``, completing the incremental family (exact-dedup
+    / minhash / paragraph / IVF folds): split the corpus at the doc_id
+    midpoint into two id-ordered batches (the append-only invariant) and
+    fold each into mergeable state, then finalize the same long-form
+    (metric, value) relation. Oracle = the batch-free ``corpus_report``
+    SQL — fold ≡ recompute, exactly.
+
+    State per ingest batch (everything fingerprint- or scalar-grain,
+    never corpus-grain):
+    - one ADDITIVE counter row (docs, tokens, v1/v2 pass counts, line
+      instance/duplicate/punctuation counts — every per-doc metric is
+      batch-local, so the counters sum exactly);
+    - the distinct content-md5 fingerprint relation (union-distinct
+      fold — the exact_dedup state);
+    - the paragraph (para_hash, n_seen) relation via
+      ``incremental_paragraph_dedup`` (per-batch cleaned outputs are
+      FINAL under append-only ingest, so per-batch n_paras/n_dropped
+      sums equal the batch-free recompute — the pinned fold contract);
+    - lang-grain counts (additive).
+
+    Finalize is arithmetic over ONE pinned row plus two tiny relations —
+    identical integer counts to corpus_report, hence identical doubles
+    (the long/long division parity class)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.max("doc_id")).first()[0] // 2
+    para_state = spark.createDataFrame([], "para_hash string, n_seen long")
+    md5_state = spark.createDataFrame([], "content_md5 string")
+    counters = langs = paras = None
+    v1_kept, _ = _verdict_columns(_v1_rules())
+    v2_kept, _ = _verdict_columns(_v1_rules() + _line_rules())
+    for batch in (
+        docs.filter(F.col("doc_id") <= cut),
+        docs.filter(F.col("doc_id") > cut),
+    ):
+        j = _doc_token_metrics_df(batch).join(_line_metrics(batch), "doc_id")
+        c = j.agg(
+            F.count(F.lit(1)).alias("q_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(v1_kept.cast("long")).alias("q1_kept"),
+            F.sum(v2_kept.cast("long")).alias("q2_kept"),
+        ).crossJoin(batch.agg(F.count(F.lit(1)).alias("n_docs"))).crossJoin(
+            _line_counts(batch).agg(
+                F.sum("c").alias("n_lines"),
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c")).otherwise(0)
+                ).alias("dup_lines"),
+                F.sum(
+                    F.when(F.col("line").rlike(_PUNCT_RE), F.col("c"))
+                    .otherwise(0)
+                ).alias("punct_lines"),
+            )
+        )
+        counters = c if counters is None else counters.unionByName(c)
+        lb = batch.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+        langs = lb if langs is None else langs.unionByName(lb)
+        md5_state = md5_state.unionByName(
+            batch.select(F.md5("text").alias("content_md5"))
+        ).distinct()
+        para_state, cleaned = incremental_paragraph_dedup(para_state, batch)
+        pb = cleaned.agg(
+            F.sum("n_paras").alias("n_paras"),
+            F.sum("n_dropped").alias("n_dropped"),
+        )
+        paras = pb if paras is None else paras.unionByName(pb)
+
+    tot = counters.agg(
+        *(F.sum(name).alias(name) for name in counters.columns)
+    )
+    base = _pin(
+        tot.crossJoin(
+            md5_state.agg(F.count(F.lit(1)).alias("distinct_md5"))
+        ).crossJoin(
+            paras.agg(
+                F.sum("n_paras").alias("n_paras"),
+                F.sum("n_dropped").alias("n_dropped"),
+            )
+        )
+    )
+
+    def row(metric: str, expr) -> DataFrame:
+        return base.select(
+            F.lit(metric).alias("metric"), expr.cast("double").alias("value")
+        )
+
+    out = (
+        row("n_docs", F.col("n_docs"))
+        .unionByName(row("n_tokens", F.col("n_tokens")))
+        .unionByName(
+            row("mean_doc_tokens", F.col("n_tokens") / F.col("n_docs"))
+        )
+        .unionByName(
+            row(
+                "distinct_text_fraction",
+                F.col("distinct_md5") / F.col("n_docs"),
+            )
+        )
+        .unionByName(
+            row("quality_pass_rate", F.col("q1_kept") / F.col("q_rows"))
+        )
+        .unionByName(
+            row(
+                "paragraph_dup_fraction",
+                F.col("n_dropped") / F.col("n_paras"),
+            )
+        )
+        .unionByName(
+            row("line_dup_fraction", F.col("dup_lines") / F.col("n_lines"))
+        )
+        .unionByName(
+            row(
+                "punct_line_fraction",
+                F.col("punct_lines") / F.col("n_lines"),
+            )
+        )
+        .unionByName(
+            row("quality_v2_pass_rate", F.col("q2_kept") / F.col("q_rows"))
+        )
+        .unionByName(
+            langs.groupBy("lang")
+            .agg(F.sum("c").alias("c"))
+            .crossJoin(base.select("n_docs"))
+            .select(
+                F.concat(F.lit("lang_share_"), F.col("lang")).alias(
+                    "metric"
+                ),
+                (F.col("c") / F.col("n_docs")).cast("double").alias("value"),
+            )
+        )
+    )
+    return out.orderBy("metric")
+
+
 QUERIES = {
     "quality_filter": quality_filter,
     "contamination_check": contamination_check,
@@ -1469,6 +1613,7 @@ QUERIES = {
 #: contamination_check (the eval split) and curation_pipeline.
 LIBRARY_QUERIES = {
     "line_quality_stats": line_quality_stats,
+    "incremental_corpus_report": incremental_corpus_report,
     "quality_filter_v2": quality_filter_v2,
     "dedup_spans": dedup_spans,
     "paragraph_dedup": paragraph_dedup,
@@ -1986,6 +2131,10 @@ LIBRARY_ORACLE["quality_filter_v2"] = f"""
     FROM metrics m JOIN linem l USING (doc_id)
 """
 
+# fold ≡ recompute: the incremental corpus-report's oracle IS the
+# batch-free corpus_report SQL (the incremental_exact_dedup_fold pattern)
+LIBRARY_ORACLE["incremental_corpus_report"] = LIBRARY_ORACLE["corpus_report"]
+
 LIBRARY_ORACLE["doc_chunks_udtf"] = ORACLE["doc_chunks"]
 
 LIBRARY_ORACLE["doc_chunks_overlap"] = f"""
@@ -2143,6 +2292,67 @@ LIBRARY_QUERIES["weighted_sample"] = weighted_sample
 # of the module — the oracle section interpolates them too.
 
 
+def _dsir_bucketed(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, b): each token instance's md5 feature bucket —
+    two-step select (generators cannot nest inside expressions)."""
+    return docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        "source",
+        (md5_long(F.col("t")) % DSIR_BUCKETS).cast("int").alias("b"),
+    )
+
+
+def _dsir_model(tok: DataFrame) -> DataFrame:
+    """(b, bits_t, bits_r): the frozen DSIR model relation — ≤
+    DSIR_BUCKETS rows, add-1 smoothed floor-log2 code lengths for the
+    target and raw bucket distributions (see dsir_importance_weights)."""
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    tc = tok.filter(is_target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    rc = tok.filter(~is_target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    t_tot = tc.agg((F.sum("tc") + DSIR_BUCKETS).alias("t_tot"))
+    r_tot = rc.agg((F.sum("rc") + DSIR_BUCKETS).alias("r_tot"))
+
+    def bits(tot_col, cnt_col):
+        # floor(log2(tot // (c+1))) — exact integer code length; the
+        # double divide-then-cast equals integer division for totals
+        # < 2^52 (≫ any corpus)
+        return (
+            F.length(
+                F.bin(
+                    (tot_col / (F.coalesce(cnt_col, F.lit(0)) + 1))
+                    .cast("long")
+                )
+            )
+            - 1
+        )
+
+    return (
+        tok.select("b").distinct()
+        .join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            bits(F.col("t_tot"), F.col("tc")).alias("bits_t"),
+            bits(F.col("r_tot"), F.col("rc")).alias("bits_r"),
+        )
+    )
+
+
+def dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public API: the trained (frozen) DSIR model over a corpus dir —
+    what the STREAMING scorer (streaming/jobs.stream_dsir_scores) joins
+    against; bounded by DSIR_BUCKETS rows, so it broadcasts anywhere."""
+    return _dsir_model(_dsir_bucketed(load_table(spark, sf_dir, "documents")))
+
+
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023 — public
     paper), engine-exact: score every RAW-pool document by how much more
@@ -2174,53 +2384,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject(limit=k) feeding a k-row window, verified in
     tests/test_curation.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
-        )
-        .select(
-            "doc_id",
-            "source",
-            (md5_long(F.col("t")) % DSIR_BUCKETS).cast("int").alias("b"),
-        )
-    )
-    tok = _pin(tok)  # feeds both model sides AND the candidate tf
-    is_target = F.col("source") == DSIR_TARGET_SOURCE
-    tc = tok.filter(is_target).groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc")
-    )
-    rc = tok.filter(~is_target).groupBy("b").agg(
-        F.count(F.lit(1)).alias("rc")
-    )
-    t_tot = tc.agg((F.sum("tc") + DSIR_BUCKETS).alias("t_tot"))
-    r_tot = rc.agg((F.sum("rc") + DSIR_BUCKETS).alias("r_tot"))
-
-    def bits(tot_col, cnt_col):
-        # floor(log2(tot // (c+1))) — exact integer code length
-        return (
-            F.length(
-                F.bin(
-                    (tot_col / (F.coalesce(cnt_col, F.lit(0)) + 1))
-                    .cast("long")
-                )
-            )
-            - 1
-        )
-
-    model = (
-        tok.select("b").distinct()
-        .join(tc, "b", "left")
-        .join(rc, "b", "left")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
-        .select(
-            "b",
-            bits(F.col("t_tot"), F.col("tc")).alias("bits_t"),
-            bits(F.col("r_tot"), F.col("rc")).alias("bits_r"),
-        )
-    )
+    tok = _pin(_dsir_bucketed(docs))  # feeds model sides AND candidate tf
+    model = _dsir_model(tok)
     cand = (
-        tok.filter(~is_target)
+        tok.filter(F.col("source") != DSIR_TARGET_SOURCE)
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -2120,9 +2120,15 @@ def near_dup_components(
     min + one self-join — hash-partitioned shuffles only, nothing at the
     driver beyond the convergence counter. ``localCheckpoint`` truncates
     lineage so the plan tree stays flat across iterations (unbounded
-    lineage is the classic iterative-Spark failure). Genuinely iterative
-    ⇒ no SQL oracle (library tier, rows-only there); the real gate
-    replays the same pair relation through a union-find in pytest
+    lineage is the classic iterative-Spark failure). ORACLE-EXACT since
+    r13 (upgraded from rows-only): the fixpoint a label-propagation loop
+    converges to is declaratively expressible — a recursive CTE closes
+    the symmetric edge relation (every (node, label-in-component) pair)
+    and MIN(label) per node IS the converged labeling, so DuckDB checks
+    the result without replaying the iteration schedule (the
+    nation_trade_hops recursive-CTE precedent, applied to components).
+    The union-find replay gate in pytest remains as the independent
+    second check
     (tests/test_operators.py::test_near_dup_components_match_union_find).
 
     Returns (doc_id, component) for every document with ≥1 near-dup
@@ -4664,4 +4670,29 @@ LIBRARY_ORACLE["training_pipeline_curated"] = f"""
       AND d.doc_id IN (SELECT doc_id FROM canon)
       AND d.doc_id NOT IN (SELECT doc_b FROM nd)
     ORDER BY d.doc_id
+"""
+
+
+# near_dup_components oracle (r13 upgrade, rows-only → EXACT): the
+# recursive CTE computes the transitive closure of the symmetric
+# near-dup edge relation — (node, lbl) for every lbl in node's
+# component — and MIN(lbl) per node is exactly the fixpoint the Spark
+# min-label-propagation loop converges to. The pair relation is the
+# (already oracle-exact) minhash_near_dup SQL, wrapped in a subselect
+# because a bare top-level UNION ALL inside a WITH RECURSIVE clause
+# would be parsed as a self-recursive definition.
+LIBRARY_ORACLE["near_dup_components"] = f"""
+    WITH RECURSIVE nd AS (SELECT * FROM ({ORACLE['minhash_near_dup']})),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM nd
+        UNION
+        SELECT doc_b, doc_a FROM nd
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
 """

@@ -1701,3 +1701,48 @@ def stream_user_type_counts_tws(events: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+def stream_dsir_scores(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Streaming DSIR importance scoring — the stream twin of
+    ``plans/curation.dsir_importance_weights`` in the frozen-index
+    pattern (the streaming BM25 ranker / ann-over-postings shape): the
+    model is TRAINED batch-side (``curation.dsir_model`` — a ≤
+    DSIR_BUCKETS-row relation) and the stream is scored against it with
+    zero stateful re-training.
+
+    Plan shape: stateless token-explode + bucket projection, a
+    stream-static broadcast join onto the model relation, then ONE
+    streaming aggregation at doc grain (Σ tf·(bits_r − bits_t) and the
+    token count accumulate linearly, so update-mode state per doc is
+    two longs). State is doc-grain for the stream's lifetime; a
+    production deployment bounds it with an event-time watermark once
+    docs carry ingest timestamps (same note as the other doc-grain
+    twins). Contract mirrored from the batch plan: only raw-pool
+    documents are scored, and tokens hashing to buckets absent from
+    the TRAINING corpus are skipped (the batch twin never sees any —
+    its model covers every bucket of the corpus it scores).
+
+    Stream ≡ batch gate (tests/test_streaming.py): replaying id-ordered
+    document chunks against the model trained on the same corpus, the
+    final per-doc (n_tokens, weight_bits) equal the batch plan's rows
+    EXACTLY (integer arithmetic end to end)."""
+    from ..functions.core import md5_long, tokens
+    from ..plans.curation import DSIR_BUCKETS, DSIR_TARGET_SOURCE
+
+    tok = (
+        docs.filter(F.col("source") != DSIR_TARGET_SOURCE)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .select(
+            "doc_id",
+            (md5_long(F.col("t")) % DSIR_BUCKETS).cast("int").alias("b"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("bits_r") - F.col("bits_t")).alias("weight_bits"),
+        )
+    )

@@ -861,3 +861,14 @@ def test_dsir_selected_compiles_to_topk(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert f"TakeOrderedAndProject(limit={curation.DSIR_K}" in plan
+
+
+def test_incremental_corpus_report_equals_batch(spark):
+    """fold ≡ recompute, bit-exact: the 2-batch incremental report must
+    reproduce corpus_report row for row (same metric names, same double
+    values — all integer/integer divisions of identical counts)."""
+    batch = {(r.metric, r.value)
+             for r in curation.corpus_report(spark, SF).collect()}
+    fold = {(r.metric, r.value)
+            for r in curation.incremental_corpus_report(spark, SF).collect()}
+    assert fold == batch

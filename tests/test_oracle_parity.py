@@ -67,11 +67,17 @@ def test_query_parity(spark, con, name):
 
 
 def test_array_typed_bpe_plans_stay_library_tier():
-    """The rotation policy must never promote the array-typed originals;
-    their *_str twins carry the driver rows (plans/__init__.py r11 note)."""
+    """The rotation policy must never promote the array-typed originals
+    (the driver canonicalizer cannot hash complex cells — the r10 ERR);
+    their *_str serialization twins may sit in EITHER tier (driver r11–
+    r12, rotated to the library tier r13 as long-stable), but both tiers
+    together must always carry them."""
     from sales_etl_pipeline_spark import plans
 
     driver = set(plans.all_queries())
     library = set(plans.library_queries())
     assert {"bpe_encoded_docs", "bpe_packed_windows"} <= library
-    assert {"bpe_encoded_docs_str", "bpe_packed_windows_str"} <= driver
+    assert not {"bpe_encoded_docs", "bpe_packed_windows"} & driver
+    assert {"bpe_encoded_docs_str", "bpe_packed_windows_str"} <= (
+        driver | library
+    )

@@ -1129,3 +1129,39 @@ def test_stream_countmin_equals_batch(spark, tmp_path):
         for r in llmdata.countmin_sketch(spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_stream_dsir_scores_equals_batch(spark, tmp_path):
+    """stream_dsir_scores over id-ordered document chunks, joined to the
+    batch-trained frozen model, ≡ the batch dsir_importance_weights rows
+    EXACTLY (integer bits arithmetic end to end; one update-mode
+    doc-grain aggregation)."""
+    from sales_etl_pipeline_spark.plans import curation
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    )
+    model = curation.dsir_model(spark, SF).localCheckpoint()
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "dsirdocs"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    raw = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_dsir_scores(raw, model), "t_dsir", "update"
+    )
+    got = {(r.doc_id, r.n_tokens, r.weight_bits) for r in out.collect()}
+    want = {
+        (r.doc_id, r.n_tokens, r.weight_bits)
+        for r in curation.dsir_importance_weights(spark, SF).collect()
+    }
+    assert got == want and got
