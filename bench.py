@@ -158,6 +158,14 @@ HEADLINE = (
     "dedup_long_spans",
     "incremental_paragraph_fold",
     "embedding_fd_sketch",
+    # round 13 families get their rows the round they land (closing the
+    # one-round bench lag the r12 families suffered): the line-rule
+    # quality filter, DSIR top-k selection (model + weights + window
+    # group limit in one plan), and the versioned-table lifecycle
+    # (3 commits + AS-OF and latest reads)
+    "quality_filter_v2",
+    "dsir_selected",
+    "table_time_travel",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
