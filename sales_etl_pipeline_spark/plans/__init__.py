@@ -141,7 +141,10 @@ _MODULES = (
 # floor-log2 bits trick), the incremental corpus-report fold
 # (incremental_corpus_report — oracle = batch-free corpus_report), and
 # near_dup_components (upgraded rows-only → ORACLE-EXACT r13 via a
-# recursive-CTE transitive closure) — and back-fill
+# recursive-CTE transitive closure), the epoch-shuffle sharding
+# pair (epoch_shuffle_assignment, epoch_shard_stats — oracle-exact),
+# and quality_aware_dedup (oracle-exact best-copy retention) —
+# and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,
 # simhash_near_dup, semantic_dedup_bucketed, plus the five r12 outs:

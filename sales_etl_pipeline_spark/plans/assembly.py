@@ -486,3 +486,113 @@ def _source_mix_oracle_sql(
 
 LIBRARY_ORACLE["source_mix_sample"] = _source_mix_oracle_sql()
 LIBRARY_ORACLE["token_budget_selection"] = _budget_selection_sql(TOKEN_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle + sharding (r13): the delivery step after packing/mixing
+
+#: default shard count for the registry plan (production passes the real
+#: shard count — e.g. data-parallel world size × files per worker)
+EPOCH_SHARDS = 16
+#: epoch seed: a new seed per epoch re-permutes the corpus without
+#: rewriting anything upstream
+EPOCH_SEED = "ep0"
+
+
+def epoch_shuffle_assignment(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_shards: int = EPOCH_SHARDS,
+    seed: str = EPOCH_SEED,
+) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE + sharding — the step that turns a
+    curated corpus into training shards: every document gets a
+    reproducible pseudo-random (shard, pos), so a trainer reading shard
+    files in position order consumes a seeded global permutation (new
+    seed ⇒ new epoch order, nothing upstream rewritten; same seed ⇒
+    bit-identical order across reruns/backfills — what random() or
+    DataFrame.sample can never give).
+
+    shard = md5(seed#doc_id) % n_shards (coordination-free routing —
+    any executor can place any document), pos = row_number within the
+    shard ordered by (hash, doc_id). The window is SHARD-partitioned:
+    one hash exchange + a per-shard sort over 1/n_shards of the corpus,
+    which is the exact, irreducible cost of materializing a global
+    permutation — and the same shuffle ``write_epoch_shards`` rides to
+    lay the files out. Hash routing balances shards to within the
+    binomial bound (pinned in tests/test_operators.py); the n_tokens
+    column rides along so the trainer's sampler can weigh shards.
+
+    Returns (doc_id, n_tokens, shard, pos) — flat, oracle-EXACT."""
+    from ..functions.core import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(
+        F.concat(F.lit(seed + "#"), F.col("doc_id").cast("string"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("int").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("shard", (F.col("h") % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    ).orderBy("shard", "pos")
+
+
+def epoch_shard_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_shards: int = EPOCH_SHARDS,
+    seed: str = EPOCH_SEED,
+) -> DataFrame:
+    """Shard-grain balance report over the epoch assignment — the
+    relation an operator checks before launching a training run (docs
+    and tokens per shard; a skewed shard starves its data-parallel
+    rank). Exact integer counts, shard-grain output."""
+    a = epoch_shuffle_assignment(
+        spark, sf_dir, n_shards=n_shards, seed=seed
+    )
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+LIBRARY_QUERIES["epoch_shuffle_assignment"] = epoch_shuffle_assignment
+LIBRARY_QUERIES["epoch_shard_stats"] = epoch_shard_stats
+
+_EPOCH_BASE_SQL = f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           {oracle_md5_long("'" + EPOCH_SEED + "#' || CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+"""
+
+LIBRARY_ORACLE["epoch_shuffle_assignment"] = f"""
+    WITH base AS ({_EPOCH_BASE_SQL})
+    SELECT doc_id, n_tokens,
+           CAST(h % {EPOCH_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY h % {EPOCH_SHARDS} ORDER BY h, doc_id
+           ) AS INTEGER) AS pos
+    FROM base ORDER BY shard, pos
+"""
+
+LIBRARY_ORACLE["epoch_shard_stats"] = f"""
+    WITH base AS ({_EPOCH_BASE_SQL})
+    SELECT CAST(h % {EPOCH_SHARDS} AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM base GROUP BY 1 ORDER BY shard
+"""

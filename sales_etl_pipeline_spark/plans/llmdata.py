@@ -4696,3 +4696,78 @@ LIBRARY_ORACLE["near_dup_components"] = f"""
     SELECT node AS doc_id, MIN(lbl) AS component
     FROM reach GROUP BY node ORDER BY doc_id
 """
+
+
+def quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup resolution that keeps the BEST copy — the retention
+    policy production pipelines actually want: within every transitive
+    near-dup cluster (``near_dup_components``), survive the document
+    with the highest ``text_quality`` composite score (ties broken by
+    doc_id), instead of the arbitrary smallest-id canonical the plain
+    dedup plans keep. Documents outside any cluster survive untouched.
+
+    ORACLE-EXACT by composition: the components relation earned its
+    recursive-CTE exact oracle this round, text_quality has always been
+    exact (the score is the engine-identical arithmetic class), and the
+    per-cluster argmax is one window over cluster grain — so the DuckDB
+    twin replays all three. Scale shape: the pair graph + one
+    component-grain window (cluster sizes are near-dup family sizes —
+    bounded by the banding caps upstream); the quality join is doc-grain.
+
+    Returns (doc_id, component, quality_score, kept) for every document
+    — component NULL for docs with no near-dup neighbor (always kept)."""
+    comp = near_dup_components(spark, sf_dir)
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    ranked = (
+        comp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        q.join(ranked.select("doc_id", "component", "rn"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "component",
+            "quality_score",
+            (F.col("rn").isNull() | (F.col("rn") == 1)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LIBRARY_QUERIES["quality_aware_dedup"] = quality_aware_dedup
+
+# composition of the (r13-exact) recursive components oracle, the
+# text_quality score, and one cluster-grain argmax window
+LIBRARY_ORACLE["quality_aware_dedup"] = f"""
+    WITH RECURSIVE nd AS (SELECT * FROM ({ORACLE['minhash_near_dup']})),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM nd
+        UNION
+        SELECT doc_b, doc_a FROM nd
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS component
+        FROM reach GROUP BY node
+    ),
+    q AS (SELECT doc_id, quality_score FROM ({ORACLE['text_quality']})),
+    ranked AS (
+        SELECT c.doc_id, c.component,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.component
+                   ORDER BY q.quality_score DESC, c.doc_id
+               ) AS rn
+        FROM comp c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT q.doc_id, r.component, q.quality_score,
+           (r.rn IS NULL OR r.rn = 1) AS kept
+    FROM q LEFT JOIN ranked r ON q.doc_id = r.doc_id
+    ORDER BY q.doc_id
+"""

@@ -366,3 +366,23 @@ def save_tables(tables: dict[str, DataFrame], output_dir: str, formats: list[str
             paths.append(path)
         written[fmt] = paths
     return written
+
+
+def write_epoch_shards(df: DataFrame, path: str, n_shards: int) -> None:
+    """Materialize an epoch-shuffled corpus (plans/assembly.
+    epoch_shuffle_assignment joined back to its rows) as ONE
+    position-ordered parquet file per shard directory: repartition on
+    the shard key so each shard lands wholly in one task, sort within
+    partitions by (shard, pos), and partitionBy-write — parquet
+    preserves within-file row order, so a trainer streaming a shard
+    file reads the epoch order with no sort at load time. When two
+    shard keys hash to the same task the partitionBy split still emits
+    one file per shard, each internally ordered. Requires ``shard`` and
+    ``pos`` columns; everything else is carried through."""
+    (
+        df.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -1358,3 +1358,25 @@ def test_countmin_estimates_guarantee(spark):
         if err > bound:
             violations += 1
     assert violations <= max(1, len(rows) // 10), (violations, len(rows))
+
+
+def test_quality_aware_dedup_keeps_best_copy(spark):
+    """Retention policy invariants: exactly ONE survivor per near-dup
+    component, the survivor has the component's max quality score
+    (doc_id tiebreak), and every un-clustered doc is kept."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    sf = "/root/testdata/sf0.01"
+    rows = llmdata.quality_aware_dedup(spark, sf).collect()
+    comps: dict[int, list] = {}
+    for r in rows:
+        if r.component is None:
+            assert r.kept  # singleton: always survives
+        else:
+            comps.setdefault(r.component, []).append(r)
+    assert comps  # the corpus has near-dup clusters
+    for cid, members in comps.items():
+        kept = [r for r in members if r.kept]
+        assert len(kept) == 1, cid
+        best = max(members, key=lambda r: (r.quality_score, -r.doc_id))
+        assert kept[0].doc_id == best.doc_id, cid
