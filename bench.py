@@ -166,6 +166,15 @@ HEADLINE = (
     "quality_filter_v2",
     "dsir_selected",
     "table_time_travel",
+    # round 13 late: training-example construction (plans/assembly.py) —
+    # span corruption and SFT rendering are the engine's heaviest pure
+    # string projections (higher-order array exprs, zero shuffle; the
+    # html_text_extract shape at example grain), and the bucketed batch
+    # packer rides the one (bucket, shard) exchange. Benched the round
+    # they land, same as the r13 families above.
+    "span_corruption",
+    "sft_examples",
+    "length_bucketed_batches",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch

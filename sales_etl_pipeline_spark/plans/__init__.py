@@ -143,7 +143,10 @@ _MODULES = (
 # near_dup_components (upgraded rows-only → ORACLE-EXACT r13 via a
 # recursive-CTE transitive closure), the epoch-shuffle sharding
 # pair (epoch_shuffle_assignment, epoch_shard_stats — oracle-exact),
-# and quality_aware_dedup (oracle-exact best-copy retention) —
+# and quality_aware_dedup (oracle-exact best-copy retention), plus the
+# late-r13 training-example construction trio — span_corruption,
+# sft_examples, length_bucketed_batches (all oracle-exact, semantics
+# gates in tests/test_examples.py) —
 # and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,

@@ -596,3 +596,413 @@ LIBRARY_ORACLE["epoch_shard_stats"] = f"""
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM base GROUP BY 1 ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# training-example construction (r13, late): the step AFTER epoch
+# sharding — turning curated documents into the exact examples a trainer
+# consumes. Three objectives, all deterministic and oracle-EXACT:
+#
+# - ``span_corruption``: T5-style denoising pairs (corrupted input with
+#   sentinel tokens + the masked-spans target). Mask placement is
+#   GRID-ALIGNED (a span may start only at positions ≡ 0 mod SC_GRID and
+#   runs SC_LEN tokens), which makes the classical sequential sampling
+#   relational: spans can never overlap by construction, so selection is
+#   a pure per-span hash decision — any executor can corrupt any document
+#   with zero coordination, and DuckDB can replay it bit-for-bit.
+# - ``sft_examples``: chat-template rendering with LOSS-MASK offsets
+#   (the assistant-span [loss_start, loss_end) char range a trainer
+#   masks the loss to). Pure string expressions.
+# - ``length_bucketed_batches``: padding-efficient batch packing —
+#   power-of-two length buckets (bucket = ⌊log2 n_tokens⌋, exact integer
+#   arithmetic via length(bin(n))−1, no float log), a seeded md5 shuffle
+#   within the bucket, fixed-size batches of LB_BATCH docs. Batches are
+#   formed WITHIN (bucket, shard): each data-parallel worker packs its
+#   own shard — so the only exchange is one hash partition and the sort
+#   runs over 1/(buckets×shards) of the corpus, never a global sort.
+#
+# Scale notes (100 TB): span_corruption and sft_examples are straight
+# projections — higher-order array expressions per row, whole-stage
+# codegen, ZERO shuffles (document grain in, document grain out).
+# length_bucketed_batches shuffles once on (bucket, shard) — the same
+# irreducible exchange epoch_shuffle_assignment rides — and its output
+# is batch-grain (|corpus| / LB_BATCH rows).
+
+#: span-corruption grid: spans may start at positions ≡ 0 (mod SC_GRID)
+SC_GRID = 6
+#: span-corruption span length (< SC_GRID, so spans never overlap)
+SC_LEN = 3
+#: percent of grid slots selected for masking (≈ SC_PCT·SC_LEN/SC_GRID
+#: of tokens masked: 20% of slots × 3/6 grid fill ≈ 10% of tokens)
+SC_PCT = 20
+#: sentinel rendering, T5 convention: <extra_id_0>, <extra_id_1>, ...
+_SENT_PRE = "<extra_id_"
+_SENT_POST = ">"
+
+
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pairs over ``documents`` — the denoising
+    objective's data prep (Raffel et al., public T5 paper): ~10% of
+    tokens are replaced by numbered sentinels in the input; the target
+    lists each sentinel followed by the tokens it hid, closed by a final
+    sentinel.
+
+    Grid-aligned determinism (module comment): slot s of a document is
+    selected iff md5(doc_id#sc#s) % 100 < SC_PCT; a selected slot masks
+    tokens [s·G, s·G+L). Sentinel numbering is dense per document
+    (0-based, in position order) via an O(S) prefix-sum over the slot
+    array — all higher-order expressions, no explode, no shuffle.
+
+    Returns (doc_id, input_text, target_text, n_spans, n_masked) —
+    flat, oracle-EXACT (the oracle replays the same md5 grid with
+    UNNEST + windows)."""
+    from ..functions.core import tokens
+
+    G, L = SC_GRID, SC_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("n")
+    )
+    # slot selection flags (n >= 1 always: split('', ' ') = [''])
+    n_slots = (F.floor((F.col("n") - 1) / G) + 1).cast("int")
+    sel = F.transform(
+        F.sequence(F.lit(0), n_slots - 1),
+        lambda s: (
+            md5_long(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#sc#"),
+                    s.cast("string"),
+                )
+            )
+            % 100
+            < SC_PCT
+        ),
+    )
+    # ranks[s+1] = selected slots among 0..s-1 (dense sentinel ids)
+    ranks = F.aggregate(
+        F.col("sel"),
+        F.array(F.lit(0)),
+        lambda acc, x: F.concat(
+            acc, F.array(F.element_at(acc, -1) + x.cast("int"))
+        ),
+    )
+    staged = base.withColumn("sel", sel).withColumn("ranks", ranks)
+
+    def slot_of(i):
+        return F.floor(i / G).cast("int")
+
+    def sel_at(s):
+        return F.element_at(F.col("sel"), s + 1)
+
+    def sent(s):
+        # sentinel for slot s: dense rank among selected slots before it
+        return F.concat(
+            F.lit(_SENT_PRE),
+            F.element_at(F.col("ranks"), s + 1).cast("string"),
+            F.lit(_SENT_POST),
+        )
+
+    # input: keep unmasked tokens; a selected slot's first position
+    # renders its sentinel; the rest of the span drops (concat_ws skips
+    # NULLs on the Spark side; the oracle pre-filters)
+    inp_tok = F.transform(
+        F.col("t"),
+        lambda tok, i: F.when(~sel_at(slot_of(i)), tok)
+        .when(i % G == 0, sent(slot_of(i)))
+        .when(i % G >= L, tok)
+        .otherwise(F.lit(None)),
+    )
+    # target: '<extra_id_k> tok tok tok' per selected slot, position
+    # order, closed by the final sentinel when anything was masked
+    sel_slots = F.filter(
+        F.sequence(F.lit(0), n_slots - 1), lambda s: sel_at(s)
+    )
+    tgt_parts = F.transform(
+        sel_slots,
+        lambda s: F.concat(
+            sent(s),
+            F.lit(" "),
+            F.array_join(F.slice(F.col("t"), s * G + 1, L), " "),
+        ),
+    )
+    n_sel = F.element_at(F.col("ranks"), -1)
+    n_masked = F.aggregate(
+        sel_slots,
+        F.lit(0),
+        lambda acc, s: acc + F.least(F.lit(L), F.col("n") - s * G),
+    )
+    closing = F.concat(
+        F.lit(" " + _SENT_PRE), n_sel.cast("string"), F.lit(_SENT_POST)
+    )
+    return staged.select(
+        "doc_id",
+        F.concat_ws(" ", inp_tok).alias("input_text"),
+        F.when(n_sel > 0, F.concat(F.concat_ws(" ", tgt_parts), closing))
+        .otherwise(F.lit(""))
+        .alias("target_text"),
+        n_sel.cast("int").alias("n_spans"),
+        n_masked.cast("int").alias("n_masked"),
+    ).orderBy("doc_id")
+
+
+# SFT chat template (single-line: newline literals render differently
+# across engine SQL dialects; the offsets are the API, not the cosmetic
+# separator). Prompt = first min(16, max(1, n//4)) tokens.
+SFT_PRE = "<|user|> "
+SFT_MID = " <|assistant|> "
+SFT_POST = " <|end|>"
+SFT_PROMPT_CAP = 16
+
+
+def sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering with LOSS-MASK offsets — SFT data prep:
+    each document becomes a rendered conversation string plus the
+    [loss_start, loss_end) 1-based char range of the assistant span (the
+    range the trainer unmasks the loss over). The prompt/response split
+    is deterministic (first min(16, max(1, n//4)) tokens prompt, rest
+    response) so the oracle replays it exactly; on a real SFT corpus the
+    (prompt, response) columns arrive upstream and only the rendering +
+    offset arithmetic below remains. Pure string expressions — zero
+    shuffles. Returns (doc_id, rendered, loss_start, loss_end,
+    n_prompt_toks, n_resp_toks)."""
+    from ..functions.core import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("n")
+    )
+    p = F.greatest(
+        F.lit(1), F.least(F.lit(SFT_PROMPT_CAP), F.floor(F.col("n") / 4))
+    ).cast("int")
+    staged = base.withColumn("p", p).select(
+        "doc_id",
+        "n",
+        "p",
+        F.array_join(F.slice(F.col("t"), 1, F.col("p")), " ").alias(
+            "prompt"
+        ),
+        F.array_join(
+            F.slice(F.col("t"), F.col("p") + 1, F.col("n") - F.col("p")),
+            " ",
+        ).alias("response"),
+    )
+    loss_start = (
+        F.lit(len(SFT_PRE))
+        + F.length("prompt")
+        + F.lit(len(SFT_MID))
+        + F.lit(1)
+    ).cast("int")
+    return staged.select(
+        "doc_id",
+        F.concat(
+            F.lit(SFT_PRE),
+            F.col("prompt"),
+            F.lit(SFT_MID),
+            F.col("response"),
+            F.lit(SFT_POST),
+        ).alias("rendered"),
+        loss_start.alias("loss_start"),
+        (loss_start + F.length("response")).cast("int").alias("loss_end"),
+        F.col("p").alias("n_prompt_toks"),
+        (F.col("n") - F.col("p")).cast("int").alias("n_resp_toks"),
+    ).orderBy("doc_id")
+
+
+#: length-bucketed batching: docs per batch / shards (a worker packs its
+#: own shard; production passes the data-parallel world size)
+LB_BATCH = 32
+LB_SHARDS = 8
+LB_SEED = "lb0"
+
+
+def length_bucketed_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    batch: int = LB_BATCH,
+    n_shards: int = LB_SHARDS,
+    seed: str = LB_SEED,
+) -> DataFrame:
+    """Padding-efficient batch packing: bucket documents by
+    ⌊log2(n_tokens)⌋ (exact integer arithmetic: length(bin(n))−1 — no
+    float log at a bucket boundary), shuffle within the bucket by a
+    seeded md5, and cut fixed-size batches of ``batch`` docs WITHIN
+    (bucket, shard). Grouping similar lengths bounds each batch's
+    padding waste to < 2× the shortest member (power-of-two buckets);
+    the (bucket, shard) batch key is what keeps the sort distributed —
+    see the family comment. Returns batch-grain rows (bucket, shard,
+    batch_idx, n_docs, max_len, sum_tokens, pad_waste) where pad_waste
+    = n_docs·max_len − sum_tokens, the padding tokens a trainer would
+    burn on that batch. Oracle-EXACT."""
+    from ..functions.core import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(
+        F.concat(F.lit(seed + "#"), F.col("doc_id").cast("string"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        h.alias("h"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "h",
+        (F.length(F.bin(F.col("n_tokens"))) - 1).cast("int").alias(
+            "bucket"
+        ),
+        (F.col("h") % n_shards).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("h", "doc_id")
+    placed = base.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(w) - 1) / batch).cast("int"),
+    )
+    return (
+        placed.groupBy("bucket", "shard", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.max("n_tokens").cast("int").alias("max_len"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            (
+                F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+            )
+            .cast("long")
+            .alias("pad_waste"),
+        )
+        .orderBy("bucket", "shard", "batch_idx")
+    )
+
+
+LIBRARY_QUERIES["span_corruption"] = span_corruption
+LIBRARY_QUERIES["sft_examples"] = sft_examples
+LIBRARY_QUERIES["length_bucketed_batches"] = length_bucketed_batches
+
+_SC_SEL = (
+    oracle_md5_long(
+        "CAST(doc_id AS VARCHAR) || '#sc#' || CAST(pos // "
+        f"{SC_GRID} AS VARCHAR)"
+    )
+    + f" % 100 < {SC_PCT}"
+)
+
+LIBRARY_ORACLE["span_corruption"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, n, g.i - 1 AS pos, t[g.i] AS tok
+        FROM toks, LATERAL unnest(generate_series(1, n)) AS g(i)
+    ),
+    span_sel AS (
+        SELECT DISTINCT doc_id, pos // {SC_GRID} AS span
+        FROM tok WHERE {_SC_SEL}
+    ),
+    span_k AS (
+        SELECT doc_id, span,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY span) - 1 AS INT) AS k
+        FROM span_sel
+    ),
+    inp AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN sk.span IS NULL THEN t.tok
+                    WHEN t.pos % {SC_GRID} = 0
+                        THEN '{_SENT_PRE}' || sk.k || '{_SENT_POST}'
+                    WHEN t.pos % {SC_GRID} >= {SC_LEN} THEN t.tok
+                    ELSE NULL END AS out_tok
+        FROM tok t LEFT JOIN span_k sk
+          ON sk.doc_id = t.doc_id AND sk.span = t.pos // {SC_GRID}
+    ),
+    inp_agg AS (
+        SELECT doc_id, string_agg(out_tok, ' ' ORDER BY pos) AS input_text
+        FROM inp WHERE out_tok IS NOT NULL GROUP BY doc_id
+    ),
+    tgt_span AS (
+        SELECT t.doc_id, sk.span, sk.k,
+               '{_SENT_PRE}' || sk.k || '{_SENT_POST}' || ' '
+                   || string_agg(t.tok, ' ' ORDER BY t.pos) AS part,
+               COUNT(*) AS cnt
+        FROM tok t JOIN span_k sk
+          ON sk.doc_id = t.doc_id AND sk.span = t.pos // {SC_GRID}
+        WHERE t.pos % {SC_GRID} < {SC_LEN}
+        GROUP BY t.doc_id, sk.span, sk.k
+    ),
+    tgt_agg AS (
+        SELECT doc_id,
+               string_agg(part, ' ' ORDER BY span) AS body,
+               COUNT(*) AS n_sel, SUM(cnt) AS n_masked
+        FROM tgt_span GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           i.input_text,
+           COALESCE(g.body || ' {_SENT_PRE}' || g.n_sel || '{_SENT_POST}',
+                    '') AS target_text,
+           CAST(COALESCE(g.n_sel, 0) AS INT) AS n_spans,
+           CAST(COALESCE(g.n_masked, 0) AS INT) AS n_masked
+    FROM toks d
+    JOIN inp_agg i USING (doc_id)
+    LEFT JOIN tgt_agg g USING (doc_id)
+    ORDER BY doc_id
+"""
+
+LIBRARY_ORACLE["sft_examples"] = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t, n,
+               GREATEST(1, LEAST({SFT_PROMPT_CAP}, n // 4)) AS p
+        FROM base
+    ),
+    parts AS (
+        SELECT doc_id, n, p,
+               array_to_string(t[1:p], ' ') AS prompt,
+               array_to_string(t[p+1:n], ' ') AS response
+        FROM sized
+    )
+    SELECT doc_id,
+           '{SFT_PRE}' || prompt || '{SFT_MID}' || response
+               || '{SFT_POST}' AS rendered,
+           CAST({len(SFT_PRE)} + length(prompt) + {len(SFT_MID)} + 1
+               AS INT) AS loss_start,
+           CAST({len(SFT_PRE)} + length(prompt) + {len(SFT_MID)} + 1
+               + length(response) AS INT) AS loss_end,
+           CAST(p AS INT) AS n_prompt_toks,
+           CAST(n - p AS INT) AS n_resp_toks
+    FROM parts ORDER BY doc_id
+"""
+
+LIBRARY_ORACLE["length_bucketed_batches"] = f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               {oracle_md5_long("'" + LB_SEED + "#' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, n_tokens, h,
+               CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+               CAST(h % {LB_SHARDS} AS INT) AS shard
+        FROM base
+    ),
+    pos AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY bucket, shard ORDER BY h, doc_id
+               ) - 1 AS pos
+        FROM placed
+    )
+    SELECT bucket, shard, CAST(pos // {LB_BATCH} AS INT) AS batch_idx,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(MAX(n_tokens) AS INT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS pad_waste
+    FROM pos GROUP BY 1, 2, 3 ORDER BY bucket, shard, batch_idx
+"""

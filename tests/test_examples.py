@@ -1,0 +1,165 @@
+"""Training-example construction (plans/assembly, r13 late): semantic
+gates the DuckDB oracle cannot express. Oracle parity for all three
+plans is covered by tests/test_library_parity.py; these pin:
+
+- span_corruption's DENOISING INVARIANT: input + target reconstruct the
+  original document exactly (the property that makes the pair a valid
+  T5 training example), plus the mask-rate band.
+- sft_examples' loss-mask contract: the [loss_start, loss_end) char
+  range of ``rendered`` IS the response span, for every document.
+- length_bucketed_batches' partition property (every doc in exactly one
+  batch), the power-of-two bucket bound, and the op's PURPOSE: bucketed
+  packing wastes strictly less padding than packing the same shuffle
+  order without length buckets.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sales_etl_pipeline_spark.plans import assembly  # noqa: E402
+from sales_etl_pipeline_spark.sources.readers import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+_SENT = re.compile(r"^<extra_id_(\d+)>$")
+
+
+def _reconstruct(input_text: str, target_text: str, n_spans: int) -> str:
+    """Invert span corruption: substitute each input sentinel with the
+    tokens its target span hides."""
+    spans: dict[int, list[str]] = {}
+    cur: list[str] | None = None
+    for tok in target_text.split(" ") if target_text else []:
+        m = _SENT.match(tok)
+        if m:
+            k = int(m.group(1))
+            if k == n_spans:  # closing sentinel
+                cur = None
+                continue
+            cur = spans.setdefault(k, [])
+        elif cur is not None:
+            cur.append(tok)
+    out: list[str] = []
+    for tok in input_text.split(" "):
+        m = _SENT.match(tok)
+        if m:
+            out.extend(spans.get(int(m.group(1)), []))
+        else:
+            out.append(tok)
+    return " ".join(out)
+
+
+def test_span_corruption_reconstructs_every_document(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    rows = assembly.span_corruption(spark, SF).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert _reconstruct(r.input_text, r.target_text, r.n_spans) == docs[
+            r.doc_id
+        ], r.doc_id
+
+
+def test_span_corruption_mask_rate_and_sentinel_density(spark):
+    rows = assembly.span_corruption(spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    total_toks = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    masked = sum(r.n_masked for r in rows)
+    # expectation ≈ SC_PCT/100 · SC_LEN/SC_GRID of tokens (slot tails
+    # clip below SC_LEN, so the realized rate sits slightly under)
+    expect = assembly.SC_PCT / 100 * assembly.SC_LEN / assembly.SC_GRID
+    assert 0.5 * expect <= masked / total_toks <= 1.2 * expect
+    for r in rows:
+        # dense sentinels: input carries exactly n_spans of them, ids 0..n-1
+        ids = [
+            int(m.group(1))
+            for tok in r.input_text.split(" ")
+            if (m := _SENT.match(tok))
+        ]
+        assert ids == list(range(r.n_spans)), r.doc_id
+
+
+def test_sft_loss_mask_is_exactly_the_response_span(spark):
+    rows = assembly.sft_examples(spark, SF).collect()
+    assert rows
+    for r in rows:
+        resp = r.rendered[r.loss_start - 1 : r.loss_end - 1]
+        # the masked span IS the assistant text: bounded by the template
+        # markers, never bleeding into them
+        assert r.rendered.startswith(assembly.SFT_PRE)
+        assert r.rendered.endswith(assembly.SFT_POST)
+        before = r.rendered[: r.loss_start - 1]
+        assert before.endswith(assembly.SFT_MID)
+        assert r.rendered[r.loss_end - 1 :] == assembly.SFT_POST
+        assert len(resp.split(" ")) == r.n_resp_toks or (
+            resp == "" and r.n_resp_toks == 0
+        )
+
+
+def test_length_buckets_partition_and_bound_padding(spark):
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    batches = assembly.length_bucketed_batches(spark, SF).collect()
+    assert sum(b.n_docs for b in batches) == n_docs
+    for b in batches:
+        assert 1 <= b.n_docs <= assembly.LB_BATCH
+        # power-of-two bucket: every member (hence max) in [2^b, 2^{b+1})
+        assert 2**b.bucket <= b.max_len < 2 ** (b.bucket + 1)
+        assert b.pad_waste == b.n_docs * b.max_len - b.sum_tokens
+        assert b.pad_waste >= 0
+    # purpose gate: the same shuffle order packed WITHOUT buckets wastes
+    # more padding (mixing lengths inflates each batch's max_len)
+    bucketed_waste = sum(b.pad_waste for b in batches)
+    # recompute unbucketed waste driver-side from the doc-grain inputs
+    from sales_etl_pipeline_spark.functions.core import md5_long
+
+    placed = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            md5_long(
+                F.concat(
+                    F.lit(assembly.LB_SEED + "#"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .withColumn(
+            "shard", (F.col("h") % assembly.LB_SHARDS).cast("int")
+        )
+        .collect()
+    )
+    waste = 0
+    by_shard: dict[int, list] = {}
+    for r in placed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: (r.h, r.doc_id))
+        for i in range(0, len(shard_rows), assembly.LB_BATCH):
+            chunk = shard_rows[i : i + assembly.LB_BATCH]
+            waste += len(chunk) * max(c.n_tokens for c in chunk) - sum(
+                c.n_tokens for c in chunk
+            )
+    assert bucketed_waste < waste
+
+
+def test_examples_deterministic_across_runs(spark):
+    one = {
+        (r.doc_id, r.input_text, r.target_text)
+        for r in assembly.span_corruption(spark, SF).collect()
+    }
+    two = {
+        (r.doc_id, r.input_text, r.target_text)
+        for r in assembly.span_corruption(spark, SF).collect()
+    }
+    assert one == two
