@@ -175,6 +175,12 @@ HEADLINE = (
     "span_corruption",
     "sft_examples",
     "length_bucketed_batches",
+    # round 13 late: the WordPiece tokenizer completes the trained-
+    # subword triad — steady-state apply (memoized training, the
+    # bpe_token_stats pattern) paired with the cold train cost it
+    # amortizes (the bpe_train pattern)
+    "wordpiece_token_stats",
+    "wordpiece_train",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
@@ -308,6 +314,18 @@ def _unigram_train(spark, sf_dir: str):
     return unigram.unigram_vocab(spark, sf_dir)
 
 
+def _wordpiece_train(spark, sf_dir: str):
+    """Cold WordPiece training (plans/wordpiece.py) — the
+    likelihood-scored third member of the tokenizer-trainer family,
+    benched like bpe_train/unigram_train: cache cleared per run, so
+    best-of-two measures a cold sequential fit (2 aggregations + one
+    1-row collect per merge round)."""
+    from sales_etl_pipeline_spark.plans import wordpiece
+
+    wordpiece.clear_wordpiece_cache()
+    return wordpiece.wordpiece_merges(spark, sf_dir)
+
+
 def _ivf_drift_blas(spark, sf_dir: str):
     """ivf_drift_stats on the PRODUCTION kernel path (foldexact=False —
     numpy BLAS matmuls for training assignment steps): the retrain
@@ -328,6 +346,7 @@ EXTRA_QUERIES = {
     "bpe_train": _bpe_train,
     "bpe_train_1k": _bpe_train_1k,
     "unigram_train": _unigram_train,
+    "wordpiece_train": _wordpiece_train,
     "ingest_batch_fold": _ingest_batch_fold,
     "pii_redact": _pii_redact,
     "ann_ivf_train": _ann_ivf_train,

@@ -62,6 +62,7 @@ from . import (
     unigram,
     validation,
     webtext,
+    wordpiece,
 )
 from ..operators import multimodal
 from ..sources import pysource
@@ -93,6 +94,7 @@ _MODULES = (
     quantiles,
     pca,
     unigram,
+    wordpiece,
     tableplans,
     pysource,
 )
@@ -146,7 +148,10 @@ _MODULES = (
 # and quality_aware_dedup (oracle-exact best-copy retention), plus the
 # late-r13 training-example construction trio — span_corruption,
 # sft_examples, length_bucketed_batches (all oracle-exact, semantics
-# gates in tests/test_examples.py) —
+# gates in tests/test_examples.py) — and the late-r13 WordPiece triad —
+# wordpiece_merges, wordpiece_segmented, wordpiece_token_stats (all
+# oracle-exact, training + longest-match apply replayed in unrolled
+# CTEs; tests/test_wordpiece.py) —
 # and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,

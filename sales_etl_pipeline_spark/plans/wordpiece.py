@@ -1,0 +1,526 @@
+"""WordPiece tokenizer (r13): the third trained-subword family, joining
+BPE (plans/bpe.py) and unigram-LM (plans/unigram.py) — the BERT-style
+likelihood-scored merge trainer plus the greedy longest-match-first
+applier (Schuster & Nakajima 2012; Devlin et al. 2019 — public papers;
+the HuggingFace `tokenizers` WordPiece trainer is the behavioral
+reference for the ``##`` continuation-alphabet convention).
+
+How it differs from BPE, and how that lands relationally:
+
+- **Alphabet**: word-INITIAL characters vs ``##``-prefixed CONTINUATION
+  characters are distinct symbols ("h", "##e", …) — a merge of
+  ("h", "##e") produces "he"; of ("##l", "##l") produces "##ll". The
+  wrapped-separator machinery from plans/bpe.py carries over unchanged
+  (tokens never contain ``_``; ``#`` is not a corpus character under the
+  ``[a-z]+`` pretokenizer), so ``_pair_counts`` is reused verbatim.
+- **Selection score**: BPE merges the most FREQUENT adjacent pair;
+  WordPiece merges the pair maximizing the unigram-LM likelihood gain
+  ∝ count(ab) / (count(a)·count(b)). Floats would make the argmax
+  engine-divergent, so the score is the QUANTIZED exact integer
+  ``score_key = (c·2^WP_SCALE_BITS) div (c_lhs·c_rhs)`` — BIGINT
+  arithmetic both engines compute bit-identically (the dyadic-bits
+  convention used by doc_surprisal/DSIR, applied to a ratio). Ties (and
+  ratios closer than 2^-20 relative, which quantize equal) break by
+  (lhs, rhs) — deterministic, documented semantics. Overflow envelope:
+  exact for corpora with ≤ 2^42 training-pretoken occurrences of any
+  single pair and ≤ 2^31 of any single token (c·2^20 and c_a·c_b must
+  both fit BIGINT); shift WP_SCALE_BITS down for bigger corpora.
+- **Apply**: NOT merge replay — BERT tokenization is greedy
+  LONGEST-MATCH-FIRST against the trained vocabulary (alphabet + every
+  merged token), with words longer than ``WP_MAX_WORD_CHARS`` mapping to
+  ``[UNK]`` wholesale (BERT's ``max_input_chars_per_word``, here sized
+  to the corpus). The Spark side segments at DISTINCT-WORD grain with an
+  Arrow-batched kernel over the broadcast vocabulary (alphabet +
+  n_merges entries — contract-bounded, like the unigram Viterbi); the
+  DuckDB oracle replays the same walk as an unrolled CTE chain of
+  ``WP_MAX_WORD_CHARS`` steps (each step consumes ≥1 character, so every
+  admitted word finishes), longest match selected by a ROW_NUMBER over
+  candidate piece lengths. No-match ``[UNK]`` cannot occur when applying
+  to the training corpus (the alphabet is closed over it — every
+  initial/continuation character comes from these very words); the
+  kernel's no-match branch is pinned by a synthetic-vocab pytest gate
+  instead.
+
+Scale notes (100 TB): training cost = n_merges driver rounds × (one
+pair-count + one token-count aggregation at DISTINCT-WORD grain — the
+corpus-size-independent regime after the single word-count shuffle, the
+plans/bpe.py story); driver traffic is ONE row per round. Apply is
+distinct-word-grain with a broadcast vocab; the doc-stats join back to
+the corpus is the same shuffle bpe_token_stats pays.
+
+Reference scope note: the reference pipeline
+(``/root/reference/data/etl.py``) has no tokenizer surface; this extends
+the engine's LLM-data family (SURVEY.md §2.11 north-star scope).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+from .bpe import WORD_REGEX_SQL, _pair_counts, _word_freq
+
+#: merge rounds (the tiny synthetic vocabulary — 31 distinct words —
+#: exhausts non-interacting pairs quickly; real corpora raise this the
+#: same way bpe_train_1k does via the rich-vocab bench corpus)
+WP_MERGES = 12
+#: BERT's max_input_chars_per_word, sized to the corpus (max word length
+#: in the synthetic tables is 8); ALSO the oracle's unroll depth — each
+#: apply step consumes >= 1 char, so WP_MAX_WORD_CHARS steps finish
+#: every admitted word
+WP_MAX_WORD_CHARS = 8
+#: score quantization (module docstring): score_key =
+#: (c << WP_SCALE_BITS) div (c_lhs * c_rhs)
+WP_SCALE_BITS = 20
+WP_SCALE = 1 << WP_SCALE_BITS
+UNK = "[UNK]"
+
+_WP_CACHE: dict = {}
+
+
+def clear_wordpiece_cache() -> None:
+    """Drop memoized trainings (bench cold-path measurement hook)."""
+    _WP_CACHE.clear()
+
+
+def _init_wp_seqs(word_freq: DataFrame) -> DataFrame:
+    """word → wrapped-separator sequence over the WordPiece alphabet:
+    first char bare, continuations ``##``-prefixed ("hello" →
+    ``_h__##e__##l__##l__##o_``)."""
+    return word_freq.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit("_"),
+            F.substring("word", 1, 1),
+            F.lit("_"),
+            F.regexp_replace(
+                F.expr("substring(word, 2)"), "(.)", "_##$1_"
+            ),
+        ).alias("seq"),
+    )
+
+
+def _tok_counts(seqs: DataFrame) -> DataFrame:
+    """Token (unigram) occurrence counts over the current sequences,
+    weighted by word frequency — the denominators of the WordPiece
+    score."""
+    return (
+        seqs.select(
+            "freq",
+            F.explode(
+                F.split(F.expr("trim(BOTH '_' FROM seq)"), "__")
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _merge_token(lhs: str, rhs: str) -> str:
+    """The HuggingFace continuation-merge rule: 'h'+'##e' → 'he',
+    '##l'+'##l' → '##ll'."""
+    return lhs + (rhs[2:] if rhs.startswith("##") else rhs)
+
+
+def train_wordpiece(
+    spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Train ``n_merges`` WordPiece merges on the documents corpus.
+
+    Returns ``(merges, seqs)`` where merges are (lhs, rhs, score_key)
+    in training order. Sequential (one driver round-trip per merge, one
+    selected row each) — bit-matched by the unrolled-CTE DuckDB oracle.
+    Memoized per (data fingerprint, n_merges) like plans/bpe.py's
+    ``_BPE_CACHE``. Raises when the corpus exhausts adjacent pairs
+    before ``n_merges`` rounds (the loud-failure convention of
+    ``train_bpe``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp_row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.length("text")).alias("chars"),
+    ).first()
+    key = ((fp_row.n, fp_row.hi, fp_row.chars), n_merges)
+    hit = _WP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    seqs = _init_wp_seqs(_word_freq(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        pairs = _pair_counts(seqs)
+        tc = _tok_counts(seqs)
+        top = (
+            pairs.join(
+                tc.select(
+                    F.col("tok").alias("lhs"), F.col("n").alias("nl")
+                ),
+                "lhs",
+            )
+            .join(
+                tc.select(
+                    F.col("tok").alias("rhs"), F.col("n").alias("nr")
+                ),
+                "rhs",
+            )
+            .select(
+                "lhs",
+                "rhs",
+                F.expr(f"(c * {WP_SCALE}L) div (nl * nr)").alias(
+                    "score_key"
+                ),
+            )
+            .orderBy(F.desc("score_key"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"corpus exhausted adjacent pairs after {len(merges)} "
+                f"merges (requested {n_merges}); lower n_merges"
+            )
+        lhs, rhs, score = top[0].lhs, top[0].rhs, top[0].score_key
+        merged = _merge_token(lhs, rhs)
+        seqs = seqs.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"_{lhs}__{rhs}_"),
+                F.lit(f"_{merged}_"),
+            ),
+        ).localCheckpoint(eager=True)
+        merges.append((lhs, rhs, score))
+    out = (merges, seqs)
+    _WP_CACHE[key] = out
+    return out
+
+
+def _alphabet(spark: SparkSession, sf_dir: str) -> set[str]:
+    """The initial symbol set (bare first chars + ## continuations) —
+    derived driver-side from the distinct-word relation (bounded: ≤ 2×
+    charset size rows collected)."""
+    wf = _init_wp_seqs(_word_freq(spark, sf_dir))
+    rows = (
+        wf.select(
+            F.explode(
+                F.split(F.expr("trim(BOTH '_' FROM seq)"), "__")
+            ).alias("tok")
+        )
+        .distinct()
+        .collect()
+    )
+    return {r.tok for r in rows}
+
+
+def wp_vocab(spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES) -> list[str]:
+    """Trained vocabulary: alphabet + every merged token (nothing is
+    ever removed — the HuggingFace convention)."""
+    merges, _ = train_wordpiece(spark, sf_dir, n_merges)
+    vocab = _alphabet(spark, sf_dir)
+    for lhs, rhs, _score in merges:
+        vocab.add(_merge_token(lhs, rhs))
+    return sorted(vocab)
+
+
+def segment_word(word: str, vocab: set[str], max_chars: int = WP_MAX_WORD_CHARS) -> list[str]:
+    """Greedy longest-match-first WordPiece segmentation of one word —
+    the BERT WordpieceTokenizer walk (public reference implementation in
+    the BERT repo/HF tokenizers): longest vocab piece at each cursor,
+    ``##`` lookups past position 0, whole-word [UNK] on overlength or
+    no-match."""
+    if len(word) > max_chars:
+        return [UNK]
+    out: list[str] = []
+    pos = 0
+    while pos < len(word):
+        match = None
+        for ln in range(len(word) - pos, 0, -1):
+            cand = word[pos : pos + ln]
+            tok = cand if pos == 0 else "##" + cand
+            if tok in vocab:
+                match = tok
+                break
+        if match is None:
+            return [UNK]
+        out.append(match)
+        pos += len(match) - 2 if match.startswith("##") else len(match)
+    return out
+
+
+def _segmented(
+    spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES
+) -> DataFrame:
+    """Distinct-word segmentation relation (word, freq, seg, n_tok,
+    is_unk) — the Arrow-batched longest-match kernel over the broadcast
+    vocabulary (alphabet + n_merges entries, contract-bounded)."""
+    vocab = set(wp_vocab(spark, sf_dir, n_merges))
+
+    @F.pandas_udf("string")
+    def seg_udf(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: " ".join(segment_word(w, vocab))
+        )
+
+    wf = _word_freq(spark, sf_dir)
+    return wf.select(
+        "word",
+        "freq",
+        seg_udf("word").alias("seg"),
+    ).select(
+        "word",
+        "freq",
+        "seg",
+        F.size(F.split("seg", " ")).cast("int").alias("n_tok"),
+        (F.col("seg") == UNK).cast("int").alias("is_unk"),
+    )
+
+
+def wordpiece_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES
+) -> DataFrame:
+    """Registry plan: the trained merge table — (rank, lhs, rhs, merged,
+    score_key). The DuckDB oracle REPLAYS training: an unrolled
+    MATERIALIZED-CTE chain recomputing pair counts, token counts, and
+    the quantized-likelihood argmax per round (the plans/bpe.py oracle
+    pattern with the score join added), so the value hash proves the
+    whole training trajectory, scores included."""
+    merges, _ = train_wordpiece(spark, sf_dir, n_merges)
+    rows = [
+        (r, lhs, rhs, _merge_token(lhs, rhs), score)
+        for r, (lhs, rhs, score) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, merged string, score_key long"
+    ).orderBy("rank")
+
+
+def wordpiece_segmented(
+    spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES
+) -> DataFrame:
+    """Registry plan: every distinct corpus word with its WordPiece
+    segmentation (space-joined vocab tokens), token count, and [UNK]
+    flag — the trained tokenizer's full behavior surface at word grain.
+    Oracle: training replay + an unrolled longest-match walk (module
+    docstring)."""
+    return _segmented(spark, sf_dir, n_merges).orderBy("word")
+
+
+def wordpiece_token_stats(
+    spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES
+) -> DataFrame:
+    """Registry plan: doc-grain WordPiece sizing — word count, wordpiece
+    token count, [UNK]-word count, chars per token (the fertility number
+    tokenizer choices are judged by). The bpe_token_stats shape with the
+    longest-match segmentation substituted."""
+    seg = _segmented(spark, sf_dir, n_merges)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(f"({WORD_REGEX_SQL})")
+            )
+        ).alias("word"),
+    )
+    return (
+        words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_wp_tokens"),
+            F.sum("is_unk").cast("long").alias("n_unk_words"),
+            (
+                F.sum(F.length("word")).cast("double")
+                / F.sum(F.when(F.col("is_unk") == 0, F.col("n_tok")).otherwise(F.lit(0)))
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: unrolled training replay + unrolled longest-match walk
+
+
+def _wp_cte_chain(n_merges: int) -> str:
+    """WITH-body replaying ``n_merges`` WordPiece rounds (the
+    plans/bpe.py MATERIALIZED-chain pattern; see _bpe_cte_chain for why
+    every s{r}/b{r} materializes)."""
+    parts = [
+        f"""w AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '{WORD_REGEX_SQL}')) AS word
+            FROM documents
+        ) GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+        SELECT word, freq,
+               '_' || word[1] || '_' ||
+                   regexp_replace(word[2:], '(.)', '_##\\1_', 'g') AS seq
+        FROM w
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""p{r} AS (
+        SELECT lhs, rhs, SUM(freq) AS c FROM (
+            SELECT freq,
+                   unnest(t[1:len(t)-1]) AS lhs,
+                   unnest(t[2:len(t)]) AS rhs
+            FROM (SELECT freq, string_split(trim(seq, '_'), '__') AS t FROM s{r})
+        ) GROUP BY 1, 2
+    ),
+    u{r} AS (
+        SELECT tok, SUM(freq) AS n FROM (
+            SELECT freq, unnest(string_split(trim(seq, '_'), '__')) AS tok
+            FROM s{r}
+        ) GROUP BY 1
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT p.lhs, p.rhs,
+               p.lhs || regexp_replace(p.rhs, '^##', '') AS merged,
+               (p.c * {WP_SCALE}) // (ua.n * ub.n) AS score_key
+        FROM p{r} p
+        JOIN u{r} ua ON ua.tok = p.lhs
+        JOIN u{r} ub ON ub.tok = p.rhs
+        ORDER BY score_key DESC, p.lhs, p.rhs LIMIT 1
+    ),
+    s{r + 1} AS MATERIALIZED (
+        SELECT word, freq,
+               replace(seq, '_' || lhs || '__' || rhs || '_',
+                       '_' || merged || '_') AS seq
+        FROM s{r} CROSS JOIN b{r}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _wp_merges_sql(n_merges: int) -> str:
+    union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rank, lhs, rhs, merged, score_key FROM b{r}"
+        for r in range(n_merges)
+    )
+    return f"""
+    WITH {_wp_cte_chain(n_merges)},
+    merges AS (
+        {union}
+    )
+    SELECT CAST(rank AS INT) AS rank, lhs, rhs, merged,
+           CAST(score_key AS BIGINT) AS score_key
+    FROM merges ORDER BY rank
+    """
+
+
+def _wp_apply_chain(n_merges: int, cap: int) -> str:
+    """WITH-body fragments for the unrolled greedy longest-match walk
+    over the trained vocabulary: a{j} holds every admitted word's cursor
+    after j steps; each step consumes >= 1 char so a{cap} is final."""
+    vocab_union = "\n            UNION ALL ".join(
+        f"SELECT merged AS tok FROM b{r}" for r in range(n_merges)
+    )
+    parts = [
+        f"""vocab AS MATERIALIZED (
+        SELECT DISTINCT tok FROM (
+            SELECT unnest(string_split(trim(seq, '_'), '__')) AS tok FROM s0
+            UNION ALL
+            {vocab_union}
+        )
+    ),
+    vpieces AS MATERIALIZED (
+        SELECT tok,
+               CASE WHEN tok LIKE '##%' THEN tok[3:] ELSE tok END AS sub,
+               (tok LIKE '##%') AS cont,
+               length(CASE WHEN tok LIKE '##%' THEN tok[3:] ELSE tok END)
+                   AS slen
+        FROM vocab
+    ),
+    a0 AS MATERIALIZED (
+        SELECT word, freq, length(word) AS wl,
+               1 AS pos, '' AS seg, 0 AS n_tok
+        FROM w WHERE length(word) <= {cap}
+    )"""
+    ]
+    for j in range(1, cap + 1):
+        parts.append(
+            f"""a{j} AS MATERIALIZED (
+        SELECT word, freq, wl, pos, seg, n_tok
+        FROM a{j - 1} WHERE pos > wl
+        UNION ALL
+        SELECT f.word, f.freq, f.wl,
+               f.pos + m.slen AS pos,
+               f.seg || CASE WHEN f.seg = '' THEN '' ELSE ' ' END
+                     || m.tok AS seg,
+               f.n_tok + 1 AS n_tok
+        FROM a{j - 1} f
+        JOIN (
+            SELECT c.word, c.pos, v.tok, v.slen,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.word, c.pos
+                       ORDER BY v.slen DESC) AS rn
+            FROM (SELECT word, pos, wl FROM a{j - 1} WHERE pos <= wl) c
+            JOIN vpieces v
+              ON v.cont = (c.pos > 1)
+             AND substr(c.word, c.pos, v.slen) = v.sub
+        ) m ON m.word = f.word AND m.pos = f.pos AND m.rn = 1
+        WHERE f.pos <= f.wl
+    )"""
+        )
+    parts.append(
+        f"""seg_rel AS (
+        SELECT word, freq, seg,
+               CAST(n_tok AS INT) AS n_tok, 0 AS is_unk
+        FROM a{cap}
+        UNION ALL
+        SELECT word, freq, '{UNK}', 1, 1
+        FROM w WHERE length(word) > {cap}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _wp_segmented_sql(n_merges: int, cap: int) -> str:
+    return f"""
+    WITH {_wp_cte_chain(n_merges)},
+    {_wp_apply_chain(n_merges, cap)}
+    SELECT word, freq, seg, n_tok, CAST(is_unk AS INT) AS is_unk
+    FROM seg_rel ORDER BY word
+    """
+
+
+def _wp_token_stats_sql(n_merges: int, cap: int) -> str:
+    return f"""
+    WITH {_wp_cte_chain(n_merges)},
+    {_wp_apply_chain(n_merges, cap)},
+    doc_words AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{WORD_REGEX_SQL}')) AS word
+        FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_wp_tokens,
+           CAST(SUM(is_unk) AS BIGINT) AS n_unk_words,
+           CAST(SUM(length(word)) AS DOUBLE)
+               / SUM(CASE WHEN is_unk = 0 THEN n_tok ELSE 0 END)
+               AS chars_per_token
+    FROM doc_words JOIN seg_rel USING (word)
+    GROUP BY 1 ORDER BY doc_id
+    """
+
+
+LIBRARY_QUERIES = {
+    "wordpiece_merges": wordpiece_merges,
+    "wordpiece_segmented": wordpiece_segmented,
+    "wordpiece_token_stats": wordpiece_token_stats,
+}
+
+LIBRARY_ORACLE = {
+    "wordpiece_merges": _wp_merges_sql(WP_MERGES),
+    "wordpiece_segmented": _wp_segmented_sql(WP_MERGES, WP_MAX_WORD_CHARS),
+    "wordpiece_token_stats": _wp_token_stats_sql(
+        WP_MERGES, WP_MAX_WORD_CHARS
+    ),
+}
