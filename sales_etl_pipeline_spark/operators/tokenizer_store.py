@@ -179,3 +179,51 @@ def model_changes(spark: SparkSession, root: str, version: int):
         )
     files = [os.path.join(t._data, n) for n in cdf["files"]]
     return spark.read.parquet(*files)
+
+
+def _wordpiece_table(spark: SparkSession, root: str) -> VersionedTable:
+    t = VersionedTable(spark, root)
+    t.key_columns = ("rank",)  # CDF: per-rank merge-rule diff
+    return t
+
+
+def save_wordpiece_model(
+    spark: SparkSession,
+    root: str,
+    merges: list[tuple[str, str, int]],
+    writer: str | None = None,
+    epoch: int | None = None,
+) -> int:
+    """Commit a trained WordPiece merge list (lhs, rhs, score_key in
+    training order — plans/wordpiece.train_wordpiece's output) as the
+    next model version; the quantized likelihood score rides along so a
+    registry audit can see WHY each merge ranked (the diff a BPE model
+    can't show)."""
+    from ..plans.wordpiece import _merge_token
+
+    df = spark.createDataFrame(
+        [
+            (r, lhs, rhs, _merge_token(lhs, rhs), score)
+            for r, (lhs, rhs, score) in enumerate(merges)
+        ],
+        "rank int, lhs string, rhs string, merged string, score_key long",
+    )
+    return _save(
+        _wordpiece_table(spark, root), df, "save_wordpiece", writer, epoch
+    )
+
+
+def load_wordpiece_model(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> list[tuple[str, str, int]]:
+    """The ordered (lhs, rhs, score_key) merge list of a model version
+    (latest by default) — train_wordpiece's shape, so a loaded model
+    feeds wp_vocab/segment_word directly."""
+    t = _wordpiece_table(spark, root)
+    if as_of is not None:
+        version = t.version_as_of(as_of)
+    rows = t.read(version=version).orderBy("rank").collect()
+    return [(r.lhs, r.rhs, r.score_key) for r in rows]

@@ -149,9 +149,9 @@ _MODULES = (
 # late-r13 training-example construction trio — span_corruption,
 # sft_examples, length_bucketed_batches (all oracle-exact, semantics
 # gates in tests/test_examples.py) — and the late-r13 WordPiece triad —
-# wordpiece_merges, wordpiece_segmented, wordpiece_token_stats (all
-# oracle-exact, training + longest-match apply replayed in unrolled
-# CTEs; tests/test_wordpiece.py) —
+# wordpiece_merges, wordpiece_segmented, wordpiece_token_stats,
+# tokenizer_compare (all oracle-exact, training + longest-match apply
+# replayed in unrolled CTEs; tests/test_wordpiece.py) —
 # and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,

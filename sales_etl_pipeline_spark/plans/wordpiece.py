@@ -524,3 +524,126 @@ LIBRARY_ORACLE = {
         WP_MERGES, WP_MAX_WORD_CHARS
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# cross-family tokenizer evaluation
+
+
+def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry plan: the tokenizer DECISION relation — all three
+    oracle-replayable trained families (char BPE, byte BPE, WordPiece)
+    sized against the same corpus in one result: units consumed
+    (words / GPT-2 pretokens), tokens emitted, total unit length
+    (chars / bytes), and length-per-token — the fertility number a
+    pipeline compares before committing to a tokenizer. (The unigram-LM
+    family is float-EM and therefore not SQL-replayable; its fertility
+    lives in the rows-only unigram_token_stats plan.)
+
+    All three relations are weighted aggregations at DISTINCT-WORD /
+    DISTINCT-PRETOKEN grain over memoized trainings — three tiny scans,
+    one 3-row output. Oracle: the three unrolled training replays
+    (plus the WordPiece longest-match walk) composed as parenthesized
+    WITH-queries under one UNION ALL — the value hash proves all three
+    trajectories at once."""
+    from .bpe import train_bpe, train_bpe_bytes
+
+    _, char_seqs = train_bpe(spark, sf_dir)
+    _, byte_seqs = train_bpe_bytes(spark, sf_dir)
+    wp_seg = _segmented(spark, sf_dir)
+
+    ntok = F.size(
+        F.split(F.expr("trim(BOTH '_' FROM seq)"), "__")
+    )
+    fams = (
+        char_seqs.select(
+            F.lit("bpe").alias("family"),
+            "freq",
+            F.length("word").alias("ulen"),
+            ntok.alias("ntok"),
+        )
+        .unionAll(
+            byte_seqs.select(
+                F.lit("bpe_bytes").alias("family"),
+                "freq",
+                F.octet_length("word").alias("ulen"),
+                ntok.alias("ntok"),
+            )
+        )
+        .unionAll(
+            wp_seg.select(
+                F.lit("wordpiece").alias("family"),
+                "freq",
+                F.length("word").alias("ulen"),
+                F.col("n_tok").alias("ntok"),
+            )
+        )
+    )
+    return (
+        fams.groupBy("family")
+        .agg(
+            F.sum("freq").cast("long").alias("n_units"),
+            F.sum(F.col("freq") * F.col("ntok"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("ulen"))
+            .cast("long")
+            .alias("total_len"),
+            (
+                F.sum(F.col("freq") * F.col("ulen")).cast("double")
+                / F.sum(F.col("freq") * F.col("ntok"))
+            ).alias("len_per_token"),
+        )
+        .orderBy("family")
+    )
+
+
+def _tokenizer_compare_sql() -> str:
+    from .bpe import (
+        BYTE_N_MERGES,
+        N_MERGES,
+        _bpe_cte_chain,
+        _byte_cte_chain,
+    )
+
+    agg = """
+        SELECT '{fam}' AS family,
+               CAST(SUM(freq) AS BIGINT) AS n_units,
+               CAST(SUM(freq * ntok) AS BIGINT) AS n_tokens,
+               CAST(SUM(freq * ulen) AS BIGINT) AS total_len,
+               CAST(SUM(freq * ulen) AS DOUBLE) / SUM(freq * ntok)
+                   AS len_per_token
+        FROM {rel}
+    """
+    bpe_rel = f"""(
+        SELECT freq, length(word) AS ulen,
+               len(string_split(trim(seq, '_'), '__')) AS ntok
+        FROM s{N_MERGES})"""
+    byte_rel = f"""(
+        SELECT freq, octet_length(encode(word)) AS ulen,
+               len(string_split(trim(seq, '_'), '__')) AS ntok
+        FROM s{BYTE_N_MERGES})"""
+    wp_rel = """(
+        SELECT freq, length(word) AS ulen, n_tok AS ntok
+        FROM seg_rel)"""
+    # the outer SELECT wrapper is load-bearing: DuckDB 1.0 rejects a
+    # trailing ORDER BY directly on parenthesized WITH-query set
+    # operands (internal binder error), but binds the same union fine
+    # as a derived table
+    return f"""
+    SELECT family, n_units, n_tokens, total_len, len_per_token FROM (
+    (WITH {_bpe_cte_chain(N_MERGES)}
+     {agg.format(fam="bpe", rel=bpe_rel)})
+    UNION ALL
+    (WITH {_byte_cte_chain(BYTE_N_MERGES)}
+     {agg.format(fam="bpe_bytes", rel=byte_rel)})
+    UNION ALL
+    (WITH {_wp_cte_chain(WP_MERGES)},
+     {_wp_apply_chain(WP_MERGES, WP_MAX_WORD_CHARS)}
+     {agg.format(fam="wordpiece", rel=wp_rel)})
+    ) ORDER BY family
+    """
+
+
+LIBRARY_QUERIES["tokenizer_compare"] = tokenizer_compare
+LIBRARY_ORACLE["tokenizer_compare"] = _tokenizer_compare_sql()

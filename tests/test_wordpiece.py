@@ -148,3 +148,51 @@ def test_token_stats_consistency(spark):
         assert (r.n_words, r.n_wp_tokens, r.n_unk_words) == by_doc[
             r.doc_id
         ], r.doc_id
+
+
+def test_wordpiece_model_registry_round_trip(spark, tmp_path):
+    """Trained WordPiece merges round-trip through the versioned model
+    registry (the BPE/unigram store gains its third family); a retrain
+    commit time-travels back to the first model."""
+    from sales_etl_pipeline_spark.operators import tokenizer_store as ts
+
+    root = str(tmp_path / "wp_models")
+    merges, _ = wp.train_wordpiece(spark, SF)
+    v1 = ts.save_wordpiece_model(spark, root, merges, writer="t", epoch=1)
+    assert ts.load_wordpiece_model(spark, root) == merges
+    # replay idempotence: same (writer, epoch) returns the same version
+    assert ts.save_wordpiece_model(spark, root, merges, writer="t", epoch=1) == v1
+    # a "retrain" with fewer merges commits a new version; v1 readable
+    v2 = ts.save_wordpiece_model(
+        spark, root, merges[:3], writer="t", epoch=2
+    )
+    assert v2 > v1
+    assert ts.load_wordpiece_model(spark, root) == merges[:3]
+    assert ts.load_wordpiece_model(spark, root, version=v1) == merges
+    # a loaded model drives segmentation identically to the trained one
+    vocab = set(wp.wp_vocab(spark, SF))
+    loaded = ts.load_wordpiece_model(spark, root, version=v1)
+    lvocab = wp._alphabet(spark, SF) | {
+        wp._merge_token(l, r) for l, r, _s in loaded
+    }
+    assert lvocab == vocab
+
+
+def test_tokenizer_compare_consistency(spark):
+    """The 3-row decision relation agrees with each family's own
+    word-grain relation summed driver-side."""
+    rows = {r.family: r for r in wp.tokenizer_compare(spark, SF).collect()}
+    assert set(rows) == {"bpe", "bpe_bytes", "wordpiece"}
+    seg = wp.wordpiece_segmented(spark, SF).collect()
+    n_tok = sum(r.freq * r.n_tok for r in seg)
+    n_units = sum(r.freq for r in seg)
+    total_len = sum(r.freq * len(r.word) for r in seg)
+    r = rows["wordpiece"]
+    assert (r.n_units, r.n_tokens, r.total_len) == (
+        n_units,
+        n_tok,
+        total_len,
+    )
+    # all three tokenize the same word stream (byte pretokens differ)
+    assert rows["bpe"].n_units == rows["wordpiece"].n_units
+    assert rows["bpe"].total_len == rows["wordpiece"].total_len
