@@ -181,6 +181,9 @@ HEADLINE = (
     # amortizes (the bpe_train pattern)
     "wordpiece_token_stats",
     "wordpiece_train",
+    # the 1k-merge scalable-vocab row for WordPiece (the bpe_train_1k
+    # twin — same high-entropy corpus, same batched subset admission)
+    "wordpiece_train_1k",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch
@@ -326,6 +329,25 @@ def _wordpiece_train(spark, sf_dir: str):
     return wordpiece.wordpiece_merges(spark, sf_dir)
 
 
+def _wordpiece_train_1k(spark, sf_dir: str):
+    """Cold 1000-merge WordPiece training on the high-entropy corpus —
+    the scalable-vocab path for the THIRD tokenizer family (batched
+    subset admission, batch 128; measured ~51 driver rounds vs 1000
+    sequential). Disjoint admission freezes both score denominators,
+    so every admitted score is exact (plans/wordpiece.train_wordpiece).
+    Warmup trains 64 merges; timed passes pay the full cold 1k."""
+    from scripts.make_bpedata import ensure_bpe_corpus
+    from sales_etl_pipeline_spark.plans import wordpiece
+
+    n = 64 if "sf0.001" in sf_dir else 1000
+    corpus = ensure_bpe_corpus(BPE_DIR)
+    wordpiece.clear_wordpiece_cache()
+    merges, seqs = wordpiece.train_wordpiece(
+        spark, corpus, n_merges=n, batch_size=128, admission="subset"
+    )
+    return seqs
+
+
 def _ivf_drift_blas(spark, sf_dir: str):
     """ivf_drift_stats on the PRODUCTION kernel path (foldexact=False —
     numpy BLAS matmuls for training assignment steps): the retrain
@@ -347,6 +369,7 @@ EXTRA_QUERIES = {
     "bpe_train_1k": _bpe_train_1k,
     "unigram_train": _unigram_train,
     "wordpiece_train": _wordpiece_train,
+    "wordpiece_train_1k": _wordpiece_train_1k,
     "ingest_batch_fold": _ingest_batch_fold,
     "pii_redact": _pii_redact,
     "ann_ivf_train": _ann_ivf_train,

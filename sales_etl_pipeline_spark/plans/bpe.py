@@ -118,7 +118,9 @@ def clear_bpe_cache() -> None:
     _BPE_CACHE.clear()
 
 
-def _admit_batch(top, admission: str = "prefix") -> list[tuple[str, str]]:
+def _admit_batch(
+    top, admission: str = "prefix", merge=None
+) -> list[tuple[str, str]]:
     """NON-INTERACTING selection from the count-sorted pair rows — the
     admission rule of batched merge selection, in two documented modes.
 
@@ -151,17 +153,24 @@ def _admit_batch(top, admission: str = "prefix") -> list[tuple[str, str]]:
     as one chained projection is order-safe in either mode."""
     if admission not in ("prefix", "subset"):
         raise ValueError(f"unknown admission mode {admission!r}")
+    # ``merge`` = how a pair concatenates (the created-token check);
+    # plain concatenation for BPE, the ##-stripping rule for WordPiece
+    # (plans/wordpiece.py reuses this admission with its own merge fn —
+    # disjointness there ALSO freezes the score denominators, since a
+    # merge only changes the counts of its own lhs/rhs/merged tokens)
+    if merge is None:
+        merge = lambda l, r: l + r  # noqa: E731
     admitted: list[tuple[str, str]] = []
     used: set[str] = set()
     for row in top:
         if admitted and (
-            row.lhs in used or row.rhs in used or (row.lhs + row.rhs) in used
+            row.lhs in used or row.rhs in used or merge(row.lhs, row.rhs) in used
         ):
             if admission == "prefix":
                 break
             continue
         admitted.append((row.lhs, row.rhs))
-        used.update((row.lhs, row.rhs, row.lhs + row.rhs))
+        used.update((row.lhs, row.rhs, merge(row.lhs, row.rhs)))
     return admitted
 
 

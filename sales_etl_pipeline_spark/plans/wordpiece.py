@@ -21,10 +21,11 @@ How it differs from BPE, and how that lands relationally:
   arithmetic both engines compute bit-identically (the dyadic-bits
   convention used by doc_surprisal/DSIR, applied to a ratio). Ties (and
   ratios closer than 2^-20 relative, which quantize equal) break by
-  (lhs, rhs) — deterministic, documented semantics. Overflow envelope:
-  exact for corpora with ≤ 2^42 training-pretoken occurrences of any
-  single pair and ≤ 2^31 of any single token (c·2^20 and c_a·c_b must
-  both fit BIGINT); shift WP_SCALE_BITS down for bigger corpora.
+  (lhs, rhs) — deterministic, documented semantics. The key is computed
+  in DECIMAL(38,0) on the Spark side (exact floor division via
+  (a − a%b)/b — see train_wordpiece) and HUGEINT on the DuckDB side, so
+  the envelope is ~10^38 on c·2^40 and c_a·c_b — no 2^63 ceiling; the
+  quotient itself is ≤ 2^40 (c ≤ min(c_a, c_b)) and always fits BIGINT.
 - **Apply**: NOT merge replay — BERT tokenization is greedy
   LONGEST-MATCH-FIRST against the trained vocabulary (alphabet + every
   merged token), with words longer than ``WP_MAX_WORD_CHARS`` mapping to
@@ -71,8 +72,12 @@ WP_MERGES = 12
 #: every admitted word
 WP_MAX_WORD_CHARS = 8
 #: score quantization (module docstring): score_key =
-#: (c << WP_SCALE_BITS) div (c_lhs * c_rhs)
-WP_SCALE_BITS = 20
+#: (c << WP_SCALE_BITS) div (c_lhs * c_rhs). 40 bits keeps the
+#: likelihood ranking meaningful on corpora where denominators reach
+#: 10^10+ (at 20 bits the keys saturated to single digits on the
+#: high-entropy bench corpus, degenerating the argmax toward its
+#: lexicographic tie-break)
+WP_SCALE_BITS = 40
 WP_SCALE = 1 << WP_SCALE_BITS
 UNK = "[UNK]"
 
@@ -125,24 +130,46 @@ def _merge_token(lhs: str, rhs: str) -> str:
 
 
 def train_wordpiece(
-    spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = WP_MERGES,
+    batch_size: int = 1,
+    admission: str = "prefix",
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train ``n_merges`` WordPiece merges on the documents corpus.
 
     Returns ``(merges, seqs)`` where merges are (lhs, rhs, score_key)
-    in training order. Sequential (one driver round-trip per merge, one
-    selected row each) — bit-matched by the unrolled-CTE DuckDB oracle.
-    Memoized per (data fingerprint, n_merges) like plans/bpe.py's
-    ``_BPE_CACHE``. Raises when the corpus exhausts adjacent pairs
-    before ``n_merges`` rounds (the loud-failure convention of
-    ``train_bpe``)."""
+    in training order. ``batch_size=1`` (default) is the classic
+    sequential trainer — one driver round-trip per merge, bit-matched
+    by the unrolled-CTE DuckDB oracle. ``batch_size=m`` is BATCHED
+    selection, the scalable-vocab device from plans/bpe.py: per round
+    admit the non-interacting prefix/subset of the score-sorted top-m
+    (``bpe._admit_batch`` with the ##-stripping merge rule) and apply
+    them as one chained-replace projection. Disjointness buys WordPiece
+    MORE than it buys BPE: a merge only changes the counts of its own
+    lhs/rhs/merged tokens, so every admitted pair's numerator AND both
+    score denominators are provably unchanged by its batch predecessors
+    — the admitted scores are the true scores at admission time. The
+    only divergence from sequential training is ranking-order (a
+    mid-batch-created or skipped pair outranking a later batch member),
+    the same documented semantics as BPE's batched mode, with its own
+    pure-Python replay oracle in tests/test_wordpiece.py.
+
+    Memoized per (data fingerprint, n_merges, batch_size, admission)
+    like plans/bpe.py's ``_BPE_CACHE``. Raises when the corpus exhausts
+    adjacent pairs before ``n_merges`` rounds (the loud-failure
+    convention of ``train_bpe``)."""
+    from .bpe import _admit_batch
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     docs = load_table(spark, sf_dir, "documents")
     fp_row = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("doc_id").alias("hi"),
         F.sum(F.length("text")).alias("chars"),
     ).first()
-    key = ((fp_row.n, fp_row.hi, fp_row.chars), n_merges)
+    key = ((fp_row.n, fp_row.hi, fp_row.chars), n_merges, batch_size, admission)
     hit = _WP_CACHE.get(key)
     if hit is not None:
         return hit
@@ -151,6 +178,7 @@ def train_wordpiece(
     )
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
         pairs = _pair_counts(seqs)
         tc = _tok_counts(seqs)
         top = (
@@ -169,12 +197,23 @@ def train_wordpiece(
             .select(
                 "lhs",
                 "rhs",
-                F.expr(f"(c * {WP_SCALE}L) div (nl * nr)").alias(
-                    "score_key"
-                ),
+                # exact floor division in DECIMAL(38,0): (a - a%b)/b is
+                # an exactly-divisible quotient (decimal %/- are exact;
+                # the final /b rounds an exact integer, i.e. not at
+                # all), so the BIGINT key matches Python's // and
+                # DuckDB's HUGEINT // bit-for-bit with no 2^63 ceiling
+                # on the numerator. Envelope: c·2^40 and c_l·c_r must
+                # fit 38 digits (~10^38) — any real corpus; the
+                # quotient itself is ≤ 2^40 (c ≤ min(c_l, c_r)).
+                F.expr(
+                    f"CAST(((CAST(c AS DECIMAL(38,0)) * {WP_SCALE})"
+                    f" - (CAST(c AS DECIMAL(38,0)) * {WP_SCALE})"
+                    f" % (CAST(nl AS DECIMAL(38,0)) * nr))"
+                    f" / (CAST(nl AS DECIMAL(38,0)) * nr) AS BIGINT)"
+                ).alias("score_key"),
             )
             .orderBy(F.desc("score_key"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
+            .limit(want)
             .collect()
         )
         if not top:
@@ -182,17 +221,19 @@ def train_wordpiece(
                 f"corpus exhausted adjacent pairs after {len(merges)} "
                 f"merges (requested {n_merges}); lower n_merges"
             )
-        lhs, rhs, score = top[0].lhs, top[0].rhs, top[0].score_key
-        merged = _merge_token(lhs, rhs)
-        seqs = seqs.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"),
+        score_of = {(r.lhs, r.rhs): r.score_key for r in top}
+        batch = _admit_batch(top, admission, merge=_merge_token)
+        col = F.col("seq")
+        for lhs, rhs in batch:
+            col = F.replace(
+                col,
                 F.lit(f"_{lhs}__{rhs}_"),
-                F.lit(f"_{merged}_"),
-            ),
-        ).localCheckpoint(eager=True)
-        merges.append((lhs, rhs, score))
+                F.lit(f"_{_merge_token(lhs, rhs)}_"),
+            )
+        seqs = seqs.withColumn("seq", col).localCheckpoint(eager=True)
+        merges.extend(
+            (lhs, rhs, score_of[(lhs, rhs)]) for lhs, rhs in batch
+        )
     out = (merges, seqs)
     _WP_CACHE[key] = out
     return out
@@ -382,7 +423,8 @@ def _wp_cte_chain(n_merges: int) -> str:
     b{r} AS MATERIALIZED (
         SELECT p.lhs, p.rhs,
                p.lhs || regexp_replace(p.rhs, '^##', '') AS merged,
-               (p.c * {WP_SCALE}) // (ua.n * ub.n) AS score_key
+               CAST((p.c::HUGEINT * {WP_SCALE})
+                    // (ua.n::HUGEINT * ub.n) AS BIGINT) AS score_key
         FROM p{r} p
         JOIN u{r} ua ON ua.tok = p.lhs
         JOIN u{r} ub ON ub.tok = p.rhs

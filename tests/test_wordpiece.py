@@ -196,3 +196,78 @@ def test_tokenizer_compare_consistency(spark):
     # all three tokenize the same word stream (byte pretokens differ)
     assert rows["bpe"].n_units == rows["wordpiece"].n_units
     assert rows["bpe"].total_len == rows["wordpiece"].total_len
+
+
+def _replay_train_batched(
+    freq: Counter, n_merges: int, batch: int, admission: str
+):
+    """Pure-Python replay of the BATCHED trainer: score-sorted top-m,
+    non-interacting admission with the ##-stripping created-token rule,
+    one chained application per round."""
+    seqs = {w: [w[0]] + ["##" + c for c in w[1:]] for w in freq}
+    merges = []
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        pc: Counter = Counter()
+        tc: Counter = Counter()
+        for w, toks in seqs.items():
+            f = freq[w]
+            for t in toks:
+                tc[t] += f
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += f
+        assert pc, "exhausted"
+        scored = sorted(
+            pc,
+            key=lambda p: (
+                -((pc[p] * wp.WP_SCALE) // (tc[p[0]] * tc[p[1]])),
+                p[0],
+                p[1],
+            ),
+        )[:want]
+        admitted, used = [], set()
+        for l, r in scored:
+            if admitted and (
+                l in used or r in used or wp._merge_token(l, r) in used
+            ):
+                if admission == "prefix":
+                    break
+                continue
+            admitted.append((l, r))
+            used.update((l, r, wp._merge_token(l, r)))
+        for l, r in admitted:
+            merged = wp._merge_token(l, r)
+            for w, toks in seqs.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if (
+                        i + 1 < len(toks)
+                        and toks[i] == l
+                        and toks[i + 1] == r
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                seqs[w] = out
+        merges.extend(
+            (l, r, (pc[(l, r)] * wp.WP_SCALE) // (tc[l] * tc[r]))
+            for l, r in admitted
+        )
+    return merges, seqs
+
+
+def test_batched_training_replay_bit_match(spark):
+    """The scalable-vocab batched mode (subset admission) replays
+    bit-for-bit in pure Python — its own oracle, the plans/bpe.py
+    batched-mode convention."""
+    freq = _corpus_word_freq(spark)
+    for admission in ("prefix", "subset"):
+        got, _ = wp.train_wordpiece(
+            spark, SF, batch_size=4, admission=admission
+        )
+        expect, _ = _replay_train_batched(
+            freq, wp.WP_MERGES, 4, admission
+        )
+        assert got == expect, admission
