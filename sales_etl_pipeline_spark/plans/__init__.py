@@ -160,6 +160,11 @@ _MODULES = (
 # repeat_buyer_set_ops, region_nation_rollup), rotating out the r13
 # cohort (driver-confirmed this round) to make room.
 #
+# r14 pre-flight (checked late r13): every planned promotion above —
+# including the late-r13 additions (training-example trio, WordPiece
+# triad, tokenizer_compare) — has a FLAT result schema; no serialized
+# twins needed.
+#
 # Round-12 cohort (EXECUTED r12; kept for the audit trail): the 16
 # never-driver-confirmed plans — the graph trio, search trio, webtext
 # trio, bottomk_sample, lm_heldout_perplexity, incremental_nation_revenue,

@@ -656,10 +656,20 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, input_text, target_text, n_spans, n_masked) —
     flat, oracle-EXACT (the oracle replays the same md5 grid with
     UNNEST + windows)."""
+    return span_corruption_project(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def span_corruption_project(docs: DataFrame) -> DataFrame:
+    """The span-corruption PROJECTION over any (doc_id, text) relation —
+    shared verbatim by the batch plan above and the stateless streaming
+    twin (streaming/jobs.stream_span_corruption): a pure per-row
+    higher-order-expression pipeline, so it composes with readStream
+    unchanged (no shuffle, no state)."""
     from ..functions.core import tokens
 
     G, L = SC_GRID, SC_LEN
-    docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     base = docs.select(
         "doc_id", toks.alias("t"), F.size(toks).alias("n")
@@ -744,7 +754,7 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("target_text"),
         n_sel.cast("int").alias("n_spans"),
         n_masked.cast("int").alias("n_masked"),
-    ).orderBy("doc_id")
+    )
 
 
 # SFT chat template (single-line: newline literals render differently
@@ -767,9 +777,18 @@ def sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset arithmetic below remains. Pure string expressions — zero
     shuffles. Returns (doc_id, rendered, loss_start, loss_end,
     n_prompt_toks, n_resp_toks)."""
+    return sft_examples_project(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def sft_examples_project(docs: DataFrame) -> DataFrame:
+    """The SFT-rendering PROJECTION over any (doc_id, text) relation —
+    shared by the batch plan and the stateless streaming twin
+    (streaming/jobs.stream_sft_examples); stateless per-row string
+    expressions, readStream-composable."""
     from ..functions.core import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     base = docs.select(
         "doc_id", toks.alias("t"), F.size(toks).alias("n")
@@ -808,7 +827,7 @@ def sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         (loss_start + F.length("response")).cast("int").alias("loss_end"),
         F.col("p").alias("n_prompt_toks"),
         (F.col("n") - F.col("p")).cast("int").alias("n_resp_toks"),
-    ).orderBy("doc_id")
+    )
 
 
 #: length-bucketed batching: docs per batch / shards (a worker packs its

@@ -1746,3 +1746,30 @@ def stream_dsir_scores(docs: DataFrame, model: DataFrame) -> DataFrame:
             F.sum(F.col("bits_r") - F.col("bits_t")).alias("weight_bits"),
         )
     )
+
+
+def stream_span_corruption(docs: DataFrame) -> DataFrame:
+    """Streaming T5 span corruption — the stream twin of
+    ``plans/assembly.span_corruption``, sharing its projection verbatim
+    (``span_corruption_project``). Fully STATELESS: mask placement is a
+    pure hash of (doc_id, slot), so a document corrupts identically
+    whether it arrives in a backfill batch or one-at-a-time on a stream
+    — no state store, no watermark, append mode. The online shape of
+    training-example construction: examples materialize as documents
+    land, instead of a nightly corpus pass.
+
+    Stream ≡ batch gate (tests/test_streaming.py): replaying id-ordered
+    document chunks yields EXACTLY the batch plan's rows."""
+    from ..plans.assembly import span_corruption_project
+
+    return span_corruption_project(docs)
+
+
+def stream_sft_examples(docs: DataFrame) -> DataFrame:
+    """Streaming SFT rendering — the stream twin of
+    ``plans/assembly.sft_examples`` (shared projection, stateless
+    per-row string expressions, append mode). Same gate shape as
+    ``stream_span_corruption``."""
+    from ..plans.assembly import sft_examples_project
+
+    return sft_examples_project(docs)

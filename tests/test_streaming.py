@@ -1165,3 +1165,56 @@ def test_stream_dsir_scores_equals_batch(spark, tmp_path):
         for r in curation.dsir_importance_weights(spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_stream_training_examples_equal_batch(spark, tmp_path):
+    """stream_span_corruption / stream_sft_examples over id-ordered
+    document chunks ≡ the batch plans EXACTLY — the stateless shared
+    projection means the stream twin needs no state store at all."""
+    from sales_etl_pipeline_spark.plans import assembly
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "exdocs"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_span_corruption(raw), "t_spancor", "append"
+    )
+    got = {
+        (r.doc_id, r.input_text, r.target_text, r.n_spans, r.n_masked)
+        for r in out.collect()
+    }
+    want = {
+        (r.doc_id, r.input_text, r.target_text, r.n_spans, r.n_masked)
+        for r in assembly.span_corruption(spark, SF).collect()
+    }
+    assert got == want and got
+
+    raw2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out2 = jobs.run_to_memory(
+        jobs.stream_sft_examples(raw2), "t_sft", "append"
+    )
+    got2 = {
+        (r.doc_id, r.rendered, r.loss_start, r.loss_end)
+        for r in out2.collect()
+    }
+    want2 = {
+        (r.doc_id, r.rendered, r.loss_start, r.loss_end)
+        for r in assembly.sft_examples(spark, SF).collect()
+    }
+    assert got2 == want2 and got2
