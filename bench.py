@@ -184,6 +184,10 @@ HEADLINE = (
     # the 1k-merge scalable-vocab row for WordPiece (the bpe_train_1k
     # twin — same high-entropy corpus, same batched subset admission)
     "wordpiece_train_1k",
+    # round 13 late: SymSpell deletion-neighborhood fuzzy matching —
+    # the canonical map composes the blocked edit-distance join + the
+    # neighborhood argmax, so one row covers the family's full path
+    "typo_canonical_map",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch

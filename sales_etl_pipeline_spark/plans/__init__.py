@@ -48,6 +48,7 @@ from . import (
     cdc,
     curation,
     eventplans,
+    fuzzy,
     graph,
     incremental,
     llmdata,
@@ -81,6 +82,7 @@ _MODULES = (
     curation,
     eventplans,
     llmdata,
+    fuzzy,
     bpe,
     assembly,
     cdc,
@@ -151,7 +153,9 @@ _MODULES = (
 # gates in tests/test_examples.py) — and the late-r13 WordPiece triad —
 # wordpiece_merges, wordpiece_segmented, wordpiece_token_stats,
 # tokenizer_compare (all oracle-exact, training + longest-match apply
-# replayed in unrolled CTEs; tests/test_wordpiece.py) —
+# replayed in unrolled CTEs; tests/test_wordpiece.py) — and the
+# late-r13 fuzzy-matching pair — fuzzy_word_pairs, typo_canonical_map
+# (oracle-exact vs naive all-pairs levenshtein; tests/test_fuzzy.py) —
 # and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,

@@ -1,0 +1,204 @@
+"""Fuzzy string matching (r13): SymSpell-style deletion-neighborhood
+blocking for edit-distance joins — the entity-resolution / typo-cluster
+operator class (Garbe's SymSpell is the public reference algorithm; the
+deletion-neighborhood completeness property is its core theorem:
+levenshtein(a, b) ≤ k ⟹ the ≤k-deletion variant sets of a and b
+intersect, so blocking on deletion variants has EXACT recall).
+
+Why this matters at 100 TB: a naive fuzzy join is |vocab|² levenshtein
+calls — dead at any real vocabulary. Deletion blocking generates
+O(len²) variant keys per DISTINCT word (≤ 37 for 8-char words at k=2),
+hash-joins on the variant, and verifies only the candidates, so the
+exact-recall candidate set replaces the quadratic sweep. Bucket sizes
+are structurally bounded: a word lands in variant v's bucket only if
+len(word) ≤ len(v)+k, so each bucket draws from a k-length window of
+the vocabulary (the degenerate 1-char variants gather only ≤(k+1)-char
+words), and the verify join is AQE-skew-splittable. All work is at
+DISTINCT-WORD grain — one corpus tokenize shuffle, then vocab-sized
+relations (the plans/bpe.py scale story).
+
+The DuckDB oracles are the NAIVE all-pairs semantics (a < b,
+levenshtein ≤ k, both engines' levenshtein probed identical) — so the
+value hash simultaneously proves the candidate generation COMPLETE
+(missing pair ⇒ row-count mismatch) and the verify filter exact (extra
+pair ⇒ hash mismatch). Same documented-naive-oracle convention as
+ngram_jaccard_pairs.
+
+Reference scope note: the reference pipeline
+(``/root/reference/data/etl.py``) has no fuzzy-matching surface; this
+extends the engine's LLM-data curation family (SURVEY.md §2.11
+north-star scope — typo normalization is a standard crawl-text cleanup
+pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .bpe import _word_freq
+
+#: edit-distance radius (deletion depth); the synthetic corpus has no
+#: distance-1 neighbors, so k=2 is what exercises the operator
+FUZZY_K = 2
+#: minimum word length admitted to the join (shorter words make every
+#: other short word a neighbor — noise, and the classic SymSpell floor)
+FUZZY_MIN_LEN = 3
+
+
+def _variants_expr() -> F.Column:
+    """All ≤2-deletion variants of ``word`` as an array (word itself,
+    every 1-deletion, every 2-deletion), deduplicated — pure
+    higher-order expressions, identical in both engines' dialects.
+    Valid for length ≥ 2 (callers filter to FUZZY_MIN_LEN ≥ 3)."""
+    return F.expr(
+        """
+        array_distinct(concat(
+            array(word),
+            transform(sequence(1, length(word)), i ->
+                concat(substring(word, 1, i - 1),
+                       substring(word, i + 1, length(word)))),
+            flatten(transform(sequence(1, length(word) - 1), i ->
+                transform(sequence(i + 1, length(word)), j ->
+                    concat(substring(word, 1, i - 1),
+                           substring(word, i + 1, j - i - 1),
+                           substring(word, j + 1, length(word))))))
+        ))
+        """
+    )
+
+
+def _neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-blocked, exactly-verified neighbor pairs (word_a <
+    word_b, levenshtein ≤ FUZZY_K) with frequencies."""
+    wf = _word_freq(spark, sf_dir).filter(
+        F.length("word") >= FUZZY_MIN_LEN
+    )
+    variants = wf.select(
+        "word", "freq", F.explode(_variants_expr()).alias("v")
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    return (
+        a.join(b, "v")
+        .filter(F.col("a.word") < F.col("b.word"))
+        .select(
+            F.col("a.word").alias("word_a"),
+            F.col("b.word").alias("word_b"),
+            F.col("a.freq").alias("freq_a"),
+            F.col("b.freq").alias("freq_b"),
+        )
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein("word_a", "word_b").cast("int")
+        )
+        .filter(F.col("dist") <= FUZZY_K)
+    )
+
+
+def fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry plan: every distinct-word pair within edit distance
+    FUZZY_K (length ≥ FUZZY_MIN_LEN both sides) with frequencies — the
+    typo/variant edge relation entity resolution builds on. Blocked via
+    deletion neighborhoods (module docstring), verified exactly.
+    Oracle: naive all-pairs levenshtein — value-hash equality proves
+    blocking completeness AND verify exactness at once."""
+    return _neighbor_pairs(spark, sf_dir).select(
+        "word_a", "word_b", "dist", "freq_a", "freq_b"
+    ).orderBy("word_a", "word_b")
+
+
+def typo_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry plan: the spell-normalization table — each word mapped
+    to the highest-frequency member of its ≤FUZZY_K neighborhood
+    (itself included; ties by lexicographically smallest word). The
+    canonical-form join a cleanup pass applies before counting,
+    deduplicating, or training. Neighborhood = the symmetric closure of
+    fuzzy_word_pairs + self; one word-partitioned argmax window over
+    neighbor rows (groups bounded by neighborhood size, never corpus
+    size)."""
+    wf = _word_freq(spark, sf_dir).filter(
+        F.length("word") >= FUZZY_MIN_LEN
+    )
+    pairs = _neighbor_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.col("word_a").alias("word"),
+            F.col("word_b").alias("cand"),
+            F.col("freq_b").alias("cand_freq"),
+        )
+        .unionAll(
+            pairs.select(
+                F.col("word_b").alias("word"),
+                F.col("word_a").alias("cand"),
+                F.col("freq_a").alias("cand_freq"),
+            )
+        )
+        .unionAll(
+            wf.select(
+                F.col("word"),
+                F.col("word").alias("cand"),
+                F.col("freq").alias("cand_freq"),
+            )
+        )
+    )
+    w = Window.partitionBy("word").orderBy(
+        F.desc("cand_freq"), F.asc("cand")
+    )
+    return (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "word",
+            F.col("cand").alias("canonical"),
+            F.col("cand_freq").alias("canonical_freq"),
+        )
+        .orderBy("word")
+    )
+
+
+_WF_SQL = """
+    SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ) GROUP BY 1
+"""
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+LIBRARY_QUERIES = {
+    "fuzzy_word_pairs": fuzzy_word_pairs,
+    "typo_canonical_map": typo_canonical_map,
+}
+
+LIBRARY_ORACLE = {
+    "fuzzy_word_pairs": f"""
+    WITH wf AS ({_WF_SQL})
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS INT) AS dist,
+           a.freq AS freq_a, b.freq AS freq_b
+    FROM wf a JOIN wf b
+      ON a.word < b.word
+     AND levenshtein(a.word, b.word) <= {FUZZY_K}
+    WHERE length(a.word) >= {FUZZY_MIN_LEN}
+      AND length(b.word) >= {FUZZY_MIN_LEN}
+    ORDER BY word_a, word_b
+    """,
+    "typo_canonical_map": f"""
+    WITH wf AS ({_WF_SQL}),
+    elig AS (SELECT * FROM wf WHERE length(word) >= {FUZZY_MIN_LEN}),
+    edges AS (
+        SELECT a.word, b.word AS cand, b.freq AS cand_freq
+        FROM elig a JOIN elig b
+          ON levenshtein(a.word, b.word) <= {FUZZY_K}
+    )
+    SELECT word, cand AS canonical, cand_freq AS canonical_freq
+    FROM (
+        SELECT word, cand, cand_freq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY word
+                   ORDER BY cand_freq DESC, cand) AS rn
+        FROM edges
+    ) WHERE rn = 1 ORDER BY word
+    """,
+}
