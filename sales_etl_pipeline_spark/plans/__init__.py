@@ -154,8 +154,9 @@ _MODULES = (
 # wordpiece_merges, wordpiece_segmented, wordpiece_token_stats,
 # tokenizer_compare (all oracle-exact, training + longest-match apply
 # replayed in unrolled CTEs; tests/test_wordpiece.py) — and the
-# late-r13 fuzzy-matching pair — fuzzy_word_pairs, typo_canonical_map
-# (oracle-exact vs naive all-pairs levenshtein; tests/test_fuzzy.py) —
+# late-r13 fuzzy-matching trio — fuzzy_word_pairs, typo_canonical_map,
+# text_typo_normalize (oracle-exact vs naive all-pairs levenshtein;
+# tests/test_fuzzy.py) —
 # and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,

@@ -202,3 +202,103 @@ LIBRARY_ORACLE = {
     ) WHERE rn = 1 ORDER BY word
     """,
 }
+
+
+def text_typo_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry plan: the doc-grain CONSUMER of the canonical map —
+    every token of every document replaced by its typo-canonical form
+    (tokens outside the map — shorter than FUZZY_MIN_LEN or absent —
+    pass through), with a per-doc changed-token count. The cleanup pass
+    a pipeline runs before counting/dedup/training so near-variants
+    collapse onto one surface form.
+
+    Shape: ONE token-grain posexplode + a vocab-grain left join (the
+    map is vocabulary-sized — broadcastable on most corpora, shuffle
+    join otherwise) + positional reassembly at doc grain (array_sort
+    over (pos, tok) structs — the dedup_spans reassembly idiom). One
+    corpus shuffle end to end. Returns (doc_id, normalized_text,
+    n_tokens, n_changed) — flat, oracle-EXACT."""
+    from ..functions.core import tokens
+
+    docs = load_table_docs(spark, sf_dir)
+    cmap = typo_canonical_map(spark, sf_dir).select(
+        F.col("word").alias("tok"), "canonical"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    joined = tok.join(cmap, "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("canonical", "tok").alias("out_tok"),
+        (F.col("canonical").isNotNull() & (F.col("canonical") != F.col("tok")))
+        .cast("int")
+        .alias("changed"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "out_tok"))
+                    ),
+                    lambda s: s["out_tok"],
+                ),
+                " ",
+            ).alias("normalized_text"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("changed").cast("int").alias("n_changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def load_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+LIBRARY_QUERIES["text_typo_normalize"] = text_typo_normalize
+
+LIBRARY_ORACLE["text_typo_normalize"] = f"""
+    WITH wf AS ({_WF_SQL}),
+    elig AS (SELECT * FROM wf WHERE length(word) >= {FUZZY_MIN_LEN}),
+    edges AS (
+        SELECT a.word, b.word AS cand, b.freq AS cand_freq
+        FROM elig a JOIN elig b
+          ON levenshtein(a.word, b.word) <= {FUZZY_K}
+    ),
+    cmap AS (
+        SELECT word AS tok, cand AS canonical
+        FROM (
+            SELECT word, cand,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY word
+                       ORDER BY cand_freq DESC, cand) AS rn
+            FROM edges
+        ) WHERE rn = 1
+    ),
+    toks AS (
+        SELECT doc_id, t, len(t) AS n FROM (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    tok AS (
+        SELECT doc_id, g.i - 1 AS pos, t[g.i] AS tok
+        FROM toks, LATERAL unnest(generate_series(1, n)) AS g(i)
+    ),
+    joined AS (
+        SELECT doc_id, pos,
+               COALESCE(c.canonical, tok) AS out_tok,
+               CASE WHEN c.canonical IS NOT NULL
+                     AND c.canonical <> tok THEN 1 ELSE 0 END AS changed
+        FROM tok LEFT JOIN cmap c USING (tok)
+    )
+    SELECT doc_id,
+           string_agg(out_tok, ' ' ORDER BY pos) AS normalized_text,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(SUM(changed) AS INT) AS n_changed
+    FROM joined GROUP BY doc_id ORDER BY doc_id
+"""

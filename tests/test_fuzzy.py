@@ -118,3 +118,29 @@ def test_fuzzy_pairs_deterministic(spark):
     one = {tuple(r) for r in fuzzy.fuzzy_word_pairs(spark, SF).collect()}
     two = {tuple(r) for r in fuzzy.fuzzy_word_pairs(spark, SF).collect()}
     assert one == two and one
+
+
+def test_text_typo_normalize_applies_the_map(spark, tmp_path):
+    """Doc-grain normalization = token-wise application of the
+    canonical map with order preserved; counts add up."""
+    sf = _crafted_dir(tmp_path)
+    cmap = {
+        r.word: r.canonical
+        for r in fuzzy.typo_canonical_map(spark, sf).collect()
+    }
+    import pyarrow.parquet as pq2
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in pq2.read_table(sf + "/documents.parquet").to_pylist()
+    }
+    rows = fuzzy.text_typo_normalize(spark, sf).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    for r in rows:
+        toks = docs[r.doc_id].split(" ")
+        want = [cmap.get(t, t) for t in toks]
+        assert r.normalized_text == " ".join(want), r.doc_id
+        assert r.n_tokens == len(toks)
+        assert r.n_changed == sum(
+            1 for t in toks if cmap.get(t, t) != t
+        )
