@@ -156,7 +156,9 @@ _MODULES = (
 # replayed in unrolled CTEs; tests/test_wordpiece.py) — and the
 # late-r13 fuzzy-matching trio — fuzzy_word_pairs, typo_canonical_map,
 # text_typo_normalize (oracle-exact vs naive all-pairs levenshtein;
-# tests/test_fuzzy.py) —
+# tests/test_fuzzy.py) — and the late-r13 temperature-mixing pair —
+# temperature_mix_weights, temperature_mix_sample (oracle-exact;
+# skew-corpus rebalance gate in tests/test_examples.py) —
 # and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,

@@ -1025,3 +1025,174 @@ LIBRARY_ORACLE["length_bucketed_batches"] = f"""
                AS pad_waste
     FROM pos GROUP BY 1, 2, 3 ORDER BY bucket, shard, batch_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing (r13 late): the multilingual-sampling
+# rebalance (Conneau & Lample XLM / XLM-R, public papers): sample source
+# i with probability ∝ n_i^α, α < 1 — boosting low-resource sources
+# relative to their raw share. Made engine-exact with the repo's dyadic
+# convention: α = 1/2 realized IN LOG SPACE as weight_bits =
+# ⌊log2 n_tokens⌋ div 2 (exact integer halving of the floor-log — the
+# doc_surprisal bits trick applied to the mixing exponent), weight =
+# 2^weight_bits. Quantized-α documented semantics: weights move in
+# ×√2-sized steps (consecutive bit values double every TWO bits), which
+# preserves the monotone boost-the-tail shape while every number stays
+# BIGINT-exact on both engines.
+
+#: docs drawn by temperature_mix_sample (the mix realized, not just
+#: stated); per-source targets are the largest-remainder apportionment
+#: of this total over the dyadic weights
+TEMP_SAMPLE_N = 400
+
+
+def temperature_mix_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry plan: the mixing TABLE — per source: raw docs/tokens,
+    the dyadic α=1/2 weight, and the integer sample target out of
+    TEMP_SAMPLE_N (floor apportionment + largest-remainder top-up, all
+    integer arithmetic — exact on both engines, and the targets sum to
+    exactly TEMP_SAMPLE_N). Source grain: one corpus aggregation, a
+    ≤|sources|-row relation after it."""
+    from ..functions.core import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_bits",
+            F.expr("(length(bin(n_tokens)) - 1) div 2").cast("int"),
+        )
+        .withColumn(
+            "weight",
+            F.expr("shiftleft(CAST(1 AS BIGINT), weight_bits)"),
+        )
+    )
+    tot = Window.partitionBy()
+    # floor apportionment + largest-remainder: ranks the fractional
+    # remainders (weight*N mod total) and tops up the largest ones so
+    # the targets sum exactly to TEMP_SAMPLE_N. The window runs over
+    # the ≤|sources|-row relation — bounded, never corpus grain.
+    appo = per_src.withColumn(
+        "total_w", F.sum("weight").over(tot)
+    ).withColumn(
+        "base",
+        F.expr(f"(weight * {TEMP_SAMPLE_N}) div total_w").cast("long"),
+    ).withColumn(
+        "rem", F.expr(f"(weight * {TEMP_SAMPLE_N}) % total_w")
+    ).withColumn(
+        "leftover",
+        F.lit(TEMP_SAMPLE_N) - F.sum("base").over(tot),
+    ).withColumn(
+        "rr",
+        F.row_number().over(
+            Window.partitionBy().orderBy(
+                F.desc("rem"), F.asc("source")
+            )
+        ),
+    )
+    return appo.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_bits",
+        "weight",
+        (
+            F.col("base")
+            + (F.col("rr") <= F.col("leftover")).cast("long")
+        ).cast("int").alias("target_n"),
+    ).orderBy("source")
+
+
+def temperature_mix_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry plan: the mix REALIZED — for each source, its target_n
+    highest-md5-rank documents (seeded deterministic rank, the
+    source_mix_sample convention; target_n ≤ n_docs by construction
+    since Σ targets = TEMP_SAMPLE_N ≤ corpus and weights are
+    sub-linear... clipped by the rank filter regardless). One shuffle
+    on source for the rank window; the targets relation is
+    ≤|sources| rows, broadcast onto it."""
+    docs = load_table(spark, sf_dir, "documents")
+    targets = temperature_mix_weights(spark, sf_dir).select(
+        "source", "target_n"
+    )
+    h = md5_long(
+        F.concat(F.lit("tmix#"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.select("doc_id", "source", h.alias("h")).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("rk") <= F.col("target_n"))
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+LIBRARY_QUERIES["temperature_mix_weights"] = temperature_mix_weights
+LIBRARY_QUERIES["temperature_mix_sample"] = temperature_mix_sample
+
+_TEMP_WEIGHTS_SQL = f"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    weighted AS (
+        SELECT *,
+               CAST((length(bin(n_tokens)) - 1) // 2 AS INT)
+                   AS weight_bits,
+               CAST(1 AS BIGINT)
+                   << CAST((length(bin(n_tokens)) - 1) // 2 AS INT)
+                   AS weight
+        FROM per_src
+    ),
+    appo AS (
+        SELECT *,
+               SUM(weight) OVER () AS total_w,
+               (weight * {TEMP_SAMPLE_N}) // SUM(weight) OVER () AS base,
+               (weight * {TEMP_SAMPLE_N}) % SUM(weight) OVER () AS rem
+        FROM weighted
+    ),
+    ranked AS (
+        SELECT *,
+               {TEMP_SAMPLE_N} - SUM(base) OVER () AS leftover,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+        FROM appo
+    )
+    SELECT source, n_docs, n_tokens, weight_bits, weight,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS INT) AS target_n
+    FROM ranked
+"""
+
+LIBRARY_ORACLE["temperature_mix_weights"] = (
+    _TEMP_WEIGHTS_SQL + " ORDER BY source"
+)
+
+LIBRARY_ORACLE["temperature_mix_sample"] = f"""
+    WITH targets AS ({_TEMP_WEIGHTS_SQL}),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {oracle_md5_long("'tmix#' || CAST(doc_id AS VARCHAR)")},
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
+    FROM ranked r JOIN targets t USING (source)
+    WHERE r.rk <= t.target_n
+    ORDER BY source, rk
+"""

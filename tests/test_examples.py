@@ -163,3 +163,36 @@ def test_examples_deterministic_across_runs(spark):
         for r in assembly.span_corruption(spark, SF).collect()
     }
     assert one == two
+
+
+def test_temperature_mixing_boosts_the_tail(spark):
+    """On the power-law skew corpus the α=1/2 dyadic temperature mix
+    must (a) apportion exactly TEMP_SAMPLE_N docs, (b) give every
+    tail source a sampled share ≥ its raw share and the head source a
+    share ≤ its raw share (the XLM-R rebalance property), (c) draw each
+    source's target from its md5-rank prefix deterministically."""
+    from scripts.make_skewdata import ensure_skew_corpus
+
+    sf = ensure_skew_corpus("/tmp/sfskew")
+    wts = assembly.temperature_mix_weights(spark, sf).collect()
+    total_docs = sum(r.n_docs for r in wts)
+    assert sum(r.target_n for r in wts) == assembly.TEMP_SAMPLE_N
+    head = max(wts, key=lambda r: r.n_docs)
+    tail = min(wts, key=lambda r: r.n_docs)
+    assert head.n_docs > 4 * tail.n_docs, "corpus not skewed enough"
+    head_raw = head.n_docs / total_docs
+    head_mix = head.target_n / assembly.TEMP_SAMPLE_N
+    tail_raw = tail.n_docs / total_docs
+    tail_mix = tail.target_n / assembly.TEMP_SAMPLE_N
+    assert head_mix < head_raw
+    assert tail_mix > tail_raw
+    # the realized sample honors the targets exactly
+    sample = assembly.temperature_mix_sample(spark, sf).collect()
+    by_src: dict[str, int] = {}
+    for r in sample:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src == {r.source: r.target_n for r in wts if r.target_n}
+    two = assembly.temperature_mix_sample(spark, sf).collect()
+    assert {(r.doc_id, r.source) for r in sample} == {
+        (r.doc_id, r.source) for r in two
+    }
