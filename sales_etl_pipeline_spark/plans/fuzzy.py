@@ -116,10 +116,15 @@ def typo_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy_word_pairs + self; one word-partitioned argmax window over
     neighbor rows (groups bounded by neighborhood size, never corpus
     size)."""
+    from .llmdata import _pin
+
     wf = _word_freq(spark, sf_dir).filter(
         F.length("word") >= FUZZY_MIN_LEN
     )
-    pairs = _neighbor_pairs(spark, sf_dir)
+    # the symmetric closure consumes the pairs relation TWICE (one leg
+    # per direction); without a pin the whole blocked join re-executes
+    # per leg (plan-audit finding: 9 exchanges → 6 with the pin)
+    pairs = _pin(_neighbor_pairs(spark, sf_dir))
     edges = (
         pairs.select(
             F.col("word_a").alias("word"),
