@@ -188,6 +188,11 @@ HEADLINE = (
     # the canonical map composes the blocked edit-distance join + the
     # neighborhood argmax, so one row covers the family's full path
     "typo_canonical_map",
+    # round 13 late: delivery-schedule pair — the realized temperature
+    # mix (weights + apportionment + per-source rank draw) and the
+    # curriculum schedule (two-pass distributed rank, no global sort)
+    "temperature_mix_sample",
+    "curriculum_order",
     # NOT in the headline suite: "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch

@@ -158,7 +158,8 @@ _MODULES = (
 # text_typo_normalize (oracle-exact vs naive all-pairs levenshtein;
 # tests/test_fuzzy.py) — and the late-r13 temperature-mixing pair —
 # temperature_mix_weights, temperature_mix_sample (oracle-exact;
-# skew-corpus rebalance gate in tests/test_examples.py) —
+# skew-corpus rebalance gate in tests/test_examples.py) — and
+# curriculum_order (oracle-exact two-pass rank ≡ global sort) —
 # and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,

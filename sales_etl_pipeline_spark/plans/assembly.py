@@ -1196,3 +1196,84 @@ LIBRARY_ORACLE["temperature_mix_sample"] = f"""
     WHERE r.rk <= t.target_n
     ORDER BY source, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering (r13 late): the global training schedule
+
+#: curriculum shuffle seed (new seed ⇒ new within-phase order)
+CURR_SEED = "curr0"
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry plan: a CURRICULUM schedule — every document's global
+    training position, phased easy→hard by length (phase =
+    ⌊log2 n_tokens⌋, the standard short-first curriculum; swap in any
+    per-doc difficulty signal) with a seeded shuffle within each phase.
+
+    The scale pattern is the point: a global position WITHOUT a global
+    sort. pos = (cumulative size of earlier phases) + (row_number within
+    the phase) — the classic two-pass distributed rank: one
+    phase-partitioned rank window + a ≤|phases|-row offset relation
+    broadcast back. The oracle computes the same schedule as ONE global
+    ROW_NUMBER() OVER (ORDER BY phase, hash, doc_id), so the value hash
+    PROVES the two-pass plan reproduces the single-sort semantics
+    exactly. Returns (doc_id, phase, pos) — flat, oracle-EXACT."""
+    from ..functions.core import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(
+        F.concat(F.lit(CURR_SEED + "#"), F.col("doc_id").cast("string"))
+    )
+    base = docs.select(
+        "doc_id",
+        (
+            F.length(F.bin(F.size(tokens(F.col("text"))))) - 1
+        ).cast("int").alias("phase"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("phase").orderBy("h", "doc_id")
+    ranked = base.withColumn("rk", F.row_number().over(w))
+    # phase offsets: counts per phase, cumulative over phase order —
+    # a ≤|phases|-row relation (log2 of max doc length), broadcast back
+    offsets = (
+        base.groupBy("phase")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.partitionBy()
+                    .orderBy("phase")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("phase", "offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "phase")
+        .select(
+            "doc_id",
+            "phase",
+            (F.col("offset") + F.col("rk")).cast("long").alias("pos"),
+        )
+        .orderBy("pos")
+    )
+
+
+LIBRARY_QUERIES["curriculum_order"] = curriculum_order
+
+LIBRARY_ORACLE["curriculum_order"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(bin(len(string_split(text, ' ')))) - 1
+                    AS INT) AS phase,
+               {oracle_md5_long("'" + CURR_SEED + "#' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    )
+    SELECT doc_id, phase,
+           ROW_NUMBER() OVER (ORDER BY phase, h, doc_id) AS pos
+    FROM base ORDER BY pos
+"""

@@ -196,3 +196,17 @@ def test_temperature_mixing_boosts_the_tail(spark):
     assert {(r.doc_id, r.source) for r in sample} == {
         (r.doc_id, r.source) for r in two
     }
+
+
+def test_curriculum_order_is_a_phased_permutation(spark):
+    """pos is a bijection onto 1..N; phases are non-decreasing along
+    pos (the curriculum property); deterministic across runs."""
+    rows = assembly.curriculum_order(spark, SF).collect()
+    n = load_table(spark, SF, "documents").count()
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    assert len({r.doc_id for r in rows}) == n
+    by_pos = sorted(rows, key=lambda r: r.pos)
+    phases = [r.phase for r in by_pos]
+    assert phases == sorted(phases)
+    two = {(r.doc_id, r.pos) for r in assembly.curriculum_order(spark, SF).collect()}
+    assert {(r.doc_id, r.pos) for r in rows} == two
