@@ -154,8 +154,9 @@ _MODULES = (
 # wordpiece_merges, wordpiece_segmented, wordpiece_token_stats,
 # tokenizer_compare (all oracle-exact, training + longest-match apply
 # replayed in unrolled CTEs; tests/test_wordpiece.py) — and the
-# late-r13 fuzzy-matching trio — fuzzy_word_pairs, typo_canonical_map,
-# text_typo_normalize (oracle-exact vs naive all-pairs levenshtein;
+# late-r13 fuzzy-matching family — fuzzy_word_pairs,
+# typo_canonical_map, text_typo_normalize, incremental_fuzzy_fold
+# (oracle-exact vs naive all-pairs levenshtein / batch-free recompute;
 # tests/test_fuzzy.py) — and the late-r13 temperature-mixing pair —
 # temperature_mix_weights, temperature_mix_sample (oracle-exact;
 # skew-corpus rebalance gate in tests/test_examples.py) — and

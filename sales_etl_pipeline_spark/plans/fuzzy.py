@@ -307,3 +307,127 @@ LIBRARY_ORACLE["text_typo_normalize"] = f"""
            CAST(SUM(changed) AS INT) AS n_changed
     FROM joined GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental fold (the family's ingest shape) + frozen-map stream twin
+
+
+def _words_of(docs: DataFrame) -> DataFrame:
+    """(word, freq) at length ≥ FUZZY_MIN_LEN over one batch relation —
+    the per-batch leg of the mergeable word-count state."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("([a-z]+)"))
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= FUZZY_MIN_LEN)
+    )
+
+
+def incremental_fuzzy_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry exposure of the fuzzy-index FOLD (the
+    incremental_exact_dedup_fold convention): split documents into two
+    deterministic batches (even/odd doc_id), build the word-count state
+    and variant index from batch 1, fold batch 2 through the delta
+    merge, and return the final neighbor-pair relation. The oracle is
+    the BATCH-FREE recompute (fuzzy_word_pairs' own naive SQL) — fold ≡
+    recompute, driver-checkable.
+
+    Delta economics (why the fold is cheap): word counts are a
+    mergeable counter (freq = f1 + f2 per word), and variant keys only
+    need GENERATING for words NEW to the delta — pair discovery is then
+    base×base (the persisted index, freqs refreshed) ∪ new×all, which
+    are disjoint by construction (base pairs have both words in the
+    base vocabulary) and together exactly the full pair set."""
+    from .llmdata import _pin
+
+    docs = load_table_docs(spark, sf_dir).select("doc_id", "text")
+    wf1 = _words_of(docs.filter(F.col("doc_id") % 2 == 0))
+    wf2 = _words_of(docs.filter(F.col("doc_id") % 2 != 0))
+    merged = _pin(
+        wf1.selectExpr("word", "freq AS f1")
+        .join(wf2.selectExpr("word", "freq AS f2"), "word", "full")
+        .select(
+            "word",
+            (
+                F.coalesce("f1", F.lit(0)) + F.coalesce("f2", F.lit(0))
+            ).alias("freq"),
+        )
+    )
+    new_words = wf2.join(wf1, "word", "left_anti").select("word")
+    var_all = _pin(
+        merged.select(
+            "word", "freq", F.explode(_variants_expr()).alias("v")
+        )
+    )
+    var_base = var_all.join(new_words, "word", "left_anti")
+    var_new = var_all.join(new_words, "word", "semi")
+
+    def pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+        a, b = left.alias("a"), right.alias("b")
+        return (
+            a.join(b, "v")
+            .filter(F.col("a.word") != F.col("b.word"))
+            .select(
+                F.least("a.word", "b.word").alias("word_a"),
+                F.greatest("a.word", "b.word").alias("word_b"),
+            )
+            .distinct()
+        )
+
+    cand = pairs(var_base, var_base).unionAll(
+        pairs(var_new, var_all)
+    ).distinct()
+    fa = merged.selectExpr("word AS word_a", "freq AS freq_a")
+    fb = merged.selectExpr("word AS word_b", "freq AS freq_b")
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("word_a", "word_b").cast("int")
+        )
+        .filter(F.col("dist") <= FUZZY_K)
+        .join(fa, "word_a")
+        .join(fb, "word_b")
+        .select("word_a", "word_b", "dist", "freq_a", "freq_b")
+        .orderBy("word_a", "word_b")
+    )
+
+
+LIBRARY_QUERIES["incremental_fuzzy_fold"] = incremental_fuzzy_fold
+# fold ≡ recompute: the oracle IS the batch-free naive pair SQL
+LIBRARY_ORACLE["incremental_fuzzy_fold"] = LIBRARY_ORACLE[
+    "fuzzy_word_pairs"
+]
+
+
+def typo_map_expr(pairs: list) -> F.Column:
+    """The canonical map as a frozen per-row EXPRESSION: a map literal
+    over the trained (word, canonical) pairs, applied token-wise with
+    pass-through — the stream-side shape (streaming/jobs.
+    stream_typo_normalize). Bounded by the vocabulary contract (the
+    same bound as the broadcast WordPiece vocab); corpora whose map
+    outgrows an in-plan literal use the batch join path instead."""
+    entries: list = []
+    for w, c in pairs:
+        entries.append(F.lit(w))
+        entries.append(F.lit(c))
+    m = F.create_map(*entries) if entries else F.create_map()
+    toks = F.split(F.col("text"), " ")
+    out = F.transform(
+        toks, lambda t: F.coalesce(m.getItem(t), t)
+    )
+    return F.struct(
+        F.array_join(out, " ").alias("normalized_text"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.zip_with(toks, out, lambda a, b: a != b),
+                lambda x: x,
+            )
+        )
+        .cast("int")
+        .alias("n_changed"),
+    )

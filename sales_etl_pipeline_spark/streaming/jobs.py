@@ -1773,3 +1773,22 @@ def stream_sft_examples(docs: DataFrame) -> DataFrame:
     from ..plans.assembly import sft_examples_project
 
     return sft_examples_project(docs)
+
+
+def stream_typo_normalize(docs: DataFrame, cmap_pairs: list) -> DataFrame:
+    """Streaming typo normalization — the frozen-model twin of
+    ``plans/fuzzy.text_typo_normalize`` (the stream_dsir_scores
+    pattern): the canonical map is TRAINED batch-side
+    (``fuzzy.typo_canonical_map``, collected to (word, canonical)
+    pairs — vocabulary-bounded, the broadcast-vocab contract) and
+    applied as a pure per-row map-literal expression: token-wise lookup
+    with pass-through, zero state, zero shuffle, append mode.
+
+    Stream ≡ batch gate (tests/test_streaming.py): replaying id-ordered
+    document chunks yields EXACTLY the batch plan's rows."""
+    from ..plans.fuzzy import typo_map_expr
+
+    s = typo_map_expr(cmap_pairs)
+    return docs.select("doc_id", s.alias("s")).select(
+        "doc_id", "s.normalized_text", "s.n_tokens", "s.n_changed"
+    )

@@ -1218,3 +1218,43 @@ def test_stream_training_examples_equal_batch(spark, tmp_path):
         for r in assembly.sft_examples(spark, SF).collect()
     }
     assert got2 == want2 and got2
+
+
+def test_stream_typo_normalize_equals_batch(spark, tmp_path):
+    """stream_typo_normalize (frozen batch-trained canonical map as a
+    per-row map-literal expression) over id-ordered chunks ≡ the batch
+    text_typo_normalize rows EXACTLY."""
+    from sales_etl_pipeline_spark.plans import fuzzy
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    cmap = [
+        (r.word, r.canonical)
+        for r in fuzzy.typo_canonical_map(spark, SF).collect()
+        if r.word != r.canonical
+    ]
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "typodocs"
+    src.mkdir()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_typo_normalize(raw, cmap), "t_typo", "append"
+    )
+    got = {
+        (r.doc_id, r.normalized_text, r.n_tokens, r.n_changed)
+        for r in out.collect()
+    }
+    want = {
+        (r.doc_id, r.normalized_text, r.n_tokens, r.n_changed)
+        for r in fuzzy.text_typo_normalize(spark, SF).collect()
+    }
+    assert got == want and got
