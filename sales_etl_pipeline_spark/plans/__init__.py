@@ -160,7 +160,8 @@ _MODULES = (
 # tests/test_fuzzy.py) — and the late-r13 temperature-mixing pair —
 # temperature_mix_weights, temperature_mix_sample (oracle-exact;
 # skew-corpus rebalance gate in tests/test_examples.py) — and
-# curriculum_order (oracle-exact two-pass rank ≡ global sort) —
+# curriculum_order (oracle-exact two-pass rank ≡ global sort) and
+# sft_packed_loss_spans (oracle-exact span-grain packed-SFT masks) —
 # and back-fill
 # with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,

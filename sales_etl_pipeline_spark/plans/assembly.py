@@ -1277,3 +1277,158 @@ LIBRARY_ORACLE["curriculum_order"] = f"""
            ROW_NUMBER() OVER (ORDER BY phase, h, doc_id) AS pos
     FROM base ORDER BY pos
 """
+
+
+# ---------------------------------------------------------------------------
+# packed SFT with loss-mask spans (r13 late): the packed-training twin
+# of sft_examples — examples concatenated per source and cut into
+# fixed token windows (the bpe_packed_windows layout), with the
+# assistant-response token ranges mapped into each window: exactly the
+# (window, mask-spans) pairs a packed-SFT trainer feeds its loss mask.
+
+#: window width in whitespace tokens for the packed-SFT layout
+SFT_PACK_WINDOW = 64
+
+
+def sft_packed_loss_spans(
+    spark: SparkSession, sf_dir: str, *, window: int = SFT_PACK_WINDOW
+) -> DataFrame:
+    """Registry plan: per (source, window), every loss-mask span —
+    (doc_id, start_tok, end_tok), within-window 0-based token offsets,
+    end exclusive. Rendered examples (``sft_examples`` template: 1
+    user marker + p prompt tokens + 1 assistant marker + r response
+    tokens + 1 end marker = p+r+3 tokens) are concatenated in doc_id
+    order per source and cut at ``window``-token boundaries; each
+    example's response run [start+p+2, start+p+2+r) is intersected
+    with the windows it touches.
+
+    Scale shape: example start offsets via the two-phase blocked prefix
+    sum (the bpe_packed_windows/sequence_packing device — no
+    single-partition running sum); then everything stays at SPAN grain:
+    a response run touching w windows emits w rows via a ≤w-element
+    sequence explode — no token-grain relation is ever materialized,
+    which is the entire trick (the bpe packer must explode tokens
+    because it emits window CONTENTS; a loss mask is pure arithmetic).
+    Oracle-EXACT (same arithmetic under UNNEST)."""
+    from ..functions.core import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", "source", F.size(toks).alias("n")
+    ).withColumn(
+        "p",
+        F.greatest(
+            F.lit(1),
+            F.least(F.lit(SFT_PROMPT_CAP), F.floor(F.col("n") / 4)),
+        ).cast("int"),
+    ).select(
+        "doc_id",
+        "source",
+        "p",
+        (F.col("n") - F.col("p")).cast("int").alias("r"),
+        (F.col("n") + 3).cast("long").alias("n_tok"),
+    )
+    blk = base.withColumn("blk", F.expr("doc_id div 256"))
+    w_local = (
+        Window.partitionBy("source", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = blk.withColumn("lcum", F.sum("n_tok").over(w_local))
+    w_blocks = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("source", "blk")
+        .agg(F.sum("n_tok").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.coalesce(
+                F.sum("blk_total").over(w_blocks),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("source", "blk", "blk_offset")
+    )
+    spans = (
+        local.join(offsets, ["source", "blk"])
+        .withColumn(
+            "start",
+            F.col("blk_offset") + F.col("lcum") - F.col("n_tok"),
+        )
+        .filter(F.col("r") > 0)
+        .withColumn("span_start", F.col("start") + F.col("p") + 2)
+        .withColumn("span_end", F.col("span_start") + F.col("r"))
+    )
+    win = F.explode(
+        F.sequence(
+            F.expr(f"span_start div {window}"),
+            F.expr(f"(span_end - 1) div {window}"),
+        )
+    )
+    return (
+        spans.select("doc_id", "source", "span_start", "span_end", win.alias("w"))
+        .select(
+            "source",
+            F.col("w").cast("int").alias("window_id"),
+            "doc_id",
+            (
+                F.greatest(F.col("span_start"), F.col("w") * window)
+                - F.col("w") * window
+            ).cast("int").alias("start_tok"),
+            (
+                F.least(F.col("span_end"), (F.col("w") + 1) * window)
+                - F.col("w") * window
+            ).cast("int").alias("end_tok"),
+        )
+        .orderBy("source", "window_id", "start_tok")
+    )
+
+
+LIBRARY_QUERIES["sft_packed_loss_spans"] = sft_packed_loss_spans
+
+LIBRARY_ORACLE["sft_packed_loss_spans"] = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n,
+               GREATEST(1, LEAST({SFT_PROMPT_CAP},
+                                 len(string_split(text, ' ')) // 4)) AS p
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, source, p,
+               CAST(n - p AS INT) AS r,
+               CAST(n + 3 AS BIGINT) AS n_tok
+        FROM base
+    ),
+    placed AS (
+        SELECT *,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tok AS start
+        FROM sized
+    ),
+    spans AS (
+        SELECT doc_id, source,
+               start + p + 2 AS span_start,
+               start + p + 2 + r AS span_end
+        FROM placed WHERE r > 0
+    )
+    SELECT s.source,
+           CAST(g.w AS INT) AS window_id,
+           s.doc_id,
+           CAST(GREATEST(s.span_start, g.w * {SFT_PACK_WINDOW})
+                - g.w * {SFT_PACK_WINDOW} AS INT) AS start_tok,
+           CAST(LEAST(s.span_end, (g.w + 1) * {SFT_PACK_WINDOW})
+                - g.w * {SFT_PACK_WINDOW} AS INT) AS end_tok
+    FROM spans s,
+         LATERAL unnest(generate_series(
+             CAST(s.span_start // {SFT_PACK_WINDOW} AS BIGINT),
+             CAST((s.span_end - 1) // {SFT_PACK_WINDOW} AS BIGINT)))
+             AS g(w)
+    ORDER BY source, window_id, start_tok
+"""

@@ -210,3 +210,46 @@ def test_curriculum_order_is_a_phased_permutation(spark):
     assert phases == sorted(phases)
     two = {(r.doc_id, r.pos) for r in assembly.curriculum_order(spark, SF).collect()}
     assert {(r.doc_id, r.pos) for r in rows} == two
+
+
+def test_sft_packed_loss_spans_cover_exactly_the_response_tokens(spark):
+    """Reconstruct the packed token stream driver-side: the union of
+    emitted (window, span) fragments must be EXACTLY the set of global
+    positions occupied by response tokens, with fragments in-bounds
+    and non-overlapping per window."""
+    W = assembly.SFT_PACK_WINDOW
+    ex = (
+        assembly.sft_examples(spark, SF)
+        .join(
+            load_table(spark, SF, "documents").select(
+                "doc_id", "source"
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    # rebuild per-source packing in doc_id order
+    want: set = set()
+    by_src: dict = {}
+    for r in sorted(ex, key=lambda r: r.doc_id):
+        by_src.setdefault(r.source, []).append(r)
+    for srcname, rows in by_src.items():
+        off = 0
+        for r in rows:
+            n_tok = r.n_prompt_toks + r.n_resp_toks + 3
+            s0 = off + r.n_prompt_toks + 2
+            for g in range(s0, s0 + r.n_resp_toks):
+                want.add((srcname, g))
+            off += n_tok
+    got: set = set()
+    frags = assembly.sft_packed_loss_spans(spark, SF).collect()
+    per_window: dict = {}
+    for f in frags:
+        assert 0 <= f.start_tok < f.end_tok <= W, f
+        seen = per_window.setdefault((f.source, f.window_id), set())
+        rng = set(range(f.start_tok, f.end_tok))
+        assert not (seen & rng), "overlapping fragments"
+        seen |= rng
+        for t in rng:
+            got.add((f.source, f.window_id * W + t))
+    assert got == want and got
