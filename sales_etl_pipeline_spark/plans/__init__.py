@@ -152,8 +152,9 @@ _MODULES = (
 # sft_examples, length_bucketed_batches (all oracle-exact, semantics
 # gates in tests/test_examples.py) — and the late-r13 WordPiece triad —
 # wordpiece_merges, wordpiece_segmented, wordpiece_token_stats,
-# tokenizer_compare (all oracle-exact, training + longest-match apply
-# replayed in unrolled CTEs; tests/test_wordpiece.py) — and the
+# tokenizer_compare, wordpiece_vocab_table, wordpiece_encoded_docs_str
+# (all oracle-exact, training + longest-match apply replayed in
+# unrolled CTEs; tests/test_wordpiece.py) — and the
 # late-r13 fuzzy-matching family — fuzzy_word_pairs,
 # typo_canonical_map, text_typo_normalize, incremental_fuzzy_fold
 # (oracle-exact vs naive all-pairs levenshtein / batch-free recompute;

@@ -689,3 +689,184 @@ def _tokenizer_compare_sql() -> str:
 
 LIBRARY_QUERIES["tokenizer_compare"] = tokenizer_compare
 LIBRARY_ORACLE["tokenizer_compare"] = _tokenizer_compare_sql()
+
+
+# ---------------------------------------------------------------------------
+# serving surface: vocab ids + id-encoded documents (the bpe_vocab /
+# bpe_encoded_docs pair under the WordPiece tokenizer)
+
+
+def wordpiece_vocab_table(
+    spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES
+) -> DataFrame:
+    """Registry plan: the WordPiece vocabulary as a serving artifact —
+    every token the longest-match segmentation emits on the corpus,
+    with a deterministic integer id (dense rank by token text), its
+    frequency-weighted occurrence count, and its length (## prefix
+    excluded from n_chars: the continuation marker is notation, not
+    content). The bpe_vocab shape under the third tokenizer family.
+    One pass over the distinct-word segmentation + a rank window on the
+    vocab-bounded relation."""
+    seg = _segmented(spark, sf_dir, n_merges)
+    from pyspark.sql import Window
+
+    tok = seg.select(
+        "freq", F.explode(F.split("seg", " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum("freq").alias("n_occurrences")
+    )
+    return counts.select(
+        F.row_number()
+        .over(Window.orderBy("token"))
+        .cast("int")
+        .alias("token_id"),
+        "token",
+        F.length(F.regexp_replace("token", "^##", ""))
+        .cast("int")
+        .alias("n_chars"),
+        "n_occurrences",
+    )
+
+
+def wordpiece_encoded_docs_str(
+    spark: SparkSession, sf_dir: str, n_merges: int = WP_MERGES
+) -> DataFrame:
+    """Registry plan: every document as its WordPiece id sequence
+    (serialized ``_``-joined, the harness-flat convention of
+    bpe_encoded_docs_str) + token count — the tensor-ready corpus under
+    the trained tokenizer.
+
+    Scale shape: ids are resolved at WORD grain (each distinct word's
+    seg tokens join the vocab-bounded id table ONCE, reassembled into a
+    per-word id string), then documents concatenate their words' id
+    strings in position order — the token-grain join never touches the
+    corpus, only the vocabulary."""
+    seg = _segmented(spark, sf_dir, n_merges)
+    vocab = wordpiece_vocab_table(spark, sf_dir, n_merges).select(
+        "token", "token_id"
+    )
+    wtok = seg.select(
+        "word",
+        "n_tok",
+        F.posexplode(F.split("seg", " ")).alias("tpos", "token"),
+    )
+    word_ids = (
+        wtok.join(vocab, "token")
+        .groupBy("word", "n_tok")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "token_id"))
+                    ),
+                    lambda s: s.token_id.cast("string"),
+                ),
+                "_",
+            ).alias("idseq")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(f"({WORD_REGEX_SQL})")
+            )
+        ).alias("wpos", "word"),
+    )
+    return (
+        words.join(word_ids, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("wpos", "idseq"))
+                    ),
+                    lambda s: s.idseq,
+                ),
+                "_",
+            ).alias("token_ids_str"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LIBRARY_QUERIES["wordpiece_vocab_table"] = wordpiece_vocab_table
+LIBRARY_QUERIES["wordpiece_encoded_docs_str"] = wordpiece_encoded_docs_str
+
+
+def _wp_vocab_sql(n_merges: int, cap: int) -> str:
+    return f"""
+    WITH {_wp_cte_chain(n_merges)},
+    {_wp_apply_chain(n_merges, cap)},
+    tok AS (
+        SELECT freq, unnest(string_split(seg, ' ')) AS token
+        FROM seg_rel
+    ),
+    counts AS (
+        SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY token) AS INT) AS token_id,
+           token,
+           CAST(length(regexp_replace(token, '^##', '')) AS INT)
+               AS n_chars,
+           n_occurrences
+    FROM counts
+    """
+
+
+def _wp_encoded_docs_sql(n_merges: int, cap: int) -> str:
+    return f"""
+    WITH {_wp_cte_chain(n_merges)},
+    {_wp_apply_chain(n_merges, cap)},
+    tok AS (
+        SELECT freq, unnest(string_split(seg, ' ')) AS token
+        FROM seg_rel
+    ),
+    idvocab AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY token) AS INT)
+                   AS token_id, token
+        FROM (SELECT token FROM tok GROUP BY 1)
+    ),
+    wtok AS (
+        SELECT s.word, s.n_tok, g.i AS tpos,
+               string_split(s.seg, ' ')[g.i] AS token
+        FROM seg_rel s,
+             LATERAL unnest(generate_series(
+                 1, len(string_split(s.seg, ' ')))) AS g(i)
+    ),
+    word_ids AS (
+        SELECT word, n_tok,
+               string_agg(CAST(v.token_id AS VARCHAR), '_'
+                          ORDER BY tpos) AS idseq
+        FROM wtok JOIN idvocab v USING (token)
+        GROUP BY word, n_tok
+    ),
+    doc_words AS (
+        SELECT doc_id, g.i AS wpos,
+               regexp_extract_all(lower(text), '{WORD_REGEX_SQL}')[g.i]
+                   AS word
+        FROM documents,
+             LATERAL unnest(generate_series(
+                 1, len(regexp_extract_all(lower(text),
+                                           '{WORD_REGEX_SQL}'))))
+                 AS g(i)
+    )
+    SELECT doc_id,
+           string_agg(idseq, '_' ORDER BY wpos) AS token_ids_str,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM doc_words JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+LIBRARY_ORACLE["wordpiece_vocab_table"] = _wp_vocab_sql(
+    WP_MERGES, WP_MAX_WORD_CHARS
+)
+LIBRARY_ORACLE["wordpiece_encoded_docs_str"] = _wp_encoded_docs_sql(
+    WP_MERGES, WP_MAX_WORD_CHARS
+)

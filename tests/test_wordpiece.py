@@ -271,3 +271,32 @@ def test_batched_training_replay_bit_match(spark):
             freq, wp.WP_MERGES, 4, admission
         )
         assert got == expect, admission
+
+
+def test_encoded_docs_decode_back_to_the_word_stream(spark):
+    """ids → vocab tokens → ## de-continuation reconstructs every
+    document's word stream exactly (the losslessness contract of the
+    serving surface; non-word characters are pretokenizer-dropped by
+    definition)."""
+    vocab = {
+        r.token_id: r.token
+        for r in wp.wordpiece_vocab_table(spark, SF).collect()
+    }
+    docs = {
+        r.doc_id: re.findall("[a-z]+", r.text.lower())
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    enc = wp.wordpiece_encoded_docs_str(spark, SF).collect()
+    assert {r.doc_id for r in enc} == {
+        d for d, ws in docs.items() if ws
+    }
+    for r in enc:
+        toks = [vocab[int(i)] for i in r.token_ids_str.split("_")]
+        assert len(toks) == r.n_tokens
+        words: list[str] = []
+        for t in toks:
+            if t.startswith("##"):
+                words[-1] += t[2:]
+            else:
+                words.append(t)
+        assert words == docs[r.doc_id], r.doc_id
