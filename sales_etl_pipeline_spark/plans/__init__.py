@@ -137,44 +137,54 @@ _MODULES = (
 #
 # r13 pre-flight (checked r12): every promoted plan has a flat schema.
 #
-# Round-14 cohort (PLANNED): promote the r13 library additions on the
-# usual one-round lag — the Gopher line-grain quality pack
-# (line_quality_stats, quality_filter_v2 — VERDICT r12 Next #5 names
-# the r14 driver slot), the DSIR importance-resampling pair
-# (dsir_importance_weights, dsir_selected — both oracle-exact via the
+# Round-14 cohort (EXECUTED this round, per VERDICT r13 Next #1): the
+# 27 never-driver-confirmed r13 library additions are promoted —
+# the Gopher line-grain quality pack (line_quality_stats,
+# quality_filter_v2), the DSIR importance-resampling pair
+# (dsir_importance_weights, dsir_selected — oracle-exact via the
 # floor-log2 bits trick), the incremental corpus-report fold
-# (incremental_corpus_report — oracle = batch-free corpus_report), and
+# (incremental_corpus_report — oracle = batch-free corpus_report),
 # near_dup_components (upgraded rows-only → ORACLE-EXACT r13 via a
-# recursive-CTE transitive closure), the epoch-shuffle sharding
-# pair (epoch_shuffle_assignment, epoch_shard_stats — oracle-exact),
-# and quality_aware_dedup (oracle-exact best-copy retention), plus the
-# late-r13 training-example construction trio — span_corruption,
-# sft_examples, length_bucketed_batches (all oracle-exact, semantics
-# gates in tests/test_examples.py) — and the late-r13 WordPiece triad —
-# wordpiece_merges, wordpiece_segmented, wordpiece_token_stats,
-# tokenizer_compare, wordpiece_vocab_table, wordpiece_encoded_docs_str
-# (all oracle-exact, training + longest-match apply replayed in
-# unrolled CTEs; tests/test_wordpiece.py) — and the
-# late-r13 fuzzy-matching family — fuzzy_word_pairs,
-# typo_canonical_map, text_typo_normalize, incremental_fuzzy_fold
-# (oracle-exact vs naive all-pairs levenshtein / batch-free recompute;
-# tests/test_fuzzy.py) — and the late-r13 temperature-mixing pair —
-# temperature_mix_weights, temperature_mix_sample (oracle-exact;
-# skew-corpus rebalance gate in tests/test_examples.py) — and
-# curriculum_order (oracle-exact two-pass rank ≡ global sort) and
-# sft_packed_loss_spans (oracle-exact span-grain packed-SFT masks) —
-# and back-fill
-# with the longest-out return-leg plans (doc_chunks,
-# embedding_centroids, daily_sales, the three showcase plans,
-# simhash_near_dup, semantic_dedup_bucketed, plus the five r12 outs:
-# asof_join_events_orders, contamination_check, curation_pipeline,
-# repeat_buyer_set_ops, region_nation_rollup), rotating out the r13
-# cohort (driver-confirmed this round) to make room.
+# recursive-CTE transitive closure), the epoch-shuffle sharding pair
+# (epoch_shuffle_assignment, epoch_shard_stats), quality_aware_dedup
+# (best-copy retention), token_budget_selection (blocked prefix sum ≡
+# single-window twin), the training-example construction quartet —
+# span_corruption, sft_examples, sft_packed_loss_spans,
+# length_bucketed_batches (tests/test_examples.py) — the WordPiece
+# family — wordpiece_merges, wordpiece_segmented,
+# wordpiece_token_stats, tokenizer_compare, wordpiece_vocab_table,
+# wordpiece_encoded_docs_str (training + longest-match apply replayed
+# in unrolled CTEs; tests/test_wordpiece.py) — the fuzzy-matching
+# family — fuzzy_word_pairs, typo_canonical_map, text_typo_normalize,
+# incremental_fuzzy_fold (oracle-exact vs naive all-pairs levenshtein /
+# batch-free recompute; tests/test_fuzzy.py) — the temperature-mixing
+# pair — temperature_mix_weights, temperature_mix_sample — and
+# curriculum_order (two-pass rank ≡ global ROW_NUMBER, hash-proven).
+# All 27 oracle-exact. Outgoing: the whole r13 cohort (all 12
+# driver-confirmed in CORRECTNESS_r13.json — incl. the three
+# rows-only rows unigram_doc_perplexity / embedding_fd_sketch /
+# unigram_byte_vocab, whose pytest replay/band gates keep running
+# every suite run) leaves ROTATED_IN, and 15 long-stable base plans
+# rotate out: the 9-plan event windowing family and the text quintet
+# (both returned r13 for re-confirmation and went green — the ~4-round
+# re-confirmation cadence) plus bpe_merges (driver-green r9–r13; its
+# byte twin bpe_byte_merges was confirmed r13). 23 base + 27 promoted
+# = 50 slots exactly, 49 oracle + 1 rows-only
+# (stream_transitions_replay, watermark-dependent by design).
 #
-# r14 pre-flight (checked late r13): every planned promotion above —
-# including the late-r13 additions (training-example trio, WordPiece
-# triad, tokenizer_compare) — has a FLAT result schema; no serialized
-# twins needed.
+# r14 pre-flight (checked late r13): every promotion above has a FLAT
+# result schema; no serialized twins needed.
+#
+# Round-15 cohort (PLANNED): promote the r14 library additions on the
+# usual one-round lag — the image pack (plans/images.py: image
+# exact-dup, aHash/dHash fingerprints + banded near-dup,
+# image-text decontamination; oracle-exact where integer-exact) —
+# and back-fill with the longest-out return-leg plans (doc_chunks,
+# embedding_centroids, daily_sales, the three showcase plans,
+# simhash_near_dup, semantic_dedup_bucketed, the five r12 outs:
+# asof_join_events_orders, contamination_check, curation_pipeline,
+# repeat_buyer_set_ops, region_nation_rollup — out ≥3 rounds), rotating
+# out the r14 cohort (driver-confirmed this round) to make room.
 #
 # Round-12 cohort (EXECUTED r12; kept for the audit trail): the 16
 # never-driver-confirmed plans — the graph trio, search trio, webtext
@@ -241,41 +251,89 @@ ROTATED_OUT = frozenset({
     "knn_cosine_topk",
     "bpe_encoded_docs_str",
     "bpe_packed_windows_str",
+    # r14: re-confirmed green in r13 after 4 rounds out — back to the
+    # library tier on the re-confirmation cadence (the event windowing
+    # family and the text quintet), plus bpe_merges (driver-green
+    # r9–r13; byte twin confirmed r13). Frees 15 slots for the 27
+    # r14 promotions.
+    "event_dedup_first",
+    "event_funnel",
+    "event_hourly_activity",
+    "event_props_stats",
+    "event_range_window",
+    "event_sessionization",
+    "event_sliding_window",
+    "event_tumbling_window",
+    "event_user_pivot",
+    "doc_fingerprint",
+    "lang_id",
+    "text_quality",
+    "token_stats",
+    "tfidf_top_terms",
+    "bpe_merges",
 })
 
 #: library plans promoted into the driver registry for this round —
-#: round 13 = the 11 never-driver-confirmed r12 additions + the
-#: composed-funnel exposure (see the Round-13 cohort note above)
+#: round 14 = the 27 never-driver-confirmed r13 additions, all
+#: oracle-exact (see the Round-14 cohort note above)
 ROTATED_IN = frozenset({
-    # Count-Min pair (plans/llmdata.py) — oracle-EXACT sketch + estimates
-    "countmin_sketch",
-    "countmin_estimates",
-    # weighted PPS sampling (plans/curation.py) — oracle-EXACT
-    "weighted_sample",
-    # paragraph-dedup incremental fold (plans/curation.py) — oracle =
-    # batch-free recompute, fold ≡ recompute exactly
-    "incremental_paragraph_fold",
-    # RefinedWeb ≥50-token exact long-span dedup (plans/curation.py) —
-    # oracle-EXACT (rolling-fingerprint rewrite this round)
-    "dedup_long_spans",
-    # sliding RAG chunking (plans/curation.py) — oracle-EXACT
-    "doc_chunks_overlap",
-    # corpus health report (plans/curation.py) — oracle-EXACT
-    "corpus_report",
-    # CCNet LM doc-perplexity score (plans/unigram.py) — rows-only (EM
-    # float); replay/monotonicity gates in tests/test_unigram.py
-    "unigram_doc_perplexity",
-    # Frequent Directions covariance sketch (plans/pca.py) — rows-only
-    # by design; spectral-bound gates in tests/test_pca.py
-    "embedding_fd_sketch",
-    # byte-level unigram vocab (plans/unigram.py) — rows-only (EM float)
-    "unigram_byte_vocab",
-    # byte-level BPE merge table (plans/bpe.py) — oracle-EXACT (training
-    # replayed bit-for-bit in unrolled CTEs)
-    "bpe_byte_merges",
-    # composed curated-corpus funnel (plans/llmdata.py, NEW registry
-    # exposure r13) — oracle = the four stage oracles composed
-    "training_pipeline_curated",
+    # Gopher line-grain quality pack (plans/curation.py) — exact
+    # integer ratios at distinct-line grain weighted by count
+    "line_quality_stats",
+    "quality_filter_v2",
+    # DSIR importance resampling (plans/curation.py) — weights via the
+    # floor-log2 bits trick; selection as TakeOrderedAndProject
+    "dsir_importance_weights",
+    "dsir_selected",
+    # incremental corpus-report fold (plans/curation.py) — oracle =
+    # batch-free corpus_report recompute, finalize from one state row
+    "incremental_corpus_report",
+    # near-dup connected components (plans/llmdata.py) — upgraded to
+    # ORACLE-EXACT r13: DuckDB recursive-CTE transitive closure ≡
+    # converged min-label fixpoint
+    "near_dup_components",
+    # epoch shuffle/sharding (plans/assembly.py) — oracle-EXACT
+    "epoch_shuffle_assignment",
+    "epoch_shard_stats",
+    # quality-aware near-dup resolution (plans/llmdata.py) — one
+    # cluster-grain argmax window over components ⋈ quality
+    "quality_aware_dedup",
+    # token-budget selection (plans/assembly.py) — blocked prefix sum,
+    # bit-identical to the single-window twin
+    "token_budget_selection",
+    # training-example construction (plans/assembly.py) — span
+    # corruption, SFT render + loss offsets, packed loss spans,
+    # length-bucketed batches (tests/test_examples.py invariants)
+    "span_corruption",
+    "sft_examples",
+    "sft_packed_loss_spans",
+    "length_bucketed_batches",
+    # WordPiece family (plans/wordpiece.py) — training replayed in
+    # MATERIALIZED CTEs with the exact DECIMAL(38,0) 2^40 score key;
+    # apply replayed as an unrolled longest-match walk
+    "wordpiece_merges",
+    "wordpiece_segmented",
+    "wordpiece_token_stats",
+    "wordpiece_vocab_table",
+    "wordpiece_encoded_docs_str",
+    # cross-family tokenizer comparison — three training trajectories
+    # (BPE char, BPE byte, WordPiece) proven in ONE value hash
+    "tokenizer_compare",
+    # SymSpell fuzzy matching (plans/fuzzy.py) — deletion-neighborhood
+    # blocking, hash equality vs the naive all-pairs levenshtein oracle
+    # proves blocking completeness AND verify exactness
+    "fuzzy_word_pairs",
+    "typo_canonical_map",
+    "text_typo_normalize",
+    "incremental_fuzzy_fold",
+    # temperature mixing (plans/assembly.py) — exact integer
+    # apportionment + md5-rank sampling
+    "temperature_mix_weights",
+    "temperature_mix_sample",
+    # curriculum ordering (plans/assembly.py) — two-pass distributed
+    # rank; oracle = ONE global ROW_NUMBER, so the hash proves the
+    # decomposition
+    "curriculum_order",
 })
 
 
