@@ -50,6 +50,7 @@ from . import (
     eventplans,
     fuzzy,
     graph,
+    images,
     incremental,
     llmdata,
     parity,
@@ -98,6 +99,7 @@ _MODULES = (
     unigram,
     wordpiece,
     tableplans,
+    images,
     pysource,
 )
 

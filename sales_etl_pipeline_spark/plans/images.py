@@ -1,0 +1,491 @@
+"""Image-grain curation operators (r14): the documents treatment for the
+image column — exact byte-hash dedup, integer-exact perceptual
+fingerprints (aHash/dHash) with a banded near-dup join, a float pHash
+(DCT) scale-path twin, and image-text pair decontamination.
+
+The corpus is the driver's deterministic synthetic payload
+(operators/multimodal.attach_media: ``repeat(md5(text), 8)`` = 256 ASCII
+bytes, read as a 16×16 byte grid) — real codec DECODE stays env-gated
+behind operators/multimodal.decode_media (no pillow in this container),
+but every operator here is codec-INDEPENDENT: it consumes raw decoded
+bytes, which is exactly what a real pipeline feeds it after the decode
+kernel. To give the near-dup join non-trivial work, the fingerprint
+corpus is augmented with deterministic PERTURBED VARIANTS (one 2×2 block
+forced to 255 for every ``doc_id % VARIANT_MOD == 0`` document — the
+synthetic stand-in for a re-encoded/watermarked copy); the perturbation
+is a pure byte-level CASE expression, so the DuckDB oracles replay it
+exactly.
+
+Fingerprint exactness contract: aHash bit b = (2×2 block-sum × 64 >
+grid total) and dHash bit = (block-sum > right-neighbor block-sum) are
+INTEGER comparisons — no float anywhere — so the Arrow kernel and the
+relational DuckDB replay agree bit-for-bit, and the hex encodings hash-
+match. pHash (DCT-II + median threshold) is float by nature → library
+rows-only with pytest gates (tests/test_images.py), the same split the
+ANN family uses.
+
+Near-dup blocking completeness is the SymSpell/fuzzy theorem shape: the
+64-bit aHash splits into 4 disjoint 16-bit bands, so hamming(a, b) ≤ 3
+⟹ at least one band is untouched ⟹ the band equi-join finds the pair
+(pigeonhole). The oracle is the NAIVE all-pairs hamming join at
+distinct-fingerprint grain — the value hash therefore proves the banded
+candidate generation COMPLETE and the verify filter exact, the same
+documented-naive-oracle convention as fuzzy_word_pairs.
+
+Scale (100 TB): fingerprinting is one Arrow scan, zero shuffle, output
+one 30-byte row per image regardless of payload size (the multimodal
+reduction every downstream op works at). Dedup/decontam run at
+fingerprint grain (hash-partition window / broadcast manifest join).
+The near-dup join runs at DISTINCT-fingerprint grain after an exact-dup
+pre-collapse (the minhash_near_dup regime), emits 4 band keys per hash,
+and band values concentrate only if fingerprints concentrate — which
+the pre-collapse already removed; residual hot bands are
+AQE-skew-splittable. The naive all-pairs oracle is the documented
+semantics baseline, never a production path.
+
+Reference scope note: the reference pipeline
+(``/root/reference/data/etl.py``) has no multimodal surface; this
+extends the engine's north-star LLM-data scope (SURVEY.md §2.11), where
+the r13 verdict named the image column the one thin first-class area.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.multimodal import attach_media
+from ..sources.readers import load_table
+
+#: every doc_id % VARIANT_MOD == 0 document gets a perturbed twin
+VARIANT_MOD = 5
+#: variant img_id = doc_id + VARIANT_OFFSET (collision-free: the
+#: synthetic corpora top out many orders of magnitude below this)
+VARIANT_OFFSET = 1_000_000_000
+#: every doc_id % DUP_MOD == 0 document gets an EXACT byte-identical
+#: twin (the "re-upload" every real image corpus carries; the driver
+#: corpus has zero exact text dups, so without these the dedup and
+#: decontamination plans would be vacuously all-singleton)
+DUP_MOD = 3
+#: exact-twin img_id offset; ≡ 1 (mod EVAL_MOD), so a twin of an
+#: eval-side image always lands on the training side — guaranteeing
+#: real cross-split contamination at every SF
+DUP_OFFSET = 2_000_000_001
+#: near-dup verify radius; 4 disjoint 16-bit bands make the band join
+#: COMPLETE for hamming ≤ 3 (pigeonhole: 3 differing bits cannot touch
+#: all 4 bands)
+HAM_MAX = 3
+#: decontamination eval split: doc_id % EVAL_MOD == 0 (id-based, NOT
+#: content-based — a content-hash split would put duplicate images on
+#: the same side by construction and the check would be vacuous)
+EVAL_MOD = 16
+
+_HEXD = "0123456789abcdef"
+
+FP_SCHEMA = StructType(
+    [
+        StructField("img_id", LongType()),
+        StructField("ahash_hex", StringType()),
+        StructField("dhash_hex", StringType()),
+        StructField("phash_hex", StringType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus + fingerprint kernel
+
+
+def _image_corpus(
+    spark: SparkSession, sf_dir: str, variants: bool = True
+) -> DataFrame:
+    """(img_id, payload, perturb_block) — originals plus, when
+    ``variants``, one deterministically perturbed twin per
+    ``doc_id % VARIANT_MOD == 0`` document (block ``doc_id % 64`` forced
+    to 255 inside the kernel; replayed as a CASE in the oracles)."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    base = media.select(
+        F.col("doc_id").alias("img_id"),
+        "payload",
+        F.lit(None).cast("int").alias("perturb_block"),
+    )
+    if not variants:
+        return base
+    twins = media.filter(F.col("doc_id") % VARIANT_MOD == 0).select(
+        (F.col("doc_id") + VARIANT_OFFSET).alias("img_id"),
+        "payload",
+        (F.col("doc_id") % 64).cast("int").alias("perturb_block"),
+    )
+    return base.unionByName(twins)
+
+
+def _image_corpus_with_reups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(img_id, payload) — originals plus byte-identical re-upload twins
+    for every ``doc_id % DUP_MOD == 0`` document (see DUP_MOD note)."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    base = media.select(F.col("doc_id").alias("img_id"), "payload")
+    twins = media.filter(F.col("doc_id") % DUP_MOD == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("img_id"), "payload"
+    )
+    return base.unionByName(twins)
+
+
+def fingerprint_kernel(
+    payloads: list, perturb_blocks: list
+) -> tuple[list, list, list]:
+    """Pure-numpy perceptual fingerprints for a batch of 256-byte grids:
+    (ahash_hex[16], dhash_hex[14], phash_hex[16]) per payload. Exposed
+    as a plain function so tests drive it without a SparkSession.
+
+    aHash bit blk: block_sum*64 > grid_total (strict, integer).
+    dHash bit (r,c): block_sum(r,c) > block_sum(r,c+1), c < 7 (56 bits).
+    pHash: orthonormal DCT-II of the float grid, top-left 8×8
+    coefficients, strict > median of the 63 AC coefficients (DC bit
+    compared against the same median) — float, hence rows-only."""
+    import numpy as np
+
+    grids = np.stack(
+        [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+    ).astype(np.int64)
+    for i, pb in enumerate(perturb_blocks):
+        if pb is not None and not pd.isna(pb):
+            pb = int(pb)
+            p0 = 32 * (pb // 8) + 2 * (pb % 8)
+            grids[i, [p0, p0 + 1, p0 + 16, p0 + 17]] = 255
+    n = grids.shape[0]
+    g = grids.reshape(n, 16, 16)
+    blocks = g.reshape(n, 8, 2, 8, 2).sum(axis=(2, 4))  # (n, 8, 8) int
+    totals = blocks.sum(axis=(1, 2))  # (n,)
+    abits = (blocks.reshape(n, 64) * 64) > totals[:, None]
+    dbits = blocks[:, :, :7] > blocks[:, :, 1:]  # (n, 8, 7)
+    # pHash: orthonormal 16-point DCT-II applied on both axes
+    k = np.arange(16)
+    M = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 32) * np.sqrt(
+        2.0 / 16
+    )
+    M[0] /= np.sqrt(2.0)
+    D = M @ g.astype(np.float64) @ M.T  # (n, 16, 16)
+    low = D[:, :8, :8].reshape(n, 64)
+    med = np.median(low[:, 1:], axis=1)
+    pbits = low > med[:, None]
+
+    def _hex(bits: "np.ndarray") -> list:
+        packed = np.packbits(bits, axis=1)
+        return [row.tobytes().hex() for row in packed]
+
+    return _hex(abits), _hex(dbits.reshape(n, 56)), _hex(pbits)
+
+
+def _fingerprints(corpus: DataFrame) -> DataFrame:
+    """One Arrow-batched pass: payload grid → (ahash, dhash, phash) hex.
+    Zero shuffle; the 256-byte payloads never leave executor batches."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ah, dh, ph = fingerprint_kernel(
+                list(pdf["payload"]), list(pdf["perturb_block"])
+            )
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"].values,
+                    "ahash_hex": ah,
+                    "dhash_hex": dh,
+                    "phash_hex": ph,
+                }
+            )
+
+    return corpus.mapInPandas(_extract, FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# plans
+
+
+def image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact perceptual fingerprints over the variant-augmented
+    corpus — the image twin of doc_fingerprint. (pHash is rows-only by
+    nature and lives in image_phash_near_dup; this oracle-checked plan
+    carries the two integer-exact hashes.)"""
+    return _fingerprints(_image_corpus(spark, sf_dir)).select(
+        "img_id", "ahash_hex", "dhash_hex"
+    )
+
+
+def image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup at payload-hash grain: md5 over the raw bytes,
+    first-occurrence (min img_id) canonical per hash — the image twin of
+    exact_dedup, over the re-upload-augmented corpus. One hash-partition
+    window, no fact-grain state."""
+    img = _image_corpus_with_reups(spark, sf_dir).select(
+        "img_id", F.md5("payload").alias("payload_md5")
+    )
+    w = Window.partitionBy("payload_md5")
+    return img.select(
+        "img_id",
+        "payload_md5",
+        F.min("img_id").over(w).alias("canonical_id"),
+        (F.col("img_id") != F.min("img_id").over(w)).alias("is_duplicate"),
+    )
+
+
+def _band_cols(prefix: str = "") -> list:
+    """The 4 disjoint 16-bit band integers of ahash_hex, via base-16
+    conv on 4-hex-char substrings (≤ 65535 — no sign concerns)."""
+    return [
+        F.conv(F.substring(f"{prefix}ahash_hex", 4 * b + 1, 4), 16, 10)
+        .cast("int")
+        .alias(f"b{b}")
+        for b in range(4)
+    ]
+
+
+def _banded_near_dup(fp: DataFrame) -> DataFrame:
+    """Shared banded-LSH near-dup join over a (img_id, ahash_hex)
+    relation: distinct-fingerprint grain (exact-dup pre-collapse),
+    4×16-bit band equi-join for candidates, exact hamming verify
+    (bit_count of per-band XOR), 1 ≤ hamming ≤ HAM_MAX. Complete for
+    this radius (module docstring pigeonhole)."""
+    from .llmdata import _pin
+
+    hb = _pin(
+        fp.groupBy("ahash_hex")
+        .agg(F.min("img_id").alias("canon"))
+        .select("canon", *_band_cols())
+    )
+    bands = hb.select(
+        "canon",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_val"])
+        .where(F.col("x.canon") < F.col("y.canon"))
+        .select(
+            F.col("x.canon").alias("doc_a"), F.col("y.canon").alias("doc_b")
+        )
+        .distinct()
+    )
+    a, b = hb.alias("a"), hb.alias("b")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")).cast("long")
+        )
+        for k in range(4)
+    ).cast("int")
+    return (
+        cand.join(a, cand.doc_a == F.col("a.canon"))
+        .join(b, cand.doc_b == F.col("b.canon"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where((F.col("hamming") >= 1) & (F.col("hamming") <= HAM_MAX))
+    )
+
+
+def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded perceptual near-dup join on the integer-exact aHash; the
+    naive all-pairs oracle proves the banded candidate generation
+    complete and the verify exact on every run."""
+    return _banded_near_dup(
+        _fingerprints(_image_corpus(spark, sf_dir)).select(
+            "img_id", "ahash_hex"
+        )
+    )
+
+
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash (DCT) banded near-dup — the float scale-path twin of
+    image_near_dup_ahash (same banding, same radius, same completeness
+    argument); rows-only by design (transcendental DCT basis), gated in
+    tests/test_images.py (determinism, planted-variant recall, aHash
+    cross-check)."""
+    return _banded_near_dup(
+        _fingerprints(_image_corpus(spark, sf_dir)).select(
+            "img_id", F.col("phash_hex").alias("ahash_hex")
+        )
+    )
+
+
+def image_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair decontamination: training images whose exact
+    payload hash appears in the eval manifest (doc_id % EVAL_MOD == 0
+    split) over the re-upload-augmented corpus (DUP_OFFSET ≡ 1 mod
+    EVAL_MOD, so eval images' re-uploads always sit on the training
+    side). Broadcast manifest semi-join with the match count carried —
+    the contamination_check shape at image grain."""
+    img = _image_corpus_with_reups(spark, sf_dir).select(
+        "img_id", F.md5("payload").alias("payload_md5")
+    )
+    manifest = (
+        img.filter(F.col("img_id") % EVAL_MOD == 0)
+        .groupBy("payload_md5")
+        .agg(F.count("*").alias("n_eval_matches"))
+    )
+    return img.filter(F.col("img_id") % EVAL_MOD != 0).join(
+        F.broadcast(manifest), "payload_md5"
+    ).select("img_id", "payload_md5", "n_eval_matches")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: replay the byte grid → block sums → bits → hex chain
+# relationally (everything integer), incl. the variant perturbation CASE.
+
+#: corpus + per-(img, pos) byte value, variants included
+_BYTES_CTE = f"""
+corpus AS (
+    SELECT doc_id AS img_id, text, CAST(NULL AS INTEGER) AS pb
+    FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id + {VARIANT_OFFSET}, text, CAST(doc_id % 64 AS INTEGER)
+    FROM documents WHERE text IS NOT NULL AND doc_id % {VARIANT_MOD} = 0
+),
+bytes AS (
+    SELECT img_id,
+           CAST(t.i AS INTEGER) AS pos,
+           CASE WHEN pb IS NOT NULL
+                 AND CAST(t.i AS INTEGER) - (32*(pb//8) + 2*(pb%8))
+                     IN (0, 1, 16, 17)
+                THEN 255
+                ELSE ascii(substring(repeat(md5(text), 8),
+                                     CAST(t.i + 1 AS INTEGER), 1))
+           END AS b
+    FROM corpus, unnest(range(256)) AS t(i)
+),
+blocks AS (
+    SELECT img_id, ((pos//16)//2)*8 + (pos%16)//2 AS blk, SUM(b) AS bsum
+    FROM bytes GROUP BY 1, 2
+),
+tot AS (SELECT img_id, SUM(bsum) AS tsum FROM blocks GROUP BY 1),
+abits AS (
+    SELECT b.img_id, b.blk,
+           CASE WHEN b.bsum*64 > t.tsum THEN 1 ELSE 0 END AS bit
+    FROM blocks b JOIN tot t USING (img_id)
+),
+ahex AS (
+    SELECT img_id,
+           string_agg(substring('{_HEXD}', CAST(v + 1 AS INTEGER), 1), ''
+                      ORDER BY n) AS ahash_hex
+    FROM (
+        SELECT img_id, blk // 4 AS n,
+               SUM(bit * CASE blk % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                      WHEN 2 THEN 2 ELSE 1 END) AS v
+        FROM abits GROUP BY img_id, blk // 4
+    ) GROUP BY img_id
+)
+"""
+
+#: dHash bits + hex (extends the shared chain)
+_DHEX_CTE = f"""
+dbits AS (
+    SELECT a.img_id, (a.blk//8)*7 + (a.blk%8) AS idx,
+           CASE WHEN a.bsum > b.bsum THEN 1 ELSE 0 END AS bit
+    FROM blocks a JOIN blocks b
+      ON a.img_id = b.img_id AND b.blk = a.blk + 1
+    WHERE a.blk % 8 < 7
+),
+dhex AS (
+    SELECT img_id,
+           string_agg(substring('{_HEXD}', CAST(v + 1 AS INTEGER), 1), ''
+                      ORDER BY n) AS dhash_hex
+    FROM (
+        SELECT img_id, idx // 4 AS n,
+               SUM(bit * CASE idx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                      WHEN 2 THEN 2 ELSE 1 END) AS v
+        FROM dbits GROUP BY img_id, idx // 4
+    ) GROUP BY img_id
+)
+"""
+
+
+def _band_int_sql(b: int) -> str:
+    """16-bit band integer from hex chars 4b+1..4b+4 (strpos lookup)."""
+    terms = [
+        f"{w}*(strpos('{_HEXD}', substring(ahash_hex, {4 * b + c + 1}, 1))-1)"
+        for c, w in enumerate((4096, 256, 16, 1))
+    ]
+    return " + ".join(terms)
+
+
+LIBRARY_QUERIES = {
+    "image_fingerprints": image_fingerprints,
+    "image_exact_dedup": image_exact_dedup,
+    "image_near_dup_ahash": image_near_dup_ahash,
+    "image_phash_near_dup": image_phash_near_dup,  # rows-only (float DCT)
+    "image_text_decontamination": image_text_decontamination,
+}
+
+LIBRARY_ORACLE = {
+    "image_fingerprints": f"""
+        WITH {_BYTES_CTE}, {_DHEX_CTE}
+        SELECT a.img_id, a.ahash_hex, d.dhash_hex
+        FROM ahex a JOIN dhex d USING (img_id)
+    """,
+    "image_exact_dedup": f"""
+        WITH img AS (
+            SELECT doc_id AS img_id,
+                   md5(repeat(md5(text), 8)) AS payload_md5
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + {DUP_OFFSET}, md5(repeat(md5(text), 8))
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % {DUP_MOD} = 0
+        )
+        SELECT img_id, payload_md5,
+               MIN(img_id) OVER (PARTITION BY payload_md5) AS canonical_id,
+               img_id <> MIN(img_id) OVER (PARTITION BY payload_md5)
+                 AS is_duplicate
+        FROM img
+    """,
+    # the NAIVE all-pairs hamming join at distinct-fingerprint grain —
+    # the semantics baseline that proves the banded plan complete+exact
+    "image_near_dup_ahash": f"""
+        WITH {_BYTES_CTE},
+        hb AS (
+            SELECT CAST(MIN(img_id) AS BIGINT) AS canon,
+                   CAST({_band_int_sql(0)} AS INTEGER) AS b0,
+                   CAST({_band_int_sql(1)} AS INTEGER) AS b1,
+                   CAST({_band_int_sql(2)} AS INTEGER) AS b2,
+                   CAST({_band_int_sql(3)} AS INTEGER) AS b3
+            FROM ahex GROUP BY ahash_hex
+        ),
+        pairs AS (
+            SELECT a.canon AS doc_a, b.canon AS doc_b,
+                   CAST(bit_count(xor(a.b0, b.b0))
+                      + bit_count(xor(a.b1, b.b1))
+                      + bit_count(xor(a.b2, b.b2))
+                      + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS hamming
+            FROM hb a JOIN hb b ON a.canon < b.canon
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs
+        WHERE hamming BETWEEN 1 AND {HAM_MAX}
+    """,
+    "image_text_decontamination": f"""
+        WITH img AS (
+            SELECT doc_id AS img_id,
+                   md5(repeat(md5(text), 8)) AS payload_md5
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + {DUP_OFFSET}, md5(repeat(md5(text), 8))
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % {DUP_MOD} = 0
+        ),
+        ev AS (
+            SELECT payload_md5, COUNT(*) AS n_eval_matches
+            FROM img WHERE img_id % {EVAL_MOD} = 0 GROUP BY 1
+        )
+        SELECT i.img_id, i.payload_md5, ev.n_eval_matches
+        FROM img i JOIN ev USING (payload_md5)
+        WHERE i.img_id % {EVAL_MOD} <> 0
+    """,
+}
