@@ -184,6 +184,12 @@ HEADLINE = (
     # curriculum schedule (two-pass distributed rank, no global sort)
     "temperature_mix_sample",
     "curriculum_order",
+    # round 14: the image-grain curation family (plans/images.py) gets
+    # its rows the round it lands — the Arrow fingerprint kernel scan
+    # (zero shuffle) and the banded perceptual near-dup join (the
+    # family's only pair-generating pass)
+    "image_fingerprints",
+    "image_near_dup_ahash",
     # NOT in the headline suite (1): the COLD_TRAINING section below —
     # the two 1k-merge trainers are driver-round-bound by design (70/51
     # rounds of fixed per-round cost at distinct-word grain), not

@@ -317,6 +317,48 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full perceptual-dedup pipeline in one plan — the image twin of
+    quality_aware_dedup's cluster step: exact groups (identical aHash)
+    collapse to their min-img_id canonical, canonicals link through the
+    banded near-dup edges (hamming 1..HAM_MAX), transitive clusters come
+    from the shared min-label-propagation loop
+    (llmdata.components_from_edges), and every image inherits
+    ``cluster_id`` = the min img_id of its whole cluster, with
+    ``is_kept`` marking the one surviving copy. Oracle-EXACT: the DuckDB
+    twin recomputes the fingerprints relationally, takes the NAIVE
+    all-pairs edge relation, closes it with a recursive CTE, and
+    MIN(label) per node is the converged labeling (the
+    near_dup_components precedent at image grain).
+
+    Scale: everything after the fingerprint scan runs at
+    distinct-fingerprint / cluster grain — the iterative loop never
+    touches image-grain rows."""
+    from .llmdata import _pin, components_from_edges
+
+    fp = _pin(
+        _fingerprints(_image_corpus(spark, sf_dir)).select(
+            "img_id", "ahash_hex"
+        )
+    )
+    canon = _pin(
+        fp.groupBy("ahash_hex").agg(F.min("img_id").alias("canon"))
+    )
+    edges = _banded_near_dup(fp).select("doc_a", "doc_b")
+    comps = components_from_edges(edges)
+    cluster = canon.join(
+        comps.withColumnRenamed("doc_id", "canon"), "canon", "left"
+    ).select(
+        "ahash_hex",
+        F.coalesce("component", "canon").alias("cluster_id"),
+    )
+    return fp.join(cluster, "ahash_hex").select(
+        "img_id",
+        "cluster_id",
+        (F.col("img_id") == F.col("cluster_id")).alias("is_kept"),
+    )
+
+
 def image_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-text pair decontamination: training images whose exact
     payload hash appears in the eval manifest (doc_id % EVAL_MOD == 0
@@ -422,6 +464,7 @@ LIBRARY_QUERIES = {
     "image_exact_dedup": image_exact_dedup,
     "image_near_dup_ahash": image_near_dup_ahash,
     "image_phash_near_dup": image_phash_near_dup,  # rows-only (float DCT)
+    "image_dedup_resolution": image_dedup_resolution,
     "image_text_decontamination": image_text_decontamination,
 }
 
@@ -469,6 +512,48 @@ LIBRARY_ORACLE = {
         )
         SELECT doc_a, doc_b, hamming FROM pairs
         WHERE hamming BETWEEN 1 AND {HAM_MAX}
+    """,
+    # exact groups + naive near-dup edges + recursive-CTE transitive
+    # closure; MIN(label) per node is the converged min-label fixpoint
+    # (the near_dup_components oracle precedent at image grain)
+    "image_dedup_resolution": f"""
+        WITH RECURSIVE {_BYTES_CTE},
+        hb AS (
+            SELECT ahash_hex, CAST(MIN(img_id) AS BIGINT) AS canon,
+                   CAST({_band_int_sql(0)} AS INTEGER) AS b0,
+                   CAST({_band_int_sql(1)} AS INTEGER) AS b1,
+                   CAST({_band_int_sql(2)} AS INTEGER) AS b2,
+                   CAST({_band_int_sql(3)} AS INTEGER) AS b3
+            FROM ahex GROUP BY ahash_hex
+        ),
+        nd AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT a.canon AS doc_a, b.canon AS doc_b,
+                       bit_count(xor(a.b0, b.b0))
+                     + bit_count(xor(a.b1, b.b1))
+                     + bit_count(xor(a.b2, b.b2))
+                     + bit_count(xor(a.b3, b.b3)) AS hamming
+                FROM hb a JOIN hb b ON a.canon < b.canon
+            ) WHERE hamming BETWEEN 1 AND {HAM_MAX}
+        ),
+        sym_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM nd
+            UNION
+            SELECT doc_b, doc_a FROM nd
+        ),
+        reach(node, lbl) AS (
+            SELECT canon, canon FROM hb
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN sym_edges e ON e.a = r.node
+        ),
+        labels AS (
+            SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT m.img_id, l.cluster_id,
+               m.img_id = l.cluster_id AS is_kept
+        FROM ahex m
+        JOIN hb USING (ahash_hex)
+        JOIN labels l ON hb.canon = l.node
     """,
     "image_text_decontamination": f"""
         WITH img AS (

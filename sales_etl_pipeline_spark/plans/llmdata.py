@@ -2139,6 +2139,19 @@ def near_dup_components(
     """
     rounds_cap = CC_MAX_ITERS if max_iters is None else max_iters
     pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return components_from_edges(pairs, rounds_cap=rounds_cap)
+
+
+def components_from_edges(
+    pairs: DataFrame, *, rounds_cap: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Connected components over any (doc_a, doc_b) pair relation — the
+    min-label propagation + pointer-jumping loop shared by
+    ``near_dup_components`` (minhash doc graph) and
+    ``images.image_dedup_resolution`` (perceptual-hash image graph).
+    Returns (doc_id, component) for every node with ≥1 edge; raises
+    ``ComponentsNotConverged`` at the round cap (see
+    near_dup_components)."""
     edges = _pin(pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

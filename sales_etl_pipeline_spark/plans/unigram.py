@@ -463,10 +463,25 @@ def unigram_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: word scores come from the distinct-word segmentation relation
     (ONE Arrow Viterbi pass over distinct words, like every apply path —
     never per-occurrence re-segmentation); documents explode their words
-    and join — a broadcastable word-grain join. Rows-only (float EM has
-    no SQL twin); the per-doc replay exactness gate lives in
-    tests/test_unigram.py. Returns (doc_id, n_words, n_pieces,
-    total_logprob, mean_piece_logprob, perplexity)."""
+    and join — a broadcastable word-grain join. Returns (doc_id,
+    n_words, n_pieces, total_logprob, mean_piece_logprob, perplexity).
+
+    WHY NO SQL ORACLE CAN EXIST (r14 oracle-upgrade hunt, VERDICT r13
+    Next #5): the Viterbi walk itself IS CTE-replayable (like the
+    WordPiece apply), but only GIVEN the model, and the model cannot
+    reach the oracle: (a) re-deriving it in SQL means replaying float
+    EM whose E-step is a log-sum-exp lattice — libm ``log``/``exp``
+    carry no IEEE correct-rounding mandate, so DuckDB's and the JVM's/
+    numpy's values diverge at ulp grain, and this engine's oracle
+    contract is EXACT hashes with no tolerance (the same reason the
+    surprisal plans use the log-free dyadic ``length(bin(...))`` trick —
+    unavailable here because unigram probs are EM fixed points, not
+    count ratios); (b) passing the trained model in as literals is
+    impossible through the oracle channel — ``oracle_sql()`` returns a
+    STATIC, SF-agnostic string with no session, while the model depends
+    on the corpus the driver points at. What replaces the oracle: the
+    bit-exact EM/Viterbi replay + monotonicity gates in
+    tests/test_unigram.py."""
     probs, _ = train_unigram(spark, sf_dir)
     seg = _word_segments(spark, sf_dir, probs)
     docs = load_table(spark, sf_dir, "documents")
@@ -774,7 +789,11 @@ def unigram_apply_bytes(
 def unigram_byte_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library plan: the trained byte-level vocabulary — (piece hex,
     logprob, n_bytes). Rows-only (float EM) with the stride-2 replay +
-    monotonicity gates in tests/test_unigram.py."""
+    monotonicity gates in tests/test_unigram.py. No SQL oracle can
+    exist for the same reason as unigram_doc_perplexity (see its
+    docstring proof): the vocabulary IS the EM fixed point — log-sum-exp
+    float iteration with no cross-engine correct-rounding guarantee, and
+    no channel to hand a trained model to the static oracle string."""
     probs, _ = train_unigram_bytes(spark, sf_dir)
     rows = sorted(probs.items())
     return spark.createDataFrame(

@@ -190,6 +190,52 @@ def test_phash_pairs_consistent_and_deterministic(spark, sf_dir, fingerprints):
     assert got1 == expected and got1 == got2
 
 
+def test_dedup_resolution_matches_union_find(spark, sf_dir, fingerprints):
+    """image_dedup_resolution ≡ an independent union-find replay over
+    the same fingerprints: exact groups + hamming-≤3 edges between
+    canonicals, cluster label = min img_id of the transitive cluster,
+    exactly one kept image per cluster (the min)."""
+    canon: dict[str, int] = {}
+    for r in fingerprints:
+        canon[r.ahash_hex] = min(canon.get(r.ahash_hex, r.img_id), r.img_id)
+    parent: dict[int, int] = {c: c for c in canon.values()}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    items = list(canon.items())
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            if 1 <= _ham(items[i][0], items[j][0]) <= HAM_MAX:
+                a, b = find(items[i][1]), find(items[j][1])
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    # min-label per root
+    root_min: dict[int, int] = {}
+    for c in canon.values():
+        r = find(c)
+        root_min[r] = min(root_min.get(r, c), c)
+    expected = {
+        row.img_id: root_min[find(canon[row.ahash_hex])]
+        for row in fingerprints
+    }
+    got = images.image_dedup_resolution(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    assert len(got) == len(expected)
+    kept_per_cluster: dict[int, int] = {}
+    for r in got:
+        assert expected[r.img_id] == r.cluster_id
+        assert r.is_kept == (r.img_id == r.cluster_id)
+        kept_per_cluster[r.cluster_id] = kept_per_cluster.get(
+            r.cluster_id, 0
+        ) + bool(r.is_kept)
+    assert all(v == 1 for v in kept_per_cluster.values())
+    assert any(v_id != c for v_id, c in expected.items()), "no clusters"
+
+
 def test_exact_dedup_matches_payload_groups(spark, sf_dir):
     """Payload-hash groups = text-duplicate groups augmented with the
     deterministic re-upload twins (payload is a pure function of text),
