@@ -44,6 +44,7 @@ import functools
 from . import (
     analytics,
     assembly,
+    audio,
     bpe,
     cdc,
     curation,
@@ -100,6 +101,7 @@ _MODULES = (
     wordpiece,
     tableplans,
     images,
+    audio,
     pysource,
 )
 

@@ -1432,3 +1432,104 @@ LIBRARY_ORACLE["sft_packed_loss_spans"] = f"""
              AS g(w)
     ORDER BY source, window_id, start_tok
 """
+
+
+# ---------------------------------------------------------------------------
+# RLHF/DPO preference-pair construction (r14): the post-training data
+# artifact after SFT — (chosen, rejected) document pairs built by a
+# deterministic quality contrast WITHIN each (lang, source) bucket:
+# rank documents by quality_score (ties by doc_id), pair rank r with
+# rank n+1−r for 2r ≤ n (best-vs-worst, second-vs-second-worst, …; an
+# odd bucket's median document is unpaired — the standard mirrored
+# pairing that maximizes per-pair margin sum for a fixed pairing count).
+#
+# Scale: both windows are BUCKET-partitioned (lang × source) — never a
+# global sort; the pairing join is an equi-join on (bucket, mirrored
+# rank), exchange-free on the already-ranked relation. margin is a
+# difference of two identically-computed doubles, so the whole row is
+# oracle-exact (the text_quality parity class).
+
+
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference pairs: per (lang, source) bucket, mirrored
+    quality-rank pairing with exact margins. NULL/NaN scores are
+    excluded exactly like _scored_docs (an unscorable document has no
+    defined rank — and Spark/DuckDB disagree on NaN placement under
+    DESC, so exclusion is the one shareable semantics)."""
+    from .llmdata import text_quality
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.join(q, "doc_id").filter(
+        F.col("quality_score").isNotNull() & ~F.isnan("quality_score")
+    )
+    bucket = Window.partitionBy("lang", "source")
+    ranked = base.select(
+        "lang",
+        "source",
+        "doc_id",
+        "quality_score",
+        F.row_number()
+        .over(bucket.orderBy(F.desc("quality_score"), F.asc("doc_id")))
+        .alias("r"),
+        F.count(F.lit(1)).over(bucket).alias("n"),
+    )
+    c, x = ranked.alias("c"), ranked.alias("x")
+    return (
+        c.join(
+            x,
+            (F.col("c.lang") == F.col("x.lang"))
+            & (F.col("c.source") == F.col("x.source"))
+            & (F.col("x.r") == F.col("c.n") + 1 - F.col("c.r")),
+        )
+        .where(2 * F.col("c.r") <= F.col("c.n"))
+        .select(
+            F.col("c.lang").alias("lang"),
+            F.col("c.source").alias("source"),
+            F.col("c.r").cast("int").alias("pair_rank"),
+            F.col("c.doc_id").alias("chosen_doc_id"),
+            F.col("x.doc_id").alias("rejected_doc_id"),
+            F.col("c.quality_score").alias("chosen_score"),
+            F.col("x.quality_score").alias("rejected_score"),
+            (F.col("c.quality_score") - F.col("x.quality_score")).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+def _preference_pairs_sql() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    return f"""
+    WITH tq AS ({_LLM_ORACLE["text_quality"]}),
+    base AS (
+        SELECT d.lang, d.source, t.doc_id, t.quality_score
+        FROM documents d JOIN tq t ON d.doc_id = t.doc_id
+        WHERE t.quality_score IS NOT NULL AND NOT isnan(t.quality_score)
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY quality_score DESC, doc_id
+               ) AS r,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n
+        FROM base
+    )
+    SELECT c.lang, c.source, CAST(c.r AS INTEGER) AS pair_rank,
+           c.doc_id AS chosen_doc_id, x.doc_id AS rejected_doc_id,
+           c.quality_score AS chosen_score,
+           x.quality_score AS rejected_score,
+           c.quality_score - x.quality_score AS margin
+    FROM ranked c JOIN ranked x
+      ON c.lang = x.lang AND c.source = x.source
+     AND x.r = c.n + 1 - c.r
+    WHERE 2 * c.r <= c.n
+    """
+
+
+LIBRARY_QUERIES["preference_pairs"] = preference_pairs
+LIBRARY_ORACLE["preference_pairs"] = _preference_pairs_sql()

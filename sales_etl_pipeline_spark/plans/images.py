@@ -450,10 +450,10 @@ dhex AS (
 """
 
 
-def _band_int_sql(b: int) -> str:
+def _band_int_sql(b: int, col: str = "ahash_hex") -> str:
     """16-bit band integer from hex chars 4b+1..4b+4 (strpos lookup)."""
     terms = [
-        f"{w}*(strpos('{_HEXD}', substring(ahash_hex, {4 * b + c + 1}, 1))-1)"
+        f"{w}*(strpos('{_HEXD}', substring({col}, {4 * b + c + 1}, 1))-1)"
         for c, w in enumerate((4096, 256, 16, 1))
     ]
     return " + ".join(terms)

@@ -253,3 +253,33 @@ def test_sft_packed_loss_spans_cover_exactly_the_response_tokens(spark):
         for t in rng:
             got.add((f.source, f.window_id * W + t))
     assert got == want and got
+
+
+def test_preference_pairs_mirrored_ranks_and_positive_margins(spark):
+    """DPO pair construction (plans/assembly.preference_pairs): within
+    every (lang, source) bucket the pairing is the exact mirrored-rank
+    matching — n//2 pairs, each scored doc in at most one pair, chosen
+    outranks rejected (margin ≥ 0 with the tie broken by doc_id), and
+    pair_rank runs 1..n//2."""
+    from collections import defaultdict
+
+    from sales_etl_pipeline_spark.plans.assembly import preference_pairs
+
+    rows = preference_pairs(spark, SF).collect()
+    spark.catalog.clearCache()
+    assert rows
+    by_bucket = defaultdict(list)
+    for r in rows:
+        assert r.margin >= 0
+        assert (r.chosen_score, -r.chosen_doc_id) >= (
+            r.rejected_score,
+            -r.rejected_doc_id,
+        ) or r.chosen_score > r.rejected_score
+        by_bucket[(r.lang, r.source)].append(r)
+    for pairs in by_bucket.values():
+        ranks = sorted(p.pair_rank for p in pairs)
+        assert ranks == list(range(1, len(pairs) + 1))
+        members = [p.chosen_doc_id for p in pairs] + [
+            p.rejected_doc_id for p in pairs
+        ]
+        assert len(members) == len(set(members))
