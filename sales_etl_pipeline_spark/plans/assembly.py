@@ -1455,7 +1455,20 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-rank pairing with exact margins. NULL/NaN scores are
     excluded exactly like _scored_docs (an unscorable document has no
     defined rank — and Spark/DuckDB disagree on NaN placement under
-    DESC, so exclusion is the one shareable semantics)."""
+    DESC, so exclusion is the one shareable semantics).
+
+    Scale shape: a (lang, source) bucket is few-in-number but UNBOUNDED
+    in size, so ranking with one window per bucket would put each
+    bucket in a single task — the one-hot-partition killer. The rank
+    therefore runs two-phase with SCORE-BUCKET blocks (the
+    token_budget_selection recipe, per bucket): row_number within
+    (bucket, blk), block-count offsets on the ≤ buckets×BUDGET_BLOCKS
+    block-grain relation, global-in-bucket rank = offset + local rank —
+    exact integers, bit-identical to the single-window rank. The ORACLE
+    is that single global-per-bucket ROW_NUMBER, so the green hash
+    PROVES the decomposition (the curriculum_order story). Same
+    documented caveat as every value-bucketing: an all-equal-score
+    bucket collapses to one block."""
     from .llmdata import text_quality
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1465,16 +1478,41 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.join(q, "doc_id").filter(
         F.col("quality_score").isNotNull() & ~F.isnan("quality_score")
     )
-    bucket = Window.partitionBy("lang", "source")
-    ranked = base.select(
-        "lang",
-        "source",
-        "doc_id",
-        "quality_score",
-        F.row_number()
-        .over(bucket.orderBy(F.desc("quality_score"), F.asc("doc_id")))
-        .alias("r"),
-        F.count(F.lit(1)).over(bucket).alias("n"),
+    scored = base.withColumn(
+        "blk", F.floor(F.col("quality_score") * BUDGET_BLOCKS).cast("int")
+    )
+    w_local = Window.partitionBy("lang", "source", "blk").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    local = scored.withColumn("lr", F.row_number().over(w_local))
+    w_blocks = (
+        Window.partitionBy("lang", "source")
+        .orderBy(F.desc("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("lang", "source", "blk")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(F.sum("bn").over(w_blocks), F.lit(0).cast("long")),
+        )
+        .select("lang", "source", "blk", "off")
+    )
+    sizes = local.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), ["lang", "source", "blk"])
+        .join(F.broadcast(sizes), ["lang", "source"])
+        .select(
+            "lang",
+            "source",
+            "doc_id",
+            "quality_score",
+            (F.col("off") + F.col("lr")).alias("r"),
+            "n",
+        )
     )
     c, x = ranked.alias("c"), ranked.alias("x")
     return (
