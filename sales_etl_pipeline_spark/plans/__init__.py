@@ -64,6 +64,7 @@ from . import (
     tpch,
     unigram,
     validation,
+    video,
     webtext,
     wordpiece,
 )
@@ -102,6 +103,7 @@ _MODULES = (
     tableplans,
     images,
     audio,
+    video,
     pysource,
 )
 
