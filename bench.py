@@ -190,6 +190,15 @@ HEADLINE = (
     # family's only pair-generating pass)
     "image_fingerprints",
     "image_near_dup_ahash",
+    # round 14 late: one representative per remaining new family — the
+    # full perceptual-dedup pipeline (fingerprints + banded edges +
+    # cluster loop), the acoustic banded join, the declarative
+    # frame-vote video join, and the DPO pair construction (two-phase
+    # blocked rank + mirrored pairing)
+    "image_dedup_resolution",
+    "audio_near_dup_energy",
+    "video_near_dup_frames",
+    "preference_pairs",
     # NOT in the headline suite (1): the COLD_TRAINING section below —
     # the two 1k-merge trainers are driver-round-bound by design (70/51
     # rounds of fixed per-round cost at distinct-word grain), not

@@ -182,15 +182,24 @@ _MODULES = (
 # result schema; no serialized twins needed.
 #
 # Round-15 cohort (PLANNED): promote the r14 library additions on the
-# usual one-round lag — the image pack (plans/images.py: image
-# exact-dup, aHash/dHash fingerprints + banded near-dup,
-# image-text decontamination; oracle-exact where integer-exact) —
-# and back-fill with the longest-out return-leg plans (doc_chunks,
+# usual one-round lag — the full multimodal pack (plans/images.py:
+# image_exact_dedup, image_fingerprints, image_near_dup_ahash,
+# image_dedup_resolution, image_text_decontamination — all
+# oracle-exact; image_phash_near_dup rows-only with pytest gates;
+# plans/audio.py: audio_energy_fingerprints, audio_near_dup_energy —
+# oracle-exact; plans/video.py: video_frame_fingerprints,
+# video_near_dup_frames — oracle-exact) and preference_pairs
+# (plans/assembly.py, oracle-exact two-phase blocked rank) — and
+# back-fill with the longest-out return-leg plans (doc_chunks,
 # embedding_centroids, daily_sales, the three showcase plans,
 # simhash_near_dup, semantic_dedup_bucketed, the five r12 outs:
 # asof_join_events_orders, contamination_check, curation_pipeline,
 # repeat_buyer_set_ops, region_nation_rollup — out ≥3 rounds), rotating
 # out the r14 cohort (driver-confirmed this round) to make room.
+#
+# r15 pre-flight (checked r14): every plan named above has a FLAT
+# result schema (hex fingerprints are strings; ids/counts/scores are
+# scalars) — no serialized twins needed.
 #
 # Round-12 cohort (EXECUTED r12; kept for the audit trail): the 16
 # never-driver-confirmed plans — the graph trio, search trio, webtext
