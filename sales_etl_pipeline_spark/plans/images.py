@@ -239,6 +239,59 @@ def image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_image_dedup(
+    state: DataFrame, new_images: DataFrame
+) -> DataFrame:
+    """Merge a NEW image batch into the running (img_id, payload_md5,
+    dup_count) dedup state — the append-only ingest shape at image
+    grain. This IS llmdata.incremental_exact_dedup re-keyed: the
+    payload casts losslessly to its ASCII string (md5 agrees on both),
+    so the text-grain merge is reused verbatim (delta collapsed
+    batch-locally, full-outer merge on the hash, least-id canonical,
+    summed counts) rather than re-implemented. Fold ≡ recompute is the
+    registry plan's oracle below."""
+    from .llmdata import incremental_exact_dedup
+
+    s = state.select(
+        F.col("img_id").alias("doc_id"),
+        F.col("payload_md5").alias("content_md5"),
+        "dup_count",
+    )
+    d = new_images.select(
+        F.col("img_id").alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+    )
+    return incremental_exact_dedup(s, d).select(
+        F.col("doc_id").alias("img_id"),
+        F.col("content_md5").alias("payload_md5"),
+        "dup_count",
+    )
+
+
+def incremental_image_dedup_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry exposure of the image-dedup fold: split the re-upload-
+    augmented corpus into two deterministic batches (even/odd img_id),
+    build the hash-grain state from batch 1, fold batch 2 through the
+    delta merge. The oracle is the BATCH-FREE recompute (one GROUP BY
+    over the whole corpus), so a green row proves fold ≡ recompute.
+    Returns (img_id, payload_md5, dup_count) at distinct-payload
+    grain."""
+    corpus = _image_corpus_with_reups(spark, sf_dir)
+    b1 = corpus.filter(F.col("img_id") % 2 == 0)
+    b2 = corpus.filter(F.col("img_id") % 2 == 1)
+    state = (
+        b1.groupBy(F.md5("payload").alias("payload_md5"))
+        .agg(
+            F.min("img_id").alias("img_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("img_id", "payload_md5", "dup_count")
+    )
+    return incremental_image_dedup(state, b2)
+
+
 def _band_cols(prefix: str = "") -> list:
     """The 4 disjoint 16-bit band integers of ahash_hex, via base-16
     conv on 4-hex-char substrings (≤ 65535 — no sign concerns)."""
@@ -466,6 +519,7 @@ LIBRARY_QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,  # rows-only (float DCT)
     "image_dedup_resolution": image_dedup_resolution,
     "image_text_decontamination": image_text_decontamination,
+    "incremental_image_dedup_fold": incremental_image_dedup_fold,
 }
 
 LIBRARY_ORACLE = {
@@ -554,6 +608,21 @@ LIBRARY_ORACLE = {
         FROM ahex m
         JOIN hb USING (ahash_hex)
         JOIN labels l ON hb.canon = l.node
+    """,
+    # batch-free recompute: a green row proves fold ≡ recompute
+    "incremental_image_dedup_fold": f"""
+        WITH img AS (
+            SELECT doc_id AS img_id,
+                   md5(repeat(md5(text), 8)) AS payload_md5
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + {DUP_OFFSET}, md5(repeat(md5(text), 8))
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % {DUP_MOD} = 0
+        )
+        SELECT MIN(img_id) AS img_id, payload_md5,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM img GROUP BY payload_md5
     """,
     "image_text_decontamination": f"""
         WITH img AS (

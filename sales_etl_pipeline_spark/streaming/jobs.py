@@ -749,6 +749,27 @@ def stream_bpe_tokenize(
     )
 
 
+def stream_media_fingerprints(docs: DataFrame) -> DataFrame:
+    """Perceptual fingerprinting on the INGEST stream — the multimodal
+    twin of stream_bpe_tokenize: every arriving document's payload
+    leaves with its (ahash, dhash, phash) hex in the same microbatch.
+    attach_media is a pure projection and the fingerprint kernel is a
+    STATELESS Arrow ``mapInPandas`` (no state, no shuffle, no
+    watermark), so the job is streaming-safe by construction.
+    tests/test_streaming.py pins stream ≡ the identical batch pass."""
+    from ..operators.multimodal import attach_media
+    from ..plans.images import _fingerprints
+
+    media = attach_media(docs)
+    return _fingerprints(
+        media.select(
+            F.col("doc_id").alias("img_id"),
+            "payload",
+            F.lit(None).cast("int").alias("perturb_block"),
+        )
+    )
+
+
 def stream_enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream against a static (or
     slowly-refreshed) dimension — the third join mode Structured

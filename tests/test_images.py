@@ -282,3 +282,40 @@ def test_decontamination_crosses_split_only(spark, sf_dir):
     for r in rows:
         assert r.img_id % images.EVAL_MOD != 0
         assert eval_counts.get(r.payload_md5) == r.n_eval_matches
+
+
+def test_incremental_image_dedup_fold_equals_recompute(spark, sf_dir):
+    """Folding the re-upload corpus through incremental_image_dedup in
+    2- and 3-way img_id splits equals the batch-free recompute exactly
+    (canonical = global min img_id per payload hash, counts summed)."""
+    from pyspark.sql import functions as F
+
+    corpus = images._image_corpus_with_reups(spark, sf_dir)
+    full = {
+        (r.payload_md5): (r.img_id, r.dup_count)
+        for r in corpus.groupBy(F.md5("payload").alias("payload_md5"))
+        .agg(
+            F.min("img_id").alias("img_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .collect()
+    }
+    for ways in (2, 3):
+        state = None
+        for i in range(ways):
+            batch = corpus.filter(F.col("img_id") % ways == i)
+            if state is None:
+                state = batch.groupBy(
+                    F.md5("payload").alias("payload_md5")
+                ).agg(
+                    F.min("img_id").alias("img_id"),
+                    F.count(F.lit(1)).alias("dup_count"),
+                ).select("img_id", "payload_md5", "dup_count")
+            else:
+                state = images.incremental_image_dedup(state, batch)
+        got = {
+            r.payload_md5: (r.img_id, r.dup_count) for r in state.collect()
+        }
+        spark.catalog.clearCache()
+        assert got == full
+    assert any(c > 1 for _, c in full.values())

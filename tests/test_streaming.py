@@ -1258,3 +1258,57 @@ def test_stream_typo_normalize_equals_batch(spark, tmp_path):
         for r in fuzzy.text_typo_normalize(spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_stream_media_fingerprints_equals_batch(spark, tmp_path):
+    """Multimodal fingerprinting on the ingest stream: documents arrive
+    in 3 chunked microbatches; the union of per-batch fingerprints must
+    equal the batch kernel over the whole corpus exactly (stateless
+    Arrow kernel ⇒ no state, no watermark, no reordering concerns)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.multimodal import attach_media
+    from sales_etl_pipeline_spark.plans import images
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "mediachunks"
+    src.mkdir()
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "fps")
+    q = (
+        jobs.stream_media_fingerprints(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "fpckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.img_id: (r.ahash_hex, r.dhash_hex, r.phash_hex)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = images._fingerprints(
+        attach_media(docs).select(
+            F.col("doc_id").alias("img_id"),
+            "payload",
+            F.lit(None).cast("int").alias("perturb_block"),
+        )
+    )
+    want = {
+        r.img_id: (r.ahash_hex, r.dhash_hex, r.phash_hex)
+        for r in batch.collect()
+    }
+    spark.catalog.clearCache()
+    assert got == want and got
