@@ -2451,3 +2451,94 @@ LIBRARY_ORACLE["bottomk_sample"] = f"""
     )
     ORDER BY sample_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality calibration (r14): quality thresholds are not
+# comparable across sources (a "0.6" from a forum crawl and from a news
+# archive mean different things), so production filters threshold on the
+# WITHIN-SOURCE percentile instead — the CCNet per-shard calibration
+# idea at source grain. percentile = percent_rank (0 at the best doc,
+# (r−1)/(n−1) below, n=1 → 0), over (quality_score DESC, doc_id).
+#
+# Scale shape: a source bucket is unbounded, so the in-bucket rank runs
+# TWO-PHASE over score blocks (the token_budget_selection /
+# preference_pairs recipe): row_number within (source, blk), broadcast
+# block-count offsets, rank = offset + local. The ORACLE is the single
+# per-source PERCENT_RANK window — the green hash proves the
+# decomposition. The final division is (r−1)/(n−1) on exact integers —
+# one IEEE double division, identical in both engines.
+
+
+def quality_score_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, quality_score, source_rank, source_percentile)
+    — within-source percentile calibration of the quality composite.
+    NULL/NaN scores excluded (the assembly._scored_docs convention)."""
+    from .llmdata import text_quality
+    from .assembly import BUDGET_BLOCKS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.join(q, "doc_id").filter(
+        F.col("quality_score").isNotNull() & ~F.isnan("quality_score")
+    )
+    scored = base.withColumn(
+        "blk", F.floor(F.col("quality_score") * BUDGET_BLOCKS).cast("int")
+    )
+    w_local = Window.partitionBy("source", "blk").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    local = scored.withColumn("lr", F.row_number().over(w_local))
+    w_blocks = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("source", "blk")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(F.sum("bn").over(w_blocks), F.lit(0).cast("long")),
+        )
+        .select("source", "blk", "off")
+    )
+    sizes = local.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        local.join(F.broadcast(offsets), ["source", "blk"])
+        .join(F.broadcast(sizes), ["source"])
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            (F.col("off") + F.col("lr")).alias("source_rank"),
+            F.when(F.col("n") == 1, F.lit(0.0))
+            .otherwise(
+                (F.col("off") + F.col("lr") - 1).cast("double")
+                / (F.col("n") - 1).cast("double")
+            )
+            .alias("source_percentile"),
+        )
+    )
+
+
+def _quality_calibrated_sql() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    return f"""
+    WITH tq AS ({_LLM_ORACLE["text_quality"]}),
+    base AS (
+        SELECT d.doc_id, d.source, t.quality_score
+        FROM documents d JOIN tq t ON d.doc_id = t.doc_id
+        WHERE t.quality_score IS NOT NULL AND NOT isnan(t.quality_score)
+    )
+    SELECT doc_id, source, quality_score,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS source_rank,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS source_percentile
+    FROM base
+    WINDOW w AS (PARTITION BY source ORDER BY quality_score DESC, doc_id)
+    """
+
+
+LIBRARY_QUERIES["quality_score_calibrated"] = quality_score_calibrated
+LIBRARY_ORACLE["quality_score_calibrated"] = _quality_calibrated_sql()

@@ -872,3 +872,33 @@ def test_incremental_corpus_report_equals_batch(spark):
     fold = {(r.metric, r.value)
             for r in curation.incremental_corpus_report(spark, SF).collect()}
     assert fold == batch
+
+
+def test_quality_score_calibrated_percentiles(spark, sf_dir):
+    """Within-source calibration (plans/curation.quality_score_calibrated):
+    rank 1 per source is the best doc (percentile 0), percentiles live
+    in [0, 1], are strictly monotone in rank within a source, and every
+    scored doc appears exactly once."""
+    from collections import defaultdict
+
+    from sales_etl_pipeline_spark.plans.curation import (
+        quality_score_calibrated,
+    )
+
+    rows = quality_score_calibrated(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    assert rows and len({r.doc_id for r in rows}) == len(rows)
+    by_src = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r.source_percentile <= 1.0
+        by_src[r.source].append(r)
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r.source_rank)
+        assert rs[0].source_rank == 1 and rs[0].source_percentile == 0.0
+        for a, b in zip(rs, rs[1:]):
+            assert b.source_rank == a.source_rank + 1
+            assert b.source_percentile > a.source_percentile
+            assert (b.quality_score, b.doc_id) <= (
+                a.quality_score,
+                b.doc_id,
+            ) or b.quality_score < a.quality_score
