@@ -432,6 +432,73 @@ def image_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("img_id", "payload_md5", "n_eval_matches")
 
 
+def image_decontamination_perceptual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-DUP decontamination — the half exact hashes miss: training
+    images whose aHash sits within hamming ≤ HAM_MAX of an EVAL image's
+    aHash (re-encoded/watermarked eval leakage). Same id-based split as
+    image_text_decontamination, over the variant-augmented corpus (a
+    variant of an eval image is exactly the re-encode this operator
+    exists to catch; variants inherit their original's split side via
+    id arithmetic mod EVAL_MOD — VARIANT_OFFSET ≡ 0 mod EVAL_MOD, so a
+    variant lands on its original's side and cross-split hits come from
+    genuinely distinct documents' perturbed twins). Banded candidate
+    join at distinct-(side, hash) grain, complete for the radius
+    (pigeonhole); the oracle is the naive cross-split all-pairs hamming
+    join. Returns (img_id, eval_img_id, hamming) — one row per
+    (training image, matched eval image canonical) at canonical grain.
+    """
+    from .llmdata import _pin
+
+    fp = _fingerprints(_image_corpus(spark, sf_dir)).select(
+        "img_id", "ahash_hex"
+    )
+    side = F.when(
+        (F.col("img_id") % VARIANT_OFFSET) % EVAL_MOD == 0, F.lit("eval")
+    ).otherwise(F.lit("train"))
+    hb = _pin(
+        fp.withColumn("side", side)
+        .groupBy("side", "ahash_hex")
+        .agg(F.min("img_id").alias("canon"))
+        .select("side", "canon", *_band_cols())
+    )
+    bands = hb.select(
+        "side",
+        "canon",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    cand = (
+        bands.where(F.col("side") == "train")
+        .alias("x")
+        .join(
+            bands.where(F.col("side") == "eval").alias("y"),
+            ["band_idx", "band_val"],
+        )
+        .select(
+            F.col("x.canon").alias("img_id"),
+            F.col("y.canon").alias("eval_img_id"),
+        )
+        .distinct()
+    )
+    a = hb.where(F.col("side") == "train").alias("a")
+    b = hb.where(F.col("side") == "eval").alias("b")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")).cast("long")
+        )
+        for k in range(4)
+    ).cast("int")
+    return (
+        cand.join(a, cand.img_id == F.col("a.canon"))
+        .join(b, cand.eval_img_id == F.col("b.canon"))
+        .select("img_id", "eval_img_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= HAM_MAX)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles: replay the byte grid → block sums → bits → hex chain
 # relationally (everything integer), incl. the variant perturbation CASE.
@@ -519,6 +586,7 @@ LIBRARY_QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,  # rows-only (float DCT)
     "image_dedup_resolution": image_dedup_resolution,
     "image_text_decontamination": image_text_decontamination,
+    "image_decontamination_perceptual": image_decontamination_perceptual,
     "incremental_image_dedup_fold": incremental_image_dedup_fold,
 }
 
@@ -608,6 +676,36 @@ LIBRARY_ORACLE = {
         FROM ahex m
         JOIN hb USING (ahash_hex)
         JOIN labels l ON hb.canon = l.node
+    """,
+    # naive cross-split all-pairs hamming join — proves the banded
+    # candidate generation complete and the verify exact
+    "image_decontamination_perceptual": f"""
+        WITH {_BYTES_CTE},
+        sided AS (
+            SELECT img_id, ahash_hex,
+                   CASE WHEN (img_id % {VARIANT_OFFSET}) % {EVAL_MOD} = 0
+                        THEN 'eval' ELSE 'train' END AS side
+            FROM ahex
+        ),
+        hb AS (
+            SELECT side, CAST(MIN(img_id) AS BIGINT) AS canon,
+                   CAST({_band_int_sql(0)} AS INTEGER) AS b0,
+                   CAST({_band_int_sql(1)} AS INTEGER) AS b1,
+                   CAST({_band_int_sql(2)} AS INTEGER) AS b2,
+                   CAST({_band_int_sql(3)} AS INTEGER) AS b3
+            FROM sided GROUP BY side, ahash_hex
+        ),
+        pairs AS (
+            SELECT a.canon AS img_id, b.canon AS eval_img_id,
+                   CAST(bit_count(xor(a.b0, b.b0))
+                      + bit_count(xor(a.b1, b.b1))
+                      + bit_count(xor(a.b2, b.b2))
+                      + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS hamming
+            FROM hb a JOIN hb b
+              ON a.side = 'train' AND b.side = 'eval'
+        )
+        SELECT img_id, eval_img_id, hamming FROM pairs
+        WHERE hamming <= {HAM_MAX}
     """,
     # batch-free recompute: a green row proves fold ≡ recompute
     "incremental_image_dedup_fold": f"""

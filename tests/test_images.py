@@ -319,3 +319,40 @@ def test_incremental_image_dedup_fold_equals_recompute(spark, sf_dir):
         spark.catalog.clearCache()
         assert got == full
     assert any(c > 1 for _, c in full.values())
+
+
+def test_perceptual_decontamination_cross_split_and_complete(
+    spark, sf_dir, fingerprints
+):
+    """Perceptual decontamination ≡ the brute-force cross-split sweep at
+    canonical grain: every (train-canonical, eval-canonical) pair with
+    hamming ≤ HAM_MAX appears (incl. hamming 0 — the exact leaks), and
+    sides are derived from the ORIGINAL document id for variants."""
+    from sales_etl_pipeline_spark.plans.images import EVAL_MOD
+
+    by_side = {"train": {}, "eval": {}}
+    for r in fingerprints:
+        side = (
+            "eval"
+            if (r.img_id % VARIANT_OFFSET) % EVAL_MOD == 0
+            else "train"
+        )
+        cur = by_side[side].get(r.ahash_hex)
+        by_side[side][r.ahash_hex] = (
+            r.img_id if cur is None else min(cur, r.img_id)
+        )
+    expected = set()
+    for ht, ct in by_side["train"].items():
+        for he, ce in by_side["eval"].items():
+            h = _ham(ht, he)
+            if h <= HAM_MAX:
+                expected.add((ct, ce, h))
+    got = {
+        (r.img_id, r.eval_img_id, r.hamming)
+        for r in images.image_decontamination_perceptual(
+            spark, sf_dir
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected and expected
+    assert any(h == 0 for _, _, h in expected), "no exact leaks — vacuous"
