@@ -1,7 +1,9 @@
 """Image-grain curation operators (r14): the documents treatment for the
-image column — exact byte-hash dedup, integer-exact perceptual
-fingerprints (aHash/dHash) with a banded near-dup join, a float pHash
-(DCT) scale-path twin, and image-text pair decontamination.
+image column — exact byte-hash dedup (+ its append-only incremental
+fold), integer-exact perceptual fingerprints (aHash/dHash) with a
+banded near-dup join, transitive dedup resolution over the perceptual
+edges, a float pHash (DCT) scale-path twin, and decontamination in both
+flavors (exact payload-hash and perceptual near-dup).
 
 The corpus is the driver's deterministic synthetic payload
 (operators/multimodal.attach_media: ``repeat(md5(text), 8)`` = 256 ASCII
