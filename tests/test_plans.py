@@ -538,3 +538,73 @@ def test_quantile_digest_extraction_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" in plan  # the 4-row q-spine join
+
+
+# ---------------------------------------------------------------------------
+# r14 multimodal / assembly plan pins: the scale properties the new
+# families claim must be visible in the physical plan, not just implied
+# by green results.
+
+
+def test_image_near_dup_no_cartesian_and_banded(spark):
+    """The banded perceptual join must stay an equi-join on
+    (band_idx, band_val) — never a cartesian/nested-loop pair sweep."""
+    from sales_etl_pipeline_spark.plans import images
+
+    plan = _plan(images.image_near_dup_ahash(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_decontamination_broadcasts_manifest(spark):
+    """The exact decontamination manifest (eval hash counts) is tiny by
+    construction — it must ride a broadcast join, not shuffle the
+    training side."""
+    from sales_etl_pipeline_spark.plans import images
+
+    plan = _plan(images.image_text_decontamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_video_near_dup_equi_join_only(spark):
+    """The frame-vote join is an equi-join on (frame_idx, fhash) at
+    canonical grain — no cartesian anywhere, and the fingerprint pass
+    contributes no Python evaluation node."""
+    from sales_etl_pipeline_spark.plans import video
+
+    plan = _plan(video.video_near_dup_frames(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_preference_pairs_windows_are_block_partitioned(spark):
+    """The DPO rank must never plan a whole-bucket (let alone global)
+    ordered window: every Window node's partition spec includes the
+    score-block key, and the mirrored pairing stays equi-join-shaped."""
+    import re
+
+    from sales_etl_pipeline_spark.plans import assembly
+
+    plan = _plan(assembly.preference_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        spec = m.group(0)
+        # row_number windows carry blk in the partition list; the
+        # block-offset window runs on the block-grain relation and
+        # partitions by (lang, source)
+        assert ("blk" in spec) or ("lang" in spec and "source" in spec)
+
+
+def test_quality_calibration_windows_are_block_partitioned(spark):
+    """Same pin for the per-source percentile calibration."""
+    import re
+
+    from sales_etl_pipeline_spark.plans import curation
+
+    plan = _plan(curation.quality_score_calibrated(spark, SF))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        spec = m.group(0)
+        assert ("blk" in spec) or ("source" in spec)
