@@ -1571,3 +1571,175 @@ def _preference_pairs_sql() -> str:
 
 LIBRARY_QUERIES["preference_pairs"] = preference_pairs
 LIBRARY_ORACLE["preference_pairs"] = _preference_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
+# Multi-turn SFT rendering (r14): most real SFT data is MULTI-turn chat;
+# sft_examples covers the single-turn shape, this pair renders a
+# deterministic alternating user/assistant conversation (turns of
+# MT_TURN tokens, user first, last partial turn kept) and emits the
+# exact 1-based char span of EVERY assistant turn — the per-turn loss
+# masks a chat trainer unmasks. On a real corpus the turn boundaries
+# arrive upstream; only the rendering + offset arithmetic is the
+# operator.
+#
+# Shape: one explode to turn grain (≤ ⌈n/MT_TURN⌉ rows per doc), one
+# DOC-partitioned window over those bounded rows for the char prefix
+# sum, and the deterministic collect_list(struct) reassembly for the
+# rendered string (the video-signature pattern — never a bare
+# groupBy collect_list). All integer/string arithmetic → oracle-exact.
+
+MT_TURN = 12
+MT_USER = "<|user|>"
+MT_ASST = "<|assistant|>"
+MT_END = " <|end|>"
+
+
+def _multiturn_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-grain relation shared by both plans: (doc_id, k, role,
+    text_k, part, loss_start, loss_end, n, n_turns)."""
+    from ..functions.core import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("n")
+    ).withColumn(
+        "n_turns",
+        F.floor((F.col("n") + MT_TURN - 1) / MT_TURN).cast("int"),
+    )
+    turns = base.select(
+        "doc_id",
+        "t",
+        "n",
+        "n_turns",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("k"),
+    )
+    role = F.when(F.col("k") % 2 == 0, F.lit(MT_USER)).otherwise(
+        F.lit(MT_ASST)
+    )
+    text_k = F.array_join(
+        F.slice(F.col("t"), F.col("k") * MT_TURN + 1, MT_TURN), " "
+    )
+    staged = turns.select(
+        "doc_id",
+        "n",
+        "n_turns",
+        "k",
+        role.alias("role"),
+        text_k.alias("text_k"),
+    ).withColumn("part", F.concat("role", F.lit(" "), "text_k"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start_part = (
+        F.coalesce(F.sum(F.length("part") + 1).over(w), F.lit(0)) + 1
+    )
+    loss_start = (start_part + F.length("role") + 1).cast("int")
+    return staged.select(
+        "doc_id",
+        "n",
+        "n_turns",
+        "k",
+        "role",
+        "text_k",
+        "part",
+        loss_start.alias("loss_start"),
+        (loss_start + F.length("text_k")).cast("int").alias("loss_end"),
+    )
+
+
+def sft_multiturn_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rendered, n_turns, n_tokens) — the rendered multi-turn
+    conversation (parts space-joined in turn order + the end token)."""
+    parts = _multiturn_parts(spark, sf_dir)
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            F.concat(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(
+                        F.collect_list(F.struct("k", "part"))
+                    ).getField("part"),
+                ),
+                F.lit(MT_END),
+            ).alias("rendered"),
+            F.min("n_turns").alias("n_turns"),
+            F.min("n").cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def sft_multiturn_loss_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, turn_idx, loss_start, loss_end) — one row per ASSISTANT
+    turn: the exact 1-based char range of that turn's text inside
+    sft_multiturn_rendered's string (the chat trainer's per-turn loss
+    mask)."""
+    return (
+        _multiturn_parts(spark, sf_dir)
+        .where(F.col("k") % 2 == 1)
+        .select(
+            "doc_id",
+            F.col("k").alias("turn_idx"),
+            "loss_start",
+            "loss_end",
+        )
+    )
+
+
+LIBRARY_QUERIES["sft_multiturn_rendered"] = sft_multiturn_rendered
+LIBRARY_QUERIES["sft_multiturn_loss_spans"] = sft_multiturn_loss_spans
+
+_MT_PARTS_SQL = f"""
+    base AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n,
+               CAST((len(string_split(text, ' ')) + {MT_TURN} - 1)
+                    // {MT_TURN} AS INTEGER) AS n_turns
+        FROM documents WHERE text IS NOT NULL
+    ),
+    turns AS (
+        SELECT doc_id, n, n_turns, CAST(g.k AS INTEGER) AS k,
+               CASE WHEN g.k % 2 = 0 THEN '{MT_USER}'
+                    ELSE '{MT_ASST}' END AS role,
+               array_to_string(
+                   t[CAST(g.k * {MT_TURN} + 1 AS INTEGER)
+                     : CAST(LEAST((g.k + 1) * {MT_TURN}, n) AS INTEGER)],
+                   ' ') AS text_k
+        FROM base, LATERAL unnest(range(n_turns)) AS g(k)
+    ),
+    parts AS (
+        SELECT *, role || ' ' || text_k AS part FROM turns
+    ),
+    placed AS (
+        SELECT *,
+               CAST(COALESCE(SUM(length(part) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + 1 + length(role) + 1 AS INTEGER) AS loss_start
+        FROM parts
+    )
+"""
+
+LIBRARY_ORACLE["sft_multiturn_rendered"] = f"""
+    WITH {_MT_PARTS_SQL}
+    SELECT doc_id,
+           string_agg(part, ' ' ORDER BY k) || '{MT_END}' AS rendered,
+           CAST(MIN(n_turns) AS INTEGER) AS n_turns,
+           CAST(MIN(n) AS INTEGER) AS n_tokens
+    FROM placed GROUP BY doc_id
+"""
+
+LIBRARY_ORACLE["sft_multiturn_loss_spans"] = f"""
+    WITH {_MT_PARTS_SQL}
+    SELECT doc_id, k AS turn_idx, loss_start,
+           CAST(loss_start + length(text_k) AS INTEGER) AS loss_end
+    FROM placed WHERE k % 2 = 1
+"""

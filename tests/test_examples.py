@@ -283,3 +283,57 @@ def test_preference_pairs_mirrored_ranks_and_positive_margins(spark):
             p.rejected_doc_id for p in pairs
         ]
         assert len(members) == len(set(members))
+
+
+def test_multiturn_spans_land_on_assistant_turns_and_reconstruct(spark):
+    """Multi-turn SFT invariants: every loss span's substring IS that
+    assistant turn's token text; roles alternate user-first; stripping
+    role headers and the end token reconstructs the original document
+    exactly."""
+    from sales_etl_pipeline_spark.plans.assembly import (
+        MT_ASST,
+        MT_END,
+        MT_TURN,
+        MT_USER,
+        sft_multiturn_loss_spans,
+        sft_multiturn_rendered,
+    )
+    from sales_etl_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    rendered = {
+        r.doc_id: r
+        for r in sft_multiturn_rendered(spark, SF).collect()
+    }
+    spans = sft_multiturn_loss_spans(spark, SF).collect()
+    spark.catalog.clearCache()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    assert set(rendered) == set(docs)
+    seen_docs_with_spans = set()
+    for s in spans:
+        r = rendered[s.doc_id]
+        frag = r.rendered[s.loss_start - 1 : s.loss_end - 1]
+        toks = docs[s.doc_id].split(" ")
+        want = " ".join(
+            toks[s.turn_idx * MT_TURN : (s.turn_idx + 1) * MT_TURN]
+        )
+        assert frag == want and s.turn_idx % 2 == 1
+        seen_docs_with_spans.add(s.doc_id)
+    assert seen_docs_with_spans
+    for doc_id, r in rendered.items():
+        body = r.rendered
+        assert body.endswith(MT_END)
+        body = body[: -len(MT_END)]
+        # strip alternating headers: split on the user header first
+        body = body.replace(" " + MT_ASST + " ", " ").replace(
+            " " + MT_USER + " ", " "
+        )
+        assert body.startswith(MT_USER + " ")
+        assert body[len(MT_USER) + 1 :] == docs[doc_id]
+        n = len(docs[doc_id].split(" "))
+        assert r.n_turns == (n + MT_TURN - 1) // MT_TURN
