@@ -47,6 +47,7 @@ from . import (
     audio,
     bpe,
     cdc,
+    crossmodal,
     curation,
     eventplans,
     fuzzy,
@@ -104,6 +105,7 @@ _MODULES = (
     images,
     audio,
     video,
+    crossmodal,
     pysource,
 )
 
@@ -181,25 +183,42 @@ _MODULES = (
 # r14 pre-flight (checked late r13): every promotion above has a FLAT
 # result schema; no serialized twins needed.
 #
-# Round-15 cohort (PLANNED): promote the r14 library additions on the
-# usual one-round lag — the full multimodal pack (plans/images.py:
-# image_exact_dedup, image_fingerprints, image_near_dup_ahash,
-# image_dedup_resolution, image_text_decontamination — all
-# oracle-exact; image_phash_near_dup rows-only with pytest gates;
-# plans/audio.py: audio_energy_fingerprints, audio_near_dup_energy —
-# oracle-exact; plans/video.py: video_frame_fingerprints,
-# video_near_dup_frames — oracle-exact) and preference_pairs
-# (plans/assembly.py, oracle-exact two-phase blocked rank) — and
-# back-fill with the longest-out return-leg plans (doc_chunks,
-# embedding_centroids, daily_sales, the three showcase plans,
-# simhash_near_dup, semantic_dedup_bucketed, the five r12 outs:
-# asof_join_events_orders, contamination_check, curation_pipeline,
-# repeat_buyer_set_ops, region_nation_rollup — out ≥3 rounds), rotating
-# out the r14 cohort (driver-confirmed this round) to make room.
+# Round-15 cohort (EXECUTED this round): promote ALL 16 r14 library
+# additions on the usual one-round lag — the full multimodal pack
+# (plans/images.py: image_exact_dedup, image_fingerprints,
+# image_near_dup_ahash, image_dedup_resolution,
+# image_text_decontamination, image_decontamination_perceptual,
+# incremental_image_dedup_fold — all oracle-exact;
+# image_phash_near_dup rows-only with pytest gates; plans/audio.py:
+# audio_energy_fingerprints, audio_near_dup_energy — oracle-exact;
+# plans/video.py: video_frame_fingerprints, video_near_dup_frames —
+# oracle-exact), the assembly additions (preference_pairs,
+# sft_multiturn_rendered, sft_multiturn_loss_spans — oracle-exact)
+# and quality_score_calibrated (plans/curation.py, oracle-exact) —
+# NOTHING from the r14 additions is deferred (closes the r14 ADVICE
+# bookkeeping gap, which flagged six of these as missing from the
+# planned note). Back-fill with the 13 longest-out return-leg plans
+# (doc_chunks, embedding_centroids, daily_sales, the three showcase
+# plans, simhash_near_dup, semantic_dedup_bucketed, the five r12
+# outs: asof_join_events_orders, contamination_check,
+# curation_pipeline, repeat_buyer_set_ops, region_nation_rollup),
+# rotate out the driver-confirmed r14 cohort (27 plans) plus two
+# newly long-stable base plans (quality_filter, bpe_token_stats) —
+# 34 base + 16 promoted = 50 slots exactly, 49 oracle + 1 rows-only
+# by design (image_phash_near_dup; stream_transitions_replay stays
+# base-tier rows-only too, so 48 oracle + 2 rows-only).
 #
 # r15 pre-flight (checked r14): every plan named above has a FLAT
 # result schema (hex fingerprints are strings; ids/counts/scores are
 # scalars) — no serialized twins needed.
+#
+# Round-16 cohort (PLANNED): promote the r15 library additions on the
+# one-round lag — audio/video decontamination twins and incremental
+# folds (plans/audio.py / plans/video.py r15 additions), cross-modal
+# joint dedup resolution (plans/crossmodal.py), and the fixed-point
+# pHash oracle twin if it lands oracle-exact — plus the next
+# return-leg tranche (the r13 outs: ngram_jaccard_pairs,
+# knn_cosine_topk and the serialization twins, out 3 rounds by then).
 #
 # Round-12 cohort (EXECUTED r12; kept for the audit trail): the 16
 # never-driver-confirmed plans — the graph trio, search trio, webtext
@@ -232,36 +251,29 @@ _MODULES = (
 # plan) and ::test_array_typed_bpe_plans_stay_library_tier.
 
 #: driver plans rotated out to the library tier this round
+#:
+#: r15 return-leg: the 13 longest-out base plans re-enter the driver
+#: for re-confirmation — the pre-r9 sextet (doc_chunks,
+#: embedding_centroids, daily_sales, stats/scalar/window showcases,
+#: out ≥6 rounds), the r10 pair (simhash_near_dup,
+#: semantic_dedup_bucketed, out 5) and the five r12 outs
+#: (asof_join_events_orders, contamination_check, curation_pipeline,
+#: repeat_buyer_set_ops, region_nation_rollup, out 3). mm_image_features
+#: / mm_frame_sample stay out: the r15 promotion cohort already carries
+#: eleven multimodal driver rows, and their array-typed feature columns
+#: keep them library-tier per the HARNESS COMPAT RULE.
 ROTATED_OUT = frozenset({
     # pre-r9 rotation (still out; library-oracle-checked every pytest
-    # run). r13 return-leg: the text quintet (doc_fingerprint, lang_id,
-    # text_quality, token_stats, tfidf_top_terms) and the 9-plan event
-    # windowing family left this set — their base-tier registration
-    # resumes after 4 rounds out.
-    "doc_chunks",
-    "embedding_centroids",
-    "daily_sales",
-    "stats_showcase",
-    "scalar_function_showcase",
-    "window_function_showcase",
+    # run)
     "mm_image_features",
     "mm_frame_sample",
     # r10: rows-only ANN trio makes room for the never-confirmed set
     "ann_ivf_topk",
     "ann_lsh_topk",
     "approx_distinct_stats",
-    # r10: long-stable (driver-green r4–r9)
-    "simhash_near_dup",
-    "semantic_dedup_bucketed",
-    # r12: long-stable (driver-green r4–r11)
-    "asof_join_events_orders",
-    "contamination_check",
-    "curation_pipeline",
-    "repeat_buyer_set_ops",
-    "region_nation_rollup",
-    # r13: long-stable (driver-green r4–r12) — frees slots for the r13
-    # promotions; the two *_str plans are thin serialization twins whose
-    # array originals stay independently library-oracle-checked
+    # r13: long-stable (driver-green r4–r12) — the two *_str plans are
+    # thin serialization twins whose array originals stay independently
+    # library-oracle-checked
     "ngram_jaccard_pairs",
     "knn_cosine_topk",
     "bpe_encoded_docs_str",
@@ -269,8 +281,7 @@ ROTATED_OUT = frozenset({
     # r14: re-confirmed green in r13 after 4 rounds out — back to the
     # library tier on the re-confirmation cadence (the event windowing
     # family and the text quintet), plus bpe_merges (driver-green
-    # r9–r13; byte twin confirmed r13). Frees 15 slots for the 27
-    # r14 promotions.
+    # r9–r13; byte twin confirmed r13)
     "event_dedup_first",
     "event_funnel",
     "event_hourly_activity",
@@ -286,69 +297,57 @@ ROTATED_OUT = frozenset({
     "token_stats",
     "tfidf_top_terms",
     "bpe_merges",
+    # r15: newly long-stable, both driver-confirmed r14 —
+    # quality_filter's semantics are a strict subset of the just-
+    # confirmed quality_filter_v2 + quality_score_calibrated pair, and
+    # bpe_token_stats' char-BPE trajectory stays driver-proven through
+    # tokenizer_compare's cross-family hash. Frees the last 2 slots for
+    # the 16-plan r15 promotion under the 50-slot cap.
+    "quality_filter",
+    "bpe_token_stats",
 })
 
 #: library plans promoted into the driver registry for this round —
-#: round 14 = the 27 never-driver-confirmed r13 additions, all
-#: oracle-exact (see the Round-14 cohort note above)
+#: round 15 = the 16 never-driver-confirmed r14 library additions
+#: (the full multimodal pack, the DPO/multi-turn assembly plans and
+#: the calibrated quality score), all oracle-exact except the
+#: documented float-DCT pHash row. The 27-plan r14 cohort (all
+#: driver-confirmed green in CORRECTNESS_r14.json) returns to the
+#: library tier, where its oracle parity keeps running every pytest
+#: suite via tests/test_library_parity.py.
 ROTATED_IN = frozenset({
-    # Gopher line-grain quality pack (plans/curation.py) — exact
-    # integer ratios at distinct-line grain weighted by count
-    "line_quality_stats",
-    "quality_filter_v2",
-    # DSIR importance resampling (plans/curation.py) — weights via the
-    # floor-log2 bits trick; selection as TakeOrderedAndProject
-    "dsir_importance_weights",
-    "dsir_selected",
-    # incremental corpus-report fold (plans/curation.py) — oracle =
-    # batch-free corpus_report recompute, finalize from one state row
-    "incremental_corpus_report",
-    # near-dup connected components (plans/llmdata.py) — upgraded to
-    # ORACLE-EXACT r13: DuckDB recursive-CTE transitive closure ≡
-    # converged min-label fixpoint
-    "near_dup_components",
-    # epoch shuffle/sharding (plans/assembly.py) — oracle-EXACT
-    "epoch_shuffle_assignment",
-    "epoch_shard_stats",
-    # quality-aware near-dup resolution (plans/llmdata.py) — one
-    # cluster-grain argmax window over components ⋈ quality
-    "quality_aware_dedup",
-    # token-budget selection (plans/assembly.py) — blocked prefix sum,
-    # bit-identical to the single-window twin
-    "token_budget_selection",
-    # training-example construction (plans/assembly.py) — span
-    # corruption, SFT render + loss offsets, packed loss spans,
-    # length-bucketed batches (tests/test_examples.py invariants)
-    "span_corruption",
-    "sft_examples",
-    "sft_packed_loss_spans",
-    "length_bucketed_batches",
-    # WordPiece family (plans/wordpiece.py) — training replayed in
-    # MATERIALIZED CTEs with the exact DECIMAL(38,0) 2^40 score key;
-    # apply replayed as an unrolled longest-match walk
-    "wordpiece_merges",
-    "wordpiece_segmented",
-    "wordpiece_token_stats",
-    "wordpiece_vocab_table",
-    "wordpiece_encoded_docs_str",
-    # cross-family tokenizer comparison — three training trajectories
-    # (BPE char, BPE byte, WordPiece) proven in ONE value hash
-    "tokenizer_compare",
-    # SymSpell fuzzy matching (plans/fuzzy.py) — deletion-neighborhood
-    # blocking, hash equality vs the naive all-pairs levenshtein oracle
-    # proves blocking completeness AND verify exactness
-    "fuzzy_word_pairs",
-    "typo_canonical_map",
-    "text_typo_normalize",
-    "incremental_fuzzy_fold",
-    # temperature mixing (plans/assembly.py) — exact integer
-    # apportionment + md5-rank sampling
-    "temperature_mix_weights",
-    "temperature_mix_sample",
-    # curriculum ordering (plans/assembly.py) — two-pass distributed
-    # rank; oracle = ONE global ROW_NUMBER, so the hash proves the
-    # decomposition
-    "curriculum_order",
+    # image pipeline (plans/images.py) — integer-exact aHash/dHash
+    # Arrow fingerprint kernel; banded near-dup complete for
+    # hamming ≤3 by pigeonhole over 4×16-bit bands; every exact
+    # variant oracle-checked vs a naive all-pairs DuckDB twin
+    "image_exact_dedup",
+    "image_fingerprints",
+    "image_near_dup_ahash",
+    "image_dedup_resolution",
+    "image_text_decontamination",
+    "image_decontamination_perceptual",
+    # rows-only BY DESIGN: float DCT — pytest pins agreement vs the
+    # banded integer variant (tests/test_images.py)
+    "image_phash_near_dup",
+    # incremental image dedup fold — oracle = batch-free recompute
+    "incremental_image_dedup_fold",
+    # audio (plans/audio.py) — Haitsma–Kalker energy-contour
+    # fingerprints, banded near-dup; oracle-exact
+    "audio_energy_fingerprints",
+    "audio_near_dup_energy",
+    # video (plans/video.py) — pure-expression frame fingerprints
+    # (no-EvalPython plan pin), shot-aligned frame-vote near-dup
+    "video_frame_fingerprints",
+    "video_near_dup_frames",
+    # DPO preference pairs (plans/assembly.py) — two-phase blocked
+    # rank, oracle-exact
+    "preference_pairs",
+    # multi-turn SFT rendering with per-turn loss spans
+    # (plans/assembly.py) — oracle-exact
+    "sft_multiturn_rendered",
+    "sft_multiturn_loss_spans",
+    # calibrated quality score (plans/curation.py) — oracle-exact
+    "quality_score_calibrated",
 })
 
 

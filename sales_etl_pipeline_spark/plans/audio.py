@@ -40,10 +40,16 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from .images import (
     _BYTES_CTE,
     _HEXD,
+    EVAL_MOD,
     HAM_MAX,
+    VARIANT_OFFSET,
     _band_int_sql,
+    _banded_cross_split_decon,
     _banded_near_dup,
+    _bytes_cte_sql,
+    _even_odd_fold,
     _image_corpus,
+    _image_corpus_full,
 )
 
 EFP_SCHEMA = StructType(
@@ -119,6 +125,51 @@ def audio_near_dup_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_decontamination_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-split acoustic decontamination (r15 — closes the modality
+    asymmetry named in VERDICT r14): training clips whose energy-contour
+    fingerprint sits within hamming ≤ HAM_MAX of an EVAL clip's — the
+    re-encoded/transient-clicked eval leakage exact payload hashes miss.
+    Same id-based split and banded cross-split join as
+    image_decontamination_perceptual (the shared
+    `_banded_cross_split_decon` core at energy-hash grain), over the
+    FULL corpus (variants + re-uploads): DUP_OFFSET ≡ 1 mod EVAL_MOD
+    flips every re-upload across the split, so exact (hamming 0)
+    cross-split leaks exist by construction at every SF, and perturbed
+    variants supply the near-miss radii. Oracle: the naive cross-split
+    all-pairs hamming join — proves the banding complete and the verify
+    exact. Returns (clip_id, eval_clip_id, hamming) at canonical
+    grain."""
+    fp = _efingerprints(_image_corpus_full(spark, sf_dir)).select(
+        F.col("clip_id").alias("img_id"),
+        F.col("ehash_hex").alias("ahash_hex"),
+    )
+    return _banded_cross_split_decon(fp).select(
+        F.col("img_id").alias("clip_id"),
+        F.col("eval_img_id").alias("eval_clip_id"),
+        "hamming",
+    )
+
+
+def incremental_audio_dedup_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Append-only acoustic-dedup fold (r15): split the full corpus into
+    two deterministic batches (even/odd clip_id), build the
+    ENERGY-HASH-grain dedup state from batch 1, fold batch 2 through the
+    full-outer delta merge (`images._even_odd_fold` — the
+    incremental_exact_dedup shape at fingerprint grain; re-uploads
+    guarantee real dup families). The oracle is the batch-free recompute
+    (one GROUP BY over the whole corpus), so a green row proves
+    fold ≡ recompute. Returns (clip_id, ehash_hex, dup_count) at
+    distinct-fingerprint grain — the state an ingest pipeline would
+    persist bucketed on ehash_hex."""
+    fp = _efingerprints(_image_corpus_full(spark, sf_dir))
+    return _even_odd_fold(fp, "clip_id", "ehash_hex")
+
+
 #: energy-grid CTE chain appended to the shared byte chain — cell
 #: (pos//16)*4 + (pos%16)//4, energy Σ(b−128)², aHash-style strict bits
 _EHEX_CTE = f"""
@@ -149,6 +200,8 @@ ehex AS (
 LIBRARY_QUERIES = {
     "audio_energy_fingerprints": audio_energy_fingerprints,
     "audio_near_dup_energy": audio_near_dup_energy,
+    "audio_decontamination_energy": audio_decontamination_energy,
+    "incremental_audio_dedup_fold": incremental_audio_dedup_fold,
 }
 
 LIBRARY_ORACLE = {
@@ -176,5 +229,42 @@ LIBRARY_ORACLE = {
         )
         SELECT clip_a, clip_b, hamming FROM pairs
         WHERE hamming BETWEEN 1 AND {HAM_MAX}
+    """,
+    # naive cross-split all-pairs hamming join over the FULL corpus —
+    # proves the banded candidate generation complete + verify exact
+    "audio_decontamination_energy": f"""
+        WITH {_bytes_cte_sql(reups=True)}, {_EHEX_CTE},
+        sided AS (
+            SELECT img_id, ehash_hex,
+                   CASE WHEN (img_id % {VARIANT_OFFSET}) % {EVAL_MOD} = 0
+                        THEN 'eval' ELSE 'train' END AS side
+            FROM ehex
+        ),
+        hb AS (
+            SELECT side, CAST(MIN(img_id) AS BIGINT) AS canon,
+                   CAST({_band_int_sql(0, "ehash_hex")} AS INTEGER) AS b0,
+                   CAST({_band_int_sql(1, "ehash_hex")} AS INTEGER) AS b1,
+                   CAST({_band_int_sql(2, "ehash_hex")} AS INTEGER) AS b2,
+                   CAST({_band_int_sql(3, "ehash_hex")} AS INTEGER) AS b3
+            FROM sided GROUP BY side, ehash_hex
+        ),
+        pairs AS (
+            SELECT a.canon AS clip_id, b.canon AS eval_clip_id,
+                   CAST(bit_count(xor(a.b0, b.b0))
+                      + bit_count(xor(a.b1, b.b1))
+                      + bit_count(xor(a.b2, b.b2))
+                      + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS hamming
+            FROM hb a JOIN hb b
+              ON a.side = 'train' AND b.side = 'eval'
+        )
+        SELECT clip_id, eval_clip_id, hamming FROM pairs
+        WHERE hamming <= {HAM_MAX}
+    """,
+    # batch-free recompute: a green row proves fold ≡ recompute
+    "incremental_audio_dedup_fold": f"""
+        WITH {_bytes_cte_sql(reups=True)}, {_EHEX_CTE}
+        SELECT MIN(img_id) AS clip_id, ehash_hex,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM ehex GROUP BY ehash_hex
     """,
 }

@@ -107,6 +107,26 @@ FP_SCHEMA = StructType(
 # corpus + fingerprint kernel
 
 
+def _guarded_doc_id() -> F.Column:
+    """``doc_id``, failing LOUD (executor-side ``raise_error``, no
+    driver round) on any id ≥ VARIANT_OFFSET. The variant/re-upload
+    offset arithmetic and the ``(img_id % VARIANT_OFFSET) % EVAL_MOD``
+    side derivation all assume ids live below VARIANT_OFFSET; a larger
+    corpus would silently alias twin ids onto originals and mis-assign
+    eval/train sides, so the bound is a checked invariant, not an
+    assumption. One 64-bit compare per row — negligible next to the
+    Arrow fingerprint kernel."""
+    return F.when(F.col("doc_id") < F.lit(VARIANT_OFFSET), F.col("doc_id")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("image id-space invariant violated: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" >= VARIANT_OFFSET (1e9); twin ids would alias originals"),
+            )
+        ).cast("long")
+    )
+
+
 def _image_corpus(
     spark: SparkSession, sf_dir: str, variants: bool = True
 ) -> DataFrame:
@@ -116,14 +136,14 @@ def _image_corpus(
     to 255 inside the kernel; replayed as a CASE in the oracles)."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     base = media.select(
-        F.col("doc_id").alias("img_id"),
+        _guarded_doc_id().alias("img_id"),
         "payload",
         F.lit(None).cast("int").alias("perturb_block"),
     )
     if not variants:
         return base
     twins = media.filter(F.col("doc_id") % VARIANT_MOD == 0).select(
-        (F.col("doc_id") + VARIANT_OFFSET).alias("img_id"),
+        (_guarded_doc_id() + VARIANT_OFFSET).alias("img_id"),
         "payload",
         (F.col("doc_id") % 64).cast("int").alias("perturb_block"),
     )
@@ -134,11 +154,26 @@ def _image_corpus_with_reups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(img_id, payload) — originals plus byte-identical re-upload twins
     for every ``doc_id % DUP_MOD == 0`` document (see DUP_MOD note)."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
-    base = media.select(F.col("doc_id").alias("img_id"), "payload")
+    base = media.select(_guarded_doc_id().alias("img_id"), "payload")
     twins = media.filter(F.col("doc_id") % DUP_MOD == 0).select(
-        (F.col("doc_id") + DUP_OFFSET).alias("img_id"), "payload"
+        (_guarded_doc_id() + DUP_OFFSET).alias("img_id"), "payload"
     )
     return base.unionByName(twins)
+
+
+def _image_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(img_id, payload, perturb_block) — originals + perturbed variants
+    + byte-identical re-upload twins, the richest corpus: re-uploads
+    guarantee exact-dup families (and, DUP_OFFSET ≡ 1 mod EVAL_MOD,
+    guaranteed CROSS-SPLIT exact leakage), variants guarantee near-dup
+    families. Used by the audio/video decontamination + fold twins."""
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    reups = media.filter(F.col("doc_id") % DUP_MOD == 0).select(
+        (_guarded_doc_id() + DUP_OFFSET).alias("img_id"),
+        "payload",
+        F.lit(None).cast("int").alias("perturb_block"),
+    )
+    return _image_corpus(spark, sf_dir).unionByName(reups)
 
 
 def fingerprint_kernel(
@@ -451,16 +486,72 @@ def image_decontamination_perceptual(
     join. Returns (img_id, eval_img_id, hamming) — one row per
     (training image, matched eval image canonical) at canonical grain.
     """
-    from .llmdata import _pin
-
     fp = _fingerprints(_image_corpus(spark, sf_dir)).select(
         "img_id", "ahash_hex"
     )
-    side = F.when(
-        (F.col("img_id") % VARIANT_OFFSET) % EVAL_MOD == 0, F.lit("eval")
+    return _banded_cross_split_decon(fp)
+
+
+def _split_side(id_col: str = "img_id") -> F.Column:
+    """'eval'/'train' side of an id: originals split on
+    doc_id % EVAL_MOD; twins inherit via the % VARIANT_OFFSET
+    reduction (VARIANT_OFFSET ≡ 0 mod EVAL_MOD keeps a variant on its
+    original's side; DUP_OFFSET ≡ 1 flips a re-upload across)."""
+    return F.when(
+        (F.col(id_col) % VARIANT_OFFSET) % EVAL_MOD == 0, F.lit("eval")
     ).otherwise(F.lit("train"))
+
+
+def _even_odd_fold(fp: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+    """Split any (id, fingerprint) relation into two deterministic
+    batches (even/odd id), build hash-grain dedup state from batch 1,
+    fold batch 2 through a full-outer delta merge — the
+    llmdata.incremental_exact_dedup merge shape at arbitrary fingerprint
+    grain (least-id canonical, summed counts), shared by the audio
+    (energy-hash) and video (frame-signature) incremental folds. The
+    oracle for every user is the BATCH-FREE recompute, so a green row
+    proves fold ≡ recompute. Returns (id_col, hash_col, dup_count) at
+    distinct-fingerprint grain."""
+
+    def collapse(df: DataFrame) -> DataFrame:
+        return df.groupBy(hash_col).agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+
+    s = collapse(fp.filter(F.col(id_col) % 2 == 0)).select(
+        hash_col,
+        F.col(id_col).alias("s_id"),
+        F.col("dup_count").alias("s_cnt"),
+    )
+    d = collapse(fp.filter(F.col(id_col) % 2 == 1)).select(
+        hash_col,
+        F.col(id_col).alias("d_id"),
+        F.col("dup_count").alias("d_cnt"),
+    )
+    return s.join(d, hash_col, "full_outer").select(
+        F.least(
+            F.coalesce("s_id", "d_id"), F.coalesce("d_id", "s_id")
+        ).alias(id_col),
+        hash_col,
+        (F.coalesce("s_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias(
+            "dup_count"
+        ),
+    )
+
+
+def _banded_cross_split_decon(fp: DataFrame) -> DataFrame:
+    """Shared cross-split banded near-dup decontamination over any
+    (img_id, ahash_hex) 64-bit-fingerprint relation — the
+    image_decontamination_perceptual core, reused verbatim by the audio
+    energy-hash twin (plans/audio.py). Distinct-(side, hash) grain,
+    4×16-bit band candidates, exact hamming verify ≤ HAM_MAX; complete
+    for the radius (module pigeonhole). Returns
+    (img_id, eval_img_id, hamming) at canonical grain."""
+    from .llmdata import _pin
+
     hb = _pin(
-        fp.withColumn("side", side)
+        fp.withColumn("side", _split_side())
         .groupBy("side", "ahash_hex")
         .agg(F.min("img_id").alias("canon"))
         .select("side", "canon", *_band_cols())
@@ -505,14 +596,25 @@ def image_decontamination_perceptual(
 # DuckDB oracles: replay the byte grid → block sums → bits → hex chain
 # relationally (everything integer), incl. the variant perturbation CASE.
 
-#: corpus + per-(img, pos) byte value, variants included
-_BYTES_CTE = f"""
+def _bytes_cte_sql(*, reups: bool = False) -> str:
+    """The corpus → per-(img, pos) byte-value CTE chain; ``reups`` adds
+    the byte-identical re-upload twins (pb NULL) so the audio/video
+    decontamination + fold oracles replay `_image_corpus_full`."""
+    reup_arm = (
+        f"""
+    UNION ALL
+    SELECT doc_id + {DUP_OFFSET}, text, CAST(NULL AS INTEGER)
+    FROM documents WHERE text IS NOT NULL AND doc_id % {DUP_MOD} = 0"""
+        if reups
+        else ""
+    )
+    return f"""
 corpus AS (
     SELECT doc_id AS img_id, text, CAST(NULL AS INTEGER) AS pb
     FROM documents WHERE text IS NOT NULL
     UNION ALL
     SELECT doc_id + {VARIANT_OFFSET}, text, CAST(doc_id % 64 AS INTEGER)
-    FROM documents WHERE text IS NOT NULL AND doc_id % {VARIANT_MOD} = 0
+    FROM documents WHERE text IS NOT NULL AND doc_id % {VARIANT_MOD} = 0{reup_arm}
 ),
 bytes AS (
     SELECT img_id,
@@ -548,6 +650,10 @@ ahex AS (
     ) GROUP BY img_id
 )
 """
+
+
+#: corpus + per-(img, pos) byte value → aHash hex, variants included
+_BYTES_CTE = _bytes_cte_sql()
 
 #: dHash bits + hex (extends the shared chain)
 _DHEX_CTE = f"""

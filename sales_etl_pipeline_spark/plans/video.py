@@ -39,7 +39,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .images import _BYTES_CTE, _HEXD, _image_corpus
+from .images import (
+    _BYTES_CTE,
+    _HEXD,
+    EVAL_MOD,
+    VARIANT_OFFSET,
+    _bytes_cte_sql,
+    _even_odd_fold,
+    _image_corpus,
+    _image_corpus_full,
+    _split_side,
+)
 
 #: bytes per frame (same stride as operators/multimodal.frame_sample's
 #: FRAME_BYTES; 256-byte payloads → 8 frames)
@@ -52,7 +62,14 @@ FRAME_VOTE_K = 6
 def video_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(clip_id, frame_idx, fhash_hex) — 16-bit per-frame fingerprints
     as pure column expressions over the variant-augmented corpus."""
-    corpus = _image_corpus(spark, sf_dir).select(
+    return _frame_fingerprints(_image_corpus(spark, sf_dir))
+
+
+def _frame_fingerprints(corpus_df: DataFrame) -> DataFrame:
+    """The fingerprint expression pipeline over any (img_id, payload,
+    perturb_block) corpus — shared by the base plan, the cross-split
+    decontamination twin and the incremental fold."""
+    corpus = corpus_df.select(
         F.col("img_id").alias("clip_id"),
         F.col("payload").cast("string").alias("s"),
         F.col("perturb_block").alias("pb"),
@@ -117,13 +134,9 @@ def video_near_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata import _pin
 
     fp = _pin(video_frame_fingerprints(spark, sf_dir))
-    sigs = fp.groupBy("clip_id").agg(
-        F.concat_ws(
-            "", F.array_sort(F.collect_list(F.struct("frame_idx", "fhash_hex")))
-            .getField("fhash_hex")
-        ).alias("sig")
+    canon = _clip_sigs(fp).groupBy("sig").agg(
+        F.min("clip_id").alias("clip_id")
     )
-    canon = sigs.groupBy("sig").agg(F.min("clip_id").alias("clip_id"))
     cf = _pin(fp.join(canon.select("clip_id"), "clip_id"))
     a, b = cf.alias("a"), cf.alias("b")
     matched = a.join(
@@ -140,6 +153,76 @@ def video_near_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("n_matching_frames"))
         .where(F.col("n_matching_frames") >= FRAME_VOTE_K)
     )
+
+
+def _clip_sigs(fp: DataFrame) -> DataFrame:
+    """(clip_id, sig) — the frame-order-sorted concatenation of a clip's
+    8 frame fingerprints (32 hex chars): the clip's EXACT-dup key."""
+    return fp.groupBy("clip_id").agg(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(F.struct("frame_idx", "fhash_hex"))
+            ).getField("fhash_hex"),
+        ).alias("sig")
+    )
+
+
+def video_decontamination_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-split video decontamination (r15 — closes the modality
+    asymmetry named in VERDICT r14): training clips sharing ≥
+    FRAME_VOTE_K identical frame fingerprints AT THE SAME FRAME INDEX
+    with an eval clip — the shot-aligned frame-vote test applied across
+    the id-based eval/train split, over the FULL corpus (variants +
+    re-uploads). Leak flavors by construction: a re-upload of an eval
+    clip lands on the training side (DUP_OFFSET ≡ 1 mod EVAL_MOD) with
+    8/8 matching frames, and an eval clip's perturbed variant (same
+    side as its original) matches that training-side re-upload in ≥ 6
+    of 8 frames — the re-encoded leak this operator exists to catch.
+    Canonical grain per (side, full signature) so replicated leaks
+    report once; DECLARATIVE end to end (equi-join + pair count — the
+    video_near_dup_frames shape), so the oracle replays the plan
+    directly. Returns (clip_id, eval_clip_id, n_matching_frames)."""
+    from .llmdata import _pin
+
+    fp = _pin(_frame_fingerprints(_image_corpus_full(spark, sf_dir)))
+    sided = _clip_sigs(fp).withColumn("side", _split_side("clip_id"))
+    canon = sided.groupBy("side", "sig").agg(
+        F.min("clip_id").alias("clip_id")
+    )
+    cf = _pin(fp.join(canon.select("clip_id", "side"), "clip_id"))
+    t = cf.where(F.col("side") == "train").alias("t")
+    e = cf.where(F.col("side") == "eval").alias("e")
+    matched = t.join(
+        e,
+        (F.col("t.frame_idx") == F.col("e.frame_idx"))
+        & (F.col("t.fhash_hex") == F.col("e.fhash_hex")),
+    ).select(
+        F.col("t.clip_id").alias("clip_id"),
+        F.col("e.clip_id").alias("eval_clip_id"),
+    )
+    return (
+        matched.groupBy("clip_id", "eval_clip_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matching_frames"))
+        .where(F.col("n_matching_frames") >= FRAME_VOTE_K)
+    )
+
+
+def incremental_video_dedup_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Append-only video-dedup fold (r15): even/odd clip_id batches
+    folded through the full-outer delta merge at FRAME-SIGNATURE grain
+    (`images._even_odd_fold`; re-uploads guarantee real dup families).
+    Oracle = batch-free recompute, so a green row proves
+    fold ≡ recompute. Returns (clip_id, sig, dup_count) at
+    distinct-signature grain."""
+    sigs = _clip_sigs(
+        _frame_fingerprints(_image_corpus_full(spark, sf_dir))
+    )
+    return _even_odd_fold(sigs, "clip_id", "sig")
 
 
 #: frame-grain fingerprint CTE chain over the shared byte chain
@@ -174,6 +257,8 @@ fhex AS (
 LIBRARY_QUERIES = {
     "video_frame_fingerprints": video_frame_fingerprints,
     "video_near_dup_frames": video_near_dup_frames,
+    "video_decontamination_frames": video_decontamination_frames,
+    "incremental_video_dedup_fold": incremental_video_dedup_fold,
 }
 
 LIBRARY_ORACLE = {
@@ -199,5 +284,43 @@ LIBRARY_ORACLE = {
          AND a.img_id < b.img_id
         GROUP BY 1, 2
         HAVING COUNT(*) >= {FRAME_VOTE_K}
+    """,
+    # declarative cross-split replay over the FULL corpus — side from
+    # the same id arithmetic, canonical per (side, signature)
+    "video_decontamination_frames": f"""
+        WITH {_bytes_cte_sql(reups=True)}, {_FHEX_CTE},
+        sided_sigs AS (
+            SELECT img_id,
+                   string_agg(fhash_hex, '' ORDER BY frame_idx) AS sig,
+                   CASE WHEN (img_id % {VARIANT_OFFSET}) % {EVAL_MOD} = 0
+                        THEN 'eval' ELSE 'train' END AS side
+            FROM fhex GROUP BY img_id
+        ),
+        canon AS (
+            SELECT side, MIN(img_id) AS img_id
+            FROM sided_sigs GROUP BY side, sig
+        ),
+        cf AS (
+            SELECT f.*, c.side FROM fhex f JOIN canon c USING (img_id)
+        )
+        SELECT t.img_id AS clip_id, e.img_id AS eval_clip_id,
+               CAST(COUNT(*) AS INTEGER) AS n_matching_frames
+        FROM cf t JOIN cf e
+          ON t.frame_idx = e.frame_idx AND t.fhash_hex = e.fhash_hex
+         AND t.side = 'train' AND e.side = 'eval'
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {FRAME_VOTE_K}
+    """,
+    # batch-free recompute: a green row proves fold ≡ recompute
+    "incremental_video_dedup_fold": f"""
+        WITH {_bytes_cte_sql(reups=True)}, {_FHEX_CTE},
+        sigs AS (
+            SELECT img_id,
+                   string_agg(fhash_hex, '' ORDER BY frame_idx) AS sig
+            FROM fhex GROUP BY img_id
+        )
+        SELECT MIN(img_id) AS clip_id, sig,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM sigs GROUP BY sig
     """,
 }

@@ -77,3 +77,47 @@ def test_banded_near_dup_complete_vs_brute_force(spark, sf_dir):
     }
     spark.catalog.clearCache()
     assert got == expected and expected
+
+
+def test_decontamination_cross_split_nonvacuous_and_correct(spark, sf_dir):
+    """The r15 decon twin: every reported pair genuinely crosses the
+    split, hamming-0 leaks exist by construction (re-uploads flip
+    across: DUP_OFFSET ≡ 1 mod EVAL_MOD), and near-miss radii 1..3
+    appear too (perturbed variants) — the result is never vacuously
+    empty or exact-only."""
+    from sales_etl_pipeline_spark.plans.images import EVAL_MOD, VARIANT_OFFSET
+
+    rows = audio.audio_decontamination_energy(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    assert rows
+    for r in rows:
+        assert (r.clip_id % VARIANT_OFFSET) % EVAL_MOD != 0, "train side"
+        assert (r.eval_clip_id % VARIANT_OFFSET) % EVAL_MOD == 0, "eval side"
+        assert 0 <= r.hamming <= HAM_MAX
+    assert any(r.hamming == 0 for r in rows), "no exact leaks — vacuous"
+
+
+def test_incremental_fold_equals_recompute_and_has_dups(spark, sf_dir):
+    """Fold ≡ batch-free recompute at energy-hash grain (the oracle
+    proves this at registry SFs; this pins it in-suite) and the
+    re-uploads guarantee real dup families (dup_count > 1)."""
+    from pyspark.sql import functions as F
+    from sales_etl_pipeline_spark.plans.images import _image_corpus_full
+
+    folded = {
+        (r.ehash_hex): (r.clip_id, r.dup_count)
+        for r in audio.incremental_audio_dedup_fold(spark, sf_dir).collect()
+    }
+    recomputed = {
+        r.ehash_hex: (r.clip_id, r.dup_count)
+        for r in audio._efingerprints(_image_corpus_full(spark, sf_dir))
+        .groupBy("ehash_hex")
+        .agg(
+            F.min("clip_id").alias("clip_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert folded == recomputed
+    assert any(c > 1 for _, c in folded.values()), "no dup families"

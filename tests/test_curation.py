@@ -898,7 +898,6 @@ def test_quality_score_calibrated_percentiles(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert b.source_rank == a.source_rank + 1
             assert b.source_percentile > a.source_percentile
-            assert (b.quality_score, b.doc_id) <= (
-                a.quality_score,
-                b.doc_id,
-            ) or b.quality_score < a.quality_score
+            assert b.quality_score < a.quality_score or (
+                b.quality_score == a.quality_score and b.doc_id > a.doc_id
+            )

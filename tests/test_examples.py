@@ -271,10 +271,10 @@ def test_preference_pairs_mirrored_ranks_and_positive_margins(spark):
     by_bucket = defaultdict(list)
     for r in rows:
         assert r.margin >= 0
-        assert (r.chosen_score, -r.chosen_doc_id) >= (
+        assert (r.chosen_score, -r.chosen_doc_id) > (
             r.rejected_score,
             -r.rejected_doc_id,
-        ) or r.chosen_score > r.rejected_score
+        )
         by_bucket[(r.lang, r.source)].append(r)
     for pairs in by_bucket.values():
         ranks = sorted(p.pair_rank for p in pairs)

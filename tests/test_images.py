@@ -356,3 +356,29 @@ def test_perceptual_decontamination_cross_split_and_complete(
     spark.catalog.clearCache()
     assert got == expected and expected
     assert any(h == 0 for _, _, h in expected), "no exact leaks — vacuous"
+
+
+def test_id_space_guard_fails_loud_on_overflow(spark, sf_dir):
+    """The VARIANT_OFFSET id-space bound is a CHECKED invariant (r14
+    ADVICE): ids below the bound pass through untouched; any id ≥
+    VARIANT_OFFSET raises executor-side instead of silently aliasing a
+    twin id onto an original / mis-assigning the eval-train side."""
+    from pyspark.sql import functions as F
+
+    ok = spark.createDataFrame(
+        [(0,), (999_999_999,)], "doc_id long"
+    ).select(images._guarded_doc_id().alias("g"))
+    assert {r.g for r in ok.collect()} == {0, 999_999_999}
+    bad = spark.createDataFrame(
+        [(images.VARIANT_OFFSET,)], "doc_id long"
+    ).select(images._guarded_doc_id().alias("g"))
+    with pytest.raises(Exception, match="id-space invariant"):
+        bad.collect()
+    # the real corpora sit far below the bound at every test SF
+    mx = (
+        images._image_corpus(spark, sf_dir)
+        .agg(F.max("img_id").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert mx < images.VARIANT_OFFSET + images.DUP_OFFSET

@@ -101,3 +101,49 @@ def test_vote_counts_match_brute_force(spark, sf_dir):
     }
     spark.catalog.clearCache()
     assert got == expected and expected
+
+
+def test_decontamination_cross_split_nonvacuous_and_correct(spark, sf_dir):
+    """The r15 decon twin: pairs cross the split, 8/8 exact leaks exist
+    (eval re-uploads land on the training side), and ≥1 near-miss
+    (6..7 matching frames, an eval variant vs its original's
+    training-side re-upload) appears — never vacuous or exact-only."""
+    from sales_etl_pipeline_spark.plans.images import EVAL_MOD
+    from sales_etl_pipeline_spark.plans.video import FRAME_VOTE_K
+
+    rows = video.video_decontamination_frames(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    assert rows
+    for r in rows:
+        assert (r.clip_id % VARIANT_OFFSET) % EVAL_MOD != 0, "train side"
+        assert (r.eval_clip_id % VARIANT_OFFSET) % EVAL_MOD == 0, "eval side"
+        assert FRAME_VOTE_K <= r.n_matching_frames <= 8
+    assert any(r.n_matching_frames == 8 for r in rows), "no exact leaks"
+    assert any(r.n_matching_frames < 8 for r in rows), "no near leaks"
+
+
+def test_incremental_fold_equals_recompute_and_has_dups(spark, sf_dir):
+    """Fold ≡ batch-free recompute at frame-signature grain, with real
+    dup families from the re-upload twins."""
+    from pyspark.sql import functions as F
+    from sales_etl_pipeline_spark.plans.images import _image_corpus_full
+
+    folded = {
+        r.sig: (r.clip_id, r.dup_count)
+        for r in video.incremental_video_dedup_fold(spark, sf_dir).collect()
+    }
+    recomputed = {
+        r.sig: (r.clip_id, r.dup_count)
+        for r in video._clip_sigs(
+            video._frame_fingerprints(_image_corpus_full(spark, sf_dir))
+        )
+        .groupBy("sig")
+        .agg(
+            F.min("clip_id").alias("clip_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert folded == recomputed
+    assert any(c > 1 for _, c in folded.values()), "no dup families"
