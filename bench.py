@@ -199,12 +199,30 @@ HEADLINE = (
     "audio_near_dup_energy",
     "video_near_dup_frames",
     "preference_pairs",
+    # round 15: the cross-split decontamination pair (the modality-
+    # asymmetry closers — banded energy-hash join and the declarative
+    # frame-vote join, both over the variants+re-uploads full corpus)
+    # and the fixed-point pHash banded join (the oracle-upgraded DCT
+    # path). The incremental audio/video folds ride the already-benched
+    # fold shape (incremental_image_dedup pattern) and are swept in
+    # BASELINE.md §r15 instead of benched.
+    "audio_decontamination_energy",
+    "video_decontamination_frames",
+    "image_phash_fixed_near_dup",
     # NOT in the headline suite (1): the COLD_TRAINING section below —
     # the two 1k-merge trainers are driver-round-bound by design (70/51
     # rounds of fixed per-round cost at distinct-word grain), not
     # data-bound, and at ~34 s they were diluting the headline total's
     # round-over-round regression signal to ~29% noise (VERDICT r13
     # What's-wrong #2). They keep their own total + prior-compare.
+    # NOT in the headline suite (1b, r15): "crossmodal_dedup_resolution"
+    # measures ~79 s at sf0.1 — dominated by the fixed per-round job
+    # overhead of the label-propagation loop (the synthetic corpus's
+    # aHash-collision exact-links couple ~all docs into one joint
+    # graph, so the loop runs near its round cap); rounds are
+    # corpus-size-independent (100× sweep 5.7×, BASELINE.md §r15), and
+    # a job-count-bound row would dilute the headline total exactly
+    # like ingest_batch_fold below.
     # NOT in the headline suite (2): "ingest_batch_fold" (the 3-batch
     # append-only ingest loop, _ingest_batch_fold below) measures ~21 s
     # at sf0.1 — dominated by the ~7 fixed-overhead jobs per batch

@@ -1212,13 +1212,19 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc difficulty signal) with a seeded shuffle within each phase.
 
     The scale pattern is the point: a global position WITHOUT a global
-    sort. pos = (cumulative size of earlier phases) + (row_number within
-    the phase) — the classic two-pass distributed rank: one
-    phase-partitioned rank window + a ≤|phases|-row offset relation
-    broadcast back. The oracle computes the same schedule as ONE global
-    ROW_NUMBER() OVER (ORDER BY phase, hash, doc_id), so the value hash
-    PROVES the two-pass plan reproduces the single-sort semantics
-    exactly. Returns (doc_id, phase, pos) — flat, oracle-EXACT."""
+    sort. The rank runs two-phase on (phase, hash-block) grain: hblk =
+    h >> 52 (256 uniform blocks, MONOTONIC in h, so ordering by
+    (phase, hblk, h, doc_id) ≡ (phase, h, doc_id)), row_number within
+    each (phase, hblk), and a ≤ |phases|×256-row cumulative-offset
+    relation broadcast back. Partitioning by phase ALONE is the
+    one-hot-partition killer this plan originally shipped with — ~10
+    skewed phases put 5M rows through ~10 window tasks; the r15 1000×
+    probe measured it at 219× and the hash-block refinement landed
+    (BASELINE.md §r15). The oracle computes the same schedule as ONE
+    global ROW_NUMBER() OVER (ORDER BY phase, hash, doc_id), so the
+    value hash PROVES the blocked plan reproduces the single-sort
+    semantics exactly. Returns (doc_id, phase, pos) — flat,
+    oracle-EXACT."""
     from ..functions.core import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1231,29 +1237,31 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.bin(F.size(tokens(F.col("text"))))) - 1
         ).cast("int").alias("phase"),
         h.alias("h"),
+        F.shiftright(h, 52).cast("int").alias("hblk"),
     )
-    w = Window.partitionBy("phase").orderBy("h", "doc_id")
+    w = Window.partitionBy("phase", "hblk").orderBy("h", "doc_id")
     ranked = base.withColumn("rk", F.row_number().over(w))
-    # phase offsets: counts per phase, cumulative over phase order —
-    # a ≤|phases|-row relation (log2 of max doc length), broadcast back
+    # cumulative offsets at (phase, hblk) grain — a ≤ |phases|×256-row
+    # BOUNDED relation (the single-partition window below runs over
+    # block grain, never corpus grain), broadcast back
     offsets = (
-        base.groupBy("phase")
+        base.groupBy("phase", "hblk")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
             "offset",
             F.coalesce(
                 F.sum("cnt").over(
                     Window.partitionBy()
-                    .orderBy("phase")
+                    .orderBy("phase", "hblk")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("phase", "offset")
+        .select("phase", "hblk", "offset")
     )
     return (
-        ranked.join(F.broadcast(offsets), "phase")
+        ranked.join(F.broadcast(offsets), ["phase", "hblk"])
         .select(
             "doc_id",
             "phase",

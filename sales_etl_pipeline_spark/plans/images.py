@@ -107,23 +107,47 @@ FP_SCHEMA = StructType(
 # corpus + fingerprint kernel
 
 
-def _guarded_doc_id() -> F.Column:
-    """``doc_id``, failing LOUD (executor-side ``raise_error``, no
-    driver round) on any id ≥ VARIANT_OFFSET. The variant/re-upload
-    offset arithmetic and the ``(img_id % VARIANT_OFFSET) % EVAL_MOD``
-    side derivation all assume ids live below VARIANT_OFFSET; a larger
-    corpus would silently alias twin ids onto originals and mis-assign
-    eval/train sides, so the bound is a checked invariant, not an
-    assumption. One 64-bit compare per row — negligible next to the
-    Arrow fingerprint kernel."""
-    return F.when(F.col("doc_id") < F.lit(VARIANT_OFFSET), F.col("doc_id")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("image id-space invariant violated: doc_id "),
-                F.col("doc_id").cast("string"),
-                F.lit(" >= VARIANT_OFFSET (1e9); twin ids would alias originals"),
-            )
-        ).cast("long")
+def _raise_id_breach() -> F.Column:
+    """The executor-side error a breaching id surfaces as."""
+    return F.raise_error(
+        F.concat(
+            F.lit("image id-space invariant violated: doc_id "),
+            F.col("doc_id").cast("string"),
+            F.lit(" >= VARIANT_OFFSET (1e9); twin ids would alias originals"),
+        )
+    ).cast("long")
+
+
+def _id_space_guard(media: DataFrame, *cols: str) -> DataFrame:
+    """EMPTY-by-invariant guard branch, unioned into every corpus: any
+    ``doc_id ≥ VARIANT_OFFSET`` row fails LOUD (executor-side
+    ``raise_error``) the moment a plan scans the corpus. The variant/
+    re-upload offset arithmetic and the ``(img_id % VARIANT_OFFSET) %
+    EVAL_MOD`` side derivation all assume ids live below VARIANT_OFFSET;
+    a larger corpus would otherwise silently alias twin ids onto
+    originals and mis-assign eval/train sides — so the bound is a
+    CHECKED invariant, not an assumption.
+
+    Shape matters: the first cut of this guard was a per-row
+    CASE/raise_error wrapped around doc_id itself, and Catalyst's
+    projection collapsing inlined that CASE into every downstream
+    reference — the r15 100× sweep measured the pure-expression video
+    fingerprint pass at 361 s vs 37 s unguarded (10×). As a separate
+    union branch the hot path stays untouched and the guard costs one
+    pushed-down ``doc_id ≥ bound`` predicate scan (parquet min/max
+    stats skip whole row groups on a valid corpus); ``raise_error``
+    only ever evaluates on a breaching row. ``cols`` names the
+    corpus's payload-side columns (NULL literals in the empty
+    branch). Caveat: the guard lives in the ``img_id`` projection, so
+    a plan must CONSUME img_id to trip it — every corpus plan does
+    (a bare count() would prune it; the pytest gate consumes the
+    column explicitly)."""
+    null_cols = {
+        "payload": F.lit(None).cast("binary").alias("payload"),
+        "perturb_block": F.lit(None).cast("int").alias("perturb_block"),
+    }
+    return media.filter(F.col("doc_id") >= VARIANT_OFFSET).select(
+        _raise_id_breach().alias("img_id"), *[null_cols[c] for c in cols]
     )
 
 
@@ -133,32 +157,37 @@ def _image_corpus(
     """(img_id, payload, perturb_block) — originals plus, when
     ``variants``, one deterministically perturbed twin per
     ``doc_id % VARIANT_MOD == 0`` document (block ``doc_id % 64`` forced
-    to 255 inside the kernel; replayed as a CASE in the oracles)."""
+    to 255 inside the kernel; replayed as a CASE in the oracles).
+    Carries the `_id_space_guard` branch."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     base = media.select(
-        _guarded_doc_id().alias("img_id"),
+        F.col("doc_id").alias("img_id"),
         "payload",
         F.lit(None).cast("int").alias("perturb_block"),
     )
+    guard = _id_space_guard(media, "payload", "perturb_block")
     if not variants:
-        return base
+        return base.unionByName(guard)
     twins = media.filter(F.col("doc_id") % VARIANT_MOD == 0).select(
-        (_guarded_doc_id() + VARIANT_OFFSET).alias("img_id"),
+        (F.col("doc_id") + VARIANT_OFFSET).alias("img_id"),
         "payload",
         (F.col("doc_id") % 64).cast("int").alias("perturb_block"),
     )
-    return base.unionByName(twins)
+    return base.unionByName(twins).unionByName(guard)
 
 
 def _image_corpus_with_reups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(img_id, payload) — originals plus byte-identical re-upload twins
-    for every ``doc_id % DUP_MOD == 0`` document (see DUP_MOD note)."""
+    for every ``doc_id % DUP_MOD == 0`` document (see DUP_MOD note).
+    Carries the `_id_space_guard` branch."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
-    base = media.select(_guarded_doc_id().alias("img_id"), "payload")
+    base = media.select(F.col("doc_id").alias("img_id"), "payload")
     twins = media.filter(F.col("doc_id") % DUP_MOD == 0).select(
-        (_guarded_doc_id() + DUP_OFFSET).alias("img_id"), "payload"
+        (F.col("doc_id") + DUP_OFFSET).alias("img_id"), "payload"
     )
-    return base.unionByName(twins)
+    return base.unionByName(twins).unionByName(
+        _id_space_guard(media, "payload")
+    )
 
 
 def _image_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,10 +198,11 @@ def _image_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     families. Used by the audio/video decontamination + fold twins."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     reups = media.filter(F.col("doc_id") % DUP_MOD == 0).select(
-        (_guarded_doc_id() + DUP_OFFSET).alias("img_id"),
+        (F.col("doc_id") + DUP_OFFSET).alias("img_id"),
         "payload",
         F.lit(None).cast("int").alias("perturb_block"),
     )
+    # the invariant guard branch rides in via _image_corpus
     return _image_corpus(spark, sf_dir).unionByName(reups)
 
 

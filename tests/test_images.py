@@ -358,23 +358,17 @@ def test_perceptual_decontamination_cross_split_and_complete(
     assert any(h == 0 for _, _, h in expected), "no exact leaks — vacuous"
 
 
-def test_id_space_guard_fails_loud_on_overflow(spark, sf_dir):
+def test_id_space_guard_fails_loud_on_overflow(spark, sf_dir, tmp_path):
     """The VARIANT_OFFSET id-space bound is a CHECKED invariant (r14
-    ADVICE): ids below the bound pass through untouched; any id ≥
-    VARIANT_OFFSET raises executor-side instead of silently aliasing a
-    twin id onto an original / mis-assigning the eval-train side."""
+    ADVICE): a corpus whose doc_id breaches the bound raises
+    executor-side THE MOMENT any plan scans it, instead of silently
+    aliasing a twin id onto an original / mis-assigning the eval-train
+    side; a valid corpus passes untouched (and the guard lives in an
+    empty union branch, so the hot path pays nothing — the shape note
+    on images._id_space_guard)."""
     from pyspark.sql import functions as F
 
-    ok = spark.createDataFrame(
-        [(0,), (999_999_999,)], "doc_id long"
-    ).select(images._guarded_doc_id().alias("g"))
-    assert {r.g for r in ok.collect()} == {0, 999_999_999}
-    bad = spark.createDataFrame(
-        [(images.VARIANT_OFFSET,)], "doc_id long"
-    ).select(images._guarded_doc_id().alias("g"))
-    with pytest.raises(Exception, match="id-space invariant"):
-        bad.collect()
-    # the real corpora sit far below the bound at every test SF
+    # valid corpus: guard branch empty, ids pass through
     mx = (
         images._image_corpus(spark, sf_dir)
         .agg(F.max("img_id").alias("m"))
@@ -382,6 +376,27 @@ def test_id_space_guard_fails_loud_on_overflow(spark, sf_dir):
         .m
     )
     assert mx < images.VARIANT_OFFSET + images.DUP_OFFSET
+    # breaching corpus: one doc_id at the bound → scan raises
+    src = sf_dir.rstrip("/")
+    bad_dir = str(tmp_path / "badsf")
+    docs = spark.read.parquet(f"{src}/documents.parquet").limit(5)
+    docs.withColumn(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == docs.agg(F.min("doc_id")).collect()[0][0],
+            F.lit(images.VARIANT_OFFSET).cast("long"),
+        ).otherwise(F.col("doc_id")),
+    ).write.parquet(f"{bad_dir}/documents.parquet")
+    # consume img_id like every real plan does (a bare count() would
+    # column-prune the guard projection away)
+    with pytest.raises(Exception, match="id-space invariant"):
+        images._image_corpus(spark, bad_dir).agg(
+            F.max("img_id")
+        ).collect()
+    with pytest.raises(Exception, match="id-space invariant"):
+        images._image_corpus_with_reups(spark, bad_dir).agg(
+            F.max("img_id")
+        ).collect()
 
 
 def test_phash_fixed_agrees_with_float_variant(spark, sf_dir):
