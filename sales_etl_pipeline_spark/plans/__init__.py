@@ -212,21 +212,22 @@ _MODULES = (
 # result schema (hex fingerprints are strings; ids/counts/scores are
 # scalars) — no serialized twins needed.
 #
-# Round-16 cohort (PLANNED): promote ALL 7 r15 library additions on
+# Round-16 cohort (PLANNED): promote ALL 8 r15 library additions on
 # the one-round lag — every one landed ORACLE-EXACT (sf0.001 +
 # sf0.01): audio_decontamination_energy, incremental_audio_dedup_fold
 # (plans/audio.py), video_decontamination_frames,
 # incremental_video_dedup_fold (plans/video.py),
-# crossmodal_dedup_resolution (plans/crossmodal.py),
-# image_phash_fixed_fingerprints, image_phash_fixed_near_dup
-# (plans/images.py) — plus the next return-leg tranche (the r13 outs:
+# crossmodal_dedup_resolution, crossmodal_consistency_check
+# (plans/crossmodal.py), image_phash_fixed_fingerprints,
+# image_phash_fixed_near_dup (plans/images.py) — plus the next return-leg tranche (the r13 outs:
 # ngram_jaccard_pairs, knn_cosine_topk, bpe_encoded_docs_str,
 # bpe_packed_windows_str — out 3 rounds by then), rotating out the
 # r15 cohort once CORRECTNESS_r15 confirms it.
 #
-# r16 pre-flight (checked r15): all 7 promotions have FLAT result
-# schemas (ids/hamming/counts are scalars; hex fingerprints and the
-# 32-hex-char video sig are strings) — no serialized twins needed.
+# r16 pre-flight (checked r15, executed against live schemas): all 8
+# promotions have FLAT result schemas (ids/hamming/counts/booleans are
+# scalars; hex fingerprints and the 32-hex-char video sig are
+# strings) — no serialized twins needed.
 #
 # Round-12 cohort (EXECUTED r12; kept for the audit trail): the 16
 # never-driver-confirmed plans — the graph trio, search trio, webtext

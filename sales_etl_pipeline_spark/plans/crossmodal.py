@@ -58,13 +58,23 @@ from .llmdata import (
 )
 
 
-def _joint_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The unioned (doc_a, doc_b) edge relation at document grain:
-    text MinHash pairs + image exact-hash links + image banded
-    near-dup pairs (both image families projected img→doc via
-    % VARIANT_OFFSET; self-links from a doc's own perturbed variant
-    drop out)."""
-    text_edges = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+def _normalize_edges(edges: DataFrame) -> DataFrame:
+    """Drop self-links, orient a < b, dedup."""
+    return (
+        edges.where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _image_doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image edges at DOCUMENT grain: exact-aHash links
+    (every image to its hash-group canonical) + banded near-dup pairs,
+    both projected img→doc via % VARIANT_OFFSET (self-links from a
+    doc's own perturbed variant drop out), normalized."""
     fp = _pin(
         _fingerprints(_image_corpus(spark, sf_dir)).select(
             "img_id", "ahash_hex"
@@ -79,15 +89,33 @@ def _joint_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_a") % VARIANT_OFFSET).alias("doc_a"),
         (F.col("doc_b") % VARIANT_OFFSET).alias("doc_b"),
     )
-    img_edges = exact_links.unionByName(near_links)
-    return (
-        text_edges.unionByName(img_edges)
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-        )
-        .distinct()
+    return _normalize_edges(exact_links.unionByName(near_links))
+
+
+def _joint_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unioned (doc_a, doc_b) edge relation at document grain:
+    text MinHash pairs + the image doc-grain edges."""
+    text_edges = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return _normalize_edges(
+        text_edges.unionByName(_image_doc_edges(spark, sf_dir))
+    )
+
+
+def _keep_flag(comp: DataFrame, q: DataFrame, name: str) -> DataFrame:
+    """(doc_id, <name>) — the quality-argmax retention policy over a
+    (doc_id, component) clustering: TRUE for the (quality DESC, doc_id
+    ASC) best of each cluster and for every unclustered doc (the
+    quality_aware_dedup policy, shared by all three clusterings in
+    crossmodal_consistency_check)."""
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    ranked = comp.join(q, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return q.join(ranked.select("doc_id", "rn"), "doc_id", "left").select(
+        "doc_id",
+        (F.col("rn").isNull() | (F.col("rn") == 1)).alias(name),
     )
 
 
@@ -124,8 +152,48 @@ def crossmodal_dedup_resolution(
     )
 
 
+def crossmodal_consistency_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DIAGNOSTIC that motivates the joint policy: per document,
+    the keep decision each single-modality dedup would make (text
+    MinHash clusters / perceptual image clusters, both resolved by the
+    shared quality-argmax policy), the JOINT decision, and whether the
+    two modalities AGREE. On the synthetic corpus ~64% of documents
+    disagree (text keeps what image drops or vice versa) — exactly the
+    inconsistency a pair-grain pipeline must not ship, and the number
+    this plan lets an operator monitor. Oracle-EXACT by composition:
+    three recursive-CTE closures (text, image, joint) + three argmax
+    windows over the same replayed quality relation, in one hash.
+    Returns (doc_id, text_kept, image_kept, joint_kept, consistent)."""
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    text_edges = _normalize_edges(
+        minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    img_edges = _image_doc_edges(spark, sf_dir)
+    joint_edges = _normalize_edges(text_edges.unionByName(img_edges))
+    kept_t = _keep_flag(components_from_edges(text_edges), q, "text_kept")
+    kept_i = _keep_flag(components_from_edges(img_edges), q, "image_kept")
+    kept_j = _keep_flag(
+        components_from_edges(joint_edges), q, "joint_kept"
+    )
+    return (
+        kept_t.join(kept_i, "doc_id")
+        .join(kept_j, "doc_id")
+        .select(
+            "doc_id",
+            "text_kept",
+            "image_kept",
+            "joint_kept",
+            (F.col("text_kept") == F.col("image_kept")).alias("consistent"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 LIBRARY_QUERIES = {
     "crossmodal_dedup_resolution": crossmodal_dedup_resolution,
+    "crossmodal_consistency_check": crossmodal_consistency_check,
 }
 
 # recursive-CTE closure over the UNIONED edge relation: replayed
@@ -197,6 +265,112 @@ LIBRARY_ORACLE = {
         SELECT q.doc_id, r.joint_cluster, q.quality_score,
                (r.rn IS NULL OR r.rn = 1) AS kept
         FROM q LEFT JOIN ranked r ON q.doc_id = r.doc_id
+        ORDER BY q.doc_id
+    """,
+    # THREE recursive closures (text / image / joint) + three argmax
+    # windows over the one replayed quality relation — one hash proves
+    # all three retention decisions and the consistency bit
+    "crossmodal_consistency_check": f"""
+        WITH RECURSIVE {_bytes_cte_sql()},
+        hb AS (
+            SELECT ahash_hex, CAST(MIN(img_id) AS BIGINT) AS canon,
+                   CAST({_band_int_sql(0)} AS INTEGER) AS b0,
+                   CAST({_band_int_sql(1)} AS INTEGER) AS b1,
+                   CAST({_band_int_sql(2)} AS INTEGER) AS b2,
+                   CAST({_band_int_sql(3)} AS INTEGER) AS b3
+            FROM ahex GROUP BY ahash_hex
+        ),
+        iraw AS (
+            SELECT m.img_id % {VARIANT_OFFSET} AS doc_a,
+                   h.canon % {VARIANT_OFFSET} AS doc_b
+            FROM ahex m JOIN hb h USING (ahash_hex)
+            UNION
+            SELECT doc_a, doc_b FROM (
+                SELECT a.canon % {VARIANT_OFFSET} AS doc_a,
+                       b.canon % {VARIANT_OFFSET} AS doc_b,
+                       bit_count(xor(a.b0, b.b0))
+                     + bit_count(xor(a.b1, b.b1))
+                     + bit_count(xor(a.b2, b.b2))
+                     + bit_count(xor(a.b3, b.b3)) AS hamming
+                FROM hb a JOIN hb b ON a.canon < b.canon
+            ) WHERE hamming BETWEEN 1 AND {HAM_MAX}
+        ),
+        tnd AS (
+            SELECT doc_a, doc_b
+            FROM ({_LLM_ORACLE["minhash_near_dup"]})
+        ),
+        q AS (
+            SELECT doc_id, quality_score
+            FROM ({_LLM_ORACLE["text_quality"]})
+        ),
+        tedges AS (
+            SELECT doc_a AS a, doc_b AS b FROM tnd WHERE doc_a <> doc_b
+            UNION
+            SELECT doc_b, doc_a FROM tnd WHERE doc_a <> doc_b
+        ),
+        reach_t(node, lbl) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM tedges)
+            UNION
+            SELECT e.b, r.lbl FROM reach_t r JOIN tedges e ON e.a = r.node
+        ),
+        rank_t AS (
+            SELECT c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c
+                       ORDER BY q.quality_score DESC, c.doc_id
+                   ) AS rn
+            FROM (SELECT node AS doc_id, MIN(lbl) AS c
+                  FROM reach_t GROUP BY node) c
+            JOIN q ON c.doc_id = q.doc_id
+        ),
+        iedges AS (
+            SELECT doc_a AS a, doc_b AS b FROM iraw WHERE doc_a <> doc_b
+            UNION
+            SELECT doc_b, doc_a FROM iraw WHERE doc_a <> doc_b
+        ),
+        reach_i(node, lbl) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM iedges)
+            UNION
+            SELECT e.b, r.lbl FROM reach_i r JOIN iedges e ON e.a = r.node
+        ),
+        rank_i AS (
+            SELECT c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c
+                       ORDER BY q.quality_score DESC, c.doc_id
+                   ) AS rn
+            FROM (SELECT node AS doc_id, MIN(lbl) AS c
+                  FROM reach_i GROUP BY node) c
+            JOIN q ON c.doc_id = q.doc_id
+        ),
+        jedges AS (
+            SELECT a, b FROM tedges UNION SELECT a, b FROM iedges
+        ),
+        reach_j(node, lbl) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM jedges)
+            UNION
+            SELECT e.b, r.lbl FROM reach_j r JOIN jedges e ON e.a = r.node
+        ),
+        rank_j AS (
+            SELECT c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c
+                       ORDER BY q.quality_score DESC, c.doc_id
+                   ) AS rn
+            FROM (SELECT node AS doc_id, MIN(lbl) AS c
+                  FROM reach_j GROUP BY node) c
+            JOIN q ON c.doc_id = q.doc_id
+        )
+        SELECT q.doc_id,
+               (rt.rn IS NULL OR rt.rn = 1) AS text_kept,
+               (ri.rn IS NULL OR ri.rn = 1) AS image_kept,
+               (rj.rn IS NULL OR rj.rn = 1) AS joint_kept,
+               ((rt.rn IS NULL OR rt.rn = 1)
+                  = (ri.rn IS NULL OR ri.rn = 1)) AS consistent
+        FROM q
+        LEFT JOIN rank_t rt ON q.doc_id = rt.doc_id
+        LEFT JOIN rank_i ri ON q.doc_id = ri.doc_id
+        LEFT JOIN rank_j rj ON q.doc_id = rj.doc_id
         ORDER BY q.doc_id
     """,
 }

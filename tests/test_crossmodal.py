@@ -78,3 +78,26 @@ def test_crossmodal_uses_both_edge_sources(spark):
     spark.catalog.clearCache()
     normalized_text = {tuple(sorted(p)) for p in text_only}
     assert joint_set - normalized_text, "image edges added nothing — vacuous"
+
+
+def test_consistency_check_invariants(spark):
+    """joint_kept ⇒ text_kept ∧ image_kept (a joint cluster is a
+    superset union of the doc's text and image clusters under the SAME
+    total order, so the joint winner must also win both subsets);
+    `consistent` is exactly text_kept == image_kept; and disagreements
+    exist on this corpus (the diagnostic is non-vacuous)."""
+    rows = crossmodal.crossmodal_consistency_check(spark, SF).collect()
+    spark.catalog.clearCache()
+    assert rows
+    for r in rows:
+        if r.joint_kept:
+            assert r.text_kept and r.image_kept, r
+        assert r.consistent == (r.text_kept == r.image_kept)
+    assert any(not r.consistent for r in rows), "no disagreements — vacuous"
+    # and joint resolution agrees with the standalone plan
+    joint = {
+        r.doc_id: r.kept
+        for r in crossmodal.crossmodal_dedup_resolution(spark, SF).collect()
+    }
+    spark.catalog.clearCache()
+    assert all(joint[r.doc_id] == r.joint_kept for r in rows)
