@@ -770,6 +770,46 @@ def stream_media_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_energy_fingerprints(docs: DataFrame) -> DataFrame:
+    """Acoustic fingerprinting on the INGEST stream — the audio twin of
+    stream_media_fingerprints (r15, completing the modality-stream
+    symmetry): every arriving clip leaves with its energy-contour hex in
+    the same microbatch. Stateless Arrow ``mapInPandas`` — no state, no
+    shuffle, no watermark. tests/test_streaming.py pins stream ≡ the
+    identical batch pass."""
+    from ..operators.multimodal import attach_media
+    from ..plans.audio import _efingerprints
+
+    media = attach_media(docs)
+    return _efingerprints(
+        media.select(
+            F.col("doc_id").alias("img_id"),
+            "payload",
+            F.lit(None).cast("int").alias("perturb_block"),
+        )
+    )
+
+
+def stream_frame_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-frame video fingerprinting on the INGEST stream — the video
+    twin (r15): the fingerprint is PURE column expressions
+    (plans/video.py — zero Python, whole-stage codegen), so it is
+    streaming-safe by construction; each clip's 8 frame rows leave in
+    its arrival microbatch. tests/test_streaming.py pins stream ≡ the
+    identical batch pass."""
+    from ..operators.multimodal import attach_media
+    from ..plans.video import _frame_fingerprints
+
+    media = attach_media(docs)
+    return _frame_fingerprints(
+        media.select(
+            F.col("doc_id").alias("img_id"),
+            "payload",
+            F.lit(None).cast("int").alias("perturb_block"),
+        )
+    )
+
+
 def stream_enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream against a static (or
     slowly-refreshed) dimension — the third join mode Structured

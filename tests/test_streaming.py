@@ -1312,3 +1312,66 @@ def test_stream_media_fingerprints_equals_batch(spark, tmp_path):
     }
     spark.catalog.clearCache()
     assert got == want and got
+
+
+def test_stream_energy_and_frame_fingerprints_equal_batch(spark, tmp_path):
+    """The r15 modality-stream symmetry: audio energy hashes and video
+    frame fingerprints over 3 chunked microbatches must equal the batch
+    passes exactly (both stateless — Arrow kernel / pure expressions)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.operators.multimodal import attach_media
+    from sales_etl_pipeline_spark.plans import audio, video
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "avchunks"
+    src.mkdir()
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+
+    def run(job, outname):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = str(tmp_path / outname)
+        q = (
+            job(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / (outname + "ck")))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    corpus = attach_media(docs).select(
+        F.col("doc_id").alias("img_id"),
+        "payload",
+        F.lit(None).cast("int").alias("perturb_block"),
+    )
+    got_e = {
+        r.clip_id: r.ehash_hex
+        for r in run(jobs.stream_energy_fingerprints, "efp").collect()
+    }
+    want_e = {
+        r.clip_id: r.ehash_hex for r in audio._efingerprints(corpus).collect()
+    }
+    assert got_e == want_e and got_e
+    got_f = {
+        (r.clip_id, r.frame_idx): r.fhash_hex
+        for r in run(jobs.stream_frame_fingerprints, "ffp").collect()
+    }
+    want_f = {
+        (r.clip_id, r.frame_idx): r.fhash_hex
+        for r in video._frame_fingerprints(corpus).collect()
+    }
+    assert got_f == want_f and got_f
+    spark.catalog.clearCache()
