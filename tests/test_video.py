@@ -147,3 +147,17 @@ def test_incremental_fold_equals_recompute_and_has_dups(spark, sf_dir):
     spark.catalog.clearCache()
     assert folded == recomputed
     assert any(c > 1 for _, c in folded.values()), "no dup families"
+
+
+def test_decon_and_fold_plans_are_pure_expressions(spark, sf_dir):
+    """The r15 video plans inherit the zero-Python claim: no Python
+    evaluation node anywhere in either executed plan — the whole
+    cross-split frame-vote and the signature fold stay JVM-side."""
+    for df in (
+        video.video_decontamination_frames(spark, sf_dir),
+        video.incremental_video_dedup_fold(spark, sf_dir),
+    ):
+        plan = executed_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "mapInPandas" not in plan.lower()
+    spark.catalog.clearCache()
