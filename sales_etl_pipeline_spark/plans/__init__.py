@@ -212,17 +212,25 @@ _MODULES = (
 # result schema (hex fingerprints are strings; ids/counts/scores are
 # scalars) — no serialized twins needed.
 #
-# Round-16 cohort (PLANNED): promote ALL 8 r15 library additions on
-# the one-round lag — every one landed ORACLE-EXACT (sf0.001 +
-# sf0.01): audio_decontamination_energy, incremental_audio_dedup_fold
+# Round-16 cohort (EXECUTED this round, per VERDICT r15 Next #1):
+# promote ALL 8 r15 library additions on the one-round lag — every
+# one landed ORACLE-EXACT (sf0.001 + sf0.01):
+# audio_decontamination_energy, incremental_audio_dedup_fold
 # (plans/audio.py), video_decontamination_frames,
 # incremental_video_dedup_fold (plans/video.py),
 # crossmodal_dedup_resolution, crossmodal_consistency_check
 # (plans/crossmodal.py), image_phash_fixed_fingerprints,
-# image_phash_fixed_near_dup (plans/images.py) — plus the next return-leg tranche (the r13 outs:
-# ngram_jaccard_pairs, knn_cosine_topk, bpe_encoded_docs_str,
-# bpe_packed_windows_str — out 3 rounds by then), rotating out the
-# r15 cohort once CORRECTNESS_r15 confirms it.
+# image_phash_fixed_near_dup (plans/images.py). The driver slot swap
+# staked in r15 happens here: float-DCT image_phash_near_dup (rows-
+# only) out, oracle-exact image_phash_fixed_near_dup in. Return leg:
+# the r13 outs ngram_jaccard_pairs, knn_cosine_topk,
+# bpe_encoded_docs_str, bpe_packed_windows_str (out 3 rounds) plus
+# doc_fingerprint + lang_id (r14 outs, cheapest of their tranche).
+# Outgoing: the whole 16-plan r15 cohort (all driver-confirmed in
+# CORRECTNESS_r15.json). 40 base + 8 promoted = 48 slots; the 2
+# spare slots are reserved for this round's NEW multimodal
+# interleaved-packing driver plans (VERDICT r15 Next #5), keeping
+# the registry at the 50-slot cap once they land.
 #
 # r16 pre-flight (checked r15, executed against live schemas): all 8
 # promotions have FLAT result schemas (ids/hamming/counts/booleans are
@@ -280,13 +288,12 @@ ROTATED_OUT = frozenset({
     "ann_ivf_topk",
     "ann_lsh_topk",
     "approx_distinct_stats",
-    # r13: long-stable (driver-green r4–r12) — the two *_str plans are
-    # thin serialization twins whose array originals stay independently
-    # library-oracle-checked
-    "ngram_jaccard_pairs",
-    "knn_cosine_topk",
-    "bpe_encoded_docs_str",
-    "bpe_packed_windows_str",
+    # r16 return leg: the r13 outs (ngram_jaccard_pairs, knn_cosine_topk,
+    # bpe_encoded_docs_str, bpe_packed_windows_str — out 3 rounds) left
+    # this set per the plan staked in r15, plus doc_fingerprint + lang_id
+    # (r14 outs, cheapest of that tranche) to keep the driver runtime
+    # budget flat while filling slots freed by the 16→8 cohort shrink.
+    #
     # r14: re-confirmed green in r13 after 4 rounds out — back to the
     # library tier on the re-confirmation cadence (the event windowing
     # family and the text quintet), plus bpe_merges (driver-green
@@ -300,8 +307,6 @@ ROTATED_OUT = frozenset({
     "event_sliding_window",
     "event_tumbling_window",
     "event_user_pivot",
-    "doc_fingerprint",
-    "lang_id",
     "text_quality",
     "token_stats",
     "tfidf_top_terms",
@@ -317,46 +322,37 @@ ROTATED_OUT = frozenset({
 })
 
 #: library plans promoted into the driver registry for this round —
-#: round 15 = the 16 never-driver-confirmed r14 library additions
-#: (the full multimodal pack, the DPO/multi-turn assembly plans and
-#: the calibrated quality score), all oracle-exact except the
-#: documented float-DCT pHash row. The 27-plan r14 cohort (all
-#: driver-confirmed green in CORRECTNESS_r14.json) returns to the
-#: library tier, where its oracle parity keeps running every pytest
-#: suite via tests/test_library_parity.py.
+#: round 16 = ALL 8 r15 library additions on the usual one-round lag,
+#: every one ORACLE-EXACT at sf0.001 + sf0.01 in the r15 pytest runs
+#: (judge-re-verified in VERDICT r15). Notably this swap retires the
+#: only non-by-design rows-only driver row: the float-DCT
+#: ``image_phash_near_dup`` returns to the library tier and its
+#: fixed-point twin ``image_phash_fixed_near_dup`` (library-oracle
+#: EXACT via the shared PHASH_SCALE=2^14 integer cosine table,
+#: plans/images.py:537) takes the driver slot, leaving
+#: stream_transitions_replay as the single rows-only row. The 16-plan
+#: r15 cohort (all driver-confirmed green in CORRECTNESS_r15.json)
+#: returns to the library tier, where its oracle parity keeps running
+#: every pytest suite via tests/test_library_parity.py.
 ROTATED_IN = frozenset({
-    # image pipeline (plans/images.py) — integer-exact aHash/dHash
-    # Arrow fingerprint kernel; banded near-dup complete for
-    # hamming ≤3 by pigeonhole over 4×16-bit bands; every exact
-    # variant oracle-checked vs a naive all-pairs DuckDB twin
-    "image_exact_dedup",
-    "image_fingerprints",
-    "image_near_dup_ahash",
-    "image_dedup_resolution",
-    "image_text_decontamination",
-    "image_decontamination_perceptual",
-    # rows-only BY DESIGN: float DCT — pytest pins agreement vs the
-    # banded integer variant (tests/test_images.py)
-    "image_phash_near_dup",
-    # incremental image dedup fold — oracle = batch-free recompute
-    "incremental_image_dedup_fold",
-    # audio (plans/audio.py) — Haitsma–Kalker energy-contour
-    # fingerprints, banded near-dup; oracle-exact
-    "audio_energy_fingerprints",
-    "audio_near_dup_energy",
-    # video (plans/video.py) — pure-expression frame fingerprints
-    # (no-EvalPython plan pin), shot-aligned frame-vote near-dup
-    "video_frame_fingerprints",
-    "video_near_dup_frames",
-    # DPO preference pairs (plans/assembly.py) — two-phase blocked
-    # rank, oracle-exact
-    "preference_pairs",
-    # multi-turn SFT rendering with per-turn loss spans
-    # (plans/assembly.py) — oracle-exact
-    "sft_multiturn_rendered",
-    "sft_multiturn_loss_spans",
-    # calibrated quality score (plans/curation.py) — oracle-exact
-    "quality_score_calibrated",
+    # cross-split decontamination, audio + video (plans/audio.py,
+    # plans/video.py) — shared banded _banded_cross_split_decon core,
+    # oracle-exact vs naive cross-split all-pairs
+    "audio_decontamination_energy",
+    "video_decontamination_frames",
+    # incremental audio/video dedup folds — oracle = batch-free
+    # recompute over the union of even/odd ingest halves
+    "incremental_audio_dedup_fold",
+    "incremental_video_dedup_fold",
+    # LAION-style joint text+image dedup closure and the per-doc
+    # agreement diagnostic (plans/crossmodal.py) — recursive-CTE-exact
+    "crossmodal_dedup_resolution",
+    "crossmodal_consistency_check",
+    # fixed-point pHash pair (plans/images.py) — scaled-integer DCT
+    # (PHASH_SCALE=2^14), single source of truth for the Arrow kernel
+    # AND the DuckDB VALUES-table oracle replay
+    "image_phash_fixed_fingerprints",
+    "image_phash_fixed_near_dup",
 })
 
 

@@ -199,7 +199,19 @@ LIBRARY_QUERIES = {
 # recursive-CTE closure over the UNIONED edge relation: replayed
 # minhash edges + naive all-pairs image edges + exact-hash links,
 # then the text_quality argmax — the quality_aware_dedup oracle
-# composition extended across modalities
+# composition extended across modalities.
+#
+# ORACLE SCALE NOTE (r15 ADVICE): the `reach`/`reach_t`/`reach_i`/
+# `reach_j` closures materialize every (node, label) pair reachable
+# within a component — O(n²) rows PER COMPONENT — and on this
+# synthetic corpus the exact-hash links couple nearly all docs into
+# ONE joint cluster, so oracle memory/runtime grows quadratically
+# with corpus size. Fine at the registry parity SFs (sf0.001 /
+# sf0.01, both green); do NOT raise the oracle SF for these two
+# queries without first switching the closure to an iterative
+# min-label CTE (recompute per-node MIN(lbl) each round instead of
+# accumulating all reachable labels). The PRODUCTION plan is immune:
+# components_from_edges carries one label per node per round.
 LIBRARY_ORACLE = {
     "crossmodal_dedup_resolution": f"""
         WITH RECURSIVE {_bytes_cte_sql()},

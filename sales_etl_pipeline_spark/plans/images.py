@@ -107,15 +107,17 @@ FP_SCHEMA = StructType(
 # corpus + fingerprint kernel
 
 
-def _raise_id_breach() -> F.Column:
-    """The executor-side error a breaching id surfaces as."""
+def _raise_id_breach(dtype: str = "long") -> F.Column:
+    """The executor-side error a breaching id surfaces as, cast to the
+    guarded column's type so the guard branch can thread it through
+    EVERY output column (id and payload alike)."""
     return F.raise_error(
         F.concat(
             F.lit("image id-space invariant violated: doc_id "),
             F.col("doc_id").cast("string"),
             F.lit(" >= VARIANT_OFFSET (1e9); twin ids would alias originals"),
         )
-    ).cast("long")
+    ).cast(dtype)
 
 
 def _id_space_guard(media: DataFrame, *cols: str) -> DataFrame:
@@ -137,17 +139,22 @@ def _id_space_guard(media: DataFrame, *cols: str) -> DataFrame:
     pushed-down ``doc_id ≥ bound`` predicate scan (parquet min/max
     stats skip whole row groups on a valid corpus); ``raise_error``
     only ever evaluates on a breaching row. ``cols`` names the
-    corpus's payload-side columns (NULL literals in the empty
-    branch). Caveat: the guard lives in the ``img_id`` projection, so
-    a plan must CONSUME img_id to trip it — every corpus plan does
-    (a bare count() would prune it; the pytest gate consumes the
-    column explicitly)."""
-    null_cols = {
-        "payload": F.lit(None).cast("binary").alias("payload"),
-        "perturb_block": F.lit(None).cast("int").alias("perturb_block"),
+    corpus's payload-side columns; the breach expression is threaded
+    through EVERY output column (typed casts of the same
+    ``raise_error``), so a plan trips the guard by consuming ANY
+    corpus column — img_id OR payload (r15 ADVICE: the first shape
+    only guarded the img_id projection). Residual caveat, stated
+    honestly: a consumer that reads NO columns at all (a bare
+    ``count()``) prunes the whole projection and only pays the
+    pushed-down filter scan, so it counts breaching rows without
+    erroring — every real plan in this module consumes payload and/or
+    img_id, and the pytest gate pins both column paths."""
+    breach_cols = {
+        "payload": _raise_id_breach("binary").alias("payload"),
+        "perturb_block": _raise_id_breach("int").alias("perturb_block"),
     }
     return media.filter(F.col("doc_id") >= VARIANT_OFFSET).select(
-        _raise_id_breach().alias("img_id"), *[null_cols[c] for c in cols]
+        _raise_id_breach().alias("img_id"), *[breach_cols[c] for c in cols]
     )
 
 

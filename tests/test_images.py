@@ -397,6 +397,13 @@ def test_id_space_guard_fails_loud_on_overflow(spark, sf_dir, tmp_path):
         images._image_corpus_with_reups(spark, bad_dir).agg(
             F.max("img_id")
         ).collect()
+    # r15 ADVICE: the breach expression is threaded through EVERY
+    # column, so a payload-only consumer (img_id pruned away) trips
+    # the guard too
+    with pytest.raises(Exception, match="id-space invariant"):
+        images._image_corpus(spark, bad_dir).agg(
+            F.max(F.length("payload"))
+        ).collect()
 
 
 def test_phash_fixed_agrees_with_float_variant(spark, sf_dir):
