@@ -209,6 +209,11 @@ HEADLINE = (
     "audio_decontamination_energy",
     "video_decontamination_frames",
     "image_phash_fixed_near_dup",
+    # round 16: multimodal interleaved packing (plans/interleaved.py) —
+    # segment-grain layout + blocked prefix sum + window clip, the
+    # multimodal twin of the sequence_packing/sft rows; one row covers
+    # the family (mm_packing_stats rides the same plan + a groupBy)
+    "mm_interleaved_packed_spans",
     # NOT in the headline suite (1): the COLD_TRAINING section below —
     # the two 1k-merge trainers are driver-round-bound by design (70/51
     # rounds of fixed per-round cost at distinct-word grain), not

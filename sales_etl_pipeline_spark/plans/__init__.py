@@ -54,6 +54,7 @@ from . import (
     graph,
     images,
     incremental,
+    interleaved,
     llmdata,
     parity,
     pca,
@@ -92,6 +93,7 @@ _MODULES = (
     cdc,
     validation,
     incremental,
+    interleaved,
     webtext,
     tpch,
     timeseries,
@@ -228,9 +230,13 @@ _MODULES = (
 # doc_fingerprint + lang_id (r14 outs, cheapest of their tranche).
 # Outgoing: the whole 16-plan r15 cohort (all driver-confirmed in
 # CORRECTNESS_r15.json). 40 base + 8 promoted = 48 slots; the 2
-# spare slots are reserved for this round's NEW multimodal
-# interleaved-packing driver plans (VERDICT r15 Next #5), keeping
-# the registry at the 50-slot cap once they land.
+# remaining slots went to this round's NEW multimodal interleaved-
+# packing driver plans (VERDICT r15 Next #5: plans/interleaved.py
+# mm_interleaved_packed_spans + mm_packing_stats, both oracle-exact
+# at sf0.001 + sf0.01 — the table_time_travel direct-entry
+# precedent; the segment-layout plan mm_interleaved_spans stays
+# library-tier) = 50 slots exactly, 49 oracle + 1 rows-only
+# (stream_transitions_replay, watermark-dependent by design).
 #
 # r16 pre-flight (checked r15, executed against live schemas): all 8
 # promotions have FLAT result schemas (ids/hamming/counts/booleans are

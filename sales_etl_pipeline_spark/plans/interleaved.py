@@ -1,0 +1,369 @@
+"""Multimodal interleaved image-text sequence packing (r16, VERDICT r15
+Next #5) — the assembly step a LAION-style pipeline runs AFTER
+cross-modal dedup (plans/crossmodal.py) and BEFORE training: documents
+with media slots become fixed-size token windows in which every image
+occupies a constant media-token budget (the vision-encoder convention:
+a fixed number of soft tokens per image regardless of pixels), and the
+trainer needs per-window, per-modality spans — language-model loss on
+text spans only, images masked out.
+
+The reference pipeline (``/root/reference/data/etl.py``) has no
+document-corpus surface; this module extends the engine's north-star
+assembly family (SURVEY.md §2.11) with the multimodal twin of
+``assembly.sft_packed_loss_spans``.
+
+Corpus convention (deterministic, both engines replay it exactly): a
+document with ``n`` whitespace tokens carries ``m = doc_id % 3`` image
+slots; slot ``j`` (0-based) sits after text position
+``c_j = ((j+1)*n) div (m+1)`` — evenly interleaved — and renders to
+``MEDIA_TOKENS`` soft tokens. The rendered document is the alternating
+segment sequence (text seg 0, image 0, text seg 1, image 1, …, text seg
+m), ``n + m*MEDIA_TOKENS`` tokens total; empty text segments (possible
+when ``n < m+1``, and at the boundaries when a cut lands on 0 or n) are
+dropped but keep their ``seg_idx`` so indices are stable.
+
+Scale shape (100 TB):
+- Everything is SEGMENT grain: a document explodes into ≤ 2m+1 segment
+  rows (≤ 5 here) via ``explode(sequence(...))`` over pure column
+  expressions — no token-grain relation is ever materialized, no Python
+  anywhere (plan pin: no *EvalPython node, the plans/video.py
+  precedent).
+- Document start offsets come from the TWO-PHASE blocked prefix sum
+  (``blk = doc_id div 256``; the sequence_packing /
+  sft_packed_loss_spans device) — a per-source running sum over an
+  unbounded corpus is never one window task.
+- The window intersection is the span-grain ``sequence(gstart div W,
+  (gend-1) div W)`` explode: a segment touching w windows emits w rows,
+  and w ≤ 1 + ceil(seg_len / W) is bounded by the SEGMENT length, not
+  the corpus.
+- ``mm_packing_stats`` is a plain groupBy over the packed spans —
+  partial aggregation (map-side combine) applies; (source, window_id)
+  cardinality grows linearly with corpus tokens and shards evenly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.core import tokens
+from ..sources.readers import load_table
+
+#: soft tokens one image renders to (fixed vision-encoder budget)
+MEDIA_TOKENS = 16
+
+#: packed window size (tokens) — sized so sf docs (10–99 text tokens +
+#: ≤2 images) regularly straddle window boundaries, exercising the clip
+MM_PACK_WINDOW = 96
+
+#: images per document (deterministic corpus convention)
+_M_EXPR = "doc_id % 3"
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n, m, total_tok, seg_idx, modality, start_tok,
+    end_tok) — within-document token offsets, segment grain, pure
+    expressions end to end.
+
+    ``seg_idx = k`` walks the alternating layout: even k = text segment
+    ``j = k div 2`` spanning text range [c_{j-1}, c_j); odd k = image
+    ``j = (k-1) div 2``. Offsets shift by ``j*MEDIA_TOKENS`` for the
+    images already emitted. Zero-length text segments are filtered
+    AFTER indexing, so surviving seg_idx values are stable."""
+    mt = MEDIA_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n"),
+        F.expr(_M_EXPR).cast("long").alias("m"),
+    )
+    segs = base.select(
+        "doc_id",
+        "source",
+        "n",
+        "m",
+        (F.col("n") + F.col("m") * mt).alias("total_tok"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("m") * 2)
+        ).alias("k"),
+    )
+    # c(j) for j in [-1, m]: c(-1)=0, c(m)=n, else ((j+1)*n) div (m+1)
+    c_prev = F.expr(  # c(j-1) with j = k div 2  (even k; j in 0..m)
+        "CASE WHEN k div 2 = 0 THEN 0"
+        " ELSE ((k div 2) * n) div (m + 1) END"
+    )
+    c_cur = F.expr(  # c(j) with j = k div 2 (even k)
+        "CASE WHEN k div 2 = m THEN n"
+        " ELSE (((k div 2) + 1) * n) div (m + 1) END"
+    )
+    c_img = F.expr(  # c(j) with j = (k-1) div 2 (odd k; j in 0..m-1)
+        "((((k - 1) div 2) + 1) * n) div (m + 1)"
+    )
+    is_text = (F.col("k") % 2) == 0
+    start = F.when(
+        is_text, c_prev + F.expr("(k div 2)") * mt
+    ).otherwise(c_img + F.expr("((k - 1) div 2)") * mt)
+    end = F.when(
+        is_text, c_cur + F.expr("(k div 2)") * mt
+    ).otherwise(c_img + (F.expr("((k - 1) div 2)") + 1) * mt)
+    return (
+        segs.select(
+            "doc_id",
+            "source",
+            "n",
+            "m",
+            "total_tok",
+            F.col("k").cast("int").alias("seg_idx"),
+            F.when(is_text, F.lit("text"))
+            .otherwise(F.lit("image"))
+            .alias("modality"),
+            start.cast("int").alias("start_tok"),
+            end.cast("int").alias("end_tok"),
+        )
+        .filter(F.col("end_tok") > F.col("start_tok"))
+    )
+
+
+def mm_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library plan: the rendered per-document segment layout —
+    (doc_id, source, seg_idx, modality, start_tok, end_tok), offsets
+    within the document's own n + m*MEDIA_TOKENS token sequence.
+    Oracle-EXACT (same floor-division arithmetic under
+    generate_series/unnest)."""
+    return (
+        _doc_segments(spark, sf_dir)
+        .select(
+            "doc_id", "source", "seg_idx", "modality",
+            "start_tok", "end_tok",
+        )
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
+def _placed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segments with GLOBAL (per-source stream) token offsets: documents
+    concatenate in doc_id order within each source; the document start
+    offset is the blocked two-phase prefix sum of total_tok."""
+    segs = _doc_segments(spark, sf_dir)
+    sized = segs.select("doc_id", "source", "total_tok").distinct()
+    blk = sized.withColumn("blk", F.expr("doc_id div 256"))
+    w_local = (
+        Window.partitionBy("source", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = blk.withColumn("lcum", F.sum("total_tok").over(w_local))
+    w_blocks = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("source", "blk")
+        .agg(F.sum("total_tok").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.coalesce(
+                F.sum("blk_total").over(w_blocks), F.lit(0).cast("long")
+            ),
+        )
+        .select("source", "blk", "blk_offset")
+    )
+    starts = (
+        local.join(offsets, ["source", "blk"])
+        .select(
+            "doc_id",
+            "source",
+            (F.col("blk_offset") + F.col("lcum") - F.col("total_tok"))
+            .alias("doc_start"),
+        )
+    )
+    return segs.join(starts, ["doc_id", "source"]).select(
+        "doc_id",
+        "source",
+        "seg_idx",
+        "modality",
+        (F.col("doc_start") + F.col("start_tok")).alias("gstart"),
+        (F.col("doc_start") + F.col("end_tok")).alias("gend"),
+    )
+
+
+def mm_interleaved_packed_spans(
+    spark: SparkSession, sf_dir: str, *, window: int = MM_PACK_WINDOW
+) -> DataFrame:
+    """Driver plan: per (source, window_id), every modality span —
+    (source, window_id, doc_id, seg_idx, modality, start_tok, end_tok,
+    loss_mask), within-window 0-based offsets, end exclusive. A segment
+    straddling a window boundary splits; ``loss_mask`` is true exactly
+    on text spans (LM loss never lands on image soft tokens). Oracle =
+    the single-window prefix sum + UNNEST(generate_series) replay — a
+    green hash proves the blocked decomposition AND the clip
+    arithmetic."""
+    placed = _placed_segments(spark, sf_dir)
+    win = F.explode(
+        F.sequence(
+            F.expr(f"gstart div {window}"),
+            F.expr(f"(gend - 1) div {window}"),
+        )
+    )
+    return (
+        placed.select(
+            "doc_id", "source", "seg_idx", "modality", "gstart", "gend",
+            win.alias("w"),
+        )
+        .select(
+            "source",
+            F.col("w").cast("int").alias("window_id"),
+            "doc_id",
+            "seg_idx",
+            "modality",
+            (F.greatest(F.col("gstart"), F.col("w") * window)
+             - F.col("w") * window).cast("int").alias("start_tok"),
+            (F.least(F.col("gend"), (F.col("w") + 1) * window)
+             - F.col("w") * window).cast("int").alias("end_tok"),
+            (F.col("modality") == "text").alias("loss_mask"),
+        )
+        .orderBy("source", "window_id", "start_tok")
+    )
+
+
+def mm_packing_stats(
+    spark: SparkSession, sf_dir: str, *, window: int = MM_PACK_WINDOW
+) -> DataFrame:
+    """Driver plan: per (source, window_id) packing telemetry —
+    documents touched, span count, text/image/total token counts. The
+    numbers a batch-shape monitor watches: total_tokens == window for
+    every window but each source's last, image_tokens the media budget
+    actually spent."""
+    spans = mm_interleaved_packed_spans(spark, sf_dir, window=window)
+    length = F.col("end_tok") - F.col("start_tok")
+    return (
+        spans.groupBy("source", "window_id")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum(F.when(F.col("modality") == "text", length)
+                  .otherwise(F.lit(0))).cast("long").alias("text_tokens"),
+            F.sum(F.when(F.col("modality") == "image", length)
+                  .otherwise(F.lit(0))).cast("long").alias("image_tokens"),
+            F.sum(length).cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "window_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles — identical floor-division arithmetic relationally
+
+_SEGS_SQL = f"""
+    base AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(doc_id % 3 AS BIGINT) AS m
+        FROM documents
+    ),
+    segs AS (
+        SELECT b.doc_id, b.source, b.n, b.m,
+               b.n + b.m * {MEDIA_TOKENS} AS total_tok,
+               CAST(g.k AS INT) AS seg_idx,
+               CASE WHEN g.k % 2 = 0 THEN 'text' ELSE 'image' END
+                   AS modality,
+               CAST(CASE WHEN g.k % 2 = 0 THEN
+                        (CASE WHEN g.k // 2 = 0 THEN 0
+                              ELSE ((g.k // 2) * b.n) // (b.m + 1) END)
+                        + (g.k // 2) * {MEDIA_TOKENS}
+                    ELSE ((((g.k - 1) // 2) + 1) * b.n) // (b.m + 1)
+                        + ((g.k - 1) // 2) * {MEDIA_TOKENS}
+                    END AS INT) AS start_tok,
+               CAST(CASE WHEN g.k % 2 = 0 THEN
+                        (CASE WHEN g.k // 2 = b.m THEN b.n
+                              ELSE (((g.k // 2) + 1) * b.n) // (b.m + 1)
+                         END)
+                        + (g.k // 2) * {MEDIA_TOKENS}
+                    ELSE ((((g.k - 1) // 2) + 1) * b.n) // (b.m + 1)
+                        + (((g.k - 1) // 2) + 1) * {MEDIA_TOKENS}
+                    END AS INT) AS end_tok
+        FROM base b,
+             LATERAL unnest(generate_series(0, 2 * b.m)) AS g(k)
+    ),
+    live AS (SELECT * FROM segs WHERE end_tok > start_tok)
+"""
+
+_PACKED_SQL = f"""
+    WITH {_SEGS_SQL},
+    placed AS (
+        SELECT doc_id, source, total_tok,
+               SUM(total_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - total_tok AS doc_start
+        FROM (SELECT DISTINCT doc_id, source, total_tok FROM live)
+    ),
+    gspans AS (
+        SELECT s.doc_id, s.source, s.seg_idx, s.modality,
+               p.doc_start + s.start_tok AS gstart,
+               p.doc_start + s.end_tok AS gend
+        FROM live s JOIN placed p USING (doc_id, source)
+    ),
+    packed AS (
+        SELECT s.source,
+               CAST(g.w AS INT) AS window_id,
+               s.doc_id,
+               s.seg_idx,
+               s.modality,
+               CAST(GREATEST(s.gstart, g.w * {MM_PACK_WINDOW})
+                    - g.w * {MM_PACK_WINDOW} AS INT) AS start_tok,
+               CAST(LEAST(s.gend, (g.w + 1) * {MM_PACK_WINDOW})
+                    - g.w * {MM_PACK_WINDOW} AS INT) AS end_tok,
+               s.modality = 'text' AS loss_mask
+        FROM gspans s,
+             LATERAL unnest(generate_series(
+                 CAST(s.gstart // {MM_PACK_WINDOW} AS BIGINT),
+                 CAST((s.gend - 1) // {MM_PACK_WINDOW} AS BIGINT)))
+                 AS g(w)
+    )
+"""
+
+QUERIES = {
+    "mm_interleaved_packed_spans": mm_interleaved_packed_spans,
+    "mm_packing_stats": mm_packing_stats,
+}
+
+ORACLE = {
+    "mm_interleaved_packed_spans": f"""
+        {_PACKED_SQL}
+        SELECT source, window_id, doc_id, seg_idx, modality,
+               start_tok, end_tok, loss_mask
+        FROM packed
+        ORDER BY source, window_id, start_tok
+    """,
+    "mm_packing_stats": f"""
+        {_PACKED_SQL}
+        SELECT source, window_id,
+               CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+               CAST(COUNT(*) AS INT) AS n_spans,
+               CAST(SUM(CASE WHEN modality = 'text'
+                             THEN end_tok - start_tok ELSE 0 END)
+                    AS BIGINT) AS text_tokens,
+               CAST(SUM(CASE WHEN modality = 'image'
+                             THEN end_tok - start_tok ELSE 0 END)
+                    AS BIGINT) AS image_tokens,
+               CAST(SUM(end_tok - start_tok) AS BIGINT) AS total_tokens
+        FROM packed
+        GROUP BY source, window_id
+        ORDER BY source, window_id
+    """,
+}
+
+LIBRARY_QUERIES = {
+    "mm_interleaved_spans": mm_interleaved_spans,
+}
+
+LIBRARY_ORACLE = {
+    "mm_interleaved_spans": f"""
+        WITH {_SEGS_SQL}
+        SELECT doc_id, source, seg_idx, modality, start_tok, end_tok
+        FROM live
+        ORDER BY doc_id, seg_idx
+    """,
+}

@@ -2166,40 +2166,51 @@ def components_from_edges(
     changed = 1
     for _ in range(rounds_cap):
         nbr = (
-            edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            edges.join(
+                labels.select(F.col("doc_id").alias("doc_b"), "label"),
+                "doc_b",
+            )
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("doc_a", "doc_id")
         )
-        propagated = labels.join(nbr, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
-                "label"
-            ),
+        propagated = (
+            labels.select("doc_id", F.col("label").alias("old_label"))
+            .join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                "old_label",
+                F.least(
+                    F.col("old_label"), F.coalesce("nbr_min", "old_label")
+                ).alias("label"),
+            )
         )
         # pointer jump: label(v) <- label(label(v)); labels only decrease,
-        # so this shortcuts chains and doubles reach per round
-        new_labels = (
+        # so this shortcuts chains and doubles reach per round. old_label
+        # rides along through the checkpoint so the convergence check is
+        # a join-free filter over the just-materialized relation (r16:
+        # measured ~18% off the loop wall vs the old join+count round
+        # trip; a 2-propagations-per-cycle variant and a double pointer
+        # jump both measured SLOWER — the DAG depth costs more than the
+        # cycles saved — so the per-cycle shape stays minimal).
+        jumped = (
             propagated.join(
                 propagated.select(
                     F.col("doc_id").alias("label"),
-                    F.col("label").alias("label2"),
+                    F.col("label").alias("l2"),
                 ),
                 "label",
                 "left",
             )
             .select(
-                "doc_id", F.coalesce("label2", "label").alias("label")
+                "doc_id",
+                "old_label",
+                F.coalesce("l2", "label").alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "doc_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = jumped.filter(F.col("label") != F.col("old_label")).count()
+        labels = jumped.select("doc_id", "label")
         if changed == 0:
             break
     edges.unpersist()
