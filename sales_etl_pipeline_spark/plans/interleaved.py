@@ -59,10 +59,13 @@ MM_PACK_WINDOW = 96
 _M_EXPR = "doc_id % 3"
 
 
-def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _segments_of(docs: DataFrame) -> DataFrame:
     """(doc_id, source, n, m, total_tok, seg_idx, modality, start_tok,
     end_tok) — within-document token offsets, segment grain, pure
-    expressions end to end.
+    expressions end to end. Takes the documents relation directly so
+    the STREAMING twin (streaming/jobs.py:stream_interleaved_segments)
+    can run the identical layout per microbatch — the layout is
+    stateless per document, hence streaming-safe by construction.
 
     ``seg_idx = k`` walks the alternating layout: even k = text segment
     ``j = k div 2`` spanning text range [c_{j-1}, c_j); odd k = image
@@ -70,7 +73,6 @@ def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     images already emitted. Zero-length text segments are filtered
     AFTER indexing, so surviving seg_idx values are stable."""
     mt = MEDIA_TOKENS
-    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         "source",
@@ -122,6 +124,11 @@ def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("end_tok") > F.col("start_tok"))
     )
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch loader wrapper around ``_segments_of``."""
+    return _segments_of(load_table(spark, sf_dir, "documents"))
 
 
 def mm_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +190,9 @@ def _placed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "seg_idx",
         "modality",
+        # within-doc segment start rides along so the renderer can map a
+        # window piece back to the document's own text-token positions
+        F.col("start_tok").alias("d_start"),
         (F.col("doc_start") + F.col("start_tok")).alias("gstart"),
         (F.col("doc_start") + F.col("end_tok")).alias("gend"),
     )
@@ -252,6 +262,218 @@ def mm_packing_stats(
     )
 
 
+#: sentinel each image soft token renders as (the trainable artifact
+#: convention: a fixed placeholder per media position, substituted by
+#: the vision encoder at train time)
+IMG_SENTINEL = "<img>"
+
+
+def mm_interleaved_render(
+    spark: SparkSession, sf_dir: str, *, window: int = MM_PACK_WINDOW
+) -> DataFrame:
+    """Library plan: the trainable artifact itself — per (source,
+    window_id), the window's full rendered content as ONE
+    space-joined string: text pieces are the documents' own tokens
+    (sliced back out of the source text by position), image pieces are
+    ``IMG_SENTINEL`` repeated once per soft token. The bpe_packed
+    windows analog at the interleaved-multimodal layer: a green hash
+    proves the layout, the prefix sum, the window clip AND the
+    piece→document back-mapping in one check.
+
+    Scale shape: piece grain (bounded by segments × windows-touched),
+    one equi-join back to the documents relation for the text slice
+    (doc-grain × ≤5 pieces), and the deterministic
+    sort_array(collect_list(struct)) reassembly per window — the
+    sft_multiturn_rendered device, bounded rows per group (a window
+    holds ≤ ``window`` pieces)."""
+    placed = _placed_segments(spark, sf_dir)
+    win = F.explode(
+        F.sequence(
+            F.expr(f"gstart div {window}"),
+            F.expr(f"(gend - 1) div {window}"),
+        )
+    )
+    pieces = placed.select(
+        "doc_id", "source", "seg_idx", "modality", "d_start",
+        "gstart", "gend", win.alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        "seg_idx",
+        "modality",
+        "d_start",
+        "gstart",
+        F.col("w").cast("int").alias("window_id"),
+        (F.greatest(F.col("gstart"), F.col("w") * window)
+         - F.col("w") * window).cast("int").alias("start_tok"),
+        (F.least(F.col("gend"), (F.col("w") + 1) * window)
+         - F.col("w") * window).cast("int").alias("end_tok"),
+        # offset of this piece within its own segment
+        (F.greatest(F.col("gstart"), F.col("w") * window)
+         - F.col("gstart")).cast("int").alias("local_off"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..functions.core import tokens
+
+    length = F.col("end_tok") - F.col("start_tok")
+    # doc-text token position of the piece start (text segments only):
+    # the segment's within-doc start minus the media shift of the j =
+    # seg_idx/2 images before it, plus the in-segment offset
+    text_pos = (
+        F.col("d_start")
+        - (F.expr("seg_idx div 2") * MEDIA_TOKENS)
+        + F.col("local_off")
+    )
+    piece_str = F.when(
+        F.col("modality") == "text",
+        F.array_join(
+            F.slice(tokens(F.col("text")), text_pos + 1, length), " "
+        ),
+    ).otherwise(
+        F.array_join(F.array_repeat(F.lit(IMG_SENTINEL), length), " ")
+    )
+    rendered = pieces.join(docs, "doc_id").select(
+        "source",
+        "window_id",
+        "start_tok",
+        length.alias("len"),
+        piece_str.alias("piece"),
+    )
+    return (
+        rendered.groupBy("source", "window_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("start_tok", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                ),
+                " ",
+            ).alias("content"),
+        )
+        .orderBy("source", "window_id")
+    )
+
+
+def incremental_interleaved_fold(
+    spark: SparkSession, sf_dir: str, *, window: int = MM_PACK_WINDOW
+) -> DataFrame:
+    """Library plan: the append-only ingest twin of
+    ``mm_interleaved_packed_spans`` — documents arrive in two batches
+    split at the corpus's doc_id midpoint (append-only streams append
+    in id order, so batch 1 ids all precede batch 2's), batch 1 is
+    packed and reduced to per-source STATE (the running token total —
+    the only thing packing needs to resume), and batch 2 is placed as
+    state.total + its own blocked prefix sum. The union of both
+    batches' spans must equal the batch-free recompute — the oracle IS
+    ``mm_interleaved_packed_spans``'s, so a green hash proves
+    fold ≡ recompute (the incremental_exact_dedup convention).
+
+    Scale: state is ONE row per source (a bigint total); the fold adds
+    one broadcastable midpoint scalar and one source-grain left join
+    over the batch-2 segments — nothing at corpus grain beyond the
+    same per-batch prefix sums the full plan runs. The segment
+    relation is consumed by SIX subplans (midpoint split ×2, sizing
+    ×2, span join ×2), so it is pinned once (the llmdata._pin
+    convention — released at the next registry plan's entry); the
+    midpoint scalar reads only the documents parquet footer min/max
+    (column-pruned max(doc_id), no corpus scan)."""
+    from .llmdata import _pin
+
+    segs = _pin(_doc_segments(spark, sf_dir))
+    mid = (
+        load_table(spark, sf_dir, "documents")
+        .agg(((F.max("doc_id") + 1) / 2).cast("long").alias("mid_id"))
+    )
+    segs = segs.crossJoin(F.broadcast(mid))
+
+    def placed_batch(batch: DataFrame, base: DataFrame | None) -> DataFrame:
+        sized = batch.select("doc_id", "source", "total_tok").distinct()
+        blk = sized.withColumn("blk", F.expr("doc_id div 256"))
+        w_local = (
+            Window.partitionBy("source", "blk")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = blk.withColumn("lcum", F.sum("total_tok").over(w_local))
+        w_blocks = (
+            Window.partitionBy("source")
+            .orderBy("blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            local.groupBy("source", "blk")
+            .agg(F.sum("total_tok").alias("blk_total"))
+            .withColumn(
+                "blk_offset",
+                F.coalesce(
+                    F.sum("blk_total").over(w_blocks),
+                    F.lit(0).cast("long"),
+                ),
+            )
+            .select("source", "blk", "blk_offset")
+        )
+        starts = local.join(offsets, ["source", "blk"]).select(
+            "doc_id",
+            "source",
+            (F.col("blk_offset") + F.col("lcum") - F.col("total_tok"))
+            .alias("doc_start"),
+        )
+        if base is not None:
+            starts = starts.join(base, "source", "left").select(
+                "doc_id",
+                "source",
+                (F.col("doc_start") + F.coalesce("base_tok", F.lit(0)))
+                .alias("doc_start"),
+            )
+        return batch.join(starts, ["doc_id", "source"]).select(
+            "doc_id",
+            "source",
+            "seg_idx",
+            "modality",
+            (F.col("doc_start") + F.col("start_tok")).alias("gstart"),
+            (F.col("doc_start") + F.col("end_tok")).alias("gend"),
+        )
+
+    b1 = segs.filter(F.col("doc_id") < F.col("mid_id"))
+    b2 = segs.filter(F.col("doc_id") >= F.col("mid_id"))
+    # per-source state after batch 1: the running token total
+    state = (
+        b1.select("doc_id", "source", "total_tok")
+        .distinct()
+        .groupBy("source")
+        .agg(F.sum("total_tok").alias("base_tok"))
+    )
+    placed = placed_batch(b1, None).unionByName(placed_batch(b2, state))
+    win = F.explode(
+        F.sequence(
+            F.expr(f"gstart div {window}"),
+            F.expr(f"(gend - 1) div {window}"),
+        )
+    )
+    return (
+        placed.select(
+            "doc_id", "source", "seg_idx", "modality", "gstart", "gend",
+            win.alias("w"),
+        )
+        .select(
+            "source",
+            F.col("w").cast("int").alias("window_id"),
+            "doc_id",
+            "seg_idx",
+            "modality",
+            (F.greatest(F.col("gstart"), F.col("w") * window)
+             - F.col("w") * window).cast("int").alias("start_tok"),
+            (F.least(F.col("gend"), (F.col("w") + 1) * window)
+             - F.col("w") * window).cast("int").alias("end_tok"),
+            (F.col("modality") == "text").alias("loss_mask"),
+        )
+        .orderBy("source", "window_id", "start_tok")
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles — identical floor-division arithmetic relationally
 
@@ -301,6 +523,7 @@ _PACKED_SQL = f"""
     ),
     gspans AS (
         SELECT s.doc_id, s.source, s.seg_idx, s.modality,
+               s.start_tok AS d_start,
                p.doc_start + s.start_tok AS gstart,
                p.doc_start + s.end_tok AS gend
         FROM live s JOIN placed p USING (doc_id, source)
@@ -357,6 +580,9 @@ ORACLE = {
 
 LIBRARY_QUERIES = {
     "mm_interleaved_spans": mm_interleaved_spans,
+    "mm_interleaved_render": mm_interleaved_render,
+    # fold ≡ recompute: the oracle is the batch-free packed-spans SQL
+    "incremental_interleaved_fold": incremental_interleaved_fold,
 }
 
 LIBRARY_ORACLE = {
@@ -366,4 +592,41 @@ LIBRARY_ORACLE = {
         FROM live
         ORDER BY doc_id, seg_idx
     """,
+    # piece strings sliced back out of the document text by position
+    # (DuckDB list slice is 1-based inclusive), image pieces as the
+    # repeated sentinel; ordered string_agg = the sorted reassembly
+    "mm_interleaved_render": f"""
+        {_PACKED_SQL},
+        pieces AS (
+            SELECT p.source, p.window_id, p.start_tok,
+                   p.end_tok - p.start_tok AS len,
+                   CASE WHEN p.modality = 'text' THEN
+                       array_to_string(
+                           (string_split(d.text, ' '))[
+                               g.d_start - (p.seg_idx // 2) * {MEDIA_TOKENS}
+                               + (GREATEST(g.gstart,
+                                           p.window_id * {MM_PACK_WINDOW})
+                                  - g.gstart) + 1 :
+                               g.d_start - (p.seg_idx // 2) * {MEDIA_TOKENS}
+                               + (GREATEST(g.gstart,
+                                           p.window_id * {MM_PACK_WINDOW})
+                                  - g.gstart)
+                               + (p.end_tok - p.start_tok)
+                           ], ' ')
+                   ELSE rtrim(repeat('{IMG_SENTINEL} ',
+                                     p.end_tok - p.start_tok))
+                   END AS piece
+            FROM packed p
+            JOIN gspans g
+              ON g.doc_id = p.doc_id AND g.seg_idx = p.seg_idx
+            JOIN documents d ON d.doc_id = p.doc_id
+        )
+        SELECT source, window_id,
+               CAST(SUM(len) AS BIGINT) AS n_tokens,
+               string_agg(piece, ' ' ORDER BY start_tok) AS content
+        FROM pieces
+        GROUP BY source, window_id
+        ORDER BY source, window_id
+    """,
+    "incremental_interleaved_fold": ORACLE["mm_interleaved_packed_spans"],
 }

@@ -770,6 +770,24 @@ def stream_media_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_interleaved_segments(docs: DataFrame) -> DataFrame:
+    """Interleaved image-text segment layout on the INGEST stream — the
+    multimodal-assembly twin (r16): the per-document layout
+    (plans/interleaved.py:_segments_of) is pure column expressions plus
+    one explode, stateless per document, so it is streaming-safe by
+    construction; each document's ≤2m+1 segment rows leave in its
+    arrival microbatch. The downstream PACKING stage is inherently
+    stateful (per-source running token totals) — its incremental shape
+    is the batch fold ``incremental_interleaved_fold``, which resumes
+    from one bigint per source. tests/test_streaming.py pins stream ≡
+    the identical batch layout."""
+    from ..plans.interleaved import _segments_of
+
+    return _segments_of(docs).select(
+        "doc_id", "source", "seg_idx", "modality", "start_tok", "end_tok"
+    )
+
+
 def stream_energy_fingerprints(docs: DataFrame) -> DataFrame:
     """Acoustic fingerprinting on the INGEST stream — the audio twin of
     stream_media_fingerprints (r15, completing the modality-stream

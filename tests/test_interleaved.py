@@ -134,6 +134,38 @@ def test_packing_stats_consistent_with_spans(spark, sf_dir):
     assert sum(s.image_tokens for s in stats.values()) == budget
 
 
+def test_render_reconstructs_budget_and_counts(spark, sf_dir):
+    """mm_interleaved_render invariants: each window's content re-splits
+    to exactly n_tokens tokens, n_tokens matches mm_packing_stats'
+    total_tokens, and the corpus-wide IMG_SENTINEL count equals the
+    media budget (sum of (doc_id % 3) * MEDIA_TOKENS)."""
+    rendered = I.mm_interleaved_render(spark, sf_dir).collect()
+    stats = {
+        (r.source, r.window_id): r.total_tokens
+        for r in I.mm_packing_stats(spark, sf_dir).collect()
+    }
+    assert {(r.source, r.window_id) for r in rendered} == set(stats)
+    sentinels = 0
+    for r in rendered:
+        toks = r.content.split(" ")
+        assert len(toks) == r.n_tokens == stats[(r.source, r.window_id)]
+        sentinels += sum(1 for t in toks if t == I.IMG_SENTINEL)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert sentinels == sum((d.doc_id % 3) * MT for d in docs)
+
+
+def test_incremental_fold_equals_recompute(spark, sf_dir):
+    """fold ≡ recompute in-engine too (the oracle proves it vs DuckDB;
+    this pins the two Spark plans against each other row-for-row)."""
+    fold = I.incremental_interleaved_fold(spark, sf_dir).collect()
+    full = I.mm_interleaved_packed_spans(spark, sf_dir).collect()
+    key = lambda r: (r.source, r.window_id, r.doc_id, r.seg_idx)
+    assert sorted(map(tuple, fold), key=str) == sorted(
+        map(tuple, full), key=str
+    )
+    assert fold
+
+
 def test_interleaved_plans_are_pure_expressions(spark, sf_dir):
     """No Python eval node anywhere — segment layout, prefix sum and
     window clip are all Catalyst expressions (the plans/video.py

@@ -1375,3 +1375,48 @@ def test_stream_energy_and_frame_fingerprints_equal_batch(spark, tmp_path):
     }
     assert got_f == want_f and got_f
     spark.catalog.clearCache()
+
+
+def test_stream_interleaved_segments_equal_batch(spark, tmp_path):
+    """The r16 multimodal-assembly stream twin: the interleaved
+    segment layout over 3 chunked microbatches must equal the batch
+    pass exactly (stateless pure expressions + one explode; the
+    stateful packing stage's incremental shape is
+    incremental_interleaved_fold, oracle-proven ≡ recompute)."""
+    from sales_etl_pipeline_spark.plans import interleaved as I
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "ilchunks"
+    src.mkdir()
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "ilout")
+    q = (
+        jobs.stream_interleaved_segments(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ilck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.seg_idx): (r.modality, r.start_tok, r.end_tok)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.seg_idx): (r.modality, r.start_tok, r.end_tok)
+        for r in I.mm_interleaved_spans(spark, SF).collect()
+    }
+    assert got == want and got
+    spark.catalog.clearCache()
