@@ -1405,6 +1405,73 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised hard-negative mining for contrastive/triplet training
+    (the FaceNet semi-hard mining step, run as a batch job over the
+    embedding table): for each anchor (the ``knn_cosine_topk`` query
+    convention, vec_id < 10), the top-5 most-similar vectors with a
+    DIFFERENT label — the negatives a contrastive loss learns most
+    from — each annotated with the anchor's hardest POSITIVE cosine
+    (max over same-label vectors), the triplet margin
+    ``pos_cosine − cosine``, and the semi-hard bit
+    (negative closer than nothing but farther than the hardest
+    positive: ``cosine < pos_cosine``).
+
+    Scale shape: identical to the exact-kNN baseline — the bounded
+    anchor set broadcasts against the corpus, the scoring pass is
+    shuffle-free, and only per-anchor top-k/max windows shuffle
+    (anchors × k rows). At full corpus-as-anchors scale the candidate
+    generation swaps to the IVF path (``ann_ivf_topk``) with this same
+    label-filter + margin tail — the exactly-checkable core is the
+    dispatch-free version. Float parity: cosine is the proven knn
+    arithmetic class; pos_cosine is a MAX of identically-computed
+    doubles and margin their difference (the preference_pairs margin
+    precedent), so the row is oracle-EXACT."""
+    emb = _embeddings_normed(spark, sf_dir).join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        (
+            _dot_expr(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("pos_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .join(pos, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "cosine",
+            "pos_cosine",
+            (F.col("pos_cosine") - F.col("cosine")).alias("margin"),
+            (F.col("cosine") < F.col("pos_cosine")).alias("semi_hard"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4. Quadratic
     (exact baseline) — the LSH-bucketed plan is the scale path."""
@@ -2876,6 +2943,40 @@ LIBRARY_ORACLE: dict[str, str] = {
         WHERE vec_id NOT IN (SELECT vec_id FROM removed)
         ORDER BY vec_id
     """,
+    # semi-hard negative mining: the knn cosine class + a same-label MAX
+    # + a different-label top-k window; margin is a difference of two
+    # identically-computed doubles (the preference_pairs parity class)
+    "hard_negative_mining": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS qlabel,
+                   c.vec_id AS neighbor_id, c.label,
+                   {_COS_SQL.format(a='q.v', b='c.v')} AS cosine
+            FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        ),
+        pos AS (
+            SELECT query_id, MAX(cosine) AS pos_cosine
+            FROM scored WHERE label = qlabel GROUP BY query_id
+        ),
+        neg AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id)
+                     AS INTEGER) AS rank
+            FROM scored WHERE label != qlabel
+            QUALIFY rank <= 5
+        )
+        SELECT n.query_id, n.neighbor_id, n.rank, n.cosine,
+               p.pos_cosine,
+               p.pos_cosine - n.cosine AS margin,
+               n.cosine < p.pos_cosine AS semi_hard
+        FROM neg n JOIN pos p USING (query_id)
+        ORDER BY query_id, rank
+    """,
     "rare_token_stats": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -4170,6 +4271,7 @@ LIBRARY_QUERIES = {
     "doc_surprisal": doc_surprisal,
     "simhash_signatures": simhash_signatures,
     "embedding_near_dup": embedding_near_dup,
+    "hard_negative_mining": hard_negative_mining,
     "semantic_dedup": semantic_dedup,
     # iterative (no SQL twin): rows-only in the library harness; exactly
     # checked against a union-find replay in tests/test_operators.py

@@ -608,3 +608,33 @@ def test_quality_calibration_windows_are_block_partitioned(spark):
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         spec = m.group(0)
         assert ("blk" in spec) or ("source" in spec)
+
+
+def test_hard_negative_mining_invariants(spark):
+    """Semi-hard mining gates: negatives never share the anchor's
+    label, ranks are dense 1..5 per anchor, margin ≡ pos − neg, and
+    the semi_hard bit matches its definition; non-vacuous both ways
+    (some semi-hard and some harder-than-positive negatives exist)."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    rows = llmdata.hard_negative_mining(spark, SF).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert abs(r.margin - (r.pos_cosine - r.cosine)) == 0.0
+        assert r.semi_hard == (r.cosine < r.pos_cosine)
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {q for q in labels if q < 10}
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], q
+    assert any(r.semi_hard for r in rows), "no semi-hard negatives"
+    assert any(not r.semi_hard for r in rows), (
+        "no harder-than-positive negatives"
+    )
+    spark.catalog.clearCache()
