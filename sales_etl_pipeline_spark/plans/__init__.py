@@ -247,8 +247,10 @@ _MODULES = (
 # one-round lag — mm_interleaved_spans, mm_interleaved_render,
 # incremental_interleaved_fold (plans/interleaved.py) and
 # hard_negative_mining (plans/llmdata.py), all ORACLE-EXACT at
-# sf0.001 + sf0.01; flat schemas: ids/offsets/cosines are scalars,
-# content is a string — plus the next return-leg tranche (the r14
+# sf0.001 + sf0.01 (hard_negative_mining_ann stays library rows-only
+# by construction — the ANN convention); flat schemas: ids/offsets/
+# cosines are scalars, content is a string — plus the next
+# return-leg tranche (the r14
 # outs, out 3 rounds by then: the event windowing family and the text
 # trio text_quality / token_stats / tfidf_top_terms + bpe_merges),
 # rotating out the r16 cohort once CORRECTNESS_r16 confirms it.

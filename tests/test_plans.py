@@ -638,3 +638,31 @@ def test_hard_negative_mining_invariants(spark):
         "no harder-than-positive negatives"
     )
     spark.catalog.clearCache()
+
+
+def test_hard_negative_mining_ann_recall(spark):
+    """The IVF scale path's negative recall vs the exact twin ≥ 0.9
+    (the ANN family gate), same schema, label-disjointness preserved,
+    and pos_cosine identical to the exact plan's (the positive side is
+    exact in both)."""
+    from sales_etl_pipeline_spark.plans import llmdata
+
+    exact = llmdata.hard_negative_mining(spark, SF).collect()
+    approx = llmdata.hard_negative_mining_ann(spark, SF).collect()
+    assert [f.name for f in llmdata.hard_negative_mining(spark, SF).schema] == [
+        f.name for f in llmdata.hard_negative_mining_ann(spark, SF).schema
+    ]
+    want = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(got & want) / len(want) >= 0.9, (len(got & want), len(want))
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    assert all(labels[r.neighbor_id] != labels[r.query_id] for r in approx)
+    pos_e = {r.query_id: r.pos_cosine for r in exact}
+    pos_a = {r.query_id: r.pos_cosine for r in approx}
+    assert set(pos_a) == set(pos_e)
+    for qid in pos_a:
+        assert abs(pos_a[qid] - pos_e[qid]) < 1e-9, qid
+    spark.catalog.clearCache()
