@@ -245,12 +245,12 @@ _MODULES = (
 #
 # Round-17 cohort (PLANNED): promote the r16 library additions on the
 # one-round lag — mm_interleaved_spans, mm_interleaved_render,
-# incremental_interleaved_fold (plans/interleaved.py) and
-# hard_negative_mining (plans/llmdata.py), all ORACLE-EXACT at
-# sf0.001 + sf0.01 (hard_negative_mining_ann stays library rows-only
-# by construction — the ANN convention); flat schemas: ids/offsets/
-# cosines are scalars, content is a string — plus the next
-# return-leg tranche (the r14
+# incremental_interleaved_fold, mm_window_decontamination
+# (plans/interleaved.py) and hard_negative_mining (plans/llmdata.py),
+# all ORACLE-EXACT at sf0.001 + sf0.01 (hard_negative_mining_ann
+# stays library rows-only by construction — the ANN convention); flat
+# schemas: ids/offsets/cosines/counts are scalars, content is a
+# string — plus the next return-leg tranche (the r14
 # outs, out 3 rounds by then: the event windowing family and the text
 # trio text_quality / token_stats / tfidf_top_terms + bpe_merges),
 # rotating out the r16 cohort once CORRECTNESS_r16 confirms it.

@@ -474,6 +474,44 @@ def incremental_interleaved_fold(
     )
 
 
+def mm_window_decontamination(
+    spark: SparkSession, sf_dir: str, *, window: int = MM_PACK_WINDOW
+) -> DataFrame:
+    """Library plan: window-grain decontamination — the decision a
+    trainer actually takes on PACKED data: one contaminated document
+    taints its whole attention window (every co-packed neighbor
+    attends to it), so the drop grain after packing is the window,
+    not the document. Per (source, window_id): documents present,
+    contaminated documents present (the 3-gram eval-overlap relation,
+    ``curation.contamination_check``), and the keep bit.
+
+    Scale shape: the packed relation reduces to distinct (source,
+    window, doc) membership; the contaminated-doc relation is tiny
+    (leaks) and broadcasts, so the flagging join is map-side; one
+    (source, window) groupBy with partial aggregation finishes it.
+    ORACLE-EXACT by composition: the packed-spans SQL + the
+    contamination SQL, both independently proven."""
+    from .curation import contamination_check
+
+    spans = mm_interleaved_packed_spans(spark, sf_dir, window=window)
+    members = spans.select("source", "window_id", "doc_id").distinct()
+    bad = contamination_check(spark, sf_dir).select("doc_id").withColumn(
+        "contaminated", F.lit(True)
+    )
+    return (
+        members.join(F.broadcast(bad), "doc_id", "left")
+        .groupBy("source", "window_id")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.countDistinct(
+                F.when(F.col("contaminated"), F.col("doc_id"))
+            ).cast("int").alias("n_contaminated_docs"),
+        )
+        .withColumn("window_clean", F.col("n_contaminated_docs") == 0)
+        .orderBy("source", "window_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles — identical floor-division arithmetic relationally
 
@@ -583,6 +621,7 @@ LIBRARY_QUERIES = {
     "mm_interleaved_render": mm_interleaved_render,
     # fold ≡ recompute: the oracle is the batch-free packed-spans SQL
     "incremental_interleaved_fold": incremental_interleaved_fold,
+    "mm_window_decontamination": mm_window_decontamination,
 }
 
 LIBRARY_ORACLE = {
@@ -630,3 +669,33 @@ LIBRARY_ORACLE = {
     """,
     "incremental_interleaved_fold": ORACLE["mm_interleaved_packed_spans"],
 }
+
+
+def _window_decon_sql() -> str:
+    """Composed oracle: distinct window membership from the packed SQL
+    × the contamination relation (nested WITH inside a subselect — the
+    near_dup_components wrapping precedent)."""
+    from .curation import ORACLE as _CUR_ORACLE
+
+    return f"""
+        {_PACKED_SQL},
+        members AS (
+            SELECT DISTINCT source, window_id, doc_id FROM packed
+        ),
+        cont AS (
+            SELECT doc_id FROM ({_CUR_ORACLE["contamination_check"]})
+        )
+        SELECT m.source, m.window_id,
+               CAST(COUNT(DISTINCT m.doc_id) AS INT) AS n_docs,
+               CAST(COUNT(DISTINCT CASE WHEN c.doc_id IS NOT NULL
+                                        THEN m.doc_id END)
+                    AS INT) AS n_contaminated_docs,
+               COUNT(DISTINCT CASE WHEN c.doc_id IS NOT NULL
+                                   THEN m.doc_id END) = 0 AS window_clean
+        FROM members m LEFT JOIN cont c ON c.doc_id = m.doc_id
+        GROUP BY m.source, m.window_id
+        ORDER BY m.source, m.window_id
+    """
+
+
+LIBRARY_ORACLE["mm_window_decontamination"] = _window_decon_sql()

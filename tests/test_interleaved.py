@@ -177,3 +177,46 @@ def test_interleaved_plans_are_pure_expressions(spark, sf_dir):
     ):
         plan = executed_plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, fn.__name__
+
+
+def test_window_decontamination_consistency(spark, sf_dir):
+    """Window-grain decon gates: clean bit ≡ zero contaminated docs,
+    counts bounded by membership, the contaminated-doc set agrees with
+    contamination_check, and both outcomes occur (non-vacuous)."""
+    from sales_etl_pipeline_spark.plans.curation import contamination_check
+
+    rows = I.mm_window_decontamination(spark, sf_dir).collect()
+    bad = {r.doc_id for r in contamination_check(spark, sf_dir).collect()}
+    members = defaultdict(set)
+    for r in I.mm_interleaved_packed_spans(spark, sf_dir).collect():
+        members[(r.source, r.window_id)].add(r.doc_id)
+    assert {(r.source, r.window_id) for r in rows} == set(members)
+    for r in rows:
+        docs = members[(r.source, r.window_id)]
+        assert r.n_docs == len(docs)
+        assert r.n_contaminated_docs == len(docs & bad)
+        assert r.window_clean == (r.n_contaminated_docs == 0)
+    assert any(r.window_clean for r in rows), "no clean windows"
+    assert any(not r.window_clean for r in rows), "no dirty windows"
+    spark.catalog.clearCache()
+
+
+def test_interleaved_windows_are_block_partitioned(spark, sf_dir):
+    """The prefix-sum windows partition by (source, blk) — never a
+    one-partition global running sum (the curriculum/preference pin);
+    and no plan in the family degenerates to a CartesianProduct."""
+    import re
+
+    for fn in (
+        I.mm_interleaved_packed_spans,
+        I.incremental_interleaved_fold,
+        I.mm_interleaved_render,
+    ):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            spec = m.group(0)
+            assert ("blk" in spec) or ("source" in spec and "window" in spec), (
+                fn.__name__,
+                spec,
+            )
