@@ -252,8 +252,11 @@ _MODULES = (
 # schemas: ids/offsets/cosines/counts are scalars, content is a
 # string — plus the next return-leg tranche (the r14
 # outs, out 3 rounds by then: the event windowing family and the text
-# trio text_quality / token_stats / tfidf_top_terms + bpe_merges),
-# rotating out the r16 cohort once CORRECTNESS_r16 confirms it.
+# trio text_quality / token_stats / tfidf_top_terms + bpe_merges, and
+# the longest-out pair mm_image_features / mm_frame_sample — both
+# flat-schema and oracle-exact, out since pre-r9 purely on slot
+# pressure), rotating out the r16 cohort once CORRECTNESS_r16
+# confirms it.
 #
 # Round-12 cohort (EXECUTED r12; kept for the audit trail): the 16
 # never-driver-confirmed plans — the graph trio, search trio, webtext
@@ -294,9 +297,12 @@ _MODULES = (
 #: semantic_dedup_bucketed, out 5) and the five r12 outs
 #: (asof_join_events_orders, contamination_check, curation_pipeline,
 #: repeat_buyer_set_ops, region_nation_rollup, out 3). mm_image_features
-#: / mm_frame_sample stay out: the r15 promotion cohort already carries
-#: eleven multimodal driver rows, and their array-typed feature columns
-#: keep them library-tier per the HARNESS COMPAT RULE.
+#: / mm_frame_sample stay out on slot pressure alone — note (r16
+#: correction of this comment): BOTH are flat-schema and oracle-exact
+#: (the histogram serializes to CSV inside mm_image_features itself;
+#: frame_sample emits doc_id/frame_idx/frame_md5 scalars), so the
+#: HARNESS COMPAT RULE never applied to them. They are staked as
+#: driver-eligible return legs in the r17 plan below.
 ROTATED_OUT = frozenset({
     # pre-r9 rotation (still out; library-oracle-checked every pytest
     # run)

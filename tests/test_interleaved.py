@@ -220,3 +220,43 @@ def test_interleaved_windows_are_block_partitioned(spark, sf_dir):
                 fn.__name__,
                 spec,
             )
+
+
+def test_segment_layout_tiny_docs_edge_cases(spark):
+    """Edge hardening the corpus never exercises (its docs have n ≥ 10):
+    documents with fewer text tokens than image slots (n < m+1) produce
+    empty text segments at some cut points — those are dropped, indices
+    stay stable, and the tiling invariant still holds with total
+    n + m*MEDIA_TOKENS."""
+    rows = [
+        (0, "src0", "a b c"),      # m=0: single text segment
+        (1, "src0", "x"),          # m=1, n=1: c_0 = 0 → leading text empty
+        (2, "src0", "p q"),        # m=2, n=2: c = (0,1) → first text empty
+        (5, "src0", "only"),       # m=2, n=1: c = (0,0) → two empty texts,
+                                   #   adjacent images
+        (3, "src0", "t u v w"),    # m=0
+        (4, "src0", "h i"),        # m=1, n=2: c_0 = 1 → both texts length 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    segs = I._segments_of(docs).collect()
+    by_doc = defaultdict(list)
+    for r in segs:
+        by_doc[r.doc_id].append(r)
+    for doc_id, _, text in rows:
+        n, m = len(text.split(" ")), doc_id % 3
+        ss = sorted(by_doc[doc_id], key=lambda r: r.seg_idx)
+        pos = 0
+        for s in ss:
+            assert s.start_tok == pos, (doc_id, s)
+            assert s.end_tok > s.start_tok
+            pos = s.end_tok
+        assert pos == n + m * MT, doc_id
+        assert sum(1 for s in ss if s.modality == "image") == m
+    # doc 5 (n=1, m=2): both cuts land at 0 → text segments k=2 and k=4
+    # are empty; the sole text lands at k=0 ... no: c=(0,0) means k=0 is
+    # ALSO empty and the text rides the trailing segment k=4
+    d5 = {s.seg_idx: s for s in by_doc[5]}
+    assert set(d5) == {1, 3, 4}, d5  # two images + the trailing text
+    assert d5[1].modality == "image" and d5[3].modality == "image"
+    assert d5[4].modality == "text"
+    assert d5[4].end_tok - d5[4].start_tok == 1
