@@ -214,6 +214,10 @@ HEADLINE = (
     # multimodal twin of the sequence_packing/sft rows; one row covers
     # the family (mm_packing_stats rides the same plan + a groupBy)
     "mm_interleaved_packed_spans",
+    # round 16: supervised hard-negative mining (exact path — the
+    # broadcast-anchor scoring scan; the IVF twin's candidate cost is
+    # tracked by the ann_ivf rows it shares machinery with)
+    "hard_negative_mining",
     # NOT in the headline suite (1): the COLD_TRAINING section below —
     # the two 1k-merge trainers are driver-round-bound by design (70/51
     # rounds of fixed per-round cost at distinct-word grain), not
