@@ -194,6 +194,90 @@ def scd2_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_lookup_ts() -> F.Column:
+    """Deterministic remap of each order into the changelog's epoch:
+    TPC-H order dates live in the 1990s while the events changelog spans
+    2024-01 — an unmapped lookup would return NULL for every order
+    (vacuous). The remap (2024-01-01 + orderkey%30 days + orderkey%86400
+    seconds, pure integer arithmetic, identical in both engines) spreads
+    orders across the changelog span so all three lookup outcomes occur
+    (no-version-yet, live version, tombstoned version) — the same
+    synthetic-corpus convention as the injected PII
+    (plans/assembly.py)."""
+    return F.expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval("
+        "0, 0, 0, o_orderkey % 30, 0, 0, o_orderkey % 86400)"
+    )
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the everyday consumer of an SCD2
+    dimension: every ORDER is enriched with the dimension version that
+    was valid AT its order date (``valid_from ≤ t < valid_to``), NULL
+    attributes when the customer had no version yet. Tombstone versions
+    participate (an order placed while the customer was deleted sees
+    ``attr_event_type = 'error'`` — surfaced as ``dim_deleted``), which
+    is exactly why SCD2 keeps deletion history.
+
+    Scale shape: NOT a range join (a non-equi interval join shuffles
+    nothing co-located and degenerates at scale) — the union-carry-
+    forward formulation of ``asof_join_events_orders``: dimension rows
+    (tagged, carrying a STRUCT of the version attributes) union with
+    order rows, ONE shuffle on the key, one sorted window pass,
+    ``last(struct) IGNORE NULLS`` carries the valid version into each
+    order row. The attributes ride a single struct so an attr_value
+    that is genuinely NULL in a version cannot leak the previous
+    version's value (per-column carry would skip the NULL — the
+    scd2_compacted NULL-safety lesson at lookup time). Equal-timestamp
+    versions: the higher version sorts later and wins, matching the
+    zero-width-interval semantics of the relational definition — the
+    oracle replays the interval definition only implicitly via the
+    same carry, and the equivalence is interval-checked in
+    tests/test_cdc.py."""
+    dim = scd2_intervals(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    d = dim.select(
+        F.col("user_id").alias("uid"),
+        F.col("valid_from").alias("ts"),
+        F.col("version").alias("ord_version"),
+        F.struct("version", "attr_event_type", "attr_value").alias("dim"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(1).alias("is_dim"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("uid"),
+        _order_lookup_ts().alias("ts"),
+        F.lit(None).cast("int").alias("ord_version"),
+        F.lit(None)
+        .cast("struct<version:int,attr_event_type:string,attr_value:double>")
+        .alias("dim"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(0).alias("is_dim"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", F.desc("is_dim"), "ord_version", "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.unionByName(o)
+        .withColumn("cd", F.last("dim", ignorenulls=True).over(w))
+        .filter(F.col("is_dim") == 0)
+        .select(
+            F.col("okey").alias("o_orderkey"),
+            F.col("uid").alias("user_id"),
+            F.col("ts").alias("order_ts"),
+            F.col("cd.version").alias("version"),
+            F.col("cd.attr_event_type").alias("attr_event_type"),
+            F.col("cd.attr_value").alias("attr_value"),
+            (F.col("cd.attr_event_type") == TOMBSTONE_TYPE).alias(
+                "dim_deleted"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 #: columns the diff compares (everything but the key)
 _DIFF_COLS = ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
@@ -340,6 +424,7 @@ LIBRARY_QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
     "scd2_intervals": scd2_intervals,
     "scd2_compacted": scd2_compacted,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
 }
 
 _DIFF_STR_SQL = f"""
@@ -393,5 +478,51 @@ LIBRARY_ORACLE: dict[str, str] = {
                lead(ts) OVER w2 IS NULL AS is_current
         FROM kept
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    # union-carry-forward replay of the point-in-time lookup: the struct
+    # carries (version, attrs) as ONE nullable value; struct field order
+    # inside last_value matches the Spark struct exactly
+    "scd2_point_in_time_join": """
+        WITH scd AS (
+            SELECT user_id,
+                   CAST(row_number() OVER w AS INT) AS version,
+                   event_type AS attr_event_type,
+                   value AS attr_value,
+                   ts AS valid_from
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        timeline AS (
+            SELECT user_id AS uid, valid_from AS ts,
+                   version AS ord_version,
+                   struct_pack(version := version,
+                               attr_event_type := attr_event_type,
+                               attr_value := attr_value) AS dim,
+                   CAST(NULL AS BIGINT) AS okey, 1 AS is_dim
+            FROM scd
+            UNION ALL
+            SELECT o_custkey,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + to_days(CAST(o_orderkey % 30 AS INT))
+                       + to_seconds(CAST(o_orderkey % 86400 AS INT)),
+                   CAST(NULL AS INT), NULL, o_orderkey, 0
+            FROM orders
+        ),
+        carried AS (
+            SELECT *,
+                   last_value(dim IGNORE NULLS) OVER (
+                       PARTITION BY uid
+                       ORDER BY ts, is_dim DESC, ord_version, okey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cd
+            FROM timeline
+        )
+        SELECT okey AS o_orderkey, uid AS user_id, ts AS order_ts,
+               cd.version AS version,
+               cd.attr_event_type AS attr_event_type,
+               cd.attr_value AS attr_value,
+               cd.attr_event_type = 'error' AS dim_deleted
+        FROM carried WHERE is_dim = 0
+        ORDER BY o_orderkey
     """,
 }

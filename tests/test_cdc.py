@@ -324,3 +324,43 @@ def test_scd2_compacted_tracks_null_transitions(spark, tmp_path):
     assert vals == [5.0, None, 5.0]  # NULL opened and closed a version
     assert [r.version for r in dim] == [1, 2, 3]
     assert [r.is_current for r in dim] == [False, False, True]
+
+
+def test_point_in_time_join_matches_interval_lookup(spark):
+    """The union-carry-forward point-in-time join must equal the naive
+    interval definition (valid_from ≤ t < valid_to, open interval when
+    valid_to is NULL) replayed in-Python from the collected dimension —
+    including NULL attrs before a customer's first version and the
+    tombstone (dim_deleted) versions; non-vacuous on all three
+    outcomes."""
+    got = {
+        r.o_orderkey: (r.version, r.attr_event_type, r.attr_value)
+        for r in cdc.scd2_point_in_time_join(spark, SF).collect()
+    }
+    intervals = {}
+    for r in cdc.scd2_intervals(spark, SF).collect():
+        intervals.setdefault(r.user_id, []).append(r)
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", cdc._order_lookup_ts().alias("t")
+    ).collect()
+    assert set(got) == {o.o_orderkey for o in orders}
+    n_null = n_del = n_live = 0
+    for o in orders:
+        match = None
+        for v in intervals.get(o.o_custkey, []):
+            if v.valid_from <= o.t and (v.valid_to is None or o.t < v.valid_to):
+                match = v
+        want = (
+            (match.version, match.attr_event_type, match.attr_value)
+            if match
+            else (None, None, None)
+        )
+        assert got[o.o_orderkey] == want, o.o_orderkey
+        if match is None:
+            n_null += 1
+        elif match.attr_event_type == cdc.TOMBSTONE_TYPE:
+            n_del += 1
+        else:
+            n_live += 1
+    assert n_null and n_del and n_live, (n_null, n_del, n_live)
+    spark.catalog.clearCache()
