@@ -198,18 +198,10 @@ def _placed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mm_interleaved_packed_spans(
-    spark: SparkSession, sf_dir: str, *, window: int = MM_PACK_WINDOW
-) -> DataFrame:
-    """Driver plan: per (source, window_id), every modality span —
-    (source, window_id, doc_id, seg_idx, modality, start_tok, end_tok,
-    loss_mask), within-window 0-based offsets, end exclusive. A segment
-    straddling a window boundary splits; ``loss_mask`` is true exactly
-    on text spans (LM loss never lands on image soft tokens). Oracle =
-    the single-window prefix sum + UNNEST(generate_series) replay — a
-    green hash proves the blocked decomposition AND the clip
-    arithmetic."""
-    placed = _placed_segments(spark, sf_dir)
+def _clip_windows(placed: DataFrame, window: int) -> DataFrame:
+    """Window clip shared by the batch plan, the incremental fold and
+    the streaming pack job: global [gstart, gend) spans → per-window
+    0-based pieces with the per-modality loss mask."""
     win = F.explode(
         F.sequence(
             F.expr(f"gstart div {window}"),
@@ -233,7 +225,23 @@ def mm_interleaved_packed_spans(
              - F.col("w") * window).cast("int").alias("end_tok"),
             (F.col("modality") == "text").alias("loss_mask"),
         )
-        .orderBy("source", "window_id", "start_tok")
+    )
+
+
+def mm_interleaved_packed_spans(
+    spark: SparkSession, sf_dir: str, *, window: int = MM_PACK_WINDOW
+) -> DataFrame:
+    """Driver plan: per (source, window_id), every modality span —
+    (source, window_id, doc_id, seg_idx, modality, start_tok, end_tok,
+    loss_mask), within-window 0-based offsets, end exclusive. A segment
+    straddling a window boundary splits; ``loss_mask`` is true exactly
+    on text spans (LM loss never lands on image soft tokens). Oracle =
+    the single-window prefix sum + UNNEST(generate_series) replay — a
+    green hash proves the blocked decomposition AND the clip
+    arithmetic."""
+    placed = _placed_segments(spark, sf_dir)
+    return _clip_windows(placed, window).orderBy(
+        "source", "window_id", "start_tok"
     )
 
 
@@ -388,89 +396,78 @@ def incremental_interleaved_fold(
         .agg(((F.max("doc_id") + 1) / 2).cast("long").alias("mid_id"))
     )
     segs = segs.crossJoin(F.broadcast(mid))
-
-    def placed_batch(batch: DataFrame, base: DataFrame | None) -> DataFrame:
-        sized = batch.select("doc_id", "source", "total_tok").distinct()
-        blk = sized.withColumn("blk", F.expr("doc_id div 256"))
-        w_local = (
-            Window.partitionBy("source", "blk")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        local = blk.withColumn("lcum", F.sum("total_tok").over(w_local))
-        w_blocks = (
-            Window.partitionBy("source")
-            .orderBy("blk")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = (
-            local.groupBy("source", "blk")
-            .agg(F.sum("total_tok").alias("blk_total"))
-            .withColumn(
-                "blk_offset",
-                F.coalesce(
-                    F.sum("blk_total").over(w_blocks),
-                    F.lit(0).cast("long"),
-                ),
-            )
-            .select("source", "blk", "blk_offset")
-        )
-        starts = local.join(offsets, ["source", "blk"]).select(
-            "doc_id",
-            "source",
-            (F.col("blk_offset") + F.col("lcum") - F.col("total_tok"))
-            .alias("doc_start"),
-        )
-        if base is not None:
-            starts = starts.join(base, "source", "left").select(
-                "doc_id",
-                "source",
-                (F.col("doc_start") + F.coalesce("base_tok", F.lit(0)))
-                .alias("doc_start"),
-            )
-        return batch.join(starts, ["doc_id", "source"]).select(
-            "doc_id",
-            "source",
-            "seg_idx",
-            "modality",
-            (F.col("doc_start") + F.col("start_tok")).alias("gstart"),
-            (F.col("doc_start") + F.col("end_tok")).alias("gend"),
-        )
-
     b1 = segs.filter(F.col("doc_id") < F.col("mid_id"))
     b2 = segs.filter(F.col("doc_id") >= F.col("mid_id"))
     # per-source state after batch 1: the running token total
-    state = (
-        b1.select("doc_id", "source", "total_tok")
+    state = _batch_totals(b1)
+    placed = _place_batch(b1, None).unionByName(_place_batch(b2, state))
+    return _clip_windows(placed, window).orderBy(
+        "source", "window_id", "start_tok"
+    )
+
+
+def _batch_totals(batch: DataFrame) -> DataFrame:
+    """(source, base_tok) — the per-source packing state one batch
+    contributes: the only thing stream packing needs to resume."""
+    return (
+        batch.select("doc_id", "source", "total_tok")
         .distinct()
         .groupBy("source")
         .agg(F.sum("total_tok").alias("base_tok"))
     )
-    placed = placed_batch(b1, None).unionByName(placed_batch(b2, state))
-    win = F.explode(
-        F.sequence(
-            F.expr(f"gstart div {window}"),
-            F.expr(f"(gend - 1) div {window}"),
-        )
+
+
+def _place_batch(batch: DataFrame, base: DataFrame | None) -> DataFrame:
+    """Place ONE batch of segments at global per-source offsets: the
+    blocked two-phase prefix sum within the batch, shifted by the
+    carried per-source ``base`` totals (None ⇒ zero). Shared by the
+    even/odd fold above and the streaming pack job
+    (streaming/jobs.py:run_interleaved_pack_stream)."""
+    sized = batch.select("doc_id", "source", "total_tok").distinct()
+    blk = sized.withColumn("blk", F.expr("doc_id div 256"))
+    w_local = (
+        Window.partitionBy("source", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        placed.select(
-            "doc_id", "source", "seg_idx", "modality", "gstart", "gend",
-            win.alias("w"),
+    local = blk.withColumn("lcum", F.sum("total_tok").over(w_local))
+    w_blocks = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("source", "blk")
+        .agg(F.sum("total_tok").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.coalesce(
+                F.sum("blk_total").over(w_blocks),
+                F.lit(0).cast("long"),
+            ),
         )
-        .select(
-            "source",
-            F.col("w").cast("int").alias("window_id"),
+        .select("source", "blk", "blk_offset")
+    )
+    starts = local.join(offsets, ["source", "blk"]).select(
+        "doc_id",
+        "source",
+        (F.col("blk_offset") + F.col("lcum") - F.col("total_tok"))
+        .alias("doc_start"),
+    )
+    if base is not None:
+        starts = starts.join(base, "source", "left").select(
             "doc_id",
-            "seg_idx",
-            "modality",
-            (F.greatest(F.col("gstart"), F.col("w") * window)
-             - F.col("w") * window).cast("int").alias("start_tok"),
-            (F.least(F.col("gend"), (F.col("w") + 1) * window)
-             - F.col("w") * window).cast("int").alias("end_tok"),
-            (F.col("modality") == "text").alias("loss_mask"),
+            "source",
+            (F.col("doc_start") + F.coalesce("base_tok", F.lit(0)))
+            .alias("doc_start"),
         )
-        .orderBy("source", "window_id", "start_tok")
+    return batch.join(starts, ["doc_id", "source"]).select(
+        "doc_id",
+        "source",
+        "seg_idx",
+        "modality",
+        (F.col("doc_start") + F.col("start_tok")).alias("gstart"),
+        (F.col("doc_start") + F.col("end_tok")).alias("gend"),
     )
 
 

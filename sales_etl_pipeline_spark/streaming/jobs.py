@@ -788,6 +788,99 @@ def stream_interleaved_segments(docs: DataFrame) -> DataFrame:
     )
 
 
+def run_interleaved_pack_stream(
+    docs: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Stateful STREAMING packing — the stage
+    ``stream_interleaved_segments``'s docstring defers to: documents
+    arrive on an append-only ingest stream (in doc_id order per source,
+    the same invariant the batch fold documents), each microbatch is
+    laid out, placed CONTINUING from the persisted per-source running
+    token totals, window-clipped and appended; the totals are the ONLY
+    state — one bigint per source.
+
+    Exactly-once-effect without locks, via epoch-keyed outputs (the
+    foreachBatch idempotence device, simpler than run_cdc_merge_stream's
+    rename-swap because packing state is append-only, never rewritten
+    in place): epoch e OVERWRITES ``spans/epoch_e`` and
+    ``state/epoch_e``, and reads its base from the newest state epoch
+    STRICTLY BELOW e — so a replayed epoch recomputes from the same
+    pre-epoch state and overwrites its own previous partial output.
+    Single-writer assumed (one stream owns out_dir; the CDC job shows
+    the fenced-lock upgrade if that ever needs enforcing).
+
+    tests/test_streaming.py pins the union of all span epochs over 3
+    chunked microbatches EXACTLY equal to the batch
+    ``mm_interleaved_packed_spans`` — the streaming form of the
+    fold ≡ recompute proof."""
+    import shutil
+
+    from ..plans.interleaved import (
+        MM_PACK_WINDOW,
+        _batch_totals,
+        _clip_windows,
+        _place_batch,
+        _segments_of,
+    )
+
+    spark = docs.sparkSession
+    state_root = os.path.join(out_dir, "state")
+    spans_root = os.path.join(out_dir, "spans")
+
+    def _epochs(root: str) -> list[int]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d.split("_")[-1])
+            for d in os.listdir(root)
+            if d.startswith("epoch_")
+        )
+
+    def _pack(batch_df: DataFrame, epoch_id: int) -> None:
+        segs = _segments_of(batch_df).localCheckpoint()
+        prior = [e for e in _epochs(state_root) if e < epoch_id]
+        base = (
+            spark.read.parquet(
+                os.path.join(state_root, f"epoch_{prior[-1]}")
+            )
+            if prior
+            else None
+        )
+        placed = _place_batch(segs, base)
+        _clip_windows(placed, MM_PACK_WINDOW).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(spans_root, f"epoch_{epoch_id}"))
+        delta = _batch_totals(segs).withColumnRenamed(
+            "base_tok", "delta_tok"
+        )
+        if base is not None:
+            new_state = base.join(delta, "source", "full_outer").select(
+                "source",
+                (
+                    F.coalesce("base_tok", F.lit(0))
+                    + F.coalesce("delta_tok", F.lit(0))
+                ).alias("base_tok"),
+            )
+        else:
+            new_state = delta.select(
+                "source", F.col("delta_tok").alias("base_tok")
+            )
+        staging = os.path.join(state_root, f"staging_{epoch_id}")
+        new_state.write.mode("overwrite").parquet(staging)
+        final = os.path.join(state_root, f"epoch_{epoch_id}")
+        # replayed epoch: drop its stale state snapshot before the swap
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(staging, final)
+
+    query = (
+        docs.writeStream.foreachBatch(_pack)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def stream_energy_fingerprints(docs: DataFrame) -> DataFrame:
     """Acoustic fingerprinting on the INGEST stream — the audio twin of
     stream_media_fingerprints (r15, completing the modality-stream

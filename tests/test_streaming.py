@@ -1420,3 +1420,76 @@ def test_stream_interleaved_segments_equal_batch(spark, tmp_path):
     }
     assert got == want and got
     spark.catalog.clearCache()
+
+
+def test_stream_interleaved_pack_equals_batch(spark, tmp_path):
+    """The STATEFUL streaming packing job: 3 chunked microbatches
+    (doc_id order — the append-only ingest invariant) packed with
+    per-source totals persisted between epochs must union to EXACTLY
+    the batch mm_interleaved_packed_spans — the streaming form of the
+    fold ≡ recompute proof. Also pins the carried state itself: the
+    final epoch's totals equal the corpus totals."""
+    from pyspark.sql import functions as F
+
+    from sales_etl_pipeline_spark.plans import interleaved as I
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "ipchunks"
+    src.mkdir()
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "ipout"
+    jobs.run_interleaved_pack_stream(
+        stream, str(out), str(tmp_path / "ipck")
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out / "spans" / "epoch_*"))
+        .select(
+            "source", "window_id", "doc_id", "seg_idx", "modality",
+            "start_tok", "end_tok", "loss_mask",
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in I.mm_interleaved_packed_spans(spark, SF)
+        .select(
+            "source", "window_id", "doc_id", "seg_idx", "modality",
+            "start_tok", "end_tok", "loss_mask",
+        )
+        .collect()
+    )
+    assert got == want and got
+    # 3 epochs ran; the final state equals the corpus per-source totals
+    import os
+
+    epochs = sorted(os.listdir(out / "state"))
+    assert len(epochs) == 3, epochs
+    final_state = {
+        r.source: r.base_tok
+        for r in spark.read.parquet(
+            str(out / "state" / epochs[-1])
+        ).collect()
+    }
+    totals = {
+        r.source: r.tot
+        for r in I._doc_segments(spark, SF)
+        .select("doc_id", "source", "total_tok")
+        .distinct()
+        .groupBy("source")
+        .agg(F.sum("total_tok").alias("tot"))
+        .collect()
+    }
+    assert final_state == totals
+    spark.catalog.clearCache()
