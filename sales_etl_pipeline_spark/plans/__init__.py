@@ -246,8 +246,9 @@ _MODULES = (
 # Round-17 cohort (PLANNED): promote the r16 library additions on the
 # one-round lag — mm_interleaved_spans, mm_interleaved_render,
 # incremental_interleaved_fold, mm_window_decontamination
-# (plans/interleaved.py), hard_negative_mining (plans/llmdata.py) and
-# scd2_point_in_time_join (plans/cdc.py),
+# (plans/interleaved.py), hard_negative_mining (plans/llmdata.py),
+# scd2_point_in_time_join (plans/cdc.py) and
+# preference_agreement_stats (plans/assembly.py),
 # all ORACLE-EXACT at sf0.001 + sf0.01 (hard_negative_mining_ann
 # stays library rows-only by construction — the ANN convention); flat
 # schemas: ids/offsets/cosines/counts are scalars, content is a

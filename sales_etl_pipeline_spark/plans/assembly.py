@@ -1581,6 +1581,155 @@ LIBRARY_QUERIES["preference_pairs"] = preference_pairs
 LIBRARY_ORACLE["preference_pairs"] = _preference_pairs_sql()
 
 
+def preference_agreement_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-rater agreement over the preference pairs — the QA number
+    a preference-data pipeline monitors before training a reward
+    model: when two independent raters judge the same pairs, how far
+    above chance is their agreement (Cohen's κ)? Rater A is the
+    quality composite (higher ``quality_score``, ties to the smaller
+    doc_id — the pairing's own rule); rater B is a deliberately
+    independent cheap signal (longer document, same tie rule). Each
+    pair is presented in CANONICAL order (lo/hi by doc_id) so both
+    raters genuinely vary — judging in A's chosen-first order would
+    make A constant and κ degenerate.
+
+    Per (lang, source): pair count, agreements, observed rate p_o,
+    chance rate p_e = pA·pB + (1−pA)·(1−pB) from the raters'
+    marginal lo-preference rates, and κ = (p_o − p_e)/(1 − p_e) —
+    NULL when a bucket is chance-saturated (p_e = 1: both raters
+    constant and identical, κ undefined). All counts are exact
+    integers; the ratios/products/differences are the identical
+    IEEE-754 op tree on both engines (the pagerank damping-update
+    parity class), so the row is oracle-EXACT.
+
+    Scale: rides the pairs relation (already two-phase blocked) plus
+    one doc-grain length join and a (lang, source) partial-agg
+    groupBy — nothing new at corpus grain."""
+    from ..functions.core import tokens
+
+    pairs = preference_pairs(spark, sf_dir)
+    lens = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    lo = F.least("chosen_doc_id", "rejected_doc_id")
+    hi = F.greatest("chosen_doc_id", "rejected_doc_id")
+    canon = pairs.select(
+        "lang",
+        "source",
+        lo.alias("lo_id"),
+        hi.alias("hi_id"),
+        # rater A prefers the pair's chosen doc; in canonical order
+        # that is "prefers lo" iff chosen == lo
+        (F.col("chosen_doc_id") == lo).alias("a_lo"),
+    )
+    judged = (
+        canon.join(
+            lens.select(
+                F.col("doc_id").alias("lo_id"),
+                F.col("n_tok").alias("lo_tok"),
+            ),
+            "lo_id",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("hi_id"),
+                F.col("n_tok").alias("hi_tok"),
+            ),
+            "hi_id",
+        )
+        .withColumn(
+            "b_lo",
+            (F.col("lo_tok") > F.col("hi_tok"))
+            | (F.col("lo_tok") == F.col("hi_tok")),  # tie → smaller id = lo
+        )
+    )
+    agg = judged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("a_lo") == F.col("b_lo")).cast("long")
+        ).alias("n_agree"),
+        F.sum(F.col("a_lo").cast("long")).alias("a_lo_n"),
+        F.sum(F.col("b_lo").cast("long")).alias("b_lo_n"),
+    )
+    p_o = F.col("n_agree") / F.col("n_pairs")
+    p_a = F.col("a_lo_n") / F.col("n_pairs")
+    p_b = F.col("b_lo_n") / F.col("n_pairs")
+    p_e = p_a * p_b + (F.lit(1.0) - p_a) * (F.lit(1.0) - p_b)
+    return (
+        agg.select(
+            "lang",
+            "source",
+            F.col("n_pairs").cast("int").alias("n_pairs"),
+            F.col("n_agree").cast("int").alias("n_agree"),
+            p_o.alias("p_observed"),
+            p_e.alias("p_expected"),
+            F.when(
+                p_e != 1.0, (p_o - p_e) / (F.lit(1.0) - p_e)
+            ).alias("kappa"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _preference_agreement_sql() -> str:
+    return f"""
+    WITH pairs AS ({_preference_pairs_sql()}),
+    lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    canon AS (
+        SELECT lang, source,
+               LEAST(chosen_doc_id, rejected_doc_id) AS lo_id,
+               GREATEST(chosen_doc_id, rejected_doc_id) AS hi_id,
+               chosen_doc_id = LEAST(chosen_doc_id, rejected_doc_id)
+                   AS a_lo
+        FROM pairs
+    ),
+    judged AS (
+        SELECT c.lang, c.source, c.a_lo,
+               (l.n_tok > h.n_tok) OR (l.n_tok = h.n_tok) AS b_lo
+        FROM canon c
+        JOIN lens l ON l.doc_id = c.lo_id
+        JOIN lens h ON h.doc_id = c.hi_id
+    ),
+    agg AS (
+        SELECT lang, source,
+               COUNT(*) AS n_pairs,
+               SUM(CASE WHEN a_lo = b_lo THEN 1 ELSE 0 END) AS n_agree,
+               SUM(CASE WHEN a_lo THEN 1 ELSE 0 END) AS a_lo_n,
+               SUM(CASE WHEN b_lo THEN 1 ELSE 0 END) AS b_lo_n
+        FROM judged GROUP BY lang, source
+    )
+    SELECT lang, source,
+           CAST(n_pairs AS INT) AS n_pairs,
+           CAST(n_agree AS INT) AS n_agree,
+           n_agree / n_pairs AS p_observed,
+           (a_lo_n / n_pairs) * (b_lo_n / n_pairs)
+               + (1.0 - a_lo_n / n_pairs) * (1.0 - b_lo_n / n_pairs)
+               AS p_expected,
+           CASE WHEN (a_lo_n / n_pairs) * (b_lo_n / n_pairs)
+                     + (1.0 - a_lo_n / n_pairs)
+                       * (1.0 - b_lo_n / n_pairs) != 1.0
+                THEN (n_agree / n_pairs
+                      - ((a_lo_n / n_pairs) * (b_lo_n / n_pairs)
+                         + (1.0 - a_lo_n / n_pairs)
+                           * (1.0 - b_lo_n / n_pairs)))
+                     / (1.0 - ((a_lo_n / n_pairs) * (b_lo_n / n_pairs)
+                               + (1.0 - a_lo_n / n_pairs)
+                                 * (1.0 - b_lo_n / n_pairs)))
+                END AS kappa
+    FROM agg
+    ORDER BY lang, source
+    """
+
+
+LIBRARY_QUERIES["preference_agreement_stats"] = preference_agreement_stats
+LIBRARY_ORACLE["preference_agreement_stats"] = _preference_agreement_sql()
+
+
 # ---------------------------------------------------------------------------
 # Multi-turn SFT rendering (r14): most real SFT data is MULTI-turn chat;
 # sft_examples covers the single-turn shape, this pair renders a

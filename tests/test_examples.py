@@ -337,3 +337,40 @@ def test_multiturn_spans_land_on_assistant_turns_and_reconstruct(spark):
         assert body[len(MT_USER) + 1 :] == docs[doc_id]
         n = len(docs[doc_id].split(" "))
         assert r.n_turns == (n + MT_TURN - 1) // MT_TURN
+
+
+def test_preference_agreement_kappa_invariants(spark, sf_dir):
+    """κ gates: counts consistent (agree ≤ pairs, marginals ≤ pairs),
+    p_o/p_e/κ recompute exactly from the integer counts, κ is NULL
+    exactly on chance-saturated buckets (p_e = 1), and the relation is
+    non-vacuous in both directions (some disagreement, some non-null
+    κ, and at least one bucket where κ < 1)."""
+    from sales_etl_pipeline_spark.plans import assembly
+
+    rows = assembly.preference_agreement_stats(spark, sf_dir).collect()
+    pairs = assembly.preference_pairs(spark, sf_dir).collect()
+    n_by_bucket = {}
+    for p in pairs:
+        n_by_bucket[(p.lang, p.source)] = (
+            n_by_bucket.get((p.lang, p.source), 0) + 1
+        )
+    assert {(r.lang, r.source) for r in rows} == set(n_by_bucket)
+    saw_nonnull = saw_disagree = saw_imperfect = False
+    for r in rows:
+        assert r.n_pairs == n_by_bucket[(r.lang, r.source)]
+        assert 0 <= r.n_agree <= r.n_pairs
+        assert r.p_observed == r.n_agree / r.n_pairs
+        if r.kappa is None:
+            assert r.p_expected == 1.0
+        else:
+            saw_nonnull = True
+            assert abs(
+                r.kappa
+                - (r.p_observed - r.p_expected) / (1.0 - r.p_expected)
+            ) == 0.0
+            if r.kappa < 1.0:
+                saw_imperfect = True
+        if r.n_agree < r.n_pairs:
+            saw_disagree = True
+    assert saw_nonnull and saw_disagree and saw_imperfect
+    spark.catalog.clearCache()
