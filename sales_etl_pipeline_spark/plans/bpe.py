@@ -50,10 +50,67 @@ pair count never replays rounds 0..N-1.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import load_table
 from .llmdata import _pin, release_plan_caches
+
+
+@contextmanager
+def _loop_confs(seqs: DataFrame):
+    """Pinned-layout execution confs for a vocab-grain trainer round
+    loop: AQE off AND ``spark.sql.shuffle.partitions`` = the loop
+    relation's own (size-derived) partition count, both restored on
+    exit.
+
+    The loop's relations are BOUNDED (distinct words / vocab pieces —
+    size known and small at any corpus scale, see ``_loop_layout``), and
+    their partitioning is pinned explicitly, so adaptive re-planning has
+    nothing to adapt; what it does add is one driver re-optimization
+    barrier per shuffle stage per round, which at ~2 stages × R rounds
+    is pure latency. AQE off alone is NOT enough: the loop's per-round
+    aggregates then reduce into the session-wide shuffle partition
+    count with no coalescing (measured 41 s vs 18 s on the 1k-merge A/B
+    when the width stayed at the session default), hence the paired
+    shuffle-partitions pin. Measured on the 1k-merge bench corpus
+    (same-JVM interleaved A/B, r16): pinned-layout loop 18.4 s with AQE
+    off vs 20.7 s with AQE on (and 22.2 s for the unpinned AQE
+    baseline). Scoped: confs are restored on exit, so corpus-grain
+    plans outside the loop keep AQE's coalescing/skew handling."""
+    spark = seqs.sparkSession
+    nparts = seqs.rdd.getNumPartitions()
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _loop_layout(seqs: DataFrame) -> DataFrame:
+    """Pin the round-loop relation's partitioning to its SIZE (≈8k rows
+    per partition, never wider than the cluster) instead of inheriting
+    whatever the init aggregate produced.
+
+    Why not leave it to AQE: the word relation is tiny relative to the
+    advisory partition size, so AQE coalesces the init shuffle to ~1
+    partition — and every per-round job (pair explode+count, the
+    chained-replace re-tokenization) then runs single-task. Guide §2.2's
+    rule cuts both ways: partitions sized to the data, which for a
+    bounded vocab-grain relation means a HANDFUL of partitions on any
+    cluster — this is a size-derived rule, not a local[32] constant.
+    One extra round-robin shuffle of the checkpointed relation at init,
+    amortized over every round."""
+    spark = seqs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    nparts = max(2, min(par, seqs.count() // 8192 + 1))
+    return seqs.repartition(nparts).localCheckpoint(eager=True)
+
 
 #: default merge-rule count for the registry plans. The synthetic corpus
 #: vocabulary supports far more (merges exhaust only when every word is a
@@ -229,7 +286,9 @@ def train_bpe(
     hit = _BPE_CACHE.get(key)
     if hit is not None:
         return hit
-    seqs = _init_seqs(_word_freq(spark, sf_dir)).localCheckpoint(eager=True)
+    seqs = _loop_layout(
+        _init_seqs(_word_freq(spark, sf_dir)).localCheckpoint(eager=True)
+    )
     out = _train_rounds(seqs, n_merges, batch_size, admission)
     _BPE_CACHE[key] = out
     return out
@@ -241,29 +300,40 @@ def _train_rounds(
     """The init-agnostic training loop shared by the character-grain and
     byte-grain trainers: count pairs, admit a batch, apply as one
     chained-replace projection, checkpoint — see ``train_bpe`` for the
-    full semantics. ``seqs`` must already be checkpointed."""
+    full semantics. ``seqs`` must already be checkpointed (callers run
+    it through ``_loop_layout``).
+
+    r16 loop mechanics (semantics untouched — merge lists asserted
+    identical across every variant in the A/B): execution confs are
+    pinned for the loop (``_loop_confs``) and the per-round checkpoint
+    is LAZY, so the
+    re-tokenization materializes inside the NEXT round's pair-count job
+    instead of as its own job — one job per round instead of two (the
+    final round's checkpoint materializes at the caller's first
+    action). Lazy won or tied every same-JVM A/B alternation."""
     merges: list[tuple[str, str]] = []
-    while len(merges) < n_merges:
-        want = min(batch_size, n_merges - len(merges))
-        top = (
-            _pair_counts(seqs)
-            .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
-            .limit(want)
-            .collect()
-        )
-        if not top:
-            raise ValueError(
-                f"corpus exhausted mergeable pairs after {len(merges)} "
-                f"merges (requested {n_merges}); lower n_merges"
+    with _loop_confs(seqs):
+        while len(merges) < n_merges:
+            want = min(batch_size, n_merges - len(merges))
+            top = (
+                _pair_counts(seqs)
+                .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
+                .limit(want)
+                .collect()
             )
-        batch = _admit_batch(top, admission)
-        col = F.col("seq")
-        for lhs, rhs in batch:
-            col = F.replace(
-                col, F.lit(f"_{lhs}__{rhs}_"), F.lit(f"_{lhs}{rhs}_")
-            )
-        seqs = seqs.withColumn("seq", col).localCheckpoint(eager=True)
-        merges.extend(batch)
+            if not top:
+                raise ValueError(
+                    f"corpus exhausted mergeable pairs after {len(merges)} "
+                    f"merges (requested {n_merges}); lower n_merges"
+                )
+            batch = _admit_batch(top, admission)
+            col = F.col("seq")
+            for lhs, rhs in batch:
+                col = F.replace(
+                    col, F.lit(f"_{lhs}__{rhs}_"), F.lit(f"_{lhs}{rhs}_")
+                )
+            seqs = seqs.withColumn("seq", col).localCheckpoint(eager=False)
+            merges.extend(batch)
     return merges, seqs
 
 
@@ -357,9 +427,11 @@ def train_bpe_bytes(
     hit = _BPE_CACHE.get(key)
     if hit is not None:
         return hit
-    seqs = _init_byte_seqs(
-        _byte_pretoken_freq(spark, sf_dir)
-    ).localCheckpoint(eager=True)
+    seqs = _loop_layout(
+        _init_byte_seqs(
+            _byte_pretoken_freq(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    )
     out = _train_rounds(seqs, n_merges, batch_size, admission)
     _BPE_CACHE[key] = out
     return out

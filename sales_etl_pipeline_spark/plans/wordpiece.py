@@ -173,67 +173,83 @@ def train_wordpiece(
     hit = _WP_CACHE.get(key)
     if hit is not None:
         return hit
-    seqs = _init_wp_seqs(_word_freq(spark, sf_dir)).localCheckpoint(
-        eager=True
+    from .bpe import _loop_confs, _loop_layout
+
+    seqs = _loop_layout(
+        _init_wp_seqs(_word_freq(spark, sf_dir)).localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
-    while len(merges) < n_merges:
-        want = min(batch_size, n_merges - len(merges))
-        pairs = _pair_counts(seqs)
-        tc = _tok_counts(seqs)
-        top = (
-            pairs.join(
-                tc.select(
-                    F.col("tok").alias("lhs"), F.col("n").alias("nl")
-                ),
-                "lhs",
+    # Loop mechanics shared with bpe._train_rounds (r16): size-pinned
+    # layout, AQE scoped off, LAZY per-round checkpoint (materializes
+    # inside the next round's score job) — merge lists asserted
+    # identical in the A/B. The token-count side of the score is
+    # BROADCAST on purpose (guide §3.1): it is vocab-grain — bounded by
+    # |alphabet| + 2·n_merges at ANY corpus scale — so the hint is
+    # scale-safe and removes two shuffle exchanges per round.
+    with _loop_confs(seqs):
+        while len(merges) < n_merges:
+            want = min(batch_size, n_merges - len(merges))
+            pairs = _pair_counts(seqs)
+            tc = _tok_counts(seqs)
+            top = (
+                pairs.join(
+                    F.broadcast(
+                        tc.select(
+                            F.col("tok").alias("lhs"), F.col("n").alias("nl")
+                        )
+                    ),
+                    "lhs",
+                )
+                .join(
+                    F.broadcast(
+                        tc.select(
+                            F.col("tok").alias("rhs"), F.col("n").alias("nr")
+                        )
+                    ),
+                    "rhs",
+                )
+                .select(
+                    "lhs",
+                    "rhs",
+                    # exact floor division in DECIMAL(38,0): (a - a%b)/b is
+                    # an exactly-divisible quotient (decimal %/- are exact;
+                    # the final /b rounds an exact integer, i.e. not at
+                    # all), so the BIGINT key matches Python's // and
+                    # DuckDB's HUGEINT // bit-for-bit with no 2^63 ceiling
+                    # on the numerator. Envelope: c·2^40 and c_l·c_r must
+                    # fit 38 digits (~10^38) — any real corpus; the
+                    # quotient itself is ≤ 2^40 (c ≤ min(c_l, c_r)).
+                    F.expr(
+                        f"CAST(((CAST(c AS DECIMAL(38,0)) * {WP_SCALE})"
+                        f" - (CAST(c AS DECIMAL(38,0)) * {WP_SCALE})"
+                        f" % (CAST(nl AS DECIMAL(38,0)) * nr))"
+                        f" / (CAST(nl AS DECIMAL(38,0)) * nr) AS BIGINT)"
+                    ).alias("score_key"),
+                )
+                .orderBy(F.desc("score_key"), F.asc("lhs"), F.asc("rhs"))
+                .limit(want)
+                .collect()
             )
-            .join(
-                tc.select(
-                    F.col("tok").alias("rhs"), F.col("n").alias("nr")
-                ),
-                "rhs",
+            if not top:
+                raise ValueError(
+                    f"corpus exhausted adjacent pairs after {len(merges)} "
+                    f"merges (requested {n_merges}); lower n_merges"
+                )
+            score_of = {(r.lhs, r.rhs): r.score_key for r in top}
+            batch = _admit_batch(top, admission, merge=_merge_token)
+            col = F.col("seq")
+            for lhs, rhs in batch:
+                col = F.replace(
+                    col,
+                    F.lit(f"_{lhs}__{rhs}_"),
+                    F.lit(f"_{_merge_token(lhs, rhs)}_"),
+                )
+            seqs = seqs.withColumn("seq", col).localCheckpoint(
+                eager=False
             )
-            .select(
-                "lhs",
-                "rhs",
-                # exact floor division in DECIMAL(38,0): (a - a%b)/b is
-                # an exactly-divisible quotient (decimal %/- are exact;
-                # the final /b rounds an exact integer, i.e. not at
-                # all), so the BIGINT key matches Python's // and
-                # DuckDB's HUGEINT // bit-for-bit with no 2^63 ceiling
-                # on the numerator. Envelope: c·2^40 and c_l·c_r must
-                # fit 38 digits (~10^38) — any real corpus; the
-                # quotient itself is ≤ 2^40 (c ≤ min(c_l, c_r)).
-                F.expr(
-                    f"CAST(((CAST(c AS DECIMAL(38,0)) * {WP_SCALE})"
-                    f" - (CAST(c AS DECIMAL(38,0)) * {WP_SCALE})"
-                    f" % (CAST(nl AS DECIMAL(38,0)) * nr))"
-                    f" / (CAST(nl AS DECIMAL(38,0)) * nr) AS BIGINT)"
-                ).alias("score_key"),
+            merges.extend(
+                (lhs, rhs, score_of[(lhs, rhs)]) for lhs, rhs in batch
             )
-            .orderBy(F.desc("score_key"), F.asc("lhs"), F.asc("rhs"))
-            .limit(want)
-            .collect()
-        )
-        if not top:
-            raise ValueError(
-                f"corpus exhausted adjacent pairs after {len(merges)} "
-                f"merges (requested {n_merges}); lower n_merges"
-            )
-        score_of = {(r.lhs, r.rhs): r.score_key for r in top}
-        batch = _admit_batch(top, admission, merge=_merge_token)
-        col = F.col("seq")
-        for lhs, rhs in batch:
-            col = F.replace(
-                col,
-                F.lit(f"_{lhs}__{rhs}_"),
-                F.lit(f"_{_merge_token(lhs, rhs)}_"),
-            )
-        seqs = seqs.withColumn("seq", col).localCheckpoint(eager=True)
-        merges.extend(
-            (lhs, rhs, score_of[(lhs, rhs)]) for lhs, rhs in batch
-        )
     out = (merges, seqs)
     _WP_CACHE[key] = out
     return out
