@@ -68,7 +68,12 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
 
     for _ in range(n_iters):
-        ranks = ranks.localCheckpoint(eager=True)  # O(1) plan depth
+        # O(1) plan depth; LAZY (r16): each step's checkpoint
+        # materializes inside the next consumer job (the dangling-mass
+        # broadcast build) instead of as its own per-step job — ranks
+        # asserted bit-identical, lazy won every same-JVM A/B
+        # alternation (best 2.55 s vs 2.86 s, worst-case gap 6.8→3.7 s)
+        ranks = ranks.localCheckpoint(eager=False)
         dangling = (
             ranks.join(sources, ranks.node == sources.src, "left_anti")
             .agg(F.coalesce(xsum("rank"), F.lit(0.0)).alias("m"))

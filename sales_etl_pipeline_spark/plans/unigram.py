@@ -246,7 +246,12 @@ def _em_round_relational(
     cnt = (
         partials.groupBy("piece")
         .agg(F.sum("c").alias("c"), F.sum("ll").alias("ll"))
-        .localCheckpoint(eager=True)
+        # LAZY (r16): materializes inside the first consumer job (the
+        # every-8th-round vocab checkpoint / the final collect), fusing
+        # per-round checkpoint jobs; both in-round consumers (ll read,
+        # M-step join) still share ONE E-step execution — the first
+        # computation persists the blocks and the second reads them.
+        .localCheckpoint(eager=False)
     )
     ll_df = cnt.agg(F.sum("ll").alias("ll")).select(
         F.lit(round_idx).alias("round"), "ll"
