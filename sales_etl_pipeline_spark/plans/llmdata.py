@@ -2328,6 +2328,13 @@ def components_from_edges(
     Returns (doc_id, component) for every node with ≥1 edge; raises
     ``ComponentsNotConverged`` at the round cap (see
     near_dup_components)."""
+    # NOTE (r16, measured): pinning `pairs` before this symmetric union
+    # looks like it should halve the edge-building work (both union
+    # branches re-evaluate the caller's DAG), but it measured SLOWER on
+    # every closure consumer (crossmodal 28.3→34.3 s, image_dedup
+    # 4.1→4.8 s, steal-clean A/B) — the inner banded-join plans already
+    # pin their expensive relations, so the re-evaluation is cheap and
+    # the extra full-pair cache materialization is pure overhead.
     edges = _pin(pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
