@@ -74,6 +74,18 @@ def _frame_fingerprints(corpus_df: DataFrame) -> DataFrame:
         F.col("payload").cast("string").alias("s"),
         F.col("perturb_block").alias("pb"),
     )
+    # Input-skew guard (r16, guide §2.5): the 8-frame explode below fans
+    # every clip into 16 interpreted chunk expressions per frame — the
+    # heaviest per-row work in the module — and an under-split source
+    # (the bench parquet is ONE row group ⇒ ~1 effective scan task)
+    # would run it near single-core. Spread the UNIONED corpus once
+    # (post-union, so the union's branches don't each pay a shuffle —
+    # the in-branch variant measured SLOWER family-wide and was
+    # rejected, see OPTIMIZATION_r16.md). No-op on any properly split
+    # source; fingerprints are value-based, so results cannot change.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < max(2, par // 2):
+        corpus = corpus.repartition(par)
     pb = F.col("pb")
     p0 = (32 * F.floor(pb / 8) + 2 * (pb % 8)).cast("int")
 
