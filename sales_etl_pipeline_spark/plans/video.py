@@ -83,9 +83,13 @@ def _frame_fingerprints(corpus_df: DataFrame) -> DataFrame:
     # the in-branch variant measured SLOWER family-wide and was
     # rejected, see OPTIMIZATION_r16.md). No-op on any properly split
     # source; fingerprints are value-based, so results cannot change.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < max(2, par // 2):
-        corpus = corpus.repartition(par)
+    # Streaming twin (streaming/jobs.stream_frame_fingerprints) shares
+    # this kernel: .rdd on a streaming DataFrame raises AnalysisException
+    # and micro-batches are already small, so the spread is batch-only.
+    if not corpus.isStreaming:
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < max(2, par // 2):
+            corpus = corpus.repartition(par)
     pb = F.col("pb")
     p0 = (32 * F.floor(pb / 8) + 2 * (pb % 8)).cast("int")
 
