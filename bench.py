@@ -535,7 +535,11 @@ def main() -> None:
     #: see _steal_jiffies — lets a reader adjudicate noisy rows without
     #: re-running anything)
     steal_shares: dict[str, float] = {}
-    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # steal-share denominator: the benched core count; fall back to the
+    # host's real cpu count, not a literal, when the env var is unset
+    # (ADVICE r16 — the share exists precisely to adjudicate noisy rows,
+    # so a silently wrong denominator defeats it)
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
     for section, sink in ((HEADLINE, timings), (COLD_TRAINING, cold_timings)):
         for name in section:
             if name not in all_queries:
@@ -781,6 +785,18 @@ def main() -> None:
             json.dump(details, f, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"details write skipped: {exc!r}", file=sys.stderr)
+    # Mirror the one-line stdout JSON to a file as a SECOND parse source
+    # (r15's stdout line never parsed driver-side despite rc=0 — a tail
+    # truncation erased that round's whole PERF comparison; the contract
+    # line below is unchanged, this is a belt-and-braces copy)
+    mirror_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STDOUT.json"
+    )
+    try:
+        with open(mirror_path, "w") as f:
+            json.dump(out, f, separators=(",", ":"))
+    except OSError as exc:
+        print(f"stdout-mirror write skipped: {exc!r}", file=sys.stderr)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 

@@ -43,9 +43,10 @@ Scale shape: one corpus-grain shuffle (word counts), then R rounds over
 the distinct-word relation — aggregate-grain shuffles only, no UDFs,
 driver traffic = 1 row per round (the argmax pair, like the k-grain
 centroid collects). The per-round re-tokenization is a single codegen'd
-``replace`` projection; lineage is truncated per round with an eager
-localCheckpoint (same recipe as ``near_dup_components``) so round N's
-pair count never replays rounds 0..N-1.
+``replace`` projection; lineage is truncated per round with a LAZY
+localCheckpoint (r16) that materializes inside the NEXT round's
+pair-count job — one job per round — so round N's pair count never
+replays rounds 0..N-1.
 """
 
 from __future__ import annotations
@@ -78,7 +79,14 @@ def _loop_confs(seqs: DataFrame):
     (same-JVM interleaved A/B, r16): pinned-layout loop 18.4 s with AQE
     off vs 20.7 s with AQE on (and 22.2 s for the unpinned AQE
     baseline). Scoped: confs are restored on exit, so corpus-grain
-    plans outside the loop keep AQE's coalescing/skew handling."""
+    plans outside the loop keep AQE's coalescing/skew handling.
+
+    NON-REENTRANT by design: the pin mutates session-global confs for
+    the loop's duration, so any query planned CONCURRENTLY on the same
+    SparkSession would silently run with AQE off and a narrow shuffle
+    width. The bench and the verification driver are single-threaded —
+    if concurrent drivers are ever supported, scope the pin to a cloned
+    session instead."""
     spark = seqs.sparkSession
     nparts = seqs.rdd.getNumPartitions()
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")

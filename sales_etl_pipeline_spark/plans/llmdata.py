@@ -2328,18 +2328,27 @@ def components_from_edges(
     Returns (doc_id, component) for every node with ≥1 edge; raises
     ``ComponentsNotConverged`` at the round cap (see
     near_dup_components)."""
-    # NOTE (r16, measured): pinning `pairs` before this symmetric union
-    # looks like it should halve the edge-building work (both union
-    # branches re-evaluate the caller's DAG), but it measured SLOWER on
-    # every closure consumer (crossmodal 28.3→34.3 s, image_dedup
-    # 4.1→4.8 s, steal-clean A/B) — the inner banded-join plans already
-    # pin their expensive relations, so the re-evaluation is cheap and
-    # the extra full-pair cache materialization is pure overhead.
-    edges = _pin(pairs.unionByName(
-        pairs.select(
+    # r17 edge materialization (guide §3.3 "materialising an intermediate
+    # truncates the plan", §1.2 job shape): the caller's pair DAG is
+    # CHECKPOINTED once, and the symmetric union is a plain projection
+    # over that LogicalRDD leaf. Two effects, measured same-JVM
+    # interleaved on the sf0.1 crossmodal joint-edge relation (outputs
+    # asserted identical): (a) the pair DAG — minhash + banded image
+    # joins in the crossmodal case — is evaluated ONCE instead of once
+    # per union branch; (b) every round's join/aggregate re-plans over a
+    # 2-leaf checkpoint scan instead of re-analyzing the full edge DAG —
+    # at ~10 pointer-jumping rounds that Catalyst time dominated the
+    # loop (A: cached symmetric union 74.6–119.0 s; B: this shape
+    # 19.7–21.8 s; C: checkpointing the union itself 22.1–26.1 s).
+    # This replaces BOTH the r16-rejected pairs-pin (a cache stacked on
+    # the edges cache — pure overhead) and the old edges cache whose
+    # logical plan each round dragged through the analyzer.
+    pairs_m = pairs.localCheckpoint()
+    edges = pairs_m.unionByName(
+        pairs_m.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ))
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -2402,7 +2411,6 @@ def components_from_edges(
         labels = jumped.select("doc_id", "label")
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         raise ComponentsNotConverged(rounds_cap, changed, labels)
     return labels.select(
