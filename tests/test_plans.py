@@ -180,10 +180,11 @@ def test_session_paths_topk_is_take_ordered(spark):
 
 
 def test_pagerank_edges_pinned_mass_conserved(spark):
-    """The weighted edge relation must be pinned (InMemoryTableScan —
-    one fact-scan edge build feeding all 8 iterations, not one per
-    step), and total rank mass must be conserved: with dangling
-    redistribution the ranks sum to 1 up to float accumulation."""
+    """The weighted edge relation must be materialized ONCE feeding all
+    8 iterations (r17: a localCheckpoint leaf — Scan ExistingRDD — not
+    a cache, so per-round plans never re-analyze the fact-scan DAG),
+    and total rank mass must be conserved: with dangling redistribution
+    the ranks sum to 1 up to float accumulation."""
     from sales_etl_pipeline_spark.plans import graph
 
     df = graph.nation_trade_pagerank(spark, SF)
@@ -191,7 +192,10 @@ def test_pagerank_edges_pinned_mass_conserved(spark):
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
     assert rows == sorted(rows, key=lambda r: (-r.rank, r.nation))
     plan = _plan(df)
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
+    # the fact tables must NOT appear in the returned plan: the edge
+    # build ran exactly once, upstream of the checkpoint leaf
+    assert "lineitem" not in plan
 
 
 def test_shortest_hops_api_on_custom_graph(spark):
