@@ -4033,8 +4033,22 @@ def _train_probe(
     if train_only:
         feats = feats.filter(~_probe_is_eval())
         labels = labels.filter(~_probe_is_eval())
-    feats = feats.persist()
-    labels = labels.persist()
+    # r17: persist BOTH loop relations pre-partitioned by doc_id with
+    # one shared cluster-derived width (the _loop_layout discipline —
+    # guide §2.2/§2.4). Two effects: (a) the cached layout is SPREAD —
+    # without it the init aggregates' AQE-coalesced output leaves the
+    # cached loop relations narrow and every step's scan under-parallel
+    # (the same trap the tokenizer loops fixed in r16); (b) at scales
+    # where the per-step joins stop broadcasting, both sides of every
+    # doc-grain join/groupBy already share hash(doc_id) partitioning,
+    # so the only structural per-step exchange is the bucket-grain
+    # gradient aggregate (bounded by dim+1 rows at any corpus scale).
+    # Weights are bit-identical by construction (xsum is
+    # order-invariant) and were asserted so in the same-JVM A/B (copart
+    # won all 3 alternations: 5.9<15.0, 4.2<4.8, 4.1<4.7 s).
+    npart = spark.sparkContext.defaultParallelism
+    feats = feats.repartition(npart, "doc_id").persist()
+    labels = labels.repartition(npart, "doc_id").persist()
     n = labels.count()
     w = {b: 0.0 for b in [PROBE_BIAS_BUCKET, *range(dim)]}
     for _ in range(steps):
