@@ -28,7 +28,19 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 #: bump when the recipe changes — stale corpora regenerate automatically
-VERSION = "bpe-v1"
+VERSION = "bpe-v2-multifile"
+
+#: part-file count for the documents table. One 2.8 MB single-row-group
+#: file caps the trainers' corpus scan at ONE task (parquet splits are
+#: byte ranges, and files under the 4 MB open-cost floor never split),
+#: so the init word-count pass ran single-core at any cluster size
+#: (guide §2.5 input skew / §6 small-file splits). 16 part files give
+#: the scan 16 tasks with no per-plan repartition. ROW CONTENT is
+#: unchanged (same seed, same generation order, sliced contiguously) —
+#: word counts, the training fingerprint (count, max id, total chars)
+#: and therefore every merge list are identical to the single-file
+#: corpus.
+N_FILES = 16
 
 SEED = 20260815
 VOCAB = 24000
@@ -90,9 +102,20 @@ def ensure_bpe_corpus(out_dir: str) -> str:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    pq.write_table(
-        _make_documents(rng), os.path.join(out_dir, "documents.parquet")
-    )
+    table = _make_documents(rng)
+    # documents.parquet is a DIRECTORY of N_FILES parts (Spark reads it
+    # identically); a stale single-FILE corpus is replaced
+    dest = os.path.join(out_dir, "documents.parquet")
+    if os.path.isfile(dest):
+        os.remove(dest)
+    os.makedirs(dest, exist_ok=True)
+    step = (table.num_rows + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part, os.path.join(dest, f"part-{i:05d}.parquet")
+            )
     with open(marker, "w") as f:
         f.write(VERSION)
     return out_dir
@@ -101,7 +124,7 @@ def ensure_bpe_corpus(out_dir: str) -> str:
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbpe"
     ensure_bpe_corpus(out)
-    d = pq.read_metadata(os.path.join(out, "documents.parquet"))
+    d = pq.read_table(os.path.join(out, "documents.parquet"))
     print(f"{out}: documents={d.num_rows}")
 
 
