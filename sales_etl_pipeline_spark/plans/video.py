@@ -74,22 +74,17 @@ def _frame_fingerprints(corpus_df: DataFrame) -> DataFrame:
         F.col("payload").cast("string").alias("s"),
         F.col("perturb_block").alias("pb"),
     )
-    # Input-skew guard (r16, guide §2.5): the 8-frame explode below fans
-    # every clip into 16 interpreted chunk expressions per frame — the
-    # heaviest per-row work in the module — and an under-split source
-    # (the bench parquet is ONE row group ⇒ ~1 effective scan task)
-    # would run it near single-core. Spread the UNIONED corpus once
-    # (post-union, so the union's branches don't each pay a shuffle —
-    # the in-branch variant measured SLOWER family-wide and was
-    # rejected, see OPTIMIZATION_r16.md). No-op on any properly split
-    # source; fingerprints are value-based, so results cannot change.
-    # Streaming twin (streaming/jobs.stream_frame_fingerprints) shares
-    # this kernel: .rdd on a streaming DataFrame raises AnalysisException
-    # and micro-batches are already small, so the spread is batch-only.
-    if not corpus.isStreaming:
-        par = corpus.sparkSession.sparkContext.defaultParallelism
-        if corpus.rdd.getNumPartitions() < max(2, par // 2):
-            corpus = corpus.repartition(par)
+    # Input-skew note (r16 → r17): the 8-frame explode below fans every
+    # clip into 16 interpreted chunk expressions per frame — the
+    # heaviest per-row work in the module — so an under-split source
+    # would run it near single-core. The spread now lives in the corpus
+    # builders (images._spread_corpus, applied post-union in
+    # _image_corpus/_image_corpus_full), which every BATCH caller of
+    # this kernel goes through; the r16 in-kernel guard was removed
+    # because its .rdd partition probe cost a physical-plan build per
+    # query on top of the builders' own (measured ~0.2 s per video row)
+    # and it broke the STREAMING twin (.rdd raises on a streaming
+    # DataFrame — micro-batches are small and need no spread).
     pb = F.col("pb")
     p0 = (32 * F.floor(pb / 8) + 2 * (pb % 8)).cast("int")
 
