@@ -67,7 +67,7 @@ def pagerank(
     # checkpoint keeps its per-round plan a leaf scan (r17, the
     # components-loop evidence: per-round Catalyst re-analysis of a
     # cached relation's full logical plan dominates short rounds)
-    sources = edges.select("src").distinct().localCheckpoint()
+    sources = edges.select("src").distinct().localCheckpoint(eager=False)
     n = nodes.count()  # node-grain scalar, bounded driver traffic
     base = (1.0 - damping) / float(n)
     ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
@@ -141,8 +141,14 @@ def nation_trade_pagerank(
     # edge relation feeds all 8 iterations, and with a cache each
     # round's join still re-analyzed the full fact-scan DAG behind the
     # InMemoryRelation; the checkpoint truncates it to a leaf scan.
-    # Same-JVM interleaved A/B (ranks bit-identical): ckpt won all 3
-    # alternations (10.8<38.1, 6.8<8.3, 5.3<7.7 s).
+    # Same-JVM interleaved A/B (ranks bit-identical): ckpt won 4 of 6
+    # alternations (10.8<38.1, 6.8<8.3, 5.3<7.7, 6.2<15.0; warm-JVM
+    # steady state is a wash — the win concentrates where analyzer JIT
+    # is cold, and the per-round leaf plan is the scale-correct shape
+    # either way). LAZY (eager=False) so materialization fuses into
+    # round 1's first job instead of two upfront checkpoint jobs —
+    # lazy won or tied every alternation (12.3<41.6, 5.9<10.2,
+    # 4.66≈4.71 steal-clean).
     edges = (
         pair_dec.join(out_dec, pair_dec.src == F.col("osrc")).select(
             "src",
@@ -152,7 +158,7 @@ def nation_trade_pagerank(
                 / F.col("out_dec").cast("double")
             ).alias("w"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = nation.select(F.col("n_nationkey").cast("int").alias("node"))
     ranks = pagerank(nodes, edges, n_iters=n_iters)
 
@@ -330,7 +336,7 @@ def nation_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").cast("int").alias("dst"),
         )
         .distinct()
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = nation.select(F.col("n_nationkey").cast("int").alias("node"))
     dist = shortest_hops(nodes, edges, BFS_SOURCE)
     named = nation.select(
