@@ -243,22 +243,18 @@ _MODULES = (
 # scalars; hex fingerprints and the 32-hex-char video sig are
 # strings) — no serialized twins needed.
 #
-# Round-17 cohort (PLANNED): promote the r16 library additions on the
-# one-round lag — mm_interleaved_spans, mm_interleaved_render,
-# incremental_interleaved_fold, mm_window_decontamination
-# (plans/interleaved.py), hard_negative_mining (plans/llmdata.py),
-# scd2_point_in_time_join (plans/cdc.py) and
-# preference_agreement_stats (plans/assembly.py),
-# all ORACLE-EXACT at sf0.001 + sf0.01 (hard_negative_mining_ann
-# stays library rows-only by construction — the ANN convention); flat
-# schemas: ids/offsets/cosines/counts are scalars, content is a
-# string — plus the next return-leg tranche (the r14
-# outs, out 3 rounds by then: the event windowing family and the text
-# trio text_quality / token_stats / tfidf_top_terms + bpe_merges, and
-# the longest-out pair mm_image_features / mm_frame_sample — both
-# flat-schema and oracle-exact, out since pre-r9 purely on slot
-# pressure), rotating out the r16 cohort once CORRECTNESS_r16
-# confirms it.
+# Round-17 cohort (EXECUTED this round; see ROTATED_IN/ROTATED_OUT):
+# the 7 staked r16 library additions promoted on the one-round lag
+# (interleaved family, hard_negative_mining, scd2_point_in_time_join,
+# preference_agreement_stats — all oracle-exact, flat-schema;
+# hard_negative_mining_ann stays library rows-only by the ANN
+# convention), plus ONE return leg — mm_image_features, the longest-
+# out plan (pre-r9). The r16 plan note above staked a larger return
+# tranche (the r14 event/text outs + mm_frame_sample) than the 8
+# slots freed by the outgoing r16 cohort can hold under the 50-slot
+# cap; the remainder stays staked for r18 in longest-out-first order
+# (mm_frame_sample, then the r14 event windowing family and the text
+# trio + bpe_merges — all flat-schema with living library oracles).
 #
 # Round-12 cohort (EXECUTED r12; kept for the audit trail): the 16
 # never-driver-confirmed plans — the graph trio, search trio, webtext
@@ -306,9 +302,10 @@ _MODULES = (
 #: HARNESS COMPAT RULE never applied to them. They are staked as
 #: driver-eligible return legs in the r17 plan below.
 ROTATED_OUT = frozenset({
-    # pre-r9 rotation (still out; library-oracle-checked every pytest
-    # run)
-    "mm_image_features",
+    # pre-r9 rotation: mm_image_features RETURNED to the driver in r17
+    # (the longest-out return leg, staked in the r16 plan note);
+    # mm_frame_sample stays out on slot pressure alone — first return
+    # leg for r18
     "mm_frame_sample",
     # r10: rows-only ANN trio makes room for the never-confirmed set
     "ann_ivf_topk",
@@ -361,24 +358,29 @@ ROTATED_OUT = frozenset({
 #: returns to the library tier, where its oracle parity keeps running
 #: every pytest suite via tests/test_library_parity.py.
 ROTATED_IN = frozenset({
-    # cross-split decontamination, audio + video (plans/audio.py,
-    # plans/video.py) — shared banded _banded_cross_split_decon core,
-    # oracle-exact vs naive cross-split all-pairs
-    "audio_decontamination_energy",
-    "video_decontamination_frames",
-    # incremental audio/video dedup folds — oracle = batch-free
-    # recompute over the union of even/odd ingest halves
-    "incremental_audio_dedup_fold",
-    "incremental_video_dedup_fold",
-    # LAION-style joint text+image dedup closure and the per-doc
-    # agreement diagnostic (plans/crossmodal.py) — recursive-CTE-exact
-    "crossmodal_dedup_resolution",
-    "crossmodal_consistency_check",
-    # fixed-point pHash pair (plans/images.py) — scaled-integer DCT
-    # (PHASH_SCALE=2^14), single source of truth for the Arrow kernel
-    # AND the DuckDB VALUES-table oracle replay
-    "image_phash_fixed_fingerprints",
-    "image_phash_fixed_near_dup",
+    # Round-17 cohort (EXECUTED this round, per the r16 plan note and
+    # VERDICT r16 Next #8, CORRECTNESS_r16 confirming the r16 cohort
+    # 49/50 green): promote the r16 library additions on the one-round
+    # lag — the interleaved multimodal family (plans/interleaved.py),
+    # hard-negative mining (plans/llmdata.py), the SCD2 point-in-time
+    # lookup join (plans/cdc.py) and the preference inter-rater
+    # agreement stats (plans/assembly.py); all ORACLE-EXACT at
+    # sf0.001 + sf0.01 in the r16 pytest runs, all flat-schema
+    # (hard_negative_mining_ann stays library rows-only by the ANN
+    # convention). The outgoing 8-plan r16 cohort (driver-confirmed in
+    # CORRECTNESS_r16.json) returns to the library tier, where
+    # tests/test_library_parity.py keeps oracle-checking it every run.
+    # The 8th freed slot takes the mm_image_features return leg (see
+    # ROTATED_OUT). 42 base + 8 promoted = 50 slots exactly,
+    # 49 oracle + 1 rows-only (stream_transitions_replay, watermark-
+    # dependent by design).
+    "mm_interleaved_spans",
+    "mm_interleaved_render",
+    "incremental_interleaved_fold",
+    "mm_window_decontamination",
+    "hard_negative_mining",
+    "scd2_point_in_time_join",
+    "preference_agreement_stats",
 })
 
 
