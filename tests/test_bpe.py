@@ -271,6 +271,32 @@ def test_batched_matches_python_replay_oracle(spark):
     assert got == {w: t for w, t in want_seqs.items()}
 
 
+def test_incremental_counts_match_full_recount_replay(spark):
+    """r17 focused gate for the INCREMENTAL pair-count maintenance in
+    _train_rounds (counts_new = counts_old − pairs(changed, old) +
+    pairs(changed, new)): the pure-Python oracle recounts EVERY pair
+    from scratch each round, so bit-equality of the merge list and every
+    final segmentation over a many-round sequential run is exactly the
+    maintained-vs-recounted equivalence claim. Sequential mode (one
+    merge per round) maximizes the number of maintenance steps the
+    equality must survive; zero-drop and fresh-creation edges are
+    additionally pinned by test_train_raises_when_pairs_exhaust."""
+    import re
+
+    from sales_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    freqs = {}
+    for r in docs.select("text").collect():
+        for w in re.findall("[a-z]+", r.text.lower()):
+            freqs[w] = freqs.get(w, 0) + 1
+    want_merges, want_seqs = _py_batched_bpe(freqs, 16, 1)
+    got_merges, got_seqs = bpe.train_bpe(spark, SF, 16, batch_size=1)
+    assert got_merges == want_merges
+    got = {r.word: r.seq.strip("_").split("__") for r in got_seqs.collect()}
+    assert got == {w: t for w, t in want_seqs.items()}
+
+
 def test_batched_equals_sequential_on_natural_corpus(spark):
     """On the sf0.01 corpus, batched(8) training selects exactly the
     sequential merge list — the natural-corpus regime where no pair
